@@ -1,0 +1,201 @@
+"""Per-meeting / per-participant interval indices over the ground truth.
+
+Fresh implementation of reference analysis/preprocess.py:13-167: turn the
+transcript segment tables into laugh / invalid / speech / noise / silence
+interval indices at 1 ms frame resolution, using our exact
+:class:`~laughter_detection_icsi_tpu.eval.intervals.IntervalSet` algebra
+instead of the portion library.
+
+Validity rule (reference preprocess.py:13-24): a transcribed laugh shorter
+than ``min_length`` (0.2 s) or typed 'breath-laugh' is INVALID — it is moved
+into the invalid index and excluded from evaluation.
+
+Index structure: ``index.sets[meeting_id][part_id] -> IntervalSet`` plus
+per-meeting ``tot_len`` (seconds) and ``tot_events`` counters (reference
+preprocess.py:27-46).
+
+Unlike the reference this module has no import-time side effects; build via
+:func:`build_indices` or the cached :func:`load`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import hashlib
+import os
+import pickle
+from pathlib import Path
+from typing import Dict, Optional
+
+import pandas as pd
+
+from laughter_detection_icsi_tpu.config import ANALYSIS, AnalysisConfig
+from laughter_detection_icsi_tpu.eval.intervals import IntervalSet, to_frames, to_sec
+from laughter_detection_icsi_tpu.eval.transcript import TranscriptStore
+
+
+@dataclasses.dataclass
+class Index:
+    """Interval index per (meeting, participant) with per-meeting totals."""
+
+    sets: Dict[str, Dict[str, IntervalSet]] = dataclasses.field(default_factory=dict)
+    tot_len: Dict[str, float] = dataclasses.field(default_factory=dict)  # seconds
+    tot_events: Dict[str, int] = dataclasses.field(default_factory=dict)
+
+    def get(self, meeting_id: str, part_id: str) -> IntervalSet:
+        """Empty set if the (meeting, participant) has no entries (reference
+        preprocess.py:123-130)."""
+        return self.sets.get(meeting_id, {}).get(part_id, IntervalSet.empty())
+
+    def has_part(self, meeting_id: str, part_id: str) -> bool:
+        return part_id in self.sets.get(meeting_id, {})
+
+    def ensure_meeting(self, meeting_id: str) -> None:
+        self.sets.setdefault(meeting_id, {})
+        self.tot_len.setdefault(meeting_id, 0.0)
+        self.tot_events.setdefault(meeting_id, 0)
+
+    def add(self, meeting_id: str, part_id: str, start_s: float, end_s: float) -> None:
+        """Append one segment (reference preprocess.py:27-46).  The reference
+        accumulates tot_len per appended segment *before* union-merging, so
+        overlapping transcriptions are double counted there too — we keep that
+        accounting (sum of segment lengths, not union length)."""
+        self.ensure_meeting(meeting_id)
+        seg = IntervalSet.openclosed(to_frames(start_s), to_frames(end_s))
+        cur = self.sets[meeting_id].get(part_id, IntervalSet.empty())
+        self.sets[meeting_id][part_id] = cur | seg
+        self.tot_len[meeting_id] += to_sec(seg.length())
+        self.tot_events[meeting_id] += 1
+
+
+@dataclasses.dataclass
+class IndexStore:
+    laugh: Index
+    invalid: Index
+    speech: Index
+    noise: Index
+    silence: Index
+
+
+def seg_is_invalid(row, cfg: AnalysisConfig = ANALYSIS) -> bool:
+    """Reference preprocess.py:13-24."""
+    return row["length"] < cfg.min_length or row["laugh_type"] == "breath-laugh"
+
+
+def index_from_df(df: pd.DataFrame) -> Index:
+    """Reference preprocess.py:91-120."""
+    index = Index()
+    if df.empty:
+        return index
+    for meeting_id, meeting_df in df.groupby("meeting_id"):
+        index.ensure_meeting(meeting_id)
+        for part_id, part_df in meeting_df.sort_values("start").groupby("part_id"):
+            for _, row in part_df.iterrows():
+                index.add(meeting_id, part_id, row["start"], row["end"])
+    return index
+
+
+def laugh_index_from_df(df: pd.DataFrame, invalid_index: Index) -> Index:
+    """Reference preprocess.py:49-88: invalid laughs (too short /
+    breath-laugh) go to the invalid index instead."""
+    index = Index()
+    if df.empty:
+        return index
+    for meeting_id, meeting_df in df.groupby("meeting_id"):
+        index.ensure_meeting(meeting_id)
+        for part_id, part_df in meeting_df.sort_values("start").groupby("part_id"):
+            # The reference pre-creates an (empty) entry per participant
+            # (preprocess.py:76); matters for `part_id in index` checks.
+            index.sets[meeting_id].setdefault(part_id, IntervalSet.empty())
+            for _, row in part_df.iterrows():
+                if seg_is_invalid(row):
+                    invalid_index.add(meeting_id, part_id, row["start"], row["end"])
+                else:
+                    index.add(meeting_id, part_id, row["start"], row["end"])
+    return index
+
+
+def silence_index_from(
+    store: TranscriptStore,
+    laugh: Index,
+    invalid: Index,
+    noise: Index,
+    speech: Index,
+) -> Index:
+    """Whole channel minus every transcribed segment (reference
+    preprocess.py:133-167)."""
+    index = Index()
+    for _, row in store.info_df.iterrows():
+        meeting_id, part_id = row["meeting_id"], row["part_id"]
+        index.ensure_meeting(meeting_id)
+        full = IntervalSet.openclosed(0, to_frames(row["length"]))
+        silence = (
+            full
+            - laugh.get(meeting_id, part_id)
+            - invalid.get(meeting_id, part_id)
+            - speech.get(meeting_id, part_id)
+            - noise.get(meeting_id, part_id)
+        )
+        index.sets[meeting_id][part_id] = silence
+        index.tot_len[meeting_id] += to_sec(silence.length())
+    return index
+
+
+def build_indices(store: TranscriptStore) -> IndexStore:
+    invalid = index_from_df(store.invalid_df)
+    laugh = laugh_index_from_df(store.laugh_only_df, invalid_index=invalid)
+    speech = index_from_df(store.speech_df)
+    noise = index_from_df(store.noise_df)
+    # Evaluation walks every meeting dir and reads laugh totals
+    # (reference analyse.py:159-161); make sure every known meeting exists.
+    for meeting_id in store.meeting_ids:
+        for idx in (laugh, invalid, speech, noise):
+            idx.ensure_meeting(meeting_id)
+    silence = silence_index_from(store, laugh, invalid, noise, speech)
+    return IndexStore(
+        laugh=laugh, invalid=invalid, speech=speech, noise=noise, silence=silence
+    )
+
+
+# --------------------------------------------------------------------------- #
+# Disk cache (reference preprocess.py:170-213 caches to
+# .cache/preprocessed_indices.pkl; ours is keyed by the transcript dir content
+# so a changed corpus never reads a stale cache).
+# --------------------------------------------------------------------------- #
+
+
+def _cache_key(transcript_dir: str) -> str:
+    h = hashlib.sha1()
+    tdir = Path(transcript_dir)
+    for p in sorted(tdir.glob("*.mrt")):
+        st = p.stat()
+        h.update(f"{p.name}:{st.st_size}:{st.st_mtime_ns}".encode())
+    return h.hexdigest()[:16]
+
+
+_INDEX_CACHE: Dict[str, IndexStore] = {}
+
+
+def load(
+    store: TranscriptStore,
+    cache_dir: Optional[str] = None,
+    force_recompute: bool = False,
+) -> IndexStore:
+    key = _cache_key(store.transcript_dir)
+    if not force_recompute and key in _INDEX_CACHE:
+        return _INDEX_CACHE[key]
+    cache_file = None
+    if cache_dir is not None:
+        cache_file = Path(cache_dir) / f"indices_{key}.pkl"
+        if not force_recompute and cache_file.is_file():
+            with open(cache_file, "rb") as f:
+                indices = pickle.load(f)
+            _INDEX_CACHE[key] = indices
+            return indices
+    indices = build_indices(store)
+    _INDEX_CACHE[key] = indices
+    if cache_file is not None:
+        cache_file.parent.mkdir(parents=True, exist_ok=True)
+        with open(cache_file, "wb") as f:
+            pickle.dump(indices, f)
+    return indices

@@ -1,0 +1,118 @@
+"""Transcript parsing + index building on the synthetic corpus."""
+
+import pytest
+
+from laughter_detection_icsi_tpu.eval import indices as idx_mod
+from laughter_detection_icsi_tpu.eval.intervals import IntervalSet
+from laughter_detection_icsi_tpu.eval.transcript import TranscriptStore
+
+
+@pytest.fixture(scope="module")
+def store(synthetic_corpus):
+    return TranscriptStore(str(synthetic_corpus.transcript_dir))
+
+
+@pytest.fixture(scope="module")
+def indices(store):
+    return idx_mod.build_indices(store)
+
+
+def test_preamble_maps(store):
+    assert store.chan_to_part["Btr001"] == {"chan0": "me001", "chan1": "me002"}
+    assert store.part_to_chan["Btr001"]["me002"] == "chan1"
+    # participant without channel is not mapped
+    assert "mn003" not in store.part_to_chan["Btr001"]
+
+
+def test_segment_classification(store, synthetic_corpus):
+    exp = synthetic_corpus.expected["Btr001"]
+    laugh = store.laugh_only_df[store.laugh_only_df.meeting_id == "Btr001"]
+    # LAUGH type includes breath-laugh and too-short laughs (the *type* is
+    # laugh; routing to invalid happens at index build time)
+    got_laughs = {(r.part_id, r.start, r.end) for r in laugh.itertuples()}
+    expected_laughs = set(exp["laugh"]) | set(exp["invalid_routed"])
+    assert got_laughs == expected_laughs
+
+    invalid = store.invalid_df[store.invalid_df.meeting_id == "Btr001"]
+    assert {(r.part_id, r.start, r.end) for r in invalid.itertuples()} == set(
+        exp["invalid_type"]
+    )
+
+    speech = store.speech_df[store.speech_df.meeting_id == "Btr001"]
+    assert {(r.part_id, r.start, r.end) for r in speech.itertuples()} == set(
+        exp["speech"]
+    )
+
+    noise = store.noise_df[store.noise_df.meeting_id == "Btr001"]
+    assert {(r.part_id, r.start, r.end) for r in noise.itertuples()} == set(
+        exp["noise"]
+    )
+
+    # unmapped participant dropped entirely
+    for df in (store.laugh_only_df, store.speech_df, store.invalid_df, store.noise_df):
+        assert "mn003" not in set(df.part_id)
+
+
+def test_laugh_types_recorded(store):
+    btr = store.laugh_only_df[store.laugh_only_df.meeting_id == "Btr001"]
+    types = dict(zip(zip(btr.part_id, btr.start), btr.laugh_type))
+    assert types[("me001", 10.0)] == "laugh"
+    assert types[("me001", 20.0)] == "breath-laugh"
+
+
+def test_info_df(store, synthetic_corpus):
+    btr = store.info_df[store.info_df.meeting_id == "Btr001"]
+    assert set(btr.chan_id) == {"chan0", "chan1"}
+    assert (btr.length == 60.0).all()
+    assert "Btr001/chan0.sph" in set(btr.path)
+    assert store.meeting_ids == ["Bmr021", "Btr001"]
+
+
+def test_laugh_index_routing(indices):
+    # valid laughs only
+    me001 = indices.laugh.get("Btr001", "me001")
+    assert list(me001.pairs()) == [(10000, 12000)]
+    me002 = indices.laugh.get("Btr001", "me002")
+    assert list(me002.pairs()) == [(35000, 36500)]
+    # tot_len counts only valid laughs: 2.0 + 1.5
+    assert indices.laugh.tot_len["Btr001"] == pytest.approx(3.5)
+    assert indices.laugh.tot_events["Btr001"] == 2
+
+
+def test_invalid_index_contains_routed_laughs(indices):
+    inv = indices.invalid.get("Btr001", "me001")
+    # invalid-type segment 40-41 plus routed breath-laugh 20-21 and short 30-30.1
+    assert list(inv.pairs()) == [(20000, 21000), (30000, 30100), (40000, 41000)]
+    inv2 = indices.invalid.get("Btr001", "me002")
+    assert list(inv2.pairs()) == [(25000, 27000)]
+
+
+def test_silence_index_complement(indices, store):
+    # me001@Btr001: 60 s minus speech(0-5, 50-52), laugh(10-12),
+    # invalid(20-21, 30-30.1, 40-41), noise(54-55): 60 - 12.1 = 47.9 s
+    sil = indices.silence.get("Btr001", "me001")
+    expected_len = 60.0 - (5 + 2 + 2 + 1 + 0.1 + 1 + 1)
+    assert sil.length() == pytest.approx(expected_len * 1000)
+    # silence never overlaps any other index
+    for idx in (indices.laugh, indices.invalid, indices.speech, indices.noise):
+        assert not sil.overlaps(idx.get("Btr001", "me001"))
+
+
+def test_all_meetings_present_in_all_indices(indices, store):
+    for meeting_id in store.meeting_ids:
+        for idx in (
+            indices.laugh,
+            indices.invalid,
+            indices.speech,
+            indices.noise,
+            indices.silence,
+        ):
+            assert meeting_id in idx.sets
+
+
+def test_index_cache_roundtrip(store, tmp_path):
+    first = idx_mod.load(store, cache_dir=str(tmp_path))
+    idx_mod._INDEX_CACHE.clear()
+    second = idx_mod.load(store, cache_dir=str(tmp_path))
+    assert first.laugh.get("Btr001", "me001") == second.laugh.get("Btr001", "me001")
+    assert first.laugh.tot_len == second.laugh.tot_len
