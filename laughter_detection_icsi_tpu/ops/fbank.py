@@ -1,0 +1,234 @@
+"""Kaldi-compatible log-mel filterbank (Fbank) featurizer as XLA/TPU ops.
+
+The reference extracts features with Lhotse's ``Fbank`` on CPU
+(reference utils/utils.py:25, compute_features.py:84-109, load_data.py:47-49),
+which implements Kaldi fbank semantics.  This module reimplements those
+semantics as pure JAX ops so featurization runs **on device**, fused by XLA
+into the inference/training graph (BASELINE.json north_star).
+
+Design notes (TPU-first):
+- The DFT is expressed as two real matmuls against precomputed cos/sin bases
+  (frame matrix [T, 512] x [512, 257]) followed by the mel projection
+  ([T, 257] x [257, n_mels]) — three MXU matmuls per block instead of an FFT
+  butterfly, which is the fast path for these small transform sizes on TPU.
+  ``jnp.fft.rfft`` is available behind ``use_fft=True`` for comparison.
+- All shapes are static: ``num_frames`` is computed on host from the sample
+  count; framing is a strided gather.
+
+Kaldi semantics implemented (matching Lhotse FbankConfig defaults, which the
+reference relies on — see SURVEY.md §7.3 "Kaldi-fbank bit-compatibility"):
+- snip_edges=False: T = (n + shift//2) // shift frames, waveform padded by
+  flipped (symmetric) edges, frame i starting at i*shift - (flen-shift)//2.
+- remove_dc_offset per frame; preemphasis 0.97 (x[j]-0.97*x[j-1], edge uses
+  x[0]); povey window (hann**0.85); zero-pad 400->512; power spectrum;
+- mel filterbank: Kaldi mel scale 1127*ln(1+f/700), low=20 Hz,
+  high=nyquist-400=7600 Hz, triangular in mel domain over FFT bins
+  0..255 (Nyquist bin excluded); log with floor.
+- dither defaults to 0.0 (Lhotse default), so the pipeline is deterministic.
+
+Input convention: float waveform in [-1, 1] (what Lhotse feeds its Fbank).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from laughter_detection_icsi_tpu.config import FEAT, FeatConfig
+
+
+# --------------------------------------------------------------------------- #
+# Host-side precomputation (numpy, cached per config)
+# --------------------------------------------------------------------------- #
+
+
+def mel_scale(freq):
+    return 1127.0 * np.log(1.0 + np.asarray(freq, dtype=np.float64) / 700.0)
+
+
+@functools.lru_cache(maxsize=8)
+def _mel_banks(cfg: FeatConfig) -> np.ndarray:
+    """Kaldi triangular mel filterbank, shape [fft//2 + 1, num_filters].
+
+    The Nyquist row is all-zero (Kaldi computes bins over fft_size//2 bins).
+    """
+    nfft = cfg.fft_size
+    num_bins = cfg.num_filters
+    nyquist = cfg.sampling_rate / 2.0
+    high_freq = cfg.high_freq if cfg.high_freq > 0 else nyquist + cfg.high_freq
+    mel_low = mel_scale(cfg.low_freq)
+    mel_high = mel_scale(high_freq)
+    mel_delta = (mel_high - mel_low) / (num_bins + 1)
+
+    num_fft_bins = nfft // 2
+    fft_freqs = np.arange(num_fft_bins, dtype=np.float64) * (
+        cfg.sampling_rate / nfft
+    )
+    mel_freqs = mel_scale(fft_freqs)  # [num_fft_bins]
+
+    left = mel_low + np.arange(num_bins, dtype=np.float64) * mel_delta
+    center = left + mel_delta
+    right = center + mel_delta
+
+    mel = mel_freqs[:, None]  # [num_fft_bins, 1]
+    up = (mel - left[None, :]) / (center - left)[None, :]
+    down = (right[None, :] - mel) / (right - center)[None, :]
+    weights = np.where(
+        (mel > left[None, :]) & (mel <= center[None, :]),
+        up,
+        np.where((mel > center[None, :]) & (mel < right[None, :]), down, 0.0),
+    )
+    out = np.zeros((nfft // 2 + 1, num_bins), dtype=np.float32)
+    out[:num_fft_bins] = weights.astype(np.float32)
+    return out
+
+
+@functools.lru_cache(maxsize=8)
+def _window_fn(cfg: FeatConfig) -> np.ndarray:
+    n = cfg.frame_length_samples
+    a = 2.0 * math.pi / (n - 1)
+    i = np.arange(n, dtype=np.float64)
+    hann = 0.5 - 0.5 * np.cos(a * i)
+    if cfg.window_type == "povey":
+        w = hann**0.85
+    elif cfg.window_type == "hanning":
+        w = hann
+    elif cfg.window_type == "hamming":
+        w = 0.54 - 0.46 * np.cos(a * i)
+    elif cfg.window_type == "rectangular":
+        w = np.ones(n)
+    else:
+        raise ValueError(f"unknown window_type {cfg.window_type!r}")
+    return w.astype(np.float32)
+
+
+@functools.lru_cache(maxsize=8)
+def _dft_bases(nfft: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Real-DFT cos/sin bases, each [nfft, nfft//2 + 1] (float32)."""
+    k = np.arange(nfft // 2 + 1, dtype=np.float64)
+    n = np.arange(nfft, dtype=np.float64)
+    angle = 2.0 * math.pi * np.outer(n, k) / nfft
+    return np.cos(angle).astype(np.float32), (-np.sin(angle)).astype(np.float32)
+
+
+# --------------------------------------------------------------------------- #
+# Shape math
+# --------------------------------------------------------------------------- #
+
+
+def num_frames(num_samples: int, cfg: FeatConfig = FEAT) -> int:
+    """Frame count for a waveform of ``num_samples`` samples."""
+    shift = cfg.frame_shift_samples
+    if cfg.snip_edges:
+        if num_samples < cfg.frame_length_samples:
+            return 0
+        return 1 + (num_samples - cfg.frame_length_samples) // shift
+    return (num_samples + shift // 2) // shift
+
+
+def pad_amounts(num_samples: int, cfg: FeatConfig = FEAT) -> Tuple[int, int]:
+    """(left, right) symmetric padding for snip_edges=False framing."""
+    shift = cfg.frame_shift_samples
+    flen = cfg.frame_length_samples
+    t = num_frames(num_samples, cfg)
+    new_len = (t - 1) * shift + flen
+    npad = new_len - num_samples
+    npad_left = (flen - shift) // 2
+    return npad_left, npad - npad_left
+
+
+# --------------------------------------------------------------------------- #
+# The featurizer
+# --------------------------------------------------------------------------- #
+
+
+def frame_waveform(waveform: jnp.ndarray, cfg: FeatConfig = FEAT) -> jnp.ndarray:
+    """[..., n] float waveform -> [..., T, frame_length_samples] frames."""
+    n = waveform.shape[-1]
+    shift = cfg.frame_shift_samples
+    flen = cfg.frame_length_samples
+    t = num_frames(n, cfg)
+    if cfg.snip_edges:
+        padded = waveform
+    else:
+        left, right = pad_amounts(n, cfg)
+        pad_l = jnp.flip(waveform[..., :left], axis=-1)
+        pad_r = jnp.flip(waveform[..., n - right :], axis=-1)
+        padded = jnp.concatenate([pad_l, waveform, pad_r], axis=-1)
+    idx = jnp.arange(t)[:, None] * shift + jnp.arange(flen)[None, :]
+    return padded[..., idx]
+
+
+def fbank(
+    waveform: jnp.ndarray,
+    cfg: FeatConfig = FEAT,
+    use_fft: bool = False,
+    dtype: jnp.dtype = jnp.float32,
+) -> jnp.ndarray:
+    """Log-mel features: [..., n] waveform -> [..., T, num_filters].
+
+    Jit-compatible for fixed input length; compose with ``jax.jit`` /
+    ``shard_map`` at the call site.
+    """
+    frames = frame_waveform(waveform.astype(jnp.float32), cfg)
+    if cfg.remove_dc_offset:
+        frames = frames - jnp.mean(frames, axis=-1, keepdims=True)
+    if cfg.preemph_coeff != 0.0:
+        prev = jnp.concatenate([frames[..., :1], frames[..., :-1]], axis=-1)
+        frames = frames - cfg.preemph_coeff * prev
+    frames = frames * jnp.asarray(_window_fn(cfg))
+
+    nfft = cfg.fft_size
+    flen = cfg.frame_length_samples
+    if use_fft:
+        padded = jnp.pad(
+            frames, [(0, 0)] * (frames.ndim - 1) + [(0, nfft - flen)]
+        )
+        spec = jnp.fft.rfft(padded, axis=-1)
+        power = jnp.real(spec) ** 2 + jnp.imag(spec) ** 2
+    else:
+        cos_b, sin_b = _dft_bases(nfft)
+        # Frames are zero beyond flen, so contract only the first flen rows.
+        cos_b = jnp.asarray(cos_b[:flen])
+        sin_b = jnp.asarray(sin_b[:flen])
+        # HIGHEST precision: TPU matmuls default to bf16-ish passes, which
+        # breaks feature parity with the CPU reference.
+        re = jnp.matmul(
+            frames,
+            cos_b,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        im = jnp.matmul(
+            frames,
+            sin_b,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        power = re * re + im * im
+
+    mel = jnp.matmul(
+        power,
+        jnp.asarray(_mel_banks(cfg)),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    out = jnp.log(jnp.maximum(mel, cfg.energy_floor))
+    return out.astype(dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "use_fft"))
+def fbank_jit(
+    waveform: jnp.ndarray, cfg: FeatConfig = FEAT, use_fft: bool = False
+) -> jnp.ndarray:
+    return fbank(waveform, cfg, use_fft=use_fft)
+
+
+def fbank_numpy(waveform: np.ndarray, cfg: FeatConfig = FEAT) -> np.ndarray:
+    """Host (numpy) convenience wrapper used by CPU-only code paths."""
+    return np.asarray(fbank_jit(jnp.asarray(waveform), cfg))

@@ -7,12 +7,19 @@ to CPU so tests never contend for the single real TPU chip.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax
+
+# The environment's axon (TPU tunnel) plugin registers itself from
+# sitecustomize and ignores JAX_PLATFORMS; pin the platform via the config so
+# tests run on the virtual 8-device CPU mesh, never the real chip.
+jax.config.update("jax_platforms", "cpu")
 
 import sys
 from pathlib import Path

@@ -1,0 +1,125 @@
+"""Featurizer tests: JAX fbank vs. an independent loop-based NumPy oracle.
+
+The oracle below implements the Kaldi fbank spec (snip_edges=False symmetric
+padding, per-frame DC removal, preemphasis, povey window, power spectrum,
+Kaldi mel banks, log floor) in plain per-frame loops — deliberately written
+differently from the vectorized/matmul production path so shared bugs are
+unlikely.
+"""
+
+import numpy as np
+import pytest
+
+from laughter_detection_icsi_tpu.config import FEAT, FeatConfig
+from laughter_detection_icsi_tpu.ops import fbank as fb
+
+
+def oracle_fbank(wave: np.ndarray, cfg: FeatConfig) -> np.ndarray:
+    sr = cfg.sampling_rate
+    shift = cfg.frame_shift_samples
+    flen = cfg.frame_length_samples
+    nfft = cfg.fft_size
+    n = len(wave)
+
+    t = (n + shift // 2) // shift
+    pad_total = (t - 1) * shift + flen - n
+    pad_left = (flen - shift) // 2
+    pad_right = pad_total - pad_left
+    padded = np.concatenate(
+        [wave[:pad_left][::-1], wave, wave[n - pad_right :][::-1]]
+    )
+
+    # povey window
+    i = np.arange(flen)
+    win = (0.5 - 0.5 * np.cos(2 * np.pi * i / (flen - 1))) ** 0.85
+
+    # mel banks via per-bin loop
+    def mel(f):
+        return 1127.0 * np.log(1.0 + f / 700.0)
+
+    high = sr / 2 + cfg.high_freq if cfg.high_freq < 0 else cfg.high_freq
+    mlo, mhi = mel(cfg.low_freq), mel(high)
+    delta = (mhi - mlo) / (cfg.num_filters + 1)
+    banks = np.zeros((cfg.num_filters, nfft // 2 + 1))
+    for b in range(cfg.num_filters):
+        left, center, right = (
+            mlo + b * delta,
+            mlo + (b + 1) * delta,
+            mlo + (b + 2) * delta,
+        )
+        for k in range(nfft // 2):  # Nyquist excluded
+            m = mel(k * sr / nfft)
+            if left < m <= center:
+                banks[b, k] = (m - left) / (center - left)
+            elif center < m < right:
+                banks[b, k] = (right - m) / (right - center)
+
+    out = np.zeros((t, cfg.num_filters))
+    for fi in range(t):
+        frame = padded[fi * shift : fi * shift + flen].astype(np.float64).copy()
+        frame -= frame.mean()
+        pre = np.empty_like(frame)
+        pre[0] = frame[0] - cfg.preemph_coeff * frame[0]
+        pre[1:] = frame[1:] - cfg.preemph_coeff * frame[:-1]
+        frame = pre * win
+        spec = np.fft.rfft(frame, n=nfft)
+        power = np.abs(spec) ** 2
+        melbank = banks @ power
+        out[fi] = np.log(np.maximum(melbank, cfg.energy_floor))
+    return out
+
+
+@pytest.fixture(scope="module")
+def wave(rng):
+    return (rng.standard_normal(16000 * 2) * 0.1).astype(np.float32)
+
+
+def test_num_frames():
+    assert fb.num_frames(16000) == 100  # 1 s -> 100 frames
+    assert fb.num_frames(16079) == 100
+    assert fb.num_frames(16080) == 101
+    assert fb.num_frames(8000) == 50
+    assert fb.num_frames(0) == 0
+
+
+def test_fft_size():
+    assert FEAT.frame_length_samples == 400
+    assert FEAT.frame_shift_samples == 160
+    assert FEAT.fft_size == 512
+
+
+def test_matches_oracle(wave):
+    got = np.asarray(fb.fbank_jit(wave))
+    want = oracle_fbank(wave, FEAT)
+    assert got.shape == want.shape == (200, 44)
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_fft_path_matches_matmul_path(wave):
+    a = np.asarray(fb.fbank_jit(wave, use_fft=False))
+    b = np.asarray(fb.fbank_jit(wave, use_fft=True))
+    np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-4)
+
+
+def test_batched_channels(wave):
+    stacked = np.stack([wave, wave * 0.5])
+    got = np.asarray(fb.fbank_jit(stacked))
+    single0 = np.asarray(fb.fbank_jit(stacked[0]))
+    single1 = np.asarray(fb.fbank_jit(stacked[1]))
+    np.testing.assert_allclose(got[0], single0, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(got[1], single1, rtol=1e-5, atol=1e-5)
+
+
+def test_silence_hits_floor():
+    quiet = np.zeros(16000, dtype=np.float32)
+    got = np.asarray(fb.fbank_jit(quiet))
+    np.testing.assert_allclose(got, np.log(FEAT.energy_floor), rtol=1e-6)
+
+
+def test_mel_banks_shape_and_partition():
+    banks = fb._mel_banks(FEAT)
+    assert banks.shape == (257, 44)
+    assert banks[-1].sum() == 0.0  # Nyquist excluded
+    assert (banks >= 0).all()
+    # every filter has some support
+    assert (banks.sum(axis=0) > 0).all()

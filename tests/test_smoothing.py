@@ -1,0 +1,91 @@
+"""On-device run-length smoothing vs. a naive Python reimplementation of the
+reference scan (reference laugh_segmenter.py:74-111)."""
+
+import numpy as np
+import pytest
+
+from laughter_detection_icsi_tpu.ops import smoothing, windows
+
+
+def naive_instances(probs, thresholds, min_lengths, fps):
+    def fix(p):
+        if p > 1:
+            return 1.0
+        if p <= 0:
+            return 1e-7
+        return p
+
+    out = {}
+    for thr in thresholds:
+        for min_l in min_lengths:
+            instances, current = [], []
+            for i, p in enumerate(map(fix, probs)):
+                if p > thr:
+                    current.append(i)
+                else:
+                    if current:
+                        instances.append(current)
+                        current = []
+            if current:
+                instances.append(current)
+            spans = [(c[0] / fps, c[-1] / fps) for c in instances]
+            out[(thr, min_l)] = [s for s in spans if s[1] - s[0] > min_l]
+    return out
+
+
+@pytest.mark.parametrize("seed", range(5))
+def test_matches_naive_scan(seed):
+    rng = np.random.default_rng(seed)
+    probs = rng.uniform(-0.1, 1.1, size=500)  # includes out-of-range values
+    thresholds = [0.0, 0.2, 0.5, 0.9, 1.0]
+    min_lengths = [0.0, 0.1, 0.2]
+    got = smoothing.get_laughter_instances(probs, thresholds, min_lengths, fps=100.0)
+    want = naive_instances(probs, thresholds, min_lengths, fps=100.0)
+    assert set(got) == set(want)
+    for key in want:
+        np.testing.assert_allclose(got[key], want[key], atol=1e-9)
+
+
+def test_overflow_semantics():
+    # p <= 0 becomes 1e-7 which still fires at threshold 0
+    probs = np.array([-1.0, 0.0, 0.5])
+    got = smoothing.get_laughter_instances(probs, [0.0], [0.0], fps=100.0)
+    assert got[(0.0, 0.0)] == [(0.0, 0.02)]
+    # p > 1 clamps to 1, which does NOT fire at threshold 1
+    probs = np.array([2.0, 2.0])
+    got = smoothing.get_laughter_instances(probs, [1.0], [0.0], fps=100.0)
+    assert got[(1.0, 0.0)] == []
+
+
+def test_single_frame_run_has_zero_length():
+    # a single frame yields span (i/fps, i/fps) -> filtered by min_length > 0
+    probs = np.zeros(10)
+    probs[4] = 0.9
+    got = smoothing.get_laughter_instances(probs, [0.5], [0.0, 0.1], fps=100.0)
+    assert got[(0.5, 0.0)] == []  # 0-length: e - s = 0 is not > 0
+    assert got[(0.5, 0.1)] == []
+
+
+def test_windowed_map_covers_all_frames():
+    feats = np.arange(25, dtype=np.float32)[:, None] * np.ones(
+        (1, 3), dtype=np.float32
+    )
+
+    def fn(wins):
+        # identify each window by its first frame value
+        return wins[:, 0, 0]
+
+    out = np.asarray(windows.windowed_map(fn, feats, window=4, chunk=8))
+    np.testing.assert_allclose(out, np.arange(25))
+
+
+def test_windowed_map_tail_is_zero_padded():
+    feats = np.ones((10, 2), dtype=np.float32)
+
+    def fn(wins):
+        return wins.sum(axis=(1, 2))
+
+    out = np.asarray(windows.windowed_map(fn, feats, window=4, chunk=4))
+    # window starting at frame 9 sees frames [9, 0pad, 0pad, 0pad]
+    np.testing.assert_allclose(out[9], 2.0)
+    np.testing.assert_allclose(out[0], 8.0)
