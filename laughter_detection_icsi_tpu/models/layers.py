@@ -1,0 +1,193 @@
+"""Primitive layers with torch-compatible numerics and parameter layout.
+
+Parameters are stored with torch's shapes and names (conv OIHW, linear
+[out, in], BatchNorm weight/bias + running_mean/running_var buffers) so the
+reference's ``.pth.tar`` checkpoints convert 1:1 into our pytrees
+(reference utils/torch_utils.py:55-93) — the layout translation to whatever
+XLA:TPU prefers happens inside the compiler, not in the checkpoint format.
+
+Numerics mirrored:
+- BatchNorm (train): normalize by biased batch variance, update running stats
+  with momentum 0.1 using the *unbiased* variance, eps 1e-5.
+- Dropout: inverted scaling (keep_prob division) at train time.
+- AvgPool2d(k): stride k, floor division, no padding.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+Params = Dict[str, jnp.ndarray]
+
+
+# --------------------------------------------------------------------------- #
+# Conv / Linear
+# --------------------------------------------------------------------------- #
+
+
+def conv2d(
+    x: jnp.ndarray,
+    params: Params,
+    stride: int = 1,
+    padding: int = 1,
+) -> jnp.ndarray:
+    """NCHW conv with OIHW weights (torch layout)."""
+    out = jax.lax.conv_general_dilated(
+        x,
+        params["weight"],
+        window_strides=(stride, stride),
+        padding=[(padding, padding), (padding, padding)],
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+    )
+    if "bias" in params:
+        out = out + params["bias"][None, :, None, None]
+    return out
+
+
+def linear(x: jnp.ndarray, params: Params) -> jnp.ndarray:
+    """[B, in] x torch-layout weight [out, in] + bias."""
+    return x @ params["weight"].T + params["bias"]
+
+
+# --------------------------------------------------------------------------- #
+# BatchNorm
+# --------------------------------------------------------------------------- #
+
+BN_EPS = 1e-5
+BN_MOMENTUM = 0.1
+
+
+def batch_norm(
+    x: jnp.ndarray,
+    params: Params,
+    state: Params,
+    train: bool,
+) -> Tuple[jnp.ndarray, Params]:
+    """BatchNorm over the channel axis (axis 1 for NCHW, axis -1 for 2D).
+
+    Returns (y, new_state). ``state`` holds running_mean / running_var /
+    num_batches_tracked (torch buffer names).
+    """
+    if x.ndim == 4:
+        axes = (0, 2, 3)
+        shape = (1, -1, 1, 1)
+    elif x.ndim == 2:
+        axes = (0,)
+        shape = (1, -1)
+    else:
+        raise ValueError(f"batch_norm expects 2D or 4D input, got {x.ndim}D")
+
+    if train:
+        mean = jnp.mean(x, axis=axes)
+        var = jnp.mean((x - mean.reshape(shape)) ** 2, axis=axes)
+        n = x.size // x.shape[1 if x.ndim == 4 else -1]
+        unbiased = var * (n / max(n - 1, 1))
+        new_state = {
+            "running_mean": (1 - BN_MOMENTUM) * state["running_mean"]
+            + BN_MOMENTUM * mean,
+            "running_var": (1 - BN_MOMENTUM) * state["running_var"]
+            + BN_MOMENTUM * unbiased,
+            "num_batches_tracked": state["num_batches_tracked"] + 1,
+        }
+    else:
+        mean = state["running_mean"]
+        var = state["running_var"]
+        new_state = state
+
+    inv = jax.lax.rsqrt(var + BN_EPS)
+    y = (x - mean.reshape(shape)) * (params["weight"] * inv).reshape(shape)
+    y = y + params["bias"].reshape(shape)
+    return y, new_state
+
+
+def bn_init(num_features: int) -> Tuple[Params, Params]:
+    params = {
+        "weight": jnp.ones(num_features, dtype=jnp.float32),
+        "bias": jnp.zeros(num_features, dtype=jnp.float32),
+    }
+    state = {
+        "running_mean": jnp.zeros(num_features, dtype=jnp.float32),
+        "running_var": jnp.ones(num_features, dtype=jnp.float32),
+        "num_batches_tracked": jnp.zeros((), dtype=jnp.int32),
+    }
+    return params, state
+
+
+# --------------------------------------------------------------------------- #
+# Pooling / dropout
+# --------------------------------------------------------------------------- #
+
+
+def avg_pool2d(x: jnp.ndarray, k: int) -> jnp.ndarray:
+    """torch AvgPool2d(k): stride k, no padding, floor output size."""
+    b, c, h, w = x.shape
+    oh, ow = h // k, w // k
+    x = x[:, :, : oh * k, : ow * k]
+    x = x.reshape(b, c, oh, k, ow, k)
+    return jnp.mean(x, axis=(3, 5))
+
+
+def dropout(
+    x: jnp.ndarray, rate: float, rng: Optional[jax.Array], train: bool
+) -> jnp.ndarray:
+    if not train or rate == 0.0 or rng is None:
+        return x
+    keep = 1.0 - rate
+    mask = jax.random.bernoulli(rng, keep, x.shape)
+    return jnp.where(mask, x / keep, 0.0)
+
+
+# --------------------------------------------------------------------------- #
+# Initializers
+# --------------------------------------------------------------------------- #
+
+
+def conv_init(
+    rng: jax.Array, in_ch: int, out_ch: int, k: int, bias: bool
+) -> Params:
+    """torch default conv init (kaiming-uniform fan_in with a=sqrt(5) ->
+    U[-1/sqrt(fan_in), 1/sqrt(fan_in)] scaled; only used before the
+    reference's blanket normal(0, 0.01) re-init, so a simple uniform
+    suffices for shape bootstrapping)."""
+    k1, k2 = jax.random.split(rng)
+    fan_in = in_ch * k * k
+    bound = 1.0 / jnp.sqrt(fan_in)
+    params = {
+        "weight": jax.random.uniform(
+            k1, (out_ch, in_ch, k, k), minval=-bound, maxval=bound
+        )
+    }
+    if bias:
+        params["bias"] = jax.random.uniform(
+            k2, (out_ch,), minval=-bound, maxval=bound
+        )
+    return params
+
+
+def linear_init(rng: jax.Array, in_f: int, out_f: int) -> Params:
+    k1, k2 = jax.random.split(rng)
+    bound = 1.0 / jnp.sqrt(in_f)
+    return {
+        "weight": jax.random.uniform(
+            k1, (out_f, in_f), minval=-bound, maxval=bound
+        ),
+        "bias": jax.random.uniform(k2, (out_f,), minval=-bound, maxval=bound),
+    }
+
+
+def reference_init(params, rng: jax.Array, std: float = 0.01):
+    """The reference's blanket re-init: normal(0, 0.01) on EVERY parameter,
+    including BatchNorm weights and biases (reference utils/torch_utils.py:22-24,
+    train.py:425).  BN running stats are torch *buffers*, not parameters, so
+    they are untouched — our ``state`` pytrees are likewise left alone.
+    """
+    leaves, treedef = jax.tree_util.tree_flatten(params)
+    rngs = jax.random.split(rng, len(leaves))
+    new_leaves = [
+        jax.random.normal(r, leaf.shape, dtype=leaf.dtype) * std
+        for r, leaf in zip(rngs, leaves)
+    ]
+    return jax.tree_util.tree_unflatten(treedef, new_leaves)

@@ -1,0 +1,202 @@
+"""Checkpointing: native npz format + reference ``.pth.tar`` interop.
+
+Replaces reference utils/torch_utils.py:36-93:
+- ``save_checkpoint(state, is_best, dir)`` writes ``last.ckpt.npz`` and copies
+  to ``best.ckpt.npz`` when the validation loss improved.
+- ``load_checkpoint`` restores params/state/opt-state/counters.
+- ``from_torch_state_dict`` / ``to_torch_state_dict`` convert between torch
+  ``state_dict`` layout (reference checkpoints) and our pytrees — parameter
+  names and shapes match 1:1 by design (models/layers.py docstring), so the
+  converter is a pure tree re-nesting.
+
+The native format is a flat ``np.savez`` (keys are dotted paths; params/state/
+opt prefixes) plus a JSON metadata blob — dependency-free, memory-mappable,
+and layout-stable across JAX versions.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from pathlib import Path
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+PyTree = Any
+
+_BUFFER_LEAVES = ("running_mean", "running_var", "num_batches_tracked")
+
+
+# --------------------------------------------------------------------------- #
+# Tree <-> flat dotted dict
+# --------------------------------------------------------------------------- #
+
+
+def flatten_tree(tree: PyTree, prefix: str = "") -> Dict[str, np.ndarray]:
+    out: Dict[str, np.ndarray] = {}
+    if isinstance(tree, dict):
+        for k in sorted(tree):
+            key = f"{prefix}.{k}" if prefix else str(k)
+            out.update(flatten_tree(tree[k], key))
+    else:
+        out[prefix] = np.asarray(tree)
+    return out
+
+
+def unflatten_tree(flat: Dict[str, np.ndarray]) -> PyTree:
+    tree: Dict[str, Any] = {}
+    for key, val in flat.items():
+        parts = key.split(".")
+        d = tree
+        for p in parts[:-1]:
+            d = d.setdefault(p, {})
+        d[parts[-1]] = jnp.asarray(val)
+    return tree
+
+
+# --------------------------------------------------------------------------- #
+# Torch state_dict interop
+# --------------------------------------------------------------------------- #
+
+
+def from_torch_state_dict(
+    state_dict: Dict[str, Any],
+) -> Tuple[PyTree, PyTree]:
+    """Torch ``state_dict`` -> (params, state) pytrees.
+
+    BN buffers (running_mean/var, num_batches_tracked) route to ``state``;
+    everything else to ``params``.  Accepts torch tensors or numpy arrays.
+    """
+    params_flat: Dict[str, np.ndarray] = {}
+    state_flat: Dict[str, np.ndarray] = {}
+    for key, val in state_dict.items():
+        if hasattr(val, "detach"):
+            val = val.detach().cpu().numpy()
+        # Copy: torch's .numpy() returns a VIEW of the tensor's memory, and
+        # BN buffers are updated in place by later torch forwards.
+        arr = np.array(val, copy=True)
+        leaf = key.rsplit(".", 1)[-1]
+        if leaf in _BUFFER_LEAVES:
+            if leaf == "num_batches_tracked":
+                arr = arr.astype(np.int32)
+            state_flat[key] = arr
+        else:
+            params_flat[key] = arr.astype(np.float32)
+    return unflatten_tree(params_flat), unflatten_tree(state_flat)
+
+
+def to_torch_state_dict(params: PyTree, state: PyTree) -> Dict[str, np.ndarray]:
+    """(params, state) -> flat dict keyed/shaped like a torch state_dict."""
+    out = dict(flatten_tree(params))
+    out.update(flatten_tree(state))
+    return out
+
+
+def load_reference_checkpoint(path: str) -> Dict[str, Any]:
+    """Read a reference ``.pth.tar`` checkpoint (reference
+    utils/torch_utils.py:55-85).  Returns a dict with keys 'params', 'state',
+    'epoch', 'global_step', 'best_val_loss' (counters None when absent)."""
+    import torch  # CPU torch is available in the image; gate the import
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    params, state = from_torch_state_dict(ckpt["state_dict"])
+    return {
+        "params": params,
+        "state": state,
+        "epoch": ckpt.get("epoch"),
+        "global_step": ckpt.get("global_step"),
+        "best_val_loss": ckpt.get("best_val_loss"),
+    }
+
+
+# --------------------------------------------------------------------------- #
+# Native checkpoint format
+# --------------------------------------------------------------------------- #
+
+LAST_NAME = "last.ckpt.npz"
+BEST_NAME = "best.ckpt.npz"
+
+
+def save_checkpoint(
+    checkpoint_dir: str,
+    params: PyTree,
+    state: PyTree,
+    opt_state: Optional[PyTree] = None,
+    epoch: int = 0,
+    global_step: int = 0,
+    best_val_loss: float = float("inf"),
+    is_best: bool = False,
+) -> str:
+    """Write ``last.ckpt.npz``; copy to ``best.ckpt.npz`` when ``is_best``
+    (mirrors reference utils/torch_utils.py:36-52)."""
+    ckpt_dir = Path(checkpoint_dir)
+    ckpt_dir.mkdir(parents=True, exist_ok=True)
+    arrays: Dict[str, np.ndarray] = {}
+    for prefix, tree in (("params", params), ("state", state), ("opt", opt_state)):
+        if tree is None:
+            continue
+        for k, v in flatten_tree(tree).items():
+            arrays[f"{prefix}/{k}"] = v
+    meta = {
+        "epoch": int(epoch),
+        "global_step": int(global_step),
+        "best_val_loss": float(best_val_loss),
+        "format_version": 1,
+    }
+    path = ckpt_dir / LAST_NAME
+    tmp = ckpt_dir / (LAST_NAME + ".tmp")
+    with open(tmp, "wb") as f:
+        np.savez(f, __meta__=json.dumps(meta), **arrays)
+    os.replace(tmp, path)  # atomic: a crash never corrupts last.ckpt
+    if is_best:
+        shutil.copyfile(path, ckpt_dir / BEST_NAME)
+    return str(path)
+
+
+def load_checkpoint(path: str) -> Dict[str, Any]:
+    """Load a native checkpoint file (or a reference .pth.tar, detected by
+    suffix) into {'params', 'state', 'opt_state', counters}."""
+    if str(path).endswith((".pth.tar", ".pth", ".pt")):
+        out = load_reference_checkpoint(path)
+        out["opt_state"] = None
+        return out
+    with np.load(path, allow_pickle=False) as data:
+        meta = json.loads(str(data["__meta__"]))
+        trees: Dict[str, Dict[str, np.ndarray]] = {"params": {}, "state": {}, "opt": {}}
+        for key in data.files:
+            if key == "__meta__":
+                continue
+            prefix, _, rest = key.partition("/")
+            trees[prefix][rest] = data[key]
+    return {
+        "params": unflatten_tree(trees["params"]),
+        "state": unflatten_tree(trees["state"]),
+        "opt_state": unflatten_tree(trees["opt"]) if trees["opt"] else None,
+        "epoch": meta["epoch"],
+        "global_step": meta["global_step"],
+        "best_val_loss": meta["best_val_loss"],
+    }
+
+
+def find_resume_checkpoint(checkpoint_dir: str) -> Optional[str]:
+    """Path of ``last`` checkpoint if one exists (native preferred, reference
+    .pth.tar accepted), else None (reference train.py:428-430 semantics)."""
+    ckpt_dir = Path(checkpoint_dir)
+    for name in (LAST_NAME, "last.pth.tar"):
+        p = ckpt_dir / name
+        if p.is_file():
+            return str(p)
+    return None
+
+
+def find_best_checkpoint(checkpoint_dir: str) -> Optional[str]:
+    ckpt_dir = Path(checkpoint_dir)
+    for name in (BEST_NAME, "best.pth.tar"):
+        p = ckpt_dir / name
+        if p.is_file():
+            return str(p)
+    return None
