@@ -219,12 +219,17 @@ def ResNetBigger(
     )
 
 
-def ResNet(dropout_rate: float = 0.5, **_: Any) -> Model:
-    """reference models.py:118-178: fixed 32-channel stem, 192-feature head."""
+def ResNet(
+    dropout_rate: float = 0.5, linear_layer_size: int = 192, **_: Any
+) -> Model:
+    """reference models.py:118-178: 32-channel stem.  The reference hardcodes
+    a 192-feature head (sized for the legacy (44, 128) Gillick features); we
+    keep that default but make it configurable so the model also fits the
+    (100, 44) ICSI features (head 48)."""
     return _resnet_family(
         "ResNet",
         dropout_rate,
-        linear_layer_size=192,
+        linear_layer_size=linear_layer_size,
         filter_sizes=(32, 16, 16, 16),
         stem_channels=32,
         with_bn=True,

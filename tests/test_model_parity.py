@@ -159,8 +159,9 @@ def test_other_zoo_models_forward():
     import jax
 
     x = np.zeros((4, 1, 100, 44), dtype=np.float32)
+    # (100, 44) input -> 16ch x (3, 1) after three stride-2 stages + pool = 48
     for name in ("ResNet", "ResNetNoBN"):
-        m = models.build(name, dropout_rate=0.0, linear_layer_size=192)
+        m = models.build(name, dropout_rate=0.0, linear_layer_size=48)
         params, state = m.init(jax.random.PRNGKey(0))
         probs, _ = m.apply(params, state, x, train=False)
         assert probs.shape == (4,)
