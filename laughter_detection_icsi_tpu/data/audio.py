@@ -1,0 +1,309 @@
+"""Audio decoding: NIST SPHERE (.sph) and RIFF WAV, dependency-free.
+
+Owns the roles the reference delegates to librosa/audioread/soundfile and the
+``sph2pipe`` binary (reference segment_laughter.py:134, utils/audio_utils.py:7-9,
+analysis/output_processing/laughs_to_wav.py:42-60): header parsing, PCM
+decode, segment cutting, and WAV writing.  A C++ fast path for bulk decode
+lives in runtime/ (same formats); this module is the always-available
+reference implementation and the single source of header-parsing truth.
+
+Supported encodings: 16-bit/8-bit linear PCM (either endianness) and mu-law.
+ICSI close-talking channels are 16 kHz 16-bit PCM SPHERE files.  Files using
+embedded-shorten compression are detected and rejected with a clear error
+(decode them once with sph2pipe to plain PCM; tracked as a future C++
+decoder feature).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import struct
+from pathlib import Path
+from typing import Optional, Tuple
+
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class AudioInfo:
+    sample_rate: int
+    num_samples: int
+    num_channels: int
+    sample_bytes: int
+    encoding: str  # 'pcm' | 'ulaw'
+    big_endian: bool
+    data_offset: int
+    container: str  # 'sphere' | 'wav'
+
+    @property
+    def duration(self) -> float:
+        return self.num_samples / self.sample_rate
+
+
+# --------------------------------------------------------------------------- #
+# SPHERE
+# --------------------------------------------------------------------------- #
+
+
+def _parse_sphere_header(path: str) -> AudioInfo:
+    with open(path, "rb") as f:
+        magic = f.readline().strip()
+        if magic != b"NIST_1A":
+            raise ValueError(f"{path}: not a NIST SPHERE file (magic {magic!r})")
+        header_size = int(f.readline().strip())
+        f.seek(0)
+        header = f.read(header_size).decode("ascii", errors="replace")
+
+    fields = {}
+    for line in header.splitlines()[2:]:
+        line = line.strip()
+        if line == "end_head":
+            break
+        parts = line.split(None, 2)
+        if len(parts) != 3:
+            continue
+        name, ftype, value = parts
+        if ftype.startswith("-i"):
+            fields[name] = int(value)
+        elif ftype.startswith("-r"):
+            fields[name] = float(value)
+        else:
+            fields[name] = value
+
+    coding = str(fields.get("sample_coding", "pcm"))
+    if "shorten" in coding:
+        raise NotImplementedError(
+            f"{path}: embedded-shorten SPHERE compression is not supported; "
+            "convert once to PCM (e.g. `sph2pipe -p`) first"
+        )
+    if "ulaw" in coding:
+        encoding = "ulaw"
+    elif coding.startswith("pcm") or coding == "raw":
+        encoding = "pcm"
+    else:
+        raise NotImplementedError(f"{path}: unsupported sample_coding {coding!r}")
+
+    byte_format = str(fields.get("sample_byte_format", "01"))
+    big_endian = byte_format == "10"
+    return AudioInfo(
+        sample_rate=int(fields["sample_rate"]),
+        num_samples=int(fields["sample_count"]),
+        num_channels=int(fields.get("channel_count", 1)),
+        sample_bytes=int(fields.get("sample_n_bytes", 2)),
+        encoding=encoding,
+        big_endian=big_endian,
+        data_offset=header_size,
+        container="sphere",
+    )
+
+
+# --------------------------------------------------------------------------- #
+# WAV
+# --------------------------------------------------------------------------- #
+
+
+def _parse_wav_header(path: str) -> AudioInfo:
+    with open(path, "rb") as f:
+        riff = f.read(12)
+        if riff[:4] != b"RIFF" or riff[8:12] != b"WAVE":
+            raise ValueError(f"{path}: not a RIFF/WAVE file")
+        fmt = None
+        while True:
+            chunk_header = f.read(8)
+            if len(chunk_header) < 8:
+                raise ValueError(f"{path}: no data chunk found")
+            cid, csize = chunk_header[:4], struct.unpack("<I", chunk_header[4:])[0]
+            if cid == b"fmt ":
+                fmt = f.read(csize)
+                if csize % 2:
+                    f.read(1)
+            elif cid == b"data":
+                data_offset = f.tell()
+                data_size = csize
+                break
+            else:
+                f.seek(csize + (csize % 2), 1)
+    if fmt is None:
+        raise ValueError(f"{path}: missing fmt chunk")
+    audio_format, channels, sample_rate, _, _, bits = struct.unpack(
+        "<HHIIHH", fmt[:16]
+    )
+    if audio_format == 7:
+        encoding, sample_bytes = "ulaw", 1
+    elif audio_format in (1, 0xFFFE):
+        encoding, sample_bytes = "pcm", bits // 8
+    elif audio_format == 3:
+        encoding, sample_bytes = "float", bits // 8
+    else:
+        raise NotImplementedError(f"{path}: unsupported WAV format {audio_format}")
+    num_samples = data_size // (sample_bytes * channels)
+    return AudioInfo(
+        sample_rate=sample_rate,
+        num_samples=num_samples,
+        num_channels=channels,
+        sample_bytes=sample_bytes,
+        encoding=encoding,
+        big_endian=False,
+        data_offset=data_offset,
+        container="wav",
+    )
+
+
+# --------------------------------------------------------------------------- #
+# Public API
+# --------------------------------------------------------------------------- #
+
+_ULAW_TABLE: Optional[np.ndarray] = None
+
+
+def _ulaw_table() -> np.ndarray:
+    global _ULAW_TABLE
+    if _ULAW_TABLE is None:
+        u = np.arange(256, dtype=np.uint8)
+        u = ~u
+        sign = np.where(u & 0x80, -1, 1)
+        exponent = (u >> 4) & 0x07
+        mantissa = u & 0x0F
+        magnitude = ((mantissa.astype(np.int32) << 3) + 0x84) << exponent
+        _ULAW_TABLE = (sign * (magnitude - 0x84)).astype(np.int16)
+    return _ULAW_TABLE
+
+
+def info(path: str) -> AudioInfo:
+    """Parse the header of a .sph or .wav file."""
+    with open(path, "rb") as f:
+        magic = f.read(4)
+    if magic == b"NIST":
+        return _parse_sphere_header(path)
+    if magic == b"RIFF":
+        return _parse_wav_header(path)
+    raise ValueError(f"{path}: unrecognized audio container (magic {magic!r})")
+
+
+def get_audio_length(path: str) -> float:
+    """Duration in seconds (reference utils/audio_utils.py:7-9)."""
+    return info(path).duration
+
+
+def read(
+    path: str,
+    offset: float = 0.0,
+    duration: Optional[float] = None,
+    channel: int = 0,
+    dtype=np.float32,
+) -> Tuple[np.ndarray, int]:
+    """Decode audio to float in [-1, 1].  Returns (samples, sample_rate).
+
+    ``offset``/``duration`` are in seconds; reads only the needed byte range
+    (the reference's librosa path decodes whole files; see
+    misc_scripts/check_librosa_loading_times.py for why that hurt).
+    """
+    meta = info(path)
+    sr = meta.sample_rate
+    start = int(round(offset * sr))
+    count = (
+        meta.num_samples - start
+        if duration is None
+        else min(int(round(duration * sr)), meta.num_samples - start)
+    )
+    count = max(count, 0)
+    frame_bytes = meta.sample_bytes * meta.num_channels
+    with open(path, "rb") as f:
+        f.seek(meta.data_offset + start * frame_bytes)
+        raw = f.read(count * frame_bytes)
+    count = len(raw) // frame_bytes
+    raw = raw[: count * frame_bytes]
+
+    if meta.encoding == "ulaw":
+        data = _ulaw_table()[np.frombuffer(raw, dtype=np.uint8)]
+        scale = 32768.0
+    elif meta.encoding == "float":
+        fmt = {4: "<f4", 8: "<f8"}[meta.sample_bytes]
+        data = np.frombuffer(raw, dtype=fmt)
+        scale = 1.0
+    else:  # pcm
+        if meta.sample_bytes == 2:
+            fmt = ">i2" if meta.big_endian else "<i2"
+            scale = 32768.0
+        elif meta.sample_bytes == 1:
+            fmt = "i1"
+            scale = 128.0
+        elif meta.sample_bytes == 4:
+            fmt = ">i4" if meta.big_endian else "<i4"
+            scale = 2147483648.0
+        else:
+            raise NotImplementedError(
+                f"{path}: {meta.sample_bytes}-byte PCM unsupported"
+            )
+        data = np.frombuffer(raw, dtype=fmt)
+
+    if meta.num_channels > 1:
+        data = data.reshape(-1, meta.num_channels)[:, channel]
+    return (data.astype(dtype) / scale).astype(dtype), sr
+
+
+def write_wav(path: str, samples: np.ndarray, sample_rate: int) -> None:
+    """Write float [-1, 1] (or int16) samples as 16-bit PCM WAV
+    (replaces the reference's scipy.io.wavfile + sph2pipe outputs)."""
+    samples = np.asarray(samples)
+    if samples.dtype != np.int16:
+        samples = np.clip(samples, -1.0, 1.0)
+        samples = (samples * 32767.0).astype(np.int16)
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    n, ch = samples.shape
+    data = samples.astype("<i2").tobytes()
+    with open(path, "wb") as f:
+        f.write(b"RIFF")
+        f.write(struct.pack("<I", 36 + len(data)))
+        f.write(b"WAVEfmt ")
+        f.write(
+            struct.pack(
+                "<IHHIIHH", 16, 1, ch, sample_rate, sample_rate * ch * 2, ch * 2, 16
+            )
+        )
+        f.write(b"data")
+        f.write(struct.pack("<I", len(data)))
+        f.write(data)
+
+
+def write_sphere(
+    path: str, samples: np.ndarray, sample_rate: int, big_endian: bool = False
+) -> None:
+    """Write 16-bit PCM SPHERE (for tests and tooling round-trips)."""
+    samples = np.asarray(samples)
+    if samples.dtype != np.int16:
+        samples = (np.clip(samples, -1.0, 1.0) * 32767.0).astype(np.int16)
+    header_size = 1024
+    fields = [
+        ("channel_count", "-i", "1"),
+        ("sample_count", "-i", str(len(samples))),
+        ("sample_rate", "-i", str(sample_rate)),
+        ("sample_n_bytes", "-i", "2"),
+        ("sample_byte_format", "-s2", "10" if big_endian else "01"),
+        ("sample_coding", "-s3", "pcm"),
+    ]
+    lines = ["NIST_1A", f"{header_size:7d}"]
+    lines += [f"{n} {t} {v}" for n, t, v in fields]
+    lines.append("end_head")
+    header = ("\n".join(lines) + "\n").encode("ascii")
+    header = header + b" " * (header_size - len(header))
+    data = samples.astype(">i2" if big_endian else "<i2").tobytes()
+    with open(path, "wb") as f:
+        f.write(header)
+        f.write(data)
+
+
+def cut_segments(
+    path: str, segments, channel: int = 0
+) -> Tuple[np.ndarray, int]:
+    """Concatenate the audio of [(start_s, end_s), ...] cuts
+    (reference laugh_segmenter.py:35-42 cut_laughter_segments)."""
+    parts = []
+    sr = info(path).sample_rate
+    for start, end in segments:
+        wav, _ = read(path, offset=start, duration=end - start, channel=channel)
+        parts.append(wav)
+    if not parts:
+        return np.zeros(0, dtype=np.float32), sr
+    return np.concatenate(parts), sr

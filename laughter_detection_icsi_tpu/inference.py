@@ -1,0 +1,222 @@
+"""End-to-end laughter inference: PCM -> fbank -> windows -> model -> probs.
+
+The reference runs this as four host-side stages (reference
+segment_laughter.py:79-122: Lhotse CPU featurization, a torch Dataset emitting
+one 100-frame window per output frame, a size-32 DataLoader loop with a
+host->device copy per batch, then Python post-processing).  Here it is two
+jitted XLA graphs per size bucket (featurize; classify-one-chunk): the
+waveform is uploaded once, features never leave HBM, windows are gathered on
+device in chunks of thousands, and only the [T] probability vector returns to
+host (BASELINE.json north_star).
+
+Framing parity: the Kaldi snip_edges=False reflection padding is applied on
+HOST to the exact sample count (ops/fbank.py pad_amounts), then the graph
+frames with simple strides — this keeps the jit shape bucketable (pad with
+zeros to the bucket; frames past the true frame count are masked to zero,
+matching the reference InferenceDataset's zero-pad tail, datasets.py:85-93).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import time
+from typing import Callable, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from laughter_detection_icsi_tpu.config import FEAT, FeatConfig
+from laughter_detection_icsi_tpu.data import audio as audio_io
+from laughter_detection_icsi_tpu.models.zoo import Model
+from laughter_detection_icsi_tpu.ops import fbank as fbank_ops
+from laughter_detection_icsi_tpu.ops import smoothing, windows
+
+
+@dataclasses.dataclass(frozen=True)
+class InferenceSettings:
+    window: int = 100  # frames per model input (config.FEAT.num_samples)
+    chunk: int = 8192  # windows evaluated per device step
+    bucket_frames: int = 30000  # jit shape bucket (5 min of audio @ 100 fps)
+    precision: str = "float32"  # 'float32' | 'bfloat16' (bf16: MXU fast path)
+
+
+def _snip_cfg(cfg: FeatConfig) -> FeatConfig:
+    return dataclasses.replace(cfg, snip_edges=True)
+
+
+def host_pad_waveform(
+    wave: np.ndarray, cfg: FeatConfig = FEAT
+) -> Tuple[np.ndarray, int]:
+    """Apply Kaldi's snip_edges=False symmetric padding on host.
+
+    Returns (padded_wave, num_frames): framing the padded wave with simple
+    strides reproduces the exact reference frames.
+    """
+    n = len(wave)
+    t = fbank_ops.num_frames(n, cfg)
+    if t == 0:
+        return np.zeros(0, dtype=np.float32), 0
+    left, right = fbank_ops.pad_amounts(n, cfg)
+    padded = np.concatenate(
+        [wave[:left][::-1], wave, wave[n - right :][::-1]]
+    ).astype(np.float32)
+    return padded, t
+
+
+class LaughterPipeline:
+    """Jitted featurize+classify pipeline for one model checkpoint."""
+
+    def __init__(
+        self,
+        model: Model,
+        params,
+        state,
+        feat_cfg: FeatConfig = FEAT,
+        settings: InferenceSettings = InferenceSettings(),
+    ):
+        self.model = model
+        self.feat_cfg = feat_cfg
+        self.settings = settings
+        if settings.precision == "bfloat16":
+            cast = lambda x: (
+                x.astype(jnp.bfloat16)
+                if jnp.issubdtype(jnp.asarray(x).dtype, jnp.floating)
+                else x
+            )
+            # Both params AND state (BN running stats) must drop to bf16 or
+            # the first BN re-promotes activations to f32 and the next conv
+            # sees mixed dtypes.
+            self.params = jax.tree_util.tree_map(cast, params)
+            self.state = jax.tree_util.tree_map(cast, state)
+        else:
+            self.params = params
+            self.state = state
+        self._jitted: Dict[int, Callable] = {}
+
+    # ------------------------------------------------------------------ #
+
+    def _window_fn(self):
+        params, state, model = self.params, self.state, self.model
+        compute_dtype = (
+            jnp.bfloat16 if self.settings.precision == "bfloat16" else jnp.float32
+        )
+
+        def fn(wins: jnp.ndarray) -> jnp.ndarray:
+            x = wins.astype(compute_dtype)[:, None, :, :]  # [B, 1, W, F]
+            probs, _ = model.apply(params, state, x, train=False)
+            return probs.astype(jnp.float32)
+
+        return fn
+
+    def _graph_for_bucket(self, bucket_frames: int):
+        """Two jitted graphs per shape bucket.
+
+        featurize: wave -> masked, tail-padded features (one dispatch).
+        chunk_probs: (feats, start) -> probs for ``chunk`` windows; ``start``
+        is a traced scalar so ONE compilation serves every chunk position.
+
+        The chunk loop runs on host rather than as an in-graph ``lax.scan``:
+        scanning over the conv-net body makes XLA compile pathologically
+        slowly (~60x the standalone model compile, measured on CPU), and a
+        handful of large dispatches per bucket costs nothing next to the
+        model FLOPs.
+        """
+        if bucket_frames in self._jitted:
+            return self._jitted[bucket_frames]
+        cfg = _snip_cfg(self.feat_cfg)
+        shift = cfg.frame_shift_samples
+        flen = cfg.frame_length_samples
+        wave_len = (bucket_frames - 1) * shift + flen
+        window_fn = self._window_fn()
+        window = self.settings.window
+        chunk = self.settings.chunk
+        n_chunks = -(-bucket_frames // chunk)
+        # Tail rows so the last window of the last chunk reads in bounds
+        # (mirrors the reference InferenceDataset zero-pad, datasets.py:85-93).
+        tail = n_chunks * chunk - bucket_frames + window - 1
+
+        @jax.jit
+        def featurize(wave: jnp.ndarray, valid_frames: jnp.ndarray) -> jnp.ndarray:
+            feats = fbank_ops.fbank(wave, cfg)  # [bucket_frames, F]
+            mask = jnp.arange(bucket_frames) < valid_frames
+            feats = jnp.where(mask[:, None], feats, 0.0)
+            return jnp.pad(feats, ((0, tail), (0, 0)))
+
+        @jax.jit
+        def chunk_probs(feats: jnp.ndarray, start: jnp.ndarray) -> jnp.ndarray:
+            wins = windows.extract_windows(feats, start, chunk, window)
+            return window_fn(wins)
+
+        graphs = (featurize, chunk_probs, wave_len)
+        self._jitted[bucket_frames] = graphs
+        return graphs
+
+    def _bucket(self, t: int) -> int:
+        b = self.settings.bucket_frames
+        return max(b, -(-t // b) * b)
+
+    # ------------------------------------------------------------------ #
+
+    def probs_for_waveform(self, wave: np.ndarray) -> np.ndarray:
+        """[n] float waveform -> [T] laughter probabilities (T = one per
+        10 ms frame, ≈100 fps — reference segment_laughter.py:103-105)."""
+        padded, t = host_pad_waveform(np.asarray(wave, dtype=np.float32), self.feat_cfg)
+        if t == 0:
+            return np.zeros(0, dtype=np.float32)
+        bucket = self._bucket(t)
+        featurize, chunk_probs, wave_len = self._graph_for_bucket(bucket)
+        buf = np.zeros(wave_len, dtype=np.float32)
+        buf[: len(padded)] = padded
+        feats = featurize(jnp.asarray(buf), jnp.asarray(t, dtype=jnp.int32))
+        chunk = self.settings.chunk
+        n_chunks = -(-bucket // chunk)
+        # Async dispatch: all chunk calls are enqueued before the first
+        # blocks, so the device pipeline stays full.
+        outs = [
+            chunk_probs(feats, jnp.asarray(i * chunk, dtype=jnp.int32))
+            for i in range(n_chunks)
+        ]
+        probs = np.concatenate([np.asarray(o) for o in outs])
+        return probs[:t]
+
+    def probs_for_file(self, audio_path: str, channel: int = 0) -> Tuple[np.ndarray, float]:
+        """Returns (probs [T], audio_duration_s)."""
+        wave, _sr = audio_io.read(audio_path, channel=channel)
+        duration = audio_io.get_audio_length(audio_path)
+        return self.probs_for_waveform(wave), duration
+
+    # ------------------------------------------------------------------ #
+
+    def segment_file(
+        self,
+        audio_path: str,
+        thresholds: Sequence[float] = (0.5,),
+        min_lengths: Sequence[float] = (0.2,),
+        channel: int = 0,
+    ) -> Tuple[Dict[Tuple[float, float], List[Tuple[float, float]]], float]:
+        """Full reference load_and_pred equivalent
+        (reference segment_laughter.py:79-122): probs -> threshold x
+        min_length sweep -> instance dict.  Returns (instances, seconds_taken).
+        """
+        t0 = time.perf_counter()
+        probs, duration = self.probs_for_file(audio_path, channel=channel)
+        fps = len(probs) / float(duration) if duration > 0 else 100.0
+        instances = smoothing.get_laughter_instances(
+            probs, thresholds=thresholds, min_lengths=min_lengths, fps=fps
+        )
+        return instances, time.perf_counter() - t0
+
+
+def calc_real_time_factor(
+    pipeline: LaughterPipeline, audio_path: str, iterations: int = 3, **kwargs
+) -> float:
+    """Average (prediction time / audio duration)
+    (reference segment_laughter.py:178-197)."""
+    duration = audio_io.get_audio_length(audio_path)
+    total = 0.0
+    for _ in range(iterations):
+        _, took = pipeline.segment_file(audio_path, **kwargs)
+        total += took
+    return (total / iterations) / duration

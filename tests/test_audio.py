@@ -1,0 +1,90 @@
+"""Audio IO: SPHERE/WAV round-trips, segment reads, header parsing."""
+
+import numpy as np
+import pytest
+
+from laughter_detection_icsi_tpu.data import audio
+
+
+@pytest.fixture
+def samples(rng):
+    return (rng.standard_normal(16000) * 0.3).clip(-1, 1).astype(np.float32)
+
+
+def _int16_roundtrip(x):
+    return (np.clip(x, -1, 1) * 32767).astype(np.int16).astype(np.float32) / 32768.0
+
+
+def test_wav_roundtrip(tmp_path, samples):
+    path = str(tmp_path / "a.wav")
+    audio.write_wav(path, samples, 16000)
+    meta = audio.info(path)
+    assert meta.sample_rate == 16000
+    assert meta.num_samples == 16000
+    assert meta.container == "wav"
+    got, sr = audio.read(path)
+    assert sr == 16000
+    np.testing.assert_allclose(got, _int16_roundtrip(samples), atol=1 / 32768)
+
+
+def test_sphere_roundtrip_both_endiannesses(tmp_path, samples):
+    for be in (False, True):
+        path = str(tmp_path / f"a_{be}.sph")
+        audio.write_sphere(path, samples, 16000, big_endian=be)
+        meta = audio.info(path)
+        assert meta.container == "sphere"
+        assert meta.big_endian == be
+        got, sr = audio.read(path)
+        assert sr == 16000
+        np.testing.assert_allclose(got, _int16_roundtrip(samples), atol=1 / 32768)
+
+
+def test_get_audio_length(tmp_path, samples):
+    path = str(tmp_path / "a.sph")
+    audio.write_sphere(path, samples, 16000)
+    assert audio.get_audio_length(path) == pytest.approx(1.0)
+
+
+def test_offset_duration_read(tmp_path, samples):
+    path = str(tmp_path / "a.wav")
+    audio.write_wav(path, samples, 16000)
+    got, _ = audio.read(path, offset=0.25, duration=0.5)
+    assert len(got) == 8000
+    np.testing.assert_allclose(got, _int16_roundtrip(samples)[4000:12000], atol=1e-6)
+    # reading past the end clips
+    got, _ = audio.read(path, offset=0.9, duration=0.5)
+    assert len(got) == 1600
+
+
+def test_cut_segments(tmp_path, samples):
+    path = str(tmp_path / "a.wav")
+    audio.write_wav(path, samples, 16000)
+    cut, sr = audio.cut_segments(path, [(0.0, 0.1), (0.5, 0.6)])
+    assert len(cut) == 3200
+    ref = _int16_roundtrip(samples)
+    np.testing.assert_allclose(cut[:1600], ref[:1600], atol=1e-6)
+    np.testing.assert_allclose(cut[1600:], ref[8000:9600], atol=1e-6)
+
+
+def test_shorten_rejected(tmp_path):
+    header = (
+        b"NIST_1A\n   1024\nsample_rate -i 16000\nsample_count -i 10\n"
+        b"sample_n_bytes -i 2\nsample_coding -s24 pcm,embedded-shorten-v2.00\n"
+        b"end_head\n"
+    )
+    path = tmp_path / "s.sph"
+    path.write_bytes(header + b" " * (1024 - len(header)) + b"\0" * 20)
+    with pytest.raises(NotImplementedError, match="shorten"):
+        audio.read(str(path))
+
+
+def test_stereo_channel_select(tmp_path, rng):
+    left = (rng.standard_normal(800) * 0.2).astype(np.float32)
+    right = (rng.standard_normal(800) * 0.2).astype(np.float32)
+    stereo = np.stack([left, right], axis=1)
+    path = str(tmp_path / "st.wav")
+    audio.write_wav(path, stereo, 8000)
+    got_l, _ = audio.read(path, channel=0)
+    got_r, _ = audio.read(path, channel=1)
+    np.testing.assert_allclose(got_l, _int16_roundtrip(left), atol=1e-6)
+    np.testing.assert_allclose(got_r, _int16_roundtrip(right), atol=1e-6)

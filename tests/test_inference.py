@@ -1,0 +1,114 @@
+"""End-to-end inference pipeline: bucketed single-graph probs must match the
+unbucketed reference computation (exact fbank + per-window model eval)."""
+
+import jax
+import numpy as np
+import pytest
+
+from laughter_detection_icsi_tpu import inference, models
+from laughter_detection_icsi_tpu.config import FEAT
+from laughter_detection_icsi_tpu.data import audio
+from laughter_detection_icsi_tpu.ops import fbank as fb
+
+
+@pytest.fixture(scope="module")
+def small_model():
+    model = models.build("ResNetBigger", dropout_rate=0.0, linear_layer_size=48)
+    params, state = model.init(jax.random.PRNGKey(7))
+    return model, params, state
+
+
+@pytest.fixture(scope="module")
+def pipeline(small_model):
+    model, params, state = small_model
+    return inference.LaughterPipeline(
+        model,
+        params,
+        state,
+        settings=inference.InferenceSettings(chunk=256, bucket_frames=512),
+    )
+
+
+@pytest.fixture(scope="module")
+def wave(rng):
+    # 3.3 s of noise with a loud burst, not a multiple of the bucket
+    w = (rng.standard_normal(16000 * 3 + 5000) * 0.05).astype(np.float32)
+    w[20000:28000] += (rng.standard_normal(8000) * 0.4).astype(np.float32)
+    return np.clip(w, -1, 1)
+
+
+def reference_probs(model, params, state, wave):
+    """Unbucketed oracle: exact fbank, explicit per-window batch."""
+    feats = np.asarray(fb.fbank_jit(wave))
+    t = feats.shape[0]
+    padded = np.concatenate([feats, np.zeros((100, feats.shape[1]), np.float32)])
+    wins = np.stack([padded[i : i + 100] for i in range(t)])
+    probs, _ = model.apply(params, state, wins[:, None, :, :], train=False)
+    return np.asarray(probs)
+
+
+def test_probs_match_reference_computation(pipeline, small_model, wave):
+    model, params, state = small_model
+    got = pipeline.probs_for_waveform(wave)
+    want = reference_probs(model, params, state, wave)
+    assert got.shape == want.shape == (fb.num_frames(len(wave)),)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_probs_file_roundtrip(pipeline, wave, tmp_path):
+    path = str(tmp_path / "x.sph")
+    audio.write_sphere(path, wave, 16000)
+    probs, duration = pipeline.probs_for_file(path)
+    assert duration == pytest.approx(len(wave) / 16000)
+    direct = pipeline.probs_for_waveform(
+        (np.clip(wave, -1, 1) * 32767).astype(np.int16).astype(np.float32) / 32768
+    )
+    np.testing.assert_allclose(probs, direct, atol=1e-5)
+
+
+def test_segment_file_produces_instances(pipeline, wave, tmp_path):
+    path = str(tmp_path / "x.wav")
+    audio.write_wav(path, wave, 16000)
+    instances, took = pipeline.segment_file(
+        path, thresholds=[0.0, 0.5], min_lengths=[0.0, 0.2]
+    )
+    assert set(instances) == {(0.0, 0.0), (0.0, 0.2), (0.5, 0.0), (0.5, 0.2)}
+    # threshold 0 fires everywhere -> one long instance spanning the file
+    inst = instances[(0.0, 0.0)]
+    assert len(inst) == 1
+    assert inst[0][0] == 0.0
+    assert took > 0
+
+
+def test_bucket_reuse_consistency(pipeline, wave):
+    # same input twice -> identical output (jit cache reuse)
+    a = pipeline.probs_for_waveform(wave)
+    b = pipeline.probs_for_waveform(wave)
+    np.testing.assert_array_equal(a, b)
+    # shorter input uses the same bucket; must still be exact vs oracle
+    short = wave[:8000]
+    got = pipeline.probs_for_waveform(short)
+    assert got.shape == (fb.num_frames(8000),)
+
+
+def test_bfloat16_pipeline_close(small_model, wave):
+    model, params, state = small_model
+    bf = inference.LaughterPipeline(
+        model,
+        params,
+        state,
+        settings=inference.InferenceSettings(
+            chunk=256, bucket_frames=512, precision="bfloat16"
+        ),
+    )
+    f32 = inference.LaughterPipeline(
+        model,
+        params,
+        state,
+        settings=inference.InferenceSettings(chunk=256, bucket_frames=512),
+    )
+    a = bf.probs_for_waveform(wave)
+    b = f32.probs_for_waveform(wave)
+    assert a.shape == b.shape
+    # bf16 probabilities stay close on [0,1]
+    assert np.abs(a - b).max() < 0.05

@@ -1,0 +1,55 @@
+"""TextGrid writer/reader round-trips + short-format parsing."""
+
+import numpy as np
+
+from laughter_detection_icsi_tpu.eval import textgrid as tg
+
+
+def test_roundtrip(tmp_path):
+    path = str(tmp_path / "chan0.TextGrid")
+    instances = [(1.5, 2.75), (10.0, 10.4)]
+    tg.write_textgrid(path, instances, xmax=20.0)
+    got = tg.read_laughter_intervals(path)
+    np.testing.assert_allclose(got, instances)
+
+
+def test_gaps_are_empty_text(tmp_path):
+    path = str(tmp_path / "chan0.TextGrid")
+    tg.write_textgrid(path, [(1.0, 2.0)], xmax=5.0)
+    tiers = tg.read_textgrid(path)
+    assert "laughter" in tiers
+    assert tiers["laughter"] == [(0.0, 1.0, ""), (1.0, 2.0, "laugh"), (2.0, 5.0, "")]
+
+
+def test_empty_instances(tmp_path):
+    path = str(tmp_path / "chan0.TextGrid")
+    tg.write_textgrid(path, [], xmax=3.0)
+    assert tg.read_laughter_intervals(path) == []
+
+
+def test_short_format_parse(tmp_path):
+    content = "\n".join(
+        [
+            '"ooTextFile"',
+            '"TextGrid"',
+            "0",
+            "5",
+            "<exists>",
+            "1",
+            '"IntervalTier"',
+            '"laughter"',
+            "0",
+            "5",
+            "2",
+            "0",
+            "1.5",
+            '"laugh"',
+            "1.5",
+            "5",
+            '""',
+        ]
+    )
+    path = tmp_path / "short.TextGrid"
+    path.write_text(content)
+    got = tg.read_laughter_intervals(str(path))
+    np.testing.assert_allclose(got, [(0.0, 1.5)])
