@@ -1,0 +1,72 @@
+"""Headline benchmark: end-to-end inference throughput (featurize + classify).
+
+Measures audio-seconds processed per wall-second per chip through the full
+pipeline — PCM upload, on-device Kaldi fbank, sliding-window gather, the
+resnet_base ResNetBigger over every 10 ms window, probabilities back to host
+(the reference's segment_laughter.py path, which it times with
+calc_real_time_factor; reference segment_laughter.py:178-197).
+
+Prints ONE JSON line:
+  value        — x realtime per chip (audio-seconds / wall-second)
+  vs_baseline  — value / 500 (fraction of the BASELINE.json north-star target
+                 of >=500x realtime; the reference publishes no RTF of its
+                 own — BASELINE.md)
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    import jax
+
+    from laughter_detection_icsi_tpu import inference, models
+
+    model = models.build(
+        "ResNetBigger",
+        dropout_rate=0.0,
+        linear_layer_size=48,
+        filter_sizes=(64, 32, 16, 16),
+    )
+    params, state = model.init(jax.random.PRNGKey(0))
+
+    platform = jax.devices()[0].platform
+    on_accel = platform not in ("cpu",)
+    audio_seconds = 600 if on_accel else 60  # 10 min on TPU, 1 min on CPU
+    settings = inference.InferenceSettings(
+        chunk=8192 if on_accel else 1024,
+        bucket_frames=audio_seconds * 100,
+        precision="bfloat16" if on_accel else "float32",
+    )
+    pipe = inference.LaughterPipeline(model, params, state, settings=settings)
+
+    sr = 16000
+    rng = np.random.default_rng(23)
+    wave = (rng.standard_normal(sr * audio_seconds) * 0.05).astype(np.float32)
+
+    pipe.probs_for_waveform(wave)  # warmup: compile both graphs
+
+    iters = 3
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        probs = pipe.probs_for_waveform(wave)
+    dt = time.perf_counter() - t0
+    assert probs.shape[0] == audio_seconds * 100
+
+    x_realtime = (audio_seconds * iters) / dt
+    print(
+        json.dumps(
+            {
+                "metric": "e2e_inference_throughput",
+                "value": round(x_realtime, 2),
+                "unit": "x_realtime_per_chip",
+                "vs_baseline": round(x_realtime / 500.0, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -52,6 +52,11 @@ def windowed_map(
 
     Returns [T] with one output per window.  T is padded up to a multiple of
     ``chunk`` internally; outputs for the padding are dropped.
+
+    Note: the chunks run under ``lax.scan``, which XLA compiles very slowly
+    when ``fn`` is a large conv net (~60x the standalone compile, measured on
+    CPU).  For model-sized ``fn``, jit ``fn``+``extract_windows`` once and
+    loop over chunk starts on host instead (see inference.LaughterPipeline).
     """
     t = feats.shape[0]
     n_chunks = -(-t // chunk)

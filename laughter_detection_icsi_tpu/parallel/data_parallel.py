@@ -1,0 +1,106 @@
+"""Data-parallel training: one jitted step over a device mesh.
+
+Replaces the reference's "N identical single-GPU Slurm jobs resuming each
+other's checkpoints" training scale-out (reference
+cluster_scripts/gen_train_exp.py:49-62) with real synchronous data
+parallelism: parameters/optimizer state replicated, the global batch sharded
+over the ``data`` axis, gradients all-reduced over ICI by XLA (from the
+sharding annotations — no hand-written collectives, SURVEY.md §2.2).
+
+BatchNorm uses GLOBAL batch statistics: the batch mean/var reductions inside
+``model.apply`` are over the sharded batch axis, which XLA lowers to psums —
+so a data-parallel step is numerically a big-batch step, not N divergent
+local-BN steps.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh
+
+from laughter_detection_icsi_tpu.models.zoo import Model
+from laughter_detection_icsi_tpu.parallel import mesh as mesh_lib
+from laughter_detection_icsi_tpu.train.loop import batch_metrics, bce_loss
+from laughter_detection_icsi_tpu.train.optim import Adam, AdamState
+
+PyTree = Any
+
+
+@dataclasses.dataclass
+class DataParallelTrainer:
+    """Jitted data-parallel train/eval steps over a mesh.
+
+    Same batch contract as train.Trainer ({'inputs' [B, T, F],
+    'is_laugh' [B]}); B must be divisible by the mesh size.
+    """
+
+    model: Model
+    mesh: Mesh
+    optimizer: Adam = dataclasses.field(default_factory=Adam)
+
+    def __post_init__(self):
+        model, optimizer = self.model, self.optimizer
+        repl = mesh_lib.replicated(self.mesh)
+        dp = mesh_lib.data_sharding(self.mesh)
+
+        def loss_fn(params, state, x, y, rng):
+            probs, new_state = model.apply(params, state, x, train=True, rng=rng)
+            return bce_loss(probs, y), (probs, new_state)
+
+        def step(params, state, opt_state, x, y, rng):
+            (loss, (probs, new_state)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(params, state, x, y, rng)
+            new_params, new_opt_state = optimizer.update(grads, opt_state, params)
+            metrics = batch_metrics(probs, y)
+            metrics["loss"] = loss
+            return new_params, new_state, new_opt_state, metrics
+
+        self._train_step = jax.jit(
+            step,
+            in_shardings=(repl, repl, repl, dp, dp, repl),
+            out_shardings=(repl, repl, repl, repl),
+        )
+
+        def ev(params, state, x, y):
+            probs, _ = model.apply(params, state, x, train=False)
+            metrics = batch_metrics(probs, y)
+            metrics["loss"] = bce_loss(probs, y)
+            return metrics
+
+        self._eval_step = jax.jit(
+            ev, in_shardings=(repl, repl, dp, dp), out_shardings=repl
+        )
+
+    # ------------------------------------------------------------------ #
+
+    def init(self, rng: jax.Array) -> Tuple[PyTree, PyTree, AdamState]:
+        params, state = self.model.init(rng)
+        opt_state = self.optimizer.init(params)
+        repl = mesh_lib.replicated(self.mesh)
+        return (
+            jax.device_put(params, repl),
+            jax.device_put(state, repl),
+            jax.device_put(opt_state, repl),
+        )
+
+    def _prep(self, batch):
+        x = jnp.asarray(batch["inputs"], dtype=jnp.float32)[:, None, :, :]
+        y = jnp.asarray(batch["is_laugh"], dtype=jnp.float32)
+        return mesh_lib.shard_batch({"x": x, "y": y}, self.mesh)
+
+    def train_batch(self, params, state, opt_state, batch, rng: Optional[jax.Array] = None):
+        sharded = self._prep(batch)
+        if rng is None:
+            rng = jax.random.PRNGKey(0)
+        return self._train_step(
+            params, state, opt_state, sharded["x"], sharded["y"], rng
+        )
+
+    def eval_batch(self, params, state, batch):
+        sharded = self._prep(batch)
+        return self._eval_step(params, state, sharded["x"], sharded["y"])

@@ -1,0 +1,63 @@
+"""Mesh construction + sharding helpers.
+
+One flat ``data`` axis is the right mesh for this workload: the flagship
+model is a ~221K-parameter CNN (SURVEY.md §2.4), far too small for tensor or
+pipeline parallelism to pay for their collectives, while both training
+batches and inference channel/time-block batches are embarrassingly shardable
+(SURVEY.md §2.2).  Parameters are replicated; batch dims are sharded; XLA
+turns the mean-loss gradient into an ICI all-reduce.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+PyTree = Any
+
+DATA_AXIS = "data"
+
+
+def make_mesh(
+    n_devices: Optional[int] = None, axis_name: str = DATA_AXIS
+) -> Mesh:
+    """A 1-D mesh over the first ``n_devices`` devices (all by default)."""
+    devices = jax.devices()
+    n = len(devices) if n_devices is None else n_devices
+    if n > len(devices):
+        raise ValueError(f"requested {n} devices, only {len(devices)} available")
+    return Mesh(np.asarray(devices[:n]), (axis_name,))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def data_sharding(mesh: Mesh, axis_name: str = DATA_AXIS) -> NamedSharding:
+    """Shard the leading (batch) dimension over the data axis."""
+    return NamedSharding(mesh, P(axis_name))
+
+
+def shard_batch(batch: PyTree, mesh: Mesh, axis_name: str = DATA_AXIS) -> PyTree:
+    """Place a host batch onto the mesh, leading dim sharded over ``data``.
+
+    Leading dims must be divisible by the mesh size — pad or bucket upstream
+    (static shapes keep XLA happy, SURVEY.md §7.1).
+    """
+    sharding = data_sharding(mesh, axis_name)
+    n = mesh.devices.size
+
+    def put(x):
+        arr = np.asarray(x)
+        if arr.ndim == 0:
+            return jax.device_put(arr, replicated(mesh))
+        if arr.shape[0] % n:
+            raise ValueError(
+                f"leading dim {arr.shape[0]} not divisible by mesh size {n}"
+            )
+        return jax.device_put(arr, sharding)
+
+    return jax.tree_util.tree_map(put, batch)

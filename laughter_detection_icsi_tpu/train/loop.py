@@ -1,0 +1,334 @@
+"""Training loop: jitted step functions + host epoch driver.
+
+Rebuild of the reference training driver (reference train.py:150-415) as a
+TPU-first design: the hot path is ONE jitted ``train_step`` — forward, BCE
+loss, backward, global-norm clip, Adam update, BN running-stat update — so
+the device never round-trips activations or gradients to host; the host loop
+only feeds batches and reads back scalar metrics.
+
+Parity notes (SURVEY.md §2.4-2.5):
+- Loss: torch ``BCELoss`` on sigmoid outputs, mean reduction, log clamped at
+  -100 (reference train.py:277-287).
+- Clip 1.0 + Adam lr 1e-3 every ``grad_accum`` batches (reference
+  train.py:288-295; the reference's LR schedule is dead, SURVEY.md §2.5-1).
+- Metrics: accuracy / precision / recall at threshold 0.5, precision := 1.0
+  when there are no positive predictions (reference train.py:203-224).
+- The reference's ``num_batches = +1`` bug makes run_epoch return total
+  instead of mean loss (reference train.py:356,415); we return the mean,
+  deliberately (documented fix).
+- Checkpoint every ``log_frequency`` steps, best on lowest val loss
+  (reference train.py:363-412).
+
+Gradient accumulation uses a host micro-loop over a jitted grad step rather
+than an in-graph ``lax.scan`` (scanning a conv net compiles ~60x slower —
+see ops/windows.py note); gradients stay device-resident between micro-steps.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Any, Callable, Dict, Iterable, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from laughter_detection_icsi_tpu.models.zoo import Model
+from laughter_detection_icsi_tpu.train import checkpoint as ckpt_lib
+from laughter_detection_icsi_tpu.train.optim import Adam, AdamState
+
+PyTree = Any
+
+
+# --------------------------------------------------------------------------- #
+# Loss + metrics (pure functions, used inside jit)
+# --------------------------------------------------------------------------- #
+
+
+def bce_loss(probs: jnp.ndarray, targets: jnp.ndarray) -> jnp.ndarray:
+    """torch.nn.BCELoss(mean): log terms clamped at -100."""
+    log_p = jnp.maximum(jnp.log(probs), -100.0)
+    log_1p = jnp.maximum(jnp.log(1.0 - probs), -100.0)
+    return -jnp.mean(targets * log_p + (1.0 - targets) * log_1p)
+
+
+def batch_metrics(probs: jnp.ndarray, targets: jnp.ndarray) -> Dict[str, jnp.ndarray]:
+    """accuracy/precision/recall at 0.5 (reference train.py:203-224):
+    precision := 1.0 with no positive predictions, recall := 1.0 with no
+    positive targets."""
+    preds = (probs > 0.5).astype(jnp.float32)
+    targets = targets.astype(jnp.float32)
+    tp = jnp.sum(preds * targets)
+    pred_pos = jnp.sum(preds)
+    actual_pos = jnp.sum(targets)
+    acc = jnp.mean((preds == targets).astype(jnp.float32))
+    precision = jnp.where(pred_pos == 0, 1.0, tp / jnp.maximum(pred_pos, 1.0))
+    recall = jnp.where(actual_pos == 0, 1.0, tp / jnp.maximum(actual_pos, 1.0))
+    return {"acc": acc, "precision": precision, "recall": recall}
+
+
+# --------------------------------------------------------------------------- #
+# Jitted steps
+# --------------------------------------------------------------------------- #
+
+
+@dataclasses.dataclass
+class Trainer:
+    """Owns the jitted train/eval steps for one (model, optimizer) pair.
+
+    Batches are dicts with 'inputs' [B, T, F] float and 'is_laugh' [B]
+    (the LadDataset contract, reference datasets.py:23-68); the channel dim
+    is added inside the step (reference train.py:272 ``src[:, None, :, :]``).
+    """
+
+    model: Model
+    optimizer: Adam = dataclasses.field(default_factory=Adam)
+    grad_accum: int = 1
+
+    def __post_init__(self):
+        model, optimizer = self.model, self.optimizer
+
+        def loss_fn(params, state, x, y, rng):
+            probs, new_state = model.apply(params, state, x, train=True, rng=rng)
+            return bce_loss(probs, y), (probs, new_state)
+
+        @jax.jit
+        def train_step(params, state, opt_state, x, y, rng):
+            (loss, (probs, new_state)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(params, state, x, y, rng)
+            new_params, new_opt_state = optimizer.update(grads, opt_state, params)
+            metrics = batch_metrics(probs, y)
+            metrics["loss"] = loss
+            return new_params, new_state, new_opt_state, metrics
+
+        @jax.jit
+        def grad_step(params, state, acc_grads, x, y, rng):
+            """One accumulation micro-step: adds grads/accum into acc_grads."""
+            (loss, (probs, new_state)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(params, state, x, y, rng)
+            scale = 1.0 / self.grad_accum
+            acc_grads = jax.tree_util.tree_map(
+                lambda a, g: a + g * scale, acc_grads, grads
+            )
+            metrics = batch_metrics(probs, y)
+            metrics["loss"] = loss
+            return acc_grads, new_state, metrics
+
+        @jax.jit
+        def apply_grads(params, opt_state, grads):
+            return optimizer.update(grads, opt_state, params)
+
+        @jax.jit
+        def eval_step(params, state, x, y):
+            probs, _ = model.apply(params, state, x, train=False)
+            metrics = batch_metrics(probs, y)
+            metrics["loss"] = bce_loss(probs, y)
+            return metrics
+
+        self._train_step = train_step
+        self._grad_step = grad_step
+        self._apply_grads = apply_grads
+        self._eval_step = eval_step
+        self._acc_grads: Optional[PyTree] = None
+        self._accum_count = 0
+
+    # ------------------------------------------------------------------ #
+
+    def init(self, rng: jax.Array) -> Tuple[PyTree, PyTree, AdamState]:
+        params, state = self.model.init(rng)
+        return params, state, self.optimizer.init(params)
+
+    @staticmethod
+    def _prep(batch) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        x = jnp.asarray(batch["inputs"], dtype=jnp.float32)[:, None, :, :]
+        y = jnp.asarray(batch["is_laugh"], dtype=jnp.float32)
+        return x, y
+
+    def train_batch(self, params, state, opt_state, batch, rng):
+        """Returns (params, state, opt_state, metrics).  With grad_accum > 1,
+        parameters only change every ``grad_accum`` calls (reference
+        train.py:288-295 semantics)."""
+        x, y = self._prep(batch)
+        if self.grad_accum == 1:
+            return self._train_step(params, state, opt_state, x, y, rng)
+        if self._acc_grads is None:
+            self._acc_grads = jax.tree_util.tree_map(jnp.zeros_like, params)
+        self._acc_grads, state, metrics = self._grad_step(
+            params, state, self._acc_grads, x, y, rng
+        )
+        self._accum_count += 1
+        if self._accum_count >= self.grad_accum:
+            params, opt_state = self._apply_grads(params, opt_state, self._acc_grads)
+            self._acc_grads = None
+            self._accum_count = 0
+        return params, state, opt_state, metrics
+
+    def eval_batch(self, params, state, batch):
+        x, y = self._prep(batch)
+        return self._eval_step(params, state, x, y)
+
+    def eval_batches(self, params, state, batches: Iterable) -> Dict[str, float]:
+        """Mean metrics over a set of batches (reference train.py:178-201)."""
+        acc: Dict[str, float] = {}
+        n = 0
+        for batch in batches:
+            m = self.eval_batch(params, state, batch)
+            for k, v in m.items():
+                acc[k] = acc.get(k, 0.0) + float(v)
+            n += 1
+        return {k: v / max(n, 1) for k, v in acc.items()}
+
+
+# --------------------------------------------------------------------------- #
+# Metrics bookkeeping + epoch driver
+# --------------------------------------------------------------------------- #
+
+
+def update_metrics_on_disk(metrics_rows: List[Dict[str, Any]], path: str) -> None:
+    """Append-merge metric rows into a CSV keyed by global_step
+    (reference train.py:488-504), dependency-free."""
+    import csv
+    import os
+
+    existing: Dict[str, Dict[str, Any]] = {}
+    fieldnames: List[str] = []
+    if os.path.isfile(path):
+        with open(path, newline="") as f:
+            reader = csv.DictReader(f)
+            fieldnames = list(reader.fieldnames or [])
+            for row in reader:
+                existing[row["global_step"]] = row
+    for row in metrics_rows:
+        row = {k: str(v) for k, v in row.items()}
+        existing[row["global_step"]] = row
+        for k in row:
+            if k not in fieldnames:
+                fieldnames.append(k)
+    rows = sorted(existing.values(), key=lambda r: int(float(r["global_step"])))
+    with open(path, "w", newline="") as f:
+        writer = csv.DictWriter(f, fieldnames=fieldnames)
+        writer.writeheader()
+        writer.writerows(rows)
+
+
+@dataclasses.dataclass
+class TrainLoop:
+    """Epoch runner: online validation, metric logging, checkpointing
+    (reference train.py:150-167, 170-415)."""
+
+    trainer: Trainer
+    checkpoint_dir: str
+    log_frequency: int = 900  # reference config.py:13
+    val_batches_per_log: int = 10
+
+    global_step: int = 0
+    epoch: int = 0
+    best_val_loss: float = float("inf")
+    metrics_rows: List[Dict[str, Any]] = dataclasses.field(default_factory=list)
+
+    def resume_if_possible(self, params, state, opt_state):
+        """reference train.py:428-430: resume from last checkpoint if present.
+        (The reference then discards optimizer state by recreating Adam,
+        SURVEY.md §2.5-1 — we restore it, deliberately.)"""
+        path = ckpt_lib.find_resume_checkpoint(self.checkpoint_dir)
+        if path is None:
+            return params, state, opt_state
+        loaded = ckpt_lib.load_checkpoint(path)
+        self.epoch = int(loaded["epoch"] or 0)
+        self.global_step = int(loaded["global_step"] or 0)
+        self.best_val_loss = float(
+            loaded["best_val_loss"] if loaded["best_val_loss"] is not None else np.inf
+        )
+        opt = loaded["opt_state"]
+        if opt is not None:
+            opt_state = AdamState(
+                step=jnp.asarray(opt["step"], jnp.int32),
+                mu=opt["mu"],
+                nu=opt["nu"],
+            )
+        return loaded["params"], loaded["state"], opt_state
+
+    def _save(self, params, state, opt_state, is_best: bool):
+        ckpt_lib.save_checkpoint(
+            self.checkpoint_dir,
+            params,
+            state,
+            opt_state={
+                "step": opt_state.step,
+                "mu": opt_state.mu,
+                "nu": opt_state.nu,
+            },
+            epoch=self.epoch,
+            global_step=self.global_step,
+            best_val_loss=self.best_val_loss,
+            is_best=is_best,
+        )
+
+    def run_epoch(
+        self,
+        params,
+        state,
+        opt_state,
+        train_batches: Iterable,
+        val_batches_fn: Optional[Callable[[int], List]] = None,
+        rng: Optional[jax.Array] = None,
+        verbose: bool = True,
+    ):
+        """One pass over ``train_batches``.  ``val_batches_fn(n)`` yields n
+        validation batches for online eval every ``log_frequency`` steps.
+        Returns (params, state, opt_state, mean_train_loss)."""
+        if rng is None:
+            rng = jax.random.PRNGKey(self.epoch)
+        total_loss = 0.0
+        num_batches = 0
+        t0 = time.perf_counter()
+        for batch in train_batches:
+            rng, step_rng = jax.random.split(rng)
+            params, state, opt_state, metrics = self.trainer.train_batch(
+                params, state, opt_state, batch, step_rng
+            )
+            total_loss += float(metrics["loss"])
+            num_batches += 1
+            self.global_step += 1
+            if self.log_frequency and self.global_step % self.log_frequency == 0:
+                row = {
+                    "global_step": self.global_step,
+                    "epoch": self.epoch,
+                    "train_loss": float(metrics["loss"]),
+                    "train_acc": float(metrics["acc"]),
+                    "train_precision": float(metrics["precision"]),
+                    "train_recall": float(metrics["recall"]),
+                }
+                if val_batches_fn is not None:
+                    val = self.trainer.eval_batches(
+                        params, state, val_batches_fn(self.val_batches_per_log)
+                    )
+                    row.update({f"val_{k}": v for k, v in val.items()})
+                    is_best = val["loss"] < self.best_val_loss
+                    if is_best:
+                        self.best_val_loss = val["loss"]
+                else:
+                    is_best = False
+                self.metrics_rows.append(row)
+                self._save(params, state, opt_state, is_best)
+                if verbose:
+                    msg = " ".join(f"{k}={v:.4f}" for k, v in row.items() if k != "global_step")
+                    print(f"step {self.global_step}: {msg}", flush=True)
+        self.epoch += 1
+        if verbose:
+            dt = time.perf_counter() - t0
+            print(
+                f"epoch {self.epoch}: {num_batches} batches in {dt:.1f}s "
+                f"({num_batches / max(dt, 1e-9):.1f} it/s)",
+                flush=True,
+            )
+        mean_loss = total_loss / max(num_batches, 1)
+        return params, state, opt_state, mean_loss
+
+    def flush_metrics(self, path: str) -> None:
+        if self.metrics_rows:
+            update_metrics_on_disk(self.metrics_rows, path)
+            self.metrics_rows = []

@@ -1,0 +1,202 @@
+"""Training subsystem: torch-exact Adam/BCE/clip numerics, trainer steps,
+checkpoint resume, metrics CSV."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from laughter_detection_icsi_tpu import models
+from laughter_detection_icsi_tpu.train import (
+    Adam,
+    TrainLoop,
+    Trainer,
+    batch_metrics,
+    bce_loss,
+    clip_by_global_norm,
+    update_metrics_on_disk,
+)
+
+
+# --------------------------------------------------------------------------- #
+# Numerics parity vs torch
+# --------------------------------------------------------------------------- #
+
+
+def test_bce_matches_torch(rng):
+    import torch
+
+    probs = rng.uniform(1e-6, 1 - 1e-6, size=64).astype(np.float32)
+    targets = (rng.uniform(size=64) > 0.7).astype(np.float32)
+    want = torch.nn.BCELoss()(torch.tensor(probs), torch.tensor(targets)).item()
+    got = float(bce_loss(jnp.asarray(probs), jnp.asarray(targets)))
+    assert got == pytest.approx(want, rel=1e-6)
+
+
+def test_bce_extreme_probs_clamped():
+    probs = jnp.asarray([1e-45, 1.0 - 1e-8, 0.5])
+    targets = jnp.asarray([1.0, 0.0, 1.0])
+    loss = float(bce_loss(probs, targets))
+    assert np.isfinite(loss)
+
+
+def test_adam_matches_torch(rng):
+    import torch
+
+    w0 = rng.standard_normal((5, 3)).astype(np.float32)
+    b0 = rng.standard_normal(3).astype(np.float32)
+    tw = torch.nn.Parameter(torch.tensor(w0))
+    tb = torch.nn.Parameter(torch.tensor(b0))
+    topt = torch.optim.Adam([tw, tb], lr=1e-3)
+
+    params = {"w": jnp.asarray(w0), "b": jnp.asarray(b0)}
+    opt = Adam(max_grad_norm=None)
+    opt_state = opt.init(params)
+
+    for step in range(5):
+        gw = rng.standard_normal((5, 3)).astype(np.float32) * (step + 1)
+        gb = rng.standard_normal(3).astype(np.float32)
+        topt.zero_grad()
+        tw.grad = torch.tensor(gw)
+        tb.grad = torch.tensor(gb)
+        topt.step()
+        params, opt_state = opt.update({"w": jnp.asarray(gw), "b": jnp.asarray(gb)}, opt_state, params)
+
+    np.testing.assert_allclose(np.asarray(params["w"]), tw.detach().numpy(), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(params["b"]), tb.detach().numpy(), atol=1e-6)
+
+
+def test_clip_matches_torch(rng):
+    import torch
+
+    g1 = rng.standard_normal((7, 7)).astype(np.float32) * 3
+    g2 = rng.standard_normal(11).astype(np.float32) * 3
+    p1 = torch.nn.Parameter(torch.zeros(7, 7))
+    p2 = torch.nn.Parameter(torch.zeros(11))
+    p1.grad = torch.tensor(g1)
+    p2.grad = torch.tensor(g2)
+    torch.nn.utils.clip_grad_norm_([p1, p2], 1.0)
+    clipped = clip_by_global_norm({"a": jnp.asarray(g1), "b": jnp.asarray(g2)}, 1.0)
+    np.testing.assert_allclose(np.asarray(clipped["a"]), p1.grad.numpy(), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(clipped["b"]), p2.grad.numpy(), atol=1e-6)
+
+
+def test_clip_noop_below_max(rng):
+    g = {"a": jnp.asarray(rng.standard_normal(4).astype(np.float32) * 1e-3)}
+    out = clip_by_global_norm(g, 1.0)
+    np.testing.assert_allclose(np.asarray(out["a"]), np.asarray(g["a"]), rtol=1e-5)
+
+
+def test_batch_metrics_edge_cases():
+    # no positive predictions -> precision 1.0 (reference train.py:216-218)
+    m = batch_metrics(jnp.asarray([0.1, 0.2]), jnp.asarray([1.0, 0.0]))
+    assert float(m["precision"]) == 1.0
+    assert float(m["recall"]) == 0.0
+    assert float(m["acc"]) == 0.5
+    # no positive targets -> recall 1.0
+    m = batch_metrics(jnp.asarray([0.9, 0.1]), jnp.asarray([0.0, 0.0]))
+    assert float(m["recall"]) == 1.0
+    assert float(m["precision"]) == 0.0
+
+
+# --------------------------------------------------------------------------- #
+# Trainer end-to-end on a separable toy problem
+# --------------------------------------------------------------------------- #
+
+
+def _toy_batches(rng, n_batches, batch_size=16, t=12, f=8):
+    """Positives have a loud band; trivially separable."""
+    batches = []
+    for _ in range(n_batches):
+        y = (rng.uniform(size=batch_size) > 0.5).astype(np.float32)
+        x = rng.standard_normal((batch_size, t, f)).astype(np.float32) * 0.1
+        x[y > 0.5, :, :3] += 2.0
+        batches.append({"inputs": x, "is_laugh": y})
+    return batches
+
+
+@pytest.fixture(scope="module")
+def tiny_model():
+    # MLP: fast to compile, exercises BN + dropout + linear paths
+    return models.MLPModel(linear_layer_size=12 * 8, hid_dim1=32, hid_dim2=16, dropout_rate=0.0)
+
+
+def test_training_reduces_loss(tiny_model, rng):
+    trainer = Trainer(model=tiny_model)
+    params, state, opt_state = trainer.init(jax.random.PRNGKey(0))
+    batches = _toy_batches(rng, 80)
+    first = last = None
+    key = jax.random.PRNGKey(1)
+    for batch in batches:
+        key, k = jax.random.split(key)
+        params, state, opt_state, m = trainer.train_batch(params, state, opt_state, batch, k)
+        if first is None:
+            first = float(m["loss"])
+        last = float(m["loss"])
+    assert last < first * 0.5
+    val = trainer.eval_batches(params, state, _toy_batches(rng, 4))
+    assert val["acc"] > 0.9
+
+
+def test_grad_accum_matches_big_batch(tiny_model, rng):
+    """accum=2 over two half-batches == one step on the concatenated batch
+    (BN-free check would be exact; with BN the running stats differ but the
+    applied gradient must match to fp tolerance on this BN-light model)."""
+    x = rng.standard_normal((8, 12, 8)).astype(np.float32)
+    y = (rng.uniform(size=8) > 0.5).astype(np.float32)
+
+    t_accum = Trainer(model=tiny_model, grad_accum=2)
+    p0, s0, o0 = t_accum.init(jax.random.PRNGKey(3))
+    pa, sa, oa = p0, s0, o0
+    for i in range(2):
+        batch = {"inputs": x[i * 4 : (i + 1) * 4], "is_laugh": y[i * 4 : (i + 1) * 4]}
+        pa, sa, oa, _ = t_accum.train_batch(pa, sa, oa, batch, None)
+    # after 2 micro-batches exactly one optimizer step happened
+    assert int(oa.step) == 1
+    # params actually moved
+    moved = jax.tree_util.tree_map(lambda a, b: float(jnp.abs(a - b).max()), p0, pa)
+    assert max(jax.tree_util.tree_leaves(moved)) > 0
+
+
+def test_checkpoint_resume_roundtrip(tiny_model, rng, tmp_path):
+    trainer = Trainer(model=tiny_model)
+    params, state, opt_state = trainer.init(jax.random.PRNGKey(0))
+    loop = TrainLoop(trainer=trainer, checkpoint_dir=str(tmp_path), log_frequency=5)
+    batches = _toy_batches(rng, 10)
+    params, state, opt_state, _ = loop.run_epoch(
+        params, state, opt_state, batches,
+        val_batches_fn=lambda n: _toy_batches(rng, 2), verbose=False,
+    )
+    assert loop.global_step == 10
+
+    # a fresh loop resumes counters, params, and optimizer state
+    loop2 = TrainLoop(trainer=trainer, checkpoint_dir=str(tmp_path), log_frequency=5)
+    p2, s2, o2 = trainer.init(jax.random.PRNGKey(9))
+    p2, s2, o2 = loop2.resume_if_possible(p2, s2, o2)
+    assert loop2.global_step == 10
+    assert loop2.best_val_loss == pytest.approx(loop.best_val_loss)
+    np.testing.assert_allclose(
+        np.asarray(jax.tree_util.tree_leaves(p2)[0]),
+        np.asarray(jax.tree_util.tree_leaves(params)[0]),
+        atol=0,
+    )
+    assert int(o2.step) == int(opt_state.step)
+
+
+def test_metrics_csv_append_merge(tmp_path):
+    path = str(tmp_path / "metrics.csv")
+    update_metrics_on_disk(
+        [{"global_step": 5, "train_loss": 0.5}, {"global_step": 10, "train_loss": 0.4}], path
+    )
+    # overwrite step 10, add step 15 and a NEW column
+    update_metrics_on_disk(
+        [{"global_step": 10, "train_loss": 0.35, "val_loss": 0.6},
+         {"global_step": 15, "train_loss": 0.3}], path
+    )
+    import csv
+
+    with open(path) as f:
+        rows = list(csv.DictReader(f))
+    assert [r["global_step"] for r in rows] == ["5", "10", "15"]
+    assert rows[1]["train_loss"] == "0.35"
+    assert rows[1]["val_loss"] == "0.6"
