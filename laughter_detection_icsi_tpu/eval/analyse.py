@@ -1,0 +1,324 @@
+"""Prediction evaluation: TextGrids -> time-weighted precision/recall.
+
+Rebuild of reference analysis/analyse.py:49-298,508-539 on top of our exact
+integer-interval algebra (eval/intervals.py) instead of the portion library —
+``overlap_length`` is O(atoms), not the reference's O(duration_ms) ``p_len``
+iteration (reference analysis/utils.py:28-37).
+
+Semantics mirrored:
+- Prediction dir layout ``<preds_dir>/<meeting>/t_<thr>/l_<minlen>/chanN.TextGrid``
+  (reference analyse.py:64-96); channels with no participant mapping and empty
+  files are skipped (reference analyse.py:23-35).
+- ``laugh_match`` (reference analyse.py:120-149): predicted time inside
+  invalid regions is removed before matching; correct = overlap with the
+  laugh index; false-positive time is attributed to speech/silence/noise,
+  and the accounting must close to <1 ms.
+- Per-meeting precision := 1 when nothing was predicted; recall := NaN when
+  the meeting has no transcribed laughter (reference analyse.py:203-216).
+- Corpus stats: sum times over meetings per (min_len, threshold), then
+  divide (reference analyse.py:269-298).
+- A prediction counts as "valid" unless it lies fully inside an invalid
+  region (reference analyse.py:183-187).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+from pathlib import Path
+from typing import Dict, List, Optional, Tuple
+
+import pandas as pd
+
+from laughter_detection_icsi_tpu.config import ANALYSIS, AnalysisConfig
+from laughter_detection_icsi_tpu.eval import indices as indices_lib
+from laughter_detection_icsi_tpu.eval import textgrid as tg
+from laughter_detection_icsi_tpu.eval import transcript as transcript_lib
+from laughter_detection_icsi_tpu.eval.indices import Index, IndexStore
+from laughter_detection_icsi_tpu.eval.intervals import IntervalSet, to_frames, to_sec
+from laughter_detection_icsi_tpu.eval.transcript import TranscriptStore
+
+PRED_COLS = [
+    "meeting_id",
+    "part_id",
+    "chan",
+    "start",
+    "end",
+    "length",
+    "threshold",
+    "min_len",
+    "laugh_type",
+]
+
+EVAL_COLS = [
+    "meeting",
+    "threshold",
+    "min_len",
+    "precision",
+    "recall",
+    "corr_pred_time",
+    "tot_pred_time",
+    "tot_transc_laugh_time",
+    "num_of_pred_laughs",
+    "valid_pred_laughs",
+    "num_of_transc_laughs",
+    "tot_fp_speech_time",
+    "tot_fp_noise_time",
+    "tot_fp_silence_time",
+]
+
+
+# --------------------------------------------------------------------------- #
+# Prediction loading
+# --------------------------------------------------------------------------- #
+
+
+def get_params_from_path(path: str) -> Dict[str, object]:
+    """Parse (meeting_id, threshold, min_len, chan_id) from a prediction path
+    ``<meeting>/t_<thr>/l_<minlen>/chanN[...].TextGrid``
+    (reference analyse.py:64-96)."""
+    parts = os.path.normpath(path).replace(".TextGrid", "").split(os.sep)
+    chan_id = parts[-1].split("_")[0]
+    if not chan_id.startswith("chan"):
+        raise NameError(
+            "channel .TextGrid files must be named 'chanN.TextGrid'"
+        )
+    meeting_id = parts[-4]
+    if len(meeting_id) != 6:
+        raise NameError(
+            "chanN.TextGrid files must live under a 6-char meeting-ID dir "
+            "(<meeting>/t_<thr>/l_<minlen>/)"
+        )
+    return {
+        "chan_id": chan_id,
+        "min_len": parts[-2].replace("l_", ""),
+        "threshold": float(parts[-3].replace("t_", "")),
+        "meeting_id": meeting_id,
+    }
+
+
+def textgrid_to_df(textgrid_dir: str, store: TranscriptStore) -> pd.DataFrame:
+    """All laughter predictions in one ``l_<minlen>`` dir as a DataFrame
+    (reference analyse.py:49-61)."""
+    rows: List[List[object]] = []
+    for filename in sorted(os.listdir(textgrid_dir)):
+        if not filename.endswith(".TextGrid"):
+            continue
+        full_path = os.path.join(textgrid_dir, filename)
+        params = get_params_from_path(full_path)
+        chan_map = store.chan_to_part.get(params["meeting_id"], {})
+        if params["chan_id"] not in chan_map:
+            continue  # unmapped channel (reference analyse.py:23-28)
+        if os.stat(full_path).st_size == 0:
+            print(
+                f"WARNING: empty .TextGrid for "
+                f"{params['meeting_id']}:{params['chan_id']}"
+            )
+            continue
+        part_id = chan_map[params["chan_id"]]
+        for start, end in tg.read_laughter_intervals(full_path):
+            rows.append(
+                [
+                    params["meeting_id"],
+                    part_id,
+                    params["chan_id"],
+                    start,
+                    end,
+                    end - start,
+                    params["threshold"],
+                    params["min_len"],
+                    "laugh",
+                ]
+            )
+    return pd.DataFrame(rows, columns=PRED_COLS)
+
+
+# --------------------------------------------------------------------------- #
+# Matching
+# --------------------------------------------------------------------------- #
+
+
+def _overlap_sec(index: Index, pred: IntervalSet, meeting_id: str, part_id: str) -> float:
+    if not index.has_part(meeting_id, part_id):
+        return 0.0
+    return to_sec(index.get(meeting_id, part_id).overlap_length(pred))
+
+
+def laugh_match(
+    pred_laugh: IntervalSet,
+    meeting_id: str,
+    part_id: str,
+    idx: IndexStore,
+) -> Tuple[float, float, float, float, float]:
+    """(correct, incorrect, fp_speech, fp_noise, fp_silence) in seconds
+    (reference analyse.py:120-149)."""
+    if idx.invalid.has_part(meeting_id, part_id):
+        pred_laugh = pred_laugh - idx.invalid.get(meeting_id, part_id)
+
+    pred_length = to_sec(pred_laugh.length())
+    correct = 0.0
+    incorrect = pred_length
+    if idx.laugh.has_part(meeting_id, part_id):
+        correct = _overlap_sec(idx.laugh, pred_laugh, meeting_id, part_id)
+        incorrect = pred_length - correct
+
+    speech = _overlap_sec(idx.speech, pred_laugh, meeting_id, part_id)
+    silence = _overlap_sec(idx.silence, pred_laugh, meeting_id, part_id)
+    noise = _overlap_sec(idx.noise, pred_laugh, meeting_id, part_id)
+    remain = incorrect - speech - silence - noise
+    assert remain < 0.001, (
+        f"false-positive accounting does not close for {meeting_id}/{part_id}: "
+        f"remainder {remain}"
+    )
+    return correct, incorrect, speech, noise, silence
+
+
+def eval_preds(
+    pred_df: pd.DataFrame,
+    meeting_id: str,
+    threshold: object,
+    min_len: object,
+    store: TranscriptStore,
+    idx: IndexStore,
+) -> List[object]:
+    """Evaluation row for one (meeting, threshold, min_len)
+    (reference analyse.py:152-225)."""
+    tot_corr, tot_incorr = 0.0, 0.0
+    fp_speech = fp_noise = fp_silence = 0.0
+    tot_transc = idx.laugh.tot_len.get(meeting_id, 0.0)
+    laugh_df = store.laugh_only_df
+    num_transc = (
+        int((laugh_df["meeting_id"] == meeting_id).sum()) if not laugh_df.empty else 0
+    )
+    num_pred = int(pred_df.shape[0])
+    num_valid_pred = 0
+
+    if pred_df.size != 0:
+        for part_id, part_df in pred_df.groupby("part_id"):
+            part_pred = IntervalSet.empty()
+            invalid = idx.invalid.get(meeting_id, part_id)
+            has_invalid = idx.invalid.has_part(meeting_id, part_id)
+            for _, row in part_df.iterrows():
+                pred = IntervalSet.openclosed(
+                    to_frames(row["start"]), to_frames(row["end"])
+                )
+                if not has_invalid or not invalid.contains(pred):
+                    num_valid_pred += 1
+                part_pred = part_pred | pred
+            corr, incorr, speech, noise, silence = laugh_match(
+                part_pred, meeting_id, part_id, idx
+            )
+            tot_corr += corr
+            tot_incorr += incorr
+            fp_speech += speech
+            fp_noise += noise
+            fp_silence += silence
+
+    tot_pred = tot_corr + tot_incorr
+    prec = 1.0 if tot_pred == 0 else tot_corr / tot_pred
+    recall = float("nan") if tot_transc == 0 else tot_corr / tot_transc
+    return [
+        meeting_id,
+        threshold,
+        min_len,
+        prec,
+        recall,
+        tot_corr,
+        tot_pred,
+        tot_transc,
+        num_pred,
+        num_valid_pred,
+        num_transc,
+        fp_speech,
+        fp_noise,
+        fp_silence,
+    ]
+
+
+# --------------------------------------------------------------------------- #
+# Corpus-level driver
+# --------------------------------------------------------------------------- #
+
+
+def create_evaluation_df(
+    preds_dir: str,
+    store: TranscriptStore,
+    idx: IndexStore,
+    out_path: Optional[str] = None,
+    use_cache: bool = False,
+    verbose: bool = True,
+) -> pd.DataFrame:
+    """Walk ``<preds_dir>/<meeting>/t_<thr>/l_<minlen>/`` and evaluate every
+    parameter set (reference analyse.py:227-266)."""
+    if use_cache and out_path and os.path.isfile(out_path):
+        return pd.read_csv(out_path)
+    all_rows: List[List[object]] = []
+    for meeting in sorted(os.listdir(preds_dir)):
+        meeting_path = os.path.join(preds_dir, meeting)
+        if not os.path.isdir(meeting_path):
+            continue
+        for thr_name in sorted(os.listdir(meeting_path)):
+            thr_dir = os.path.join(meeting_path, thr_name)
+            for min_len_name in sorted(os.listdir(thr_dir)):
+                tg_dir = os.path.join(thr_dir, min_len_name)
+                if verbose:
+                    print(
+                        f"meeting={meeting} thr={thr_name} min_len={min_len_name}",
+                        flush=True,
+                    )
+                pred_df = textgrid_to_df(tg_dir, store)
+                all_rows.append(
+                    eval_preds(
+                        pred_df,
+                        meeting,
+                        float(thr_name.replace("t_", "")),
+                        float(min_len_name.replace("l_", "")),
+                        store,
+                        idx,
+                    )
+                )
+    eval_df = pd.DataFrame(all_rows, columns=EVAL_COLS)
+    if out_path:
+        eval_df.to_csv(out_path, index=False)
+    return eval_df
+
+
+def calc_sum_stats(eval_df: pd.DataFrame) -> pd.DataFrame:
+    """Corpus-weighted precision/recall per (min_len, threshold): sum the
+    times across meetings, then divide (reference analyse.py:269-298)."""
+    sums = (
+        eval_df.groupby(["min_len", "threshold"])[
+            ["corr_pred_time", "tot_pred_time", "tot_transc_laugh_time"]
+        ]
+        .sum()
+        .reset_index()
+    )
+    sums["precision"] = sums["corr_pred_time"] / sums["tot_pred_time"]
+    sums.loc[sums.tot_pred_time == 0, "precision"] = 1.0
+    sums["recall"] = sums["corr_pred_time"] / sums["tot_transc_laugh_time"]
+    return sums[["threshold", "min_len", "precision", "recall"]]
+
+
+def analyse(
+    preds_dir: str,
+    transcript_dir: Optional[str] = None,
+    cfg: AnalysisConfig = ANALYSIS,
+    force: bool = False,
+) -> pd.DataFrame:
+    """Evaluate a prediction dir; writes ``<split>_sum_stats.csv`` and
+    ``<split>_eval_df_per_meeting.csv`` next to it (reference
+    analyse.py:508-539).  Returns the summary stats."""
+    preds_path = Path(preds_dir)
+    split = preds_path.name
+    sum_stats_path = preds_path.parent / f"{split}_{cfg.sum_stats_cache_file}"
+    eval_df_path = preds_path.parent / f"{split}_{cfg.eval_df_cache_file}"
+    if not force and sum_stats_path.is_file():
+        return pd.read_csv(sum_stats_path)
+    store = transcript_lib.load(transcript_dir)
+    idx = indices_lib.load(store, force_recompute=cfg.force_index_recompute)
+    eval_df = create_evaluation_df(
+        str(preds_path), store, idx, out_path=str(eval_df_path), use_cache=not force
+    )
+    sum_stats = calc_sum_stats(eval_df)
+    sum_stats.to_csv(sum_stats_path, index=False)
+    return sum_stats

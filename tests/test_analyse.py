@@ -1,0 +1,147 @@
+"""Evaluator: golden hand-computed precision/recall on the synthetic corpus.
+
+Layout driven: <preds>/<meeting>/t_<thr>/l_<minlen>/chanN.TextGrid
+(reference analyse.py:64-96, 227-266).
+"""
+
+import math
+from pathlib import Path
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from laughter_detection_icsi_tpu.eval import analyse as an
+from laughter_detection_icsi_tpu.eval import indices as indices_lib
+from laughter_detection_icsi_tpu.eval import textgrid as tg
+from laughter_detection_icsi_tpu.eval import transcript as transcript_lib
+
+
+@pytest.fixture(scope="module")
+def store(synthetic_corpus):
+    return transcript_lib.TranscriptStore(str(synthetic_corpus.transcript_dir))
+
+
+@pytest.fixture(scope="module")
+def idx(store):
+    return indices_lib.build_indices(store)
+
+
+@pytest.fixture(scope="module")
+def preds_dir(tmp_path_factory):
+    """Hand-built predictions with known outcomes.
+
+    Bmr021 (no invalid regions):
+      chan0 (me001, GT laugh [10,13]):  preds [10,12] (correct 2.0) and
+        [15,16] (incorrect, silence 1.0)
+      chan1 (me004, GT laugh [50,50.5]): preds [50,50.5] (correct 0.5) and
+        [25,25.5] (incorrect, speech 0.5)
+      -> corr 2.5, pred 4.0, prec 0.625, transc 3.5, recall 5/7
+
+    Btr001:
+      chan0 (me001): pred [20,21] lies fully in the invalid index
+        (breath-laugh) -> stripped, not counted valid; pred [10,11] correct
+      -> corr 1.0, pred 1.0, prec 1.0, transc 3.5, recall 2/7,
+         num_pred 2, valid 1
+    """
+    root = tmp_path_factory.mktemp("preds") / "dev"
+    d = root / "Bmr021" / "t_0.5" / "l_0.2"
+    d.mkdir(parents=True)
+    tg.write_textgrid(str(d / "chan0.TextGrid"), [(10.0, 12.0), (15.0, 16.0)], xmax=100.0)
+    tg.write_textgrid(str(d / "chan1.TextGrid"), [(50.0, 50.5), (25.0, 25.5)], xmax=100.0)
+    # unmapped channel -> must be ignored
+    tg.write_textgrid(str(d / "chan7.TextGrid"), [(1.0, 2.0)], xmax=100.0)
+    # empty file -> warn + skip
+    (d / "chan3.TextGrid").write_text("")
+
+    d2 = root / "Btr001" / "t_0.5" / "l_0.2"
+    d2.mkdir(parents=True)
+    tg.write_textgrid(str(d2 / "chan0.TextGrid"), [(20.0, 21.0), (10.0, 11.0)], xmax=60.0)
+    return root
+
+
+def test_get_params_from_path():
+    p = an.get_params_from_path("preds/Bmr021/t_0.5/l_0.2/chan0.TextGrid")
+    assert p == {
+        "chan_id": "chan0",
+        "min_len": "0.2",
+        "threshold": 0.5,
+        "meeting_id": "Bmr021",
+    }
+    with pytest.raises(NameError):
+        an.get_params_from_path("preds/Bmr021/t_0.5/l_0.2/track0.TextGrid")
+    with pytest.raises(NameError):
+        an.get_params_from_path("preds/meeting_too_long/t_0.5/l_0.2/chan0.TextGrid")
+
+
+def test_textgrid_to_df_filters(preds_dir, store):
+    df = an.textgrid_to_df(str(preds_dir / "Bmr021" / "t_0.5" / "l_0.2"), store)
+    # chan7 unmapped and chan3 empty are dropped; 2+2 predictions remain
+    assert len(df) == 4
+    assert set(df["part_id"]) == {"me001", "me004"}
+
+
+def test_eval_preds_bmr021(preds_dir, store, idx):
+    df = an.textgrid_to_df(str(preds_dir / "Bmr021" / "t_0.5" / "l_0.2"), store)
+    row = an.eval_preds(df, "Bmr021", 0.5, 0.2, store, idx)
+    row = dict(zip(an.EVAL_COLS, row))
+    assert row["precision"] == pytest.approx(0.625)
+    assert row["recall"] == pytest.approx(2.5 / 3.5)
+    assert row["corr_pred_time"] == pytest.approx(2.5)
+    assert row["tot_pred_time"] == pytest.approx(4.0)
+    assert row["tot_transc_laugh_time"] == pytest.approx(3.5)
+    assert row["num_of_pred_laughs"] == 4
+    assert row["valid_pred_laughs"] == 4
+    assert row["num_of_transc_laughs"] == 2
+    assert row["tot_fp_speech_time"] == pytest.approx(0.5)
+    assert row["tot_fp_silence_time"] == pytest.approx(1.0)
+    assert row["tot_fp_noise_time"] == pytest.approx(0.0)
+
+
+def test_eval_preds_invalid_regions(preds_dir, store, idx):
+    df = an.textgrid_to_df(str(preds_dir / "Btr001" / "t_0.5" / "l_0.2"), store)
+    row = dict(zip(an.EVAL_COLS, an.eval_preds(df, "Btr001", 0.5, 0.2, store, idx)))
+    # the [20,21] prediction is inside the breath-laugh invalid region:
+    # removed from matching and not counted as a valid prediction
+    assert row["precision"] == pytest.approx(1.0)
+    assert row["corr_pred_time"] == pytest.approx(1.0)
+    assert row["tot_pred_time"] == pytest.approx(1.0)
+    assert row["num_of_pred_laughs"] == 2
+    assert row["valid_pred_laughs"] == 1
+    assert row["recall"] == pytest.approx(1.0 / 3.5)
+
+
+def test_eval_preds_empty_meeting(store, idx):
+    empty = pd.DataFrame([], columns=an.PRED_COLS)
+    row = dict(zip(an.EVAL_COLS, an.eval_preds(empty, "Bmr021", 0.1, 0.2, store, idx)))
+    assert row["precision"] == 1.0  # nothing predicted
+    assert row["recall"] == pytest.approx(0.0)
+
+
+def test_create_evaluation_df_and_sum_stats(preds_dir, store, idx, tmp_path):
+    eval_df = an.create_evaluation_df(
+        str(preds_dir), store, idx, out_path=str(tmp_path / "eval.csv"), verbose=False
+    )
+    assert len(eval_df) == 2  # two meetings x one parameter set
+    stats = an.calc_sum_stats(eval_df)
+    assert len(stats) == 1
+    s = stats.iloc[0]
+    # corpus-weighted: corr 3.5 / pred 5.0; transc 7.0
+    assert s["precision"] == pytest.approx(0.7)
+    assert s["recall"] == pytest.approx(0.5)
+    assert s["threshold"] == 0.5
+    assert s["min_len"] == 0.2
+
+
+def test_analyse_end_to_end(preds_dir, synthetic_corpus):
+    stats = an.analyse(
+        str(preds_dir), transcript_dir=str(synthetic_corpus.transcript_dir), force=True
+    )
+    assert stats.iloc[0]["precision"] == pytest.approx(0.7)
+    # cache files written next to the preds dir, named by split
+    parent = preds_dir.parent
+    assert (parent / "dev_sum_stats.csv").is_file()
+    assert (parent / "dev_eval_df_per_meeting.csv").is_file()
+    # second call uses the cache (no force)
+    again = an.analyse(str(preds_dir))
+    assert again.iloc[0]["precision"] == pytest.approx(0.7)
