@@ -1,0 +1,178 @@
+"""Whole-track feature cache: on-device fbank -> memory-mapped .npy shards.
+
+Rebuild of reference compute_features.py:66-195 without Lhotse: stage 1
+computes log-mel features for every (meeting, channel) track ON DEVICE with
+the XLA fbank (ops/fbank.py) in fixed-shape buckets, and stores them as one
+``.npy`` per track plus a JSON manifest — memory-mappable, so the training
+dataset's per-cut reads are O(window) disk IO, like the reference's lilcom
+shards but lossless (or float16, configurable; lilcom is ~0.3%-lossy).
+Stage 2 of the reference (manifest surgery attaching is_laugh supervisions)
+collapses into the data_df tables themselves: a cut IS a (track, sub_start,
+sub_duration, label) row (data/sampler.py), resolved against this cache at
+batch-assembly time (data/dataset.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from pathlib import Path
+from typing import Dict, Iterable, List, Optional, Tuple
+
+import numpy as np
+
+from laughter_detection_icsi_tpu.config import FEAT, FeatConfig
+from laughter_detection_icsi_tpu.data import audio as audio_io
+from laughter_detection_icsi_tpu.ops import fbank as fbank_ops
+
+MANIFEST_NAME = "manifest.json"
+
+
+def compute_track_features(
+    wave: np.ndarray,
+    cfg: FeatConfig = FEAT,
+    bucket_frames: int = 30000,
+    dtype=np.float32,
+) -> np.ndarray:
+    """[n] waveform -> [T, num_filters] features via fixed-shape jitted
+    buckets (static shapes for XLA; one compile per bucket size)."""
+    import dataclasses as _dc
+
+    import jax
+    import jax.numpy as jnp
+
+    n = len(wave)
+    t = fbank_ops.num_frames(n, cfg)
+    if t == 0:
+        return np.zeros((0, cfg.num_filters), dtype=dtype)
+    snip = _dc.replace(cfg, snip_edges=True)
+    left, right = fbank_ops.pad_amounts(n, cfg)
+    padded = np.concatenate(
+        [wave[:left][::-1], wave, wave[n - right:][::-1]]
+    ).astype(np.float32)
+
+    shift = snip.frame_shift_samples
+    flen = snip.frame_length_samples
+    bucket_wave = (bucket_frames - 1) * shift + flen
+    out = np.empty((t, cfg.num_filters), dtype=dtype)
+    done = 0
+    while done < t:
+        todo = min(bucket_frames, t - done)
+        buf = np.zeros(bucket_wave, dtype=np.float32)
+        lo = done * shift
+        hi = min(lo + bucket_wave, len(padded))
+        buf[: hi - lo] = padded[lo:hi]
+        feats = fbank_ops.fbank_jit(jnp.asarray(buf), snip)
+        out[done : done + todo] = np.asarray(feats[:todo], dtype=dtype)
+        done += todo
+    return out
+
+
+@dataclasses.dataclass
+class FeatureCache:
+    """Directory of per-track feature arrays keyed ``<meeting>/<chan>``."""
+
+    cache_dir: str
+    cfg: FeatConfig = FEAT
+
+    def __post_init__(self):
+        self._manifest_path = Path(self.cache_dir) / MANIFEST_NAME
+        self._manifest: Dict[str, Dict] = {}
+        self._mmaps: Dict[str, np.ndarray] = {}
+        if self._manifest_path.is_file():
+            self._manifest = json.loads(self._manifest_path.read_text())
+
+    # ------------------------------------------------------------------ #
+
+    def _key(self, meeting_id: str, chan_id: str) -> str:
+        return f"{meeting_id}/{chan_id}"
+
+    def _track_path(self, meeting_id: str, chan_id: str) -> Path:
+        return Path(self.cache_dir) / meeting_id / f"{chan_id}.npy"
+
+    def has(self, meeting_id: str, chan_id: str) -> bool:
+        return self._key(meeting_id, chan_id) in self._manifest
+
+    def add_track(
+        self,
+        meeting_id: str,
+        chan_id: str,
+        wave: np.ndarray,
+        dtype=np.float32,
+        bucket_frames: int = 30000,
+    ) -> np.ndarray:
+        feats = compute_track_features(
+            wave, self.cfg, bucket_frames=bucket_frames, dtype=dtype
+        )
+        path = self._track_path(meeting_id, chan_id)
+        path.parent.mkdir(parents=True, exist_ok=True)
+        np.save(path, feats)
+        self._manifest[self._key(meeting_id, chan_id)] = {
+            "num_frames": int(feats.shape[0]),
+            "num_filters": int(feats.shape[1]),
+            "dtype": str(feats.dtype),
+        }
+        self._flush_manifest()
+        return feats
+
+    def add_audio_file(
+        self, meeting_id: str, chan_id: str, audio_path: str, channel: int = 0, **kw
+    ) -> np.ndarray:
+        wave, sr = audio_io.read(audio_path, channel=channel)
+        if sr != self.cfg.sampling_rate:
+            raise ValueError(
+                f"{audio_path}: sample rate {sr} != featurizer rate "
+                f"{self.cfg.sampling_rate}"
+            )
+        return self.add_track(meeting_id, chan_id, wave, **kw)
+
+    def _flush_manifest(self) -> None:
+        self._manifest_path.parent.mkdir(parents=True, exist_ok=True)
+        tmp = str(self._manifest_path) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(self._manifest, f, indent=1, sort_keys=True)
+        os.replace(tmp, self._manifest_path)
+
+    # ------------------------------------------------------------------ #
+
+    def track(self, meeting_id: str, chan_id: str) -> np.ndarray:
+        """Memory-mapped [T, F] features for one track."""
+        key = self._key(meeting_id, chan_id)
+        if key not in self._mmaps:
+            if key not in self._manifest:
+                raise KeyError(f"track {key} not in feature cache {self.cache_dir}")
+            self._mmaps[key] = np.load(
+                self._track_path(meeting_id, chan_id), mmap_mode="r"
+            )
+        return self._mmaps[key]
+
+    def cut(
+        self,
+        meeting_id: str,
+        chan_id: str,
+        start_s: float,
+        duration_s: float,
+        pad_to_frames: Optional[int] = None,
+    ) -> np.ndarray:
+        """Features for a (start, duration) cut, zero-padded on the right to
+        ``pad_to_frames`` (the reference's truncate + pad(1.0 s),
+        compute_features.py:164-167)."""
+        fps = self.cfg.num_samples
+        track = self.track(meeting_id, chan_id)
+        first = int(round(start_s * fps))
+        n = int(round(duration_s * fps))
+        first = max(0, min(first, track.shape[0]))
+        cut = np.asarray(track[first : first + n], dtype=np.float32)
+        if pad_to_frames is not None:
+            if cut.shape[0] > pad_to_frames:
+                cut = cut[:pad_to_frames]
+            elif cut.shape[0] < pad_to_frames:
+                pad = np.zeros(
+                    (pad_to_frames - cut.shape[0], track.shape[1]), dtype=np.float32
+                )
+                cut = np.concatenate([cut, pad])
+        return cut
+
+    def keys(self) -> List[str]:
+        return sorted(self._manifest)

@@ -1,0 +1,192 @@
+"""Data pipeline: feature cache bucketing parity, cut/pad semantics,
+data_df sampling invariants, dataset batching."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from laughter_detection_icsi_tpu.config import ANALYSIS, PARTITIONS
+from laughter_detection_icsi_tpu.data import (
+    DataFrameSampler,
+    FeatureCache,
+    LadDataset,
+    audio,
+    compute_track_features,
+    write_data_dfs,
+)
+from laughter_detection_icsi_tpu.eval import indices as indices_lib
+from laughter_detection_icsi_tpu.eval import transcript as transcript_lib
+from laughter_detection_icsi_tpu.eval.intervals import IntervalSet, to_frames
+from laughter_detection_icsi_tpu.ops import fbank as fb
+
+
+@pytest.fixture(scope="module")
+def store(synthetic_corpus):
+    return transcript_lib.TranscriptStore(str(synthetic_corpus.transcript_dir))
+
+
+@pytest.fixture(scope="module")
+def idx(store):
+    return indices_lib.build_indices(store)
+
+
+# --------------------------------------------------------------------------- #
+# Feature cache
+# --------------------------------------------------------------------------- #
+
+
+def test_bucketed_features_match_direct(rng):
+    wave = (rng.standard_normal(16000 * 4 + 321) * 0.1).astype(np.float32)
+    direct = np.asarray(fb.fbank_jit(wave))
+    bucketed = compute_track_features(wave, bucket_frames=150)
+    assert bucketed.shape == direct.shape
+    np.testing.assert_allclose(bucketed, direct, rtol=1e-4, atol=1e-5)
+
+
+def test_cache_roundtrip_and_cut(tmp_path, rng):
+    cache = FeatureCache(str(tmp_path / "cache"))
+    wave = (rng.standard_normal(16000 * 3) * 0.1).astype(np.float32)
+    feats = cache.add_track("Btr001", "chan0", wave)
+    assert cache.has("Btr001", "chan0")
+    # fresh instance reads the manifest from disk
+    cache2 = FeatureCache(str(tmp_path / "cache"))
+    track = cache2.track("Btr001", "chan0")
+    np.testing.assert_array_equal(np.asarray(track), feats)
+
+    # interior cut: exact slice
+    cut = cache2.cut("Btr001", "chan0", 1.0, 1.0, pad_to_frames=100)
+    np.testing.assert_array_equal(cut, feats[100:200])
+    # short cut: right-padded with zeros (reference 1.0 s pad semantics)
+    cut = cache2.cut("Btr001", "chan0", 2.5, 0.3, pad_to_frames=100)
+    np.testing.assert_array_equal(cut[:30], feats[250:280])
+    assert np.all(cut[30:] == 0)
+    # cut at the very end of the track: track exhausts, pad the rest
+    cut = cache2.cut("Btr001", "chan0", 2.95, 1.0, pad_to_frames=100)
+    assert cut.shape == (100, feats.shape[1])
+
+
+def test_cache_missing_track_raises(tmp_path):
+    cache = FeatureCache(str(tmp_path / "empty"))
+    with pytest.raises(KeyError, match="not in feature cache"):
+        cache.track("Bxx001", "chan0")
+
+
+def test_cache_rejects_wrong_sample_rate(tmp_path, rng):
+    p = str(tmp_path / "x.wav")
+    audio.write_wav(p, rng.standard_normal(8000).astype(np.float32) * 0.1, 8000)
+    cache = FeatureCache(str(tmp_path / "cache"))
+    with pytest.raises(ValueError, match="sample rate"):
+        cache.add_audio_file("Bxx001", "chan0", p)
+
+
+# --------------------------------------------------------------------------- #
+# Sampler
+# --------------------------------------------------------------------------- #
+
+
+def test_sampler_structured(store, idx):
+    sampler = DataFrameSampler(store, idx)
+    dfs = sampler.create_data_dfs(num_laugh_samples=2, num_non_laugh_samples=10)
+    # Samples are drawn per laugh_only_df row — which includes breath-laughs
+    # and too-short laughs (the reference samples the raw laugh table, not
+    # the validity-filtered index; reference create_data_df.py:110):
+    # Btr001 (train) has 4 LAUGH-typed segments, Bmr021 (dev) has 2.
+    assert len(dfs["test"]) == 0
+    for split, n_laughs in (("train", 4), ("dev", 2)):
+        df = dfs[split]
+        laugh = df[df.label == 1]
+        non = df[df.label == 0]
+        assert len(laugh) == n_laughs * 2
+        assert len(non) == n_laughs * 10
+        # every subsample lies inside its segment and is <= 1 s
+        assert (df.sub_start >= df.start - 0.005).all()
+        assert (
+            df.sub_start + df.sub_duration <= df.start + df.duration + 0.005
+        ).all()
+        assert (df.sub_duration <= ANALYSIS.subsample_duration + 1e-9).all()
+
+
+def test_sampler_silence_really_silent(store, idx):
+    sampler = DataFrameSampler(store, idx)
+    dfs = sampler.create_data_dfs(num_laugh_samples=1, num_non_laugh_samples=10)
+    # 7 of 10 non-laugh samples are silence; ALL non-laugh rows must avoid
+    # the laugh index entirely
+    for split in ("train", "dev"):
+        non = dfs[split][dfs[split].label == 0]
+        for _, row in non.iterrows():
+            part = store.chan_to_part[row.meeting_id][row.chan_id]
+            seg = IntervalSet.closed(
+                to_frames(row.sub_start), to_frames(row.sub_start + row.sub_duration)
+            )
+            laughs = idx.laugh.get(row.meeting_id, part)
+            assert not laughs.overlaps(seg), (row.meeting_id, part, row.sub_start)
+
+
+def test_sampler_deterministic(store, idx):
+    a = DataFrameSampler(store, idx).create_data_dfs(1, 3)
+    b = DataFrameSampler(store, idx).create_data_dfs(1, 3)
+    for split in PARTITIONS:
+        pd.testing.assert_frame_equal(a[split], b[split])
+
+
+def test_sampler_meeting_filter(store, idx):
+    dfs = DataFrameSampler(store, idx).create_data_dfs(1, 1, meeting_id="Bmr021")
+    assert len(dfs["train"]) == 0
+    assert len(dfs["dev"]) > 0
+
+
+def test_write_data_dfs(store, idx, tmp_path):
+    dfs = DataFrameSampler(store, idx).create_data_dfs(1, 1)
+    write_data_dfs(dfs, str(tmp_path))
+    got = pd.read_csv(tmp_path / "dev_df.csv")
+    assert list(got.columns) == [
+        "start", "duration", "sub_start", "sub_duration",
+        "audio_path", "meeting_id", "chan_id", "label",
+    ]
+
+
+# --------------------------------------------------------------------------- #
+# Dataset batching
+# --------------------------------------------------------------------------- #
+
+
+@pytest.fixture(scope="module")
+def populated_cache(tmp_path_factory, store, idx):
+    root = tmp_path_factory.mktemp("feats")
+    cache = FeatureCache(str(root))
+    gen = np.random.default_rng(5)
+    for _, row in store.info_df.iterrows():
+        wave = (gen.standard_normal(int(row.length * 16000)) * 0.1).astype(np.float32)
+        cache.add_track(row.meeting_id, row.chan_id, wave)
+    return cache
+
+
+def test_dataset_batches(store, idx, populated_cache):
+    dfs = DataFrameSampler(store, idx).create_data_dfs(2, 4)
+    ds = LadDataset(dfs["train"], populated_cache)
+    batches = list(ds.batches(batch_size=4, seed=1))
+    assert sum(b["inputs"].shape[0] for b in batches) == len(ds)
+    b = batches[0]
+    assert b["inputs"].shape[1:] == (100, 44)
+    assert b["inputs"].dtype == np.float32
+    assert set(np.unique(b["is_laugh"])) <= {0.0, 1.0}
+    assert (b["input_lens"] > 0).all() and (b["input_lens"] <= 100).all()
+
+    # drop_remainder yields only full batches
+    full = list(ds.batches(batch_size=4, drop_remainder=True))
+    assert all(b["inputs"].shape[0] == 4 for b in full)
+
+    # deterministic under the same seed, different under another
+    again = list(ds.batches(batch_size=4, seed=1))
+    np.testing.assert_array_equal(batches[0]["inputs"], again[0]["inputs"])
+
+
+def test_dataset_features_match_cache(store, idx, populated_cache):
+    dfs = DataFrameSampler(store, idx).create_data_dfs(1, 1)
+    ds = LadDataset(dfs["dev"], populated_cache)
+    ex = ds.example(0)
+    row = ds.df.iloc[0]
+    want = populated_cache.cut(
+        row.meeting_id, row.chan_id, row.sub_start, row.sub_duration, pad_to_frames=100
+    )
+    np.testing.assert_array_equal(ex["inputs"], want)
