@@ -1,0 +1,73 @@
+"""Sample-table generation CLI (reference create_data_df.py:209-215).
+
+Configuration via flags or the reference's ``.env`` variables
+(DATA_DFS_DIR, NUM_OF_LAUGH_SAMPLES, NUM_OF_NON_LAUGH_SAMPLES,
+RANDOM_SELECTION — reference create_data_df.py:210-215).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+from typing import List, Optional
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--data_dfs_dir", type=str, default=None)
+    p.add_argument("--transcript_dir", type=str, default=None)
+    p.add_argument("--num_laugh_samples", type=int, default=None)
+    p.add_argument("--num_non_laugh_samples", type=int, default=None)
+    p.add_argument("--random_selection", action="store_true", default=None)
+    p.add_argument("--meeting_id", type=str, default=None)
+    p.add_argument("--chan_id", type=str, default=None)
+    p.add_argument("--noise_from_speech_bug", action="store_true",
+                   help="reproduce the reference's noise-sampled-from-speech "
+                        "behavior (SURVEY.md §2.5-3) for parity runs")
+    p.add_argument("--env_file", type=str, default=".env")
+    return p
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    args = build_parser().parse_args(argv)
+
+    from laughter_detection_icsi_tpu.config import load_env
+    from laughter_detection_icsi_tpu.data import DataFrameSampler, write_data_dfs
+    from laughter_detection_icsi_tpu.eval import indices as indices_lib
+    from laughter_detection_icsi_tpu.eval import transcript as transcript_lib
+
+    load_env(args.env_file)
+    data_dfs_dir = args.data_dfs_dir or os.environ.get("DATA_DFS_DIR")
+    if not data_dfs_dir:
+        raise SystemExit("need --data_dfs_dir (or DATA_DFS_DIR in env/.env)")
+    n_laugh = args.num_laugh_samples or int(os.environ.get("NUM_OF_LAUGH_SAMPLES", 1))
+    n_non = args.num_non_laugh_samples or int(
+        os.environ.get("NUM_OF_NON_LAUGH_SAMPLES", 1)
+    )
+    random_sel = (
+        args.random_selection
+        if args.random_selection is not None
+        else os.environ.get("RANDOM_SELECTION", "False").lower() == "true"
+    )
+
+    store = transcript_lib.load(args.transcript_dir)
+    idx = indices_lib.load(store)
+    sampler = DataFrameSampler(
+        store, idx, noise_from_speech_bug=args.noise_from_speech_bug
+    )
+    dfs = sampler.create_data_dfs(
+        num_laugh_samples=n_laugh,
+        num_non_laugh_samples=n_non,
+        meeting_id=args.meeting_id,
+        chan_id=args.chan_id,
+        random=random_sel,
+    )
+    write_data_dfs(dfs, data_dfs_dir)
+    for split, df in dfs.items():
+        print(f"{split}: {len(df)} rows -> {data_dfs_dir}/{split}_df.csv")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,138 @@
+"""Laughter segmentation CLI (reference segment_laughter.py:28-198).
+
+Same flags as the reference; the per-window torch DataLoader loop is
+replaced by the single-upload jitted pipeline (inference.LaughterPipeline).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+from pathlib import Path
+from typing import List, Optional
+
+import numpy as np
+
+
+def strtobool(v: str) -> bool:
+    return str(v).lower() in ("1", "true", "yes", "y", "t")
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--model_path", type=str, default="checkpoints/in_use/resnet_base")
+    p.add_argument("--config", type=str, default="resnet_base")
+    p.add_argument("--thresholds", type=str, default="0.5",
+                   help="single value or comma-separated list")
+    p.add_argument("--min_lengths", type=str, default="0.2",
+                   help="single value or comma-separated list")
+    p.add_argument("--input_audio_file", required=True, type=str)
+    p.add_argument("--output_dir", type=str, default=None)
+    p.add_argument("--save_to_audio_files", type=str, default="True")
+    p.add_argument("--save_to_textgrid", type=str, default="False")
+    # TPU-framework additions (absent from the reference CLI)
+    p.add_argument("--channel", type=int, default=0, help="audio channel to read")
+    p.add_argument("--precision", type=str, default=None,
+                   choices=["float32", "bfloat16"],
+                   help="default: bfloat16 on accelerators, float32 on CPU")
+    p.add_argument("--chunk", type=int, default=None,
+                   help="windows per device step (default: 8192 on "
+                        "accelerators, 1024 on CPU)")
+    p.add_argument("--bucket_frames", type=int, default=None,
+                   help="jit shape bucket in frames (default: 30000 on "
+                        "accelerators, 6000 on CPU)")
+    p.add_argument("--random_init", action="store_true",
+                   help="skip checkpoint loading (smoke tests/benchmarks)")
+    return p
+
+
+def save_instances(
+    instances, output_dir: str, save_to_audio_files: bool, save_to_textgrid: bool,
+    audio_path: str, channel: int,
+) -> None:
+    """reference segment_laughter.py:124-161."""
+    from laughter_detection_icsi_tpu.data import audio as audio_io
+    from laughter_detection_icsi_tpu.eval import textgrid as tg
+
+    os.makedirs(output_dir, exist_ok=True)
+    if not instances:
+        return
+    if save_to_audio_files:
+        for index, inst in enumerate(instances):
+            wav, sr = audio_io.cut_segments(audio_path, [inst], channel=channel)
+            wav_path = os.path.join(output_dir, f"laugh_{index}.wav")
+            audio_io.write_wav(wav_path, wav, sr)
+            print(f"{inst[0]:.2f}-{inst[1]:.2f}s -> {wav_path}")
+    if save_to_textgrid:
+        from laughter_detection_icsi_tpu.data.audio import get_audio_length
+
+        fname = os.path.splitext(os.path.basename(audio_path))[0]
+        out = os.path.join(output_dir, fname + ".TextGrid")
+        tg.write_textgrid(out, instances, xmax=get_audio_length(audio_path))
+        print(f"Saved laughter segments in {out}")
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    args = build_parser().parse_args(argv)
+
+    import jax
+
+    from laughter_detection_icsi_tpu import inference, models
+    from laughter_detection_icsi_tpu.config import MODEL_MAP
+    from laughter_detection_icsi_tpu.train import checkpoint as ckpt_lib
+
+    preset = MODEL_MAP[args.config]
+    thresholds = [float(t) for t in args.thresholds.split(",")]
+    min_lengths = [float(l) for l in args.min_lengths.split(",")]
+    save_audio = strtobool(args.save_to_audio_files)
+    save_tg = strtobool(args.save_to_textgrid)
+
+    model = models.build(
+        preset.model,
+        dropout_rate=0.0,
+        linear_layer_size=preset.linear_layer_size,
+        filter_sizes=preset.filter_sizes,
+    )
+    if args.random_init:
+        params, state = model.init(jax.random.PRNGKey(0))
+    else:
+        best = (
+            args.model_path
+            if os.path.isfile(args.model_path)
+            else ckpt_lib.find_best_checkpoint(args.model_path)
+        )
+        if best is None:
+            raise SystemExit(f"Model checkpoint not found at {args.model_path}")
+        loaded = ckpt_lib.load_checkpoint(best)
+        params, state = loaded["params"], loaded["state"]
+
+    on_accel = jax.devices()[0].platform != "cpu"
+    settings = inference.InferenceSettings(
+        chunk=args.chunk or (8192 if on_accel else 1024),
+        bucket_frames=args.bucket_frames or (30000 if on_accel else 6000),
+        precision=args.precision or ("bfloat16" if on_accel else "float32"),
+    )
+    pipe = inference.LaughterPipeline(model, params, state, settings=settings)
+    instance_dict, took = pipe.segment_file(
+        args.input_audio_file,
+        thresholds=thresholds,
+        min_lengths=min_lengths,
+        channel=args.channel,
+    )
+    print(f"Completed in: {took:.2f}s")
+    for setting, instances in instance_dict.items():
+        print(
+            f"Found {len(instances)} laughs for threshold {setting[0]} "
+            f"and min_length {setting[1]}."
+        )
+        if args.output_dir:
+            out = os.path.join(args.output_dir, f"t_{setting[0]}", f"l_{setting[1]}")
+            save_instances(
+                instances, out, save_audio, save_tg, args.input_audio_file, args.channel
+            )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,165 @@
+"""Training CLI (reference train.py:68-135 flag surface).
+
+Reference flags are accepted verbatim; torch-specific ones (--torch_device,
+--num_workers, --lhotse_dir, --include_words, --train_on_noisy_audioset) are
+parsed for compatibility and ignored with a note.  Features come from the
+framework's on-device FeatureCache: tracks referenced by the data_dfs that
+are missing from the cache are featurized on first use from
+``<data_root>/signals/<meeting>/<chan>.sph``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import csv
+import os
+import sys
+import time
+from pathlib import Path
+from typing import List, Optional
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--config", type=str, required=True)
+    p.add_argument("--checkpoint_dir", type=str, required=True)
+    p.add_argument("--data_root", type=str, required=True)
+    p.add_argument("--num_epochs", type=int, default=1)
+    p.add_argument("--data_dfs_dir", type=str, default="data_dfs")
+    p.add_argument("--batch_size", type=str, default=None)
+    p.add_argument("--dropout_rate", type=str, default="0.5")
+    p.add_argument("--gradient_accumulation_steps", type=str, default="1")
+    # Accepted-for-compatibility, unused (reference train.py:96-116; the
+    # reference itself never uses --num_workers, SURVEY.md §2.5-11)
+    p.add_argument("--lhotse_dir", type=str, default="lhotse")
+    p.add_argument("--torch_device", type=str, default=None)
+    p.add_argument("--num_workers", type=str, default="8")
+    p.add_argument("--include_words", type=str, default=None)
+    p.add_argument("--train_on_noisy_audioset", type=str, default=None)
+    # TPU-framework additions
+    p.add_argument("--feats_dir", type=str, default=None,
+                   help="feature cache dir (default <data_root>/feats_tpu)")
+    p.add_argument("--signals_dir", type=str, default=None,
+                   help="audio root with <meeting>/<chan>.sph "
+                        "(default <data_root>/signals)")
+    p.add_argument("--data_parallel", action="store_true",
+                   help="shard batches over all visible devices")
+    p.add_argument("--val_batches_per_log", type=int, default=10)
+    p.add_argument("--seed", type=int, default=0)
+    return p
+
+
+def _ensure_features(cache, df, signals_dir: str) -> None:
+    """Featurize any (meeting, chan) track the table needs but the cache
+    lacks (stage 1 of reference compute_features.py:66-112)."""
+    pairs = sorted(set(zip(df["meeting_id"], df["chan_id"])))
+    for meeting_id, chan_id in pairs:
+        if cache.has(meeting_id, chan_id):
+            continue
+        path = os.path.join(signals_dir, meeting_id, f"{chan_id}.sph")
+        if not os.path.isfile(path):
+            alt = os.path.join(signals_dir, meeting_id, f"{chan_id}.wav")
+            if os.path.isfile(alt):
+                path = alt
+            else:
+                raise FileNotFoundError(
+                    f"no cached features and no audio for {meeting_id}/{chan_id} "
+                    f"under {signals_dir}"
+                )
+        print(f"featurizing {meeting_id}/{chan_id} ...", flush=True)
+        cache.add_audio_file(meeting_id, chan_id, path)
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    args = build_parser().parse_args(argv)
+    for flag in ("torch_device", "include_words", "train_on_noisy_audioset"):
+        if getattr(args, flag):
+            print(f"note: --{flag} is accepted for compatibility and ignored")
+
+    import jax
+
+    from laughter_detection_icsi_tpu import models
+    from laughter_detection_icsi_tpu.config import MODEL_MAP
+    from laughter_detection_icsi_tpu.data import FeatureCache, LadDataset, load_split_df
+    from laughter_detection_icsi_tpu.train import Adam, TrainLoop, Trainer
+    from laughter_detection_icsi_tpu.train.loop import update_metrics_on_disk
+
+    preset = MODEL_MAP[args.config]
+    batch_size = int(args.batch_size or preset.batch_size)
+    dropout = float(args.dropout_rate)
+    grad_accum = int(args.gradient_accumulation_steps)
+    ckpt_dir = Path(args.checkpoint_dir)
+    ckpt_dir.mkdir(parents=True, exist_ok=True)
+
+    data_dfs_dir = args.data_dfs_dir
+    if not os.path.isabs(data_dfs_dir):
+        data_dfs_dir = os.path.join(args.data_root, data_dfs_dir)
+    feats_dir = args.feats_dir or os.path.join(args.data_root, "feats_tpu")
+    signals_dir = args.signals_dir or os.path.join(args.data_root, "signals")
+
+    cache = FeatureCache(feats_dir)
+    train_df = load_split_df(data_dfs_dir, "train")
+    dev_df = load_split_df(data_dfs_dir, "dev")
+    _ensure_features(cache, train_df, signals_dir)
+    _ensure_features(cache, dev_df, signals_dir)
+    train_ds = LadDataset(train_df, cache)
+    dev_ds = LadDataset(dev_df, cache)
+
+    model = models.build(
+        preset.model,
+        dropout_rate=dropout,
+        linear_layer_size=preset.linear_layer_size,
+        filter_sizes=preset.filter_sizes,
+    )
+    trainer = Trainer(model=model, optimizer=Adam(), grad_accum=grad_accum)
+    params, state, opt_state = trainer.init(jax.random.PRNGKey(args.seed))
+    from laughter_detection_icsi_tpu.models import count_parameters
+
+    print(f"The model has {count_parameters(params):,} trainable parameters")
+
+    loop = TrainLoop(
+        trainer=trainer,
+        checkpoint_dir=str(ckpt_dir),
+        log_frequency=preset.log_frequency,
+        val_batches_per_log=args.val_batches_per_log,
+    )
+    params, state, opt_state = loop.resume_if_possible(params, state, opt_state)
+    if loop.global_step:
+        print(f"resumed from step {loop.global_step} (epoch {loop.epoch})")
+
+    # train_params.csv (reference train.py:314-322)
+    with open(ckpt_dir / "train_params.csv", "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["num_train_samples", "num_dev_samples", "batch_size", "log_freq"])
+        w.writerow([len(train_ds), len(dev_ds), batch_size, preset.log_frequency])
+
+    def val_batches(n: int):
+        out = []
+        it = dev_ds.batches(batch_size, shuffle=True, seed=loop.global_step)
+        for _ in range(n):
+            try:
+                out.append(next(it))
+            except StopIteration:
+                break
+        return out
+
+    t_start = time.perf_counter()
+    for epoch in range(args.num_epochs):
+        params, state, opt_state, mean_loss = loop.run_epoch(
+            params,
+            state,
+            opt_state,
+            train_ds.batches(batch_size, shuffle=True, seed=args.seed + loop.epoch),
+            val_batches_fn=val_batches,
+            rng=jax.random.PRNGKey(args.seed * 1000 + loop.epoch),
+        )
+        print(f"epoch {loop.epoch} done: mean train loss {mean_loss:.4f}")
+    total = time.perf_counter() - t_start
+    print(f"training finished in {total:.1f}s")
+    loop.flush_metrics(str(ckpt_dir / "metrics.csv"))
+    loop._save(params, state, opt_state, is_best=False)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

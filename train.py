@@ -1,0 +1,11 @@
+#!/usr/bin/env python
+"""Reference-compatible wrapper: delegates to cli/train.py
+(same flags as the reference's train.py)."""
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+from cli.train import main  # noqa: E402
+
+if __name__ == "__main__":
+    sys.exit(main())
