@@ -1,0 +1,152 @@
+"""Corpus-scale evaluation sweep (replaces the reference's Slurm machinery).
+
+The reference fans out one process per (meeting, channel) — 29 thresholds x
+3 min_lengths each — via generated Slurm array jobs (reference
+cluster_scripts/gen_eval_exp.py:30-36,91-114).  Here one command does the
+whole split: every meeting's channels are batched through the sharded
+pipeline (one featurize+classify graph, channel axis over the mesh), the
+threshold x min_length sweep runs on host over the [C, T] probability
+matrix, and TextGrids land in the ``<out>/<split>/<meeting>/t_<thr>/
+l_<minlen>/chanN.TextGrid`` layout that ``analyse`` consumes.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+from pathlib import Path
+from typing import List, Optional
+
+# The reference's sweep grid (gen_eval_exp.py:30-36)
+DEFAULT_THRESHOLDS = ",".join(str(round(t * 0.05 + 0.1, 2)) for t in range(0, 17))
+DEFAULT_MIN_LENGTHS = "0.1,0.2,0.5"
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--audio_dir", type=str, required=True,
+                   help="root with <meeting>/<chan>.sph")
+    p.add_argument("--transcript_dir", type=str, default=None)
+    p.add_argument("--output_dir", type=str, required=True)
+    p.add_argument("--split", type=str, default="dev",
+                   choices=["train", "dev", "test", "all"])
+    p.add_argument("--model_path", type=str, required=True)
+    p.add_argument("--config", type=str, default="resnet_base")
+    p.add_argument("--thresholds", type=str, default=DEFAULT_THRESHOLDS)
+    p.add_argument("--min_lengths", type=str, default=DEFAULT_MIN_LENGTHS)
+    p.add_argument("--meetings", type=str, default=None,
+                   help="comma-separated subset of meeting IDs")
+    p.add_argument("--precision", type=str, default=None,
+                   choices=["float32", "bfloat16"])
+    p.add_argument("--chunk", type=int, default=None)
+    p.add_argument("--bucket_frames", type=int, default=None)
+    p.add_argument("--analyse", action="store_true",
+                   help="run the evaluator on the sweep output afterwards")
+    return p
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    args = build_parser().parse_args(argv)
+
+    import jax
+    import numpy as np
+
+    from laughter_detection_icsi_tpu import inference, models
+    from laughter_detection_icsi_tpu.config import MODEL_MAP, split_of_meeting
+    from laughter_detection_icsi_tpu.eval import textgrid as tg
+    from laughter_detection_icsi_tpu.eval import transcript as transcript_lib
+    from laughter_detection_icsi_tpu.ops import smoothing
+    from laughter_detection_icsi_tpu.parallel import ShardedPipeline, make_mesh
+    from laughter_detection_icsi_tpu.train import checkpoint as ckpt_lib
+
+    preset = MODEL_MAP[args.config]
+    thresholds = [float(t) for t in args.thresholds.split(",")]
+    min_lengths = [float(l) for l in args.min_lengths.split(",")]
+
+    model = models.build(
+        preset.model,
+        dropout_rate=0.0,
+        linear_layer_size=preset.linear_layer_size,
+        filter_sizes=preset.filter_sizes,
+    )
+    ckpt = (
+        args.model_path
+        if os.path.isfile(args.model_path)
+        else ckpt_lib.find_best_checkpoint(args.model_path)
+    )
+    if ckpt is None:
+        raise SystemExit(f"Model checkpoint not found at {args.model_path}")
+    loaded = ckpt_lib.load_checkpoint(ckpt)
+
+    on_accel = jax.devices()[0].platform != "cpu"
+    settings = inference.InferenceSettings(
+        chunk=args.chunk or (8192 if on_accel else 1024),
+        bucket_frames=args.bucket_frames or (30000 if on_accel else 6000),
+        precision=args.precision or ("bfloat16" if on_accel else "float32"),
+    )
+    pipe = ShardedPipeline(
+        model=model,
+        params=loaded["params"],
+        state=loaded["state"],
+        mesh=make_mesh(),
+        settings=settings,
+    )
+
+    store = transcript_lib.load(args.transcript_dir)
+    wanted = set(args.meetings.split(",")) if args.meetings else None
+    meetings = [
+        m
+        for m in store.meeting_ids
+        if (args.split == "all" or split_of_meeting(m) == args.split)
+        and (wanted is None or m in wanted)
+    ]
+    out_root = Path(args.output_dir) / args.split
+    total_audio_s = 0.0
+    t0 = time.perf_counter()
+    for meeting_id in meetings:
+        info = store.info_df[store.info_df.meeting_id == meeting_id]
+        chans, paths = [], []
+        for _, row in info.iterrows():
+            path = os.path.join(args.audio_dir, meeting_id, f"{row.chan_id}.sph")
+            if not os.path.isfile(path):
+                alt = os.path.join(args.audio_dir, meeting_id, f"{row.chan_id}.wav")
+                if not os.path.isfile(alt):
+                    print(f"missing audio: {path}")
+                    continue
+                path = alt
+            chans.append(row.chan_id)
+            paths.append(path)
+        if not paths:
+            continue
+        print(f"{meeting_id}: {len(paths)} channels ...", flush=True)
+        probs_list, durations = pipe.probs_for_meeting(paths)
+        total_audio_s += float(np.sum(durations))
+        for chan_id, probs, duration in zip(chans, probs_list, durations):
+            fps = len(probs) / duration if duration > 0 else 100.0
+            instances = smoothing.get_laughter_instances(
+                probs, thresholds=thresholds, min_lengths=min_lengths, fps=fps
+            )
+            for (thr, min_len), insts in instances.items():
+                d = out_root / meeting_id / f"t_{thr}" / f"l_{min_len}"
+                d.mkdir(parents=True, exist_ok=True)
+                tg.write_textgrid(
+                    str(d / f"{chan_id}.TextGrid"), insts, xmax=duration
+                )
+    dt = time.perf_counter() - t0
+    if total_audio_s:
+        print(
+            f"swept {total_audio_s / 3600:.2f} h of audio in {dt:.1f}s "
+            f"({total_audio_s / dt:.1f}x realtime)"
+        )
+    if args.analyse:
+        from laughter_detection_icsi_tpu.eval.analyse import analyse
+
+        stats = analyse(str(out_root), transcript_dir=args.transcript_dir, force=True)
+        print(stats.to_string(index=False))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

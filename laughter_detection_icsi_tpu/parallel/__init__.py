@@ -18,3 +18,6 @@ from laughter_detection_icsi_tpu.parallel.mesh import (  # noqa: F401
 from laughter_detection_icsi_tpu.parallel.data_parallel import (  # noqa: F401
     DataParallelTrainer,
 )
+from laughter_detection_icsi_tpu.parallel.sharded_inference import (  # noqa: F401
+    ShardedPipeline,
+)

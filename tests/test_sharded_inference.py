@@ -1,0 +1,70 @@
+"""Sharded multi-channel inference must match the single-channel pipeline
+exactly, on an 8-device virtual CPU mesh."""
+
+import jax
+import numpy as np
+import pytest
+
+from laughter_detection_icsi_tpu import inference, models
+from laughter_detection_icsi_tpu.parallel import ShardedPipeline, make_mesh
+
+
+@pytest.fixture(scope="module")
+def small_model():
+    model = models.build("ResNetBigger", dropout_rate=0.0, linear_layer_size=48)
+    params, state = model.init(jax.random.PRNGKey(7))
+    return model, params, state
+
+
+@pytest.fixture(scope="module")
+def settings():
+    return inference.InferenceSettings(chunk=128, bucket_frames=256)
+
+
+def test_sharded_matches_single(small_model, settings, rng):
+    model, params, state = small_model
+    single = inference.LaughterPipeline(model, params, state, settings=settings)
+    sharded = ShardedPipeline(
+        model=model, params=params, state=state, mesh=make_mesh(8), settings=settings
+    )
+    # 3 channels (pads to 8), unequal lengths
+    waves = [
+        (rng.standard_normal(16000 * 2) * 0.1).astype(np.float32),
+        (rng.standard_normal(16000 * 1 + 800) * 0.1).astype(np.float32),
+        (rng.standard_normal(16000 * 2 + 5000) * 0.1).astype(np.float32),
+    ]
+    got = sharded.probs_for_waveforms(waves)
+    assert len(got) == 3
+    for w, g in zip(waves, got):
+        want = single.probs_for_waveform(w)
+        assert g.shape == want.shape
+        np.testing.assert_allclose(g, want, rtol=1e-4, atol=1e-5)
+
+
+def test_sharded_empty_and_zero(small_model, settings):
+    model, params, state = small_model
+    sharded = ShardedPipeline(
+        model=model, params=params, state=state, mesh=make_mesh(8), settings=settings
+    )
+    assert sharded.probs_for_waveforms([]) == []
+    out = sharded.probs_for_waveforms([np.zeros(40, np.float32)])
+    assert out[0].shape == (0,)
+
+
+def test_sharded_meeting_from_files(small_model, settings, rng, tmp_path):
+    from laughter_detection_icsi_tpu.data import audio
+
+    model, params, state = small_model
+    paths = []
+    for i in range(2):
+        w = (rng.standard_normal(16000 * 2) * 0.1).astype(np.float32)
+        p = str(tmp_path / f"chan{i}.sph")
+        audio.write_sphere(p, w, 16000)
+        paths.append(p)
+    sharded = ShardedPipeline(
+        model=model, params=params, state=state, mesh=make_mesh(8), settings=settings
+    )
+    probs, durations = sharded.probs_for_meeting(paths)
+    assert len(probs) == 2
+    assert durations == [pytest.approx(2.0), pytest.approx(2.0)]
+    assert all(p.shape == (200,) for p in probs)
