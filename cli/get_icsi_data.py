@@ -1,0 +1,98 @@
+"""ICSI corpus downloader (reference get_icsi_data.py:1-9).
+
+The reference wraps Lhotse's ``download_icsi``; this is a dependency-free
+equivalent fetching the same public groups.inf.ed.ac.uk mirror: per-meeting
+channel ``.sph`` audio plus the transcript bundle.  Gated on network access —
+in air-gapped environments it prints the URL list (``--print_urls``) so the
+corpus can be mirrored in manually.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import urllib.error
+import urllib.request
+from pathlib import Path
+from typing import List, Optional
+
+MIRROR = "https://groups.inf.ed.ac.uk/ami/ICSIsignals/SPH"
+TRANSCRIPTS_URL = (
+    "https://groups.inf.ed.ac.uk/ami/ICSICorpusAnnotations/ICSI_original_transcripts.zip"
+)
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--audio_dir", type=str, required=True)
+    p.add_argument("--transcript_dir", type=str, default=None)
+    p.add_argument("--meetings", type=str, default=None,
+                   help="comma-separated meeting IDs (default: all 75)")
+    p.add_argument("--print_urls", action="store_true",
+                   help="list download URLs without fetching")
+    p.add_argument("--mirror", type=str, default=MIRROR)
+    return p
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    args = build_parser().parse_args(argv)
+    from laughter_detection_icsi_tpu.config import PARTITIONS
+
+    meetings = (
+        args.meetings.split(",")
+        if args.meetings
+        else sorted(m for ms in PARTITIONS.values() for m in ms)
+    )
+    # Channel inventory differs per meeting; probe chan0..chanF.
+    chan_names = [f"chan{i}" for i in range(10)] + [f"chan{c}" for c in "ABCDEF"]
+    urls = [TRANSCRIPTS_URL] + [
+        f"{args.mirror}/{m}/{c}.sph" for m in meetings for c in chan_names
+    ]
+    if args.print_urls:
+        print("\n".join(urls))
+        return 0
+
+    audio_dir = Path(args.audio_dir)
+    fetched = missing = 0
+    for m in meetings:
+        (audio_dir / m).mkdir(parents=True, exist_ok=True)
+        for c in chan_names:
+            dest = audio_dir / m / f"{c}.sph"
+            if dest.exists():
+                continue
+            url = f"{args.mirror}/{m}/{c}.sph"
+            try:
+                urllib.request.urlretrieve(url, dest)
+                fetched += 1
+                print(f"fetched {url}")
+            except urllib.error.URLError as e:
+                dest.unlink(missing_ok=True)
+                if isinstance(e, urllib.error.HTTPError) and e.code == 404:
+                    continue  # channel doesn't exist for this meeting
+                print(
+                    f"network unavailable ({e}); rerun with --print_urls and "
+                    "mirror the corpus in manually"
+                )
+                return 1
+    if args.transcript_dir:
+        tdir = Path(args.transcript_dir)
+        tdir.mkdir(parents=True, exist_ok=True)
+        dest = tdir / "ICSI_original_transcripts.zip"
+        if not dest.exists():
+            try:
+                urllib.request.urlretrieve(TRANSCRIPTS_URL, dest)
+                import zipfile
+
+                with zipfile.ZipFile(dest) as z:
+                    z.extractall(tdir)
+                print(f"transcripts -> {tdir}")
+            except urllib.error.URLError as e:
+                print(f"network unavailable for transcripts ({e})")
+                return 1
+    print(f"done ({fetched} files fetched)")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,42 @@
+"""Visualisation CLI (reference visualise.py): plots from training metrics
+and evaluation CSVs."""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+from typing import List, Optional
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("what", choices=["train", "pr", "confusion", "compare"])
+    p.add_argument("inputs", nargs="+",
+                   help="train: metrics.csv | pr/confusion: eval CSVs | "
+                        "compare: name=path pairs of sum_stats CSVs")
+    p.add_argument("--out", type=str, required=True, help="output PNG path")
+    p.add_argument("--min_len", type=float, default=None)
+    p.add_argument("--title", type=str, default=None)
+    return p
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    args = build_parser().parse_args(argv)
+    from laughter_detection_icsi_tpu import viz
+
+    if args.what == "train":
+        viz.plot_train_metrics(args.inputs[0], out_path=args.out, title=args.title)
+    elif args.what == "pr":
+        viz.plot_precision_recall(args.inputs[0], out_path=args.out)
+    elif args.what == "confusion":
+        viz.plot_fp_confusion(args.inputs[0], out_path=args.out)
+    else:
+        pairs = dict(s.split("=", 1) for s in args.inputs)
+        viz.plot_experiment_comparison(pairs, out_path=args.out, min_len=args.min_len)
+    print(f"wrote {args.out}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

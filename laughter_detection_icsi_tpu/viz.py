@@ -1,0 +1,140 @@
+"""Plots over training metrics and evaluation outputs.
+
+Rebuild of reference visualise.py:21-268 against this framework's file
+formats: ``metrics.csv`` written by the train loop (train/loop.py), and the
+``*_eval_df_per_meeting.csv`` / ``*_sum_stats.csv`` written by the evaluator
+(eval/analyse.py).  Headless-safe (Agg backend).
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+from typing import Dict, List, Optional, Sequence
+
+import matplotlib
+
+matplotlib.use("Agg")
+import matplotlib.pyplot as plt  # noqa: E402
+import numpy as np  # noqa: E402
+import pandas as pd  # noqa: E402
+
+
+def plot_train_metrics(
+    metrics_csv: str, out_path: Optional[str] = None, title: Optional[str] = None
+):
+    """2x2 loss/accuracy/precision/recall grid, train vs val, over
+    global_step (reference visualise.py:21-88)."""
+    df = pd.read_csv(metrics_csv)
+    fig, axes = plt.subplots(2, 2, figsize=(11, 8))
+    panels = [("loss", "Loss"), ("acc", "Accuracy"),
+              ("precision", "Precision"), ("recall", "Recall")]
+    for ax, (key, label) in zip(axes.flat, panels):
+        for prefix, style in (("train", "-"), ("val", "--")):
+            col = f"{prefix}_{key}"
+            if col in df.columns:
+                ax.plot(df["global_step"], df[col], style, label=prefix)
+        ax.set_xlabel("global step")
+        ax.set_ylabel(label)
+        ax.legend()
+        ax.grid(alpha=0.3)
+        if "epoch" in df.columns and df["epoch"].nunique() > 1:
+            top = ax.secondary_xaxis("top")
+            firsts = df.groupby("epoch")["global_step"].min()
+            top.set_xticks(firsts.values)
+            top.set_xticklabels([f"e{int(e)}" for e in firsts.index])
+    if title:
+        fig.suptitle(title)
+    fig.tight_layout()
+    if out_path:
+        fig.savefig(out_path, dpi=120)
+        plt.close(fig)
+    return fig
+
+
+def plot_precision_recall(
+    sum_stats_csv: str, out_path: Optional[str] = None, label: Optional[str] = None
+):
+    """Precision-recall curves, one line per min_length, threshold as the
+    parameter (reference visualise.py:90-121)."""
+    df = pd.read_csv(sum_stats_csv)
+    fig, ax = plt.subplots(figsize=(7, 6))
+    for min_len, g in df.groupby("min_len"):
+        g = g.sort_values("threshold")
+        name = f"min_len={min_len}"
+        if label:
+            name = f"{label} {name}"
+        ax.plot(g["recall"], g["precision"], "o-", label=name, markersize=3)
+    ax.set_xlabel("recall")
+    ax.set_ylabel("precision")
+    ax.set_xlim(0, 1)
+    ax.set_ylim(0, 1.05)
+    ax.grid(alpha=0.3)
+    ax.legend()
+    if out_path:
+        fig.savefig(out_path, dpi=120)
+        plt.close(fig)
+    return fig
+
+
+def plot_fp_confusion(
+    eval_df_csv: str, out_path: Optional[str] = None, thresholds: Sequence[float] = ()
+):
+    """Heatmap of false-positive time attributed to speech/noise/silence per
+    threshold (reference visualise.py:123-168)."""
+    df = pd.read_csv(eval_df_csv)
+    if thresholds:
+        df = df[df["threshold"].isin(thresholds)]
+    agg = (
+        df.groupby("threshold")[
+            ["tot_fp_speech_time", "tot_fp_noise_time", "tot_fp_silence_time"]
+        ]
+        .sum()
+        .sort_index()
+    )
+    fig, ax = plt.subplots(figsize=(7, max(3, 0.5 * len(agg))))
+    data = agg.values
+    im = ax.imshow(data, aspect="auto", cmap="viridis")
+    ax.set_xticks(range(3))
+    ax.set_xticklabels(["speech", "noise", "silence"])
+    ax.set_yticks(range(len(agg)))
+    ax.set_yticklabels([f"t={t}" for t in agg.index])
+    for i in range(data.shape[0]):
+        for j in range(data.shape[1]):
+            ax.text(j, i, f"{data[i, j]:.1f}", ha="center", va="center",
+                    color="white", fontsize=8)
+    ax.set_title("false-positive time [s] by type")
+    fig.colorbar(im, ax=ax)
+    fig.tight_layout()
+    if out_path:
+        fig.savefig(out_path, dpi=120)
+        plt.close(fig)
+    return fig
+
+
+def plot_experiment_comparison(
+    sum_stats_csvs: Dict[str, str],
+    out_path: Optional[str] = None,
+    min_len: Optional[float] = None,
+):
+    """Overlay precision-recall curves of several experiments
+    (reference visualise.py:173-268)."""
+    fig, ax = plt.subplots(figsize=(7, 6))
+    for name, path in sum_stats_csvs.items():
+        df = pd.read_csv(path)
+        if min_len is not None:
+            df = df[df["min_len"] == min_len]
+        for ml, g in df.groupby("min_len"):
+            g = g.sort_values("threshold")
+            ax.plot(g["recall"], g["precision"], "o-",
+                    label=f"{name} (min_len={ml})", markersize=3)
+    ax.set_xlabel("recall")
+    ax.set_ylabel("precision")
+    ax.set_xlim(0, 1)
+    ax.set_ylim(0, 1.05)
+    ax.grid(alpha=0.3)
+    ax.legend()
+    if out_path:
+        fig.savefig(out_path, dpi=120)
+        plt.close(fig)
+    return fig

@@ -1,0 +1,127 @@
+"""Visualisation + tool CLIs: plots render headless; laughs_to_wav cuts and
+concatenates; audio probe reports; downloader lists URLs offline."""
+
+import os
+import sys
+from pathlib import Path
+
+import numpy as np
+import pandas as pd
+import pytest
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+from laughter_detection_icsi_tpu import viz  # noqa: E402
+from laughter_detection_icsi_tpu.data import audio  # noqa: E402
+from laughter_detection_icsi_tpu.eval import textgrid as tg  # noqa: E402
+
+
+@pytest.fixture()
+def metrics_csv(tmp_path):
+    p = tmp_path / "metrics.csv"
+    pd.DataFrame(
+        {
+            "global_step": [5, 10, 15],
+            "epoch": [0, 1, 1],
+            "train_loss": [0.7, 0.6, 0.5],
+            "train_acc": [0.5, 0.6, 0.7],
+            "train_precision": [0.6, 0.7, 0.75],
+            "train_recall": [0.4, 0.5, 0.6],
+            "val_loss": [0.72, 0.65, 0.6],
+            "val_acc": [0.48, 0.55, 0.6],
+            "val_precision": [0.55, 0.6, 0.65],
+            "val_recall": [0.38, 0.45, 0.5],
+        }
+    ).to_csv(p, index=False)
+    return str(p)
+
+
+@pytest.fixture()
+def sum_stats_csv(tmp_path):
+    p = tmp_path / "sum_stats.csv"
+    pd.DataFrame(
+        {
+            "threshold": [0.2, 0.5, 0.8, 0.2, 0.5, 0.8],
+            "min_len": [0.1, 0.1, 0.1, 0.2, 0.2, 0.2],
+            "precision": [0.3, 0.5, 0.8, 0.35, 0.55, 0.85],
+            "recall": [0.9, 0.6, 0.2, 0.85, 0.55, 0.15],
+        }
+    ).to_csv(p, index=False)
+    return str(p)
+
+
+@pytest.fixture()
+def eval_df_csv(tmp_path):
+    p = tmp_path / "eval_df.csv"
+    pd.DataFrame(
+        {
+            "meeting": ["Bmr021", "Bmr021"],
+            "threshold": [0.2, 0.5],
+            "min_len": [0.2, 0.2],
+            "tot_fp_speech_time": [3.0, 1.5],
+            "tot_fp_noise_time": [0.5, 0.2],
+            "tot_fp_silence_time": [8.0, 4.0],
+        }
+    ).to_csv(p, index=False)
+    return str(p)
+
+
+def test_plots_render(metrics_csv, sum_stats_csv, eval_df_csv, tmp_path):
+    for fn, args in (
+        (viz.plot_train_metrics, (metrics_csv,)),
+        (viz.plot_precision_recall, (sum_stats_csv,)),
+        (viz.plot_fp_confusion, (eval_df_csv,)),
+        (viz.plot_experiment_comparison, ({"a": sum_stats_csv, "b": sum_stats_csv},)),
+    ):
+        out = tmp_path / f"{fn.__name__}.png"
+        fn(*args, out_path=str(out))
+        assert out.stat().st_size > 10_000
+
+
+def test_visualise_cli(metrics_csv, tmp_path):
+    from cli.visualise import main
+
+    out = tmp_path / "t.png"
+    assert main(["train", metrics_csv, "--out", str(out)]) == 0
+    assert out.exists()
+
+
+def test_laughs_to_wav_cli(tmp_path, rng):
+    from cli.laughs_to_wav import main
+
+    sr = 16000
+    wav = (rng.standard_normal(sr * 5) * 0.1).astype(np.float32)
+    src = tmp_path / "chan0.sph"
+    audio.write_sphere(str(src), wav, sr)
+    grid = tmp_path / "chan0.TextGrid"
+    tg.write_textgrid(str(grid), [(0.5, 1.0), (2.0, 3.5)], xmax=5.0)
+    out = tmp_path / "wavs"
+    assert main(
+        ["--textgrid", str(grid), "--audio_file", str(src),
+         "--output_dir", str(out), "--concat", "--break_s", "0.25"]
+    ) == 0
+    files = sorted(os.listdir(out))
+    assert len([f for f in files if f.startswith("laugh_")]) == 2
+    concat, csr = audio.read(str(out / "all_laughs.wav"))
+    assert csr == sr
+    # 0.5 + 1.5 of laughs + 0.25 gap
+    assert len(concat) == int(sr * (0.5 + 1.5 + 0.25))
+
+
+def test_probe_audio_cli(tmp_path, rng, capsys):
+    from cli.probe_audio_loading import main
+
+    src = tmp_path / "a.sph"
+    audio.write_sphere(str(src), (rng.standard_normal(16000 * 3) * 0.1).astype(np.float32), 16000)
+    assert main([str(src), "--duration", "1.0", "--offsets", "0,1"]) == 0
+    outp = capsys.readouterr().out
+    assert "RTF" in outp
+
+
+def test_get_icsi_data_print_urls(capsys):
+    from cli.get_icsi_data import main
+
+    assert main(["--audio_dir", "/tmp/never", "--meetings", "Btr001", "--print_urls"]) == 0
+    out = capsys.readouterr().out
+    assert "Btr001/chan0.sph" in out and "transcripts" in out
