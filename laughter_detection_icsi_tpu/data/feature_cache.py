@@ -119,7 +119,9 @@ class FeatureCache:
     def add_audio_file(
         self, meeting_id: str, chan_id: str, audio_path: str, channel: int = 0, **kw
     ) -> np.ndarray:
-        wave, sr = audio_io.read(audio_path, channel=channel)
+        from laughter_detection_icsi_tpu.runtime import native
+
+        wave, sr = native.read(audio_path, channel=channel)
         if sr != self.cfg.sampling_rate:
             raise ValueError(
                 f"{audio_path}: sample rate {sr} != featurizer rate "

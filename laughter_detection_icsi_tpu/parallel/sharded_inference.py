@@ -158,12 +158,11 @@ class ShardedPipeline:
         self, audio_paths: Sequence[str], channel: int = 0
     ) -> Tuple[List[np.ndarray], List[float]]:
         """All channels of one meeting in one batch.  Returns (probs per
-        channel, durations)."""
-        from laughter_detection_icsi_tpu.data import audio as audio_io
+        channel, durations).  Decode goes through the native C++ runtime's
+        thread pool when available (runtime/native.py)."""
+        from laughter_detection_icsi_tpu.runtime import native
 
-        waves, durations = [], []
-        for path in audio_paths:
-            w, _sr = audio_io.read(path, channel=channel)
-            waves.append(w)
-            durations.append(audio_io.get_audio_length(path))
+        decoded = native.read_batch(audio_paths, channels=[channel] * len(audio_paths))
+        waves = [w for w, _sr in decoded]
+        durations = [len(w) / sr for w, sr in decoded]
         return self.probs_for_waveforms(waves), durations

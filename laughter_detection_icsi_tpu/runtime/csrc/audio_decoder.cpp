@@ -1,0 +1,289 @@
+// Native audio decode runtime: NIST SPHERE + RIFF WAV -> float32 PCM.
+//
+// Owns the host-side decode path the reference delegates to
+// libsndfile/audioread/sph2pipe (reference segment_laughter.py:134,
+// utils/audio_utils.py:7-9, analysis/output_processing/laughs_to_wav.py:42-60).
+// Design target: feed the TPU featurizer at hundreds-of-x realtime — ranged
+// pread()s (no whole-file decode), zero-copy int16->float conversion into
+// caller-provided pinned buffers, and a pthread pool for batch decode of a
+// meeting's channels (data/audio.py is the always-available pure-Python
+// fallback with identical semantics; tests pin them together).
+//
+// C ABI (ctypes-friendly):
+//   audio_info(path, *info)                 -> 0 / negative errno-style code
+//   audio_read_f32(path, start, count, chan, *out) -> samples written or <0
+//   audio_read_batch(...)                   -> threaded multi-file decode
+//
+// Build: g++ -O3 -march=native -shared -fPIC audio_decoder.cpp -o libaudiodec.so -lpthread
+
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <cstdlib>
+#include <cerrno>
+#include <fcntl.h>
+#include <unistd.h>
+#include <pthread.h>
+
+extern "C" {
+
+enum AudioEncoding { ENC_PCM = 0, ENC_ULAW = 1, ENC_FLOAT = 2 };
+
+enum AudioError {
+  AERR_OPEN = -1,
+  AERR_MAGIC = -2,
+  AERR_HEADER = -3,
+  AERR_UNSUPPORTED = -4,
+  AERR_IO = -5,
+  AERR_SHORTEN = -6,
+};
+
+typedef struct {
+  int32_t sample_rate;
+  int64_t num_samples;
+  int32_t num_channels;
+  int32_t sample_bytes;
+  int32_t encoding;    // AudioEncoding
+  int32_t big_endian;  // 0/1
+  int64_t data_offset; // bytes
+} audio_info_t;
+
+// ---------------------------------------------------------------------- //
+// Header parsing
+// ---------------------------------------------------------------------- //
+
+static int parse_sphere(int fd, audio_info_t* info) {
+  char head[1024];
+  ssize_t got = pread(fd, head, sizeof(head), 0);
+  if (got < 16) return AERR_HEADER;
+  if (memcmp(head, "NIST_1A", 7) != 0) return AERR_MAGIC;
+  long header_size = strtol(head + 8, nullptr, 10);
+  if (header_size <= 0 || header_size > 1 << 20) return AERR_HEADER;
+
+  char* hdr = (char*)malloc(header_size + 1);
+  got = pread(fd, hdr, header_size, 0);
+  if (got < header_size) { free(hdr); return AERR_HEADER; }
+  hdr[header_size] = 0;
+
+  info->sample_rate = 0;
+  info->num_samples = 0;
+  info->num_channels = 1;
+  info->sample_bytes = 2;
+  info->encoding = ENC_PCM;
+  info->big_endian = 0;
+  info->data_offset = header_size;
+
+  int rc = 0;
+  char* save = nullptr;
+  for (char* line = strtok_r(hdr, "\n", &save); line;
+       line = strtok_r(nullptr, "\n", &save)) {
+    if (strncmp(line, "end_head", 8) == 0) break;
+    char name[128], type[32], value[512];
+    if (sscanf(line, "%127s %31s %511s", name, type, value) != 3) continue;
+    if (!strcmp(name, "sample_rate")) info->sample_rate = atoi(value);
+    else if (!strcmp(name, "sample_count")) info->num_samples = atoll(value);
+    else if (!strcmp(name, "channel_count")) info->num_channels = atoi(value);
+    else if (!strcmp(name, "sample_n_bytes")) info->sample_bytes = atoi(value);
+    else if (!strcmp(name, "sample_byte_format"))
+      info->big_endian = (strcmp(value, "10") == 0);
+    else if (!strcmp(name, "sample_coding")) {
+      if (strstr(value, "shorten")) rc = AERR_SHORTEN;
+      else if (strstr(value, "ulaw")) info->encoding = ENC_ULAW;
+      else if (strncmp(value, "pcm", 3) && strcmp(value, "raw"))
+        rc = AERR_UNSUPPORTED;
+    }
+  }
+  free(hdr);
+  if (rc) return rc;
+  return info->sample_rate > 0 ? 0 : AERR_HEADER;
+}
+
+static int parse_wav(int fd, audio_info_t* info) {
+  unsigned char riff[12];
+  if (pread(fd, riff, 12, 0) != 12) return AERR_HEADER;
+  if (memcmp(riff, "RIFF", 4) || memcmp(riff + 8, "WAVE", 4)) return AERR_MAGIC;
+  int64_t pos = 12;
+  bool have_fmt = false;
+  uint16_t fmt_code = 0, channels = 0, bits = 0;
+  uint32_t rate = 0;
+  for (;;) {
+    unsigned char ch[8];
+    if (pread(fd, ch, 8, pos) != 8) return AERR_HEADER;
+    uint32_t size;
+    memcpy(&size, ch + 4, 4);
+    pos += 8;
+    if (!memcmp(ch, "fmt ", 4)) {
+      unsigned char f[16];
+      if (size < 16 || pread(fd, f, 16, pos) != 16) return AERR_HEADER;
+      memcpy(&fmt_code, f, 2);
+      memcpy(&channels, f + 2, 2);
+      memcpy(&rate, f + 4, 4);
+      memcpy(&bits, f + 14, 2);
+      have_fmt = true;
+      pos += size + (size & 1);
+    } else if (!memcmp(ch, "data", 4)) {
+      if (!have_fmt) return AERR_HEADER;
+      info->sample_rate = (int32_t)rate;
+      info->num_channels = channels;
+      info->big_endian = 0;
+      info->data_offset = pos;
+      if (fmt_code == 7) { info->encoding = ENC_ULAW; info->sample_bytes = 1; }
+      else if (fmt_code == 1 || fmt_code == 0xFFFE) {
+        info->encoding = ENC_PCM; info->sample_bytes = bits / 8;
+      } else if (fmt_code == 3) {
+        info->encoding = ENC_FLOAT; info->sample_bytes = bits / 8;
+      } else return AERR_UNSUPPORTED;
+      info->num_samples = (int64_t)size / (info->sample_bytes * channels);
+      return 0;
+    } else {
+      pos += size + (size & 1);
+    }
+  }
+}
+
+int audio_info(const char* path, audio_info_t* info) {
+  int fd = open(path, O_RDONLY);
+  if (fd < 0) return AERR_OPEN;
+  char magic[4];
+  int rc = AERR_MAGIC;
+  if (pread(fd, magic, 4, 0) == 4) {
+    if (!memcmp(magic, "NIST", 4)) rc = parse_sphere(fd, info);
+    else if (!memcmp(magic, "RIFF", 4)) rc = parse_wav(fd, info);
+  }
+  close(fd);
+  return rc;
+}
+
+// ---------------------------------------------------------------------- //
+// Decode
+// ---------------------------------------------------------------------- //
+
+static int16_t ULAW[256];
+static pthread_once_t ulaw_once = PTHREAD_ONCE_INIT;
+static void init_ulaw() {
+  for (int i = 0; i < 256; i++) {
+    uint8_t u = ~(uint8_t)i;
+    int sign = (u & 0x80) ? -1 : 1;
+    int exponent = (u >> 4) & 0x07;
+    int mantissa = u & 0x0F;
+    int magnitude = ((mantissa << 3) + 0x84) << exponent;
+    ULAW[i] = (int16_t)(sign * (magnitude - 0x84));
+  }
+}
+
+static inline uint16_t bswap16(uint16_t v) { return __builtin_bswap16(v); }
+static inline uint32_t bswap32(uint32_t v) { return __builtin_bswap32(v); }
+
+// Decode `count` mono samples of `channel` starting at sample `start`.
+// Returns samples written into out[], or a negative AudioError.
+int64_t audio_read_f32(const char* path, int64_t start, int64_t count,
+                       int32_t channel, float* out) {
+  audio_info_t info;
+  int rc = audio_info(path, &info);
+  if (rc) return rc;
+  if (start < 0) start = 0;
+  if (start >= info.num_samples) return 0;
+  if (count < 0 || start + count > info.num_samples)
+    count = info.num_samples - start;
+  if (channel < 0 || channel >= info.num_channels) return AERR_UNSUPPORTED;
+
+  const int frame_bytes = info.sample_bytes * info.num_channels;
+  int fd = open(path, O_RDONLY);
+  if (fd < 0) return AERR_OPEN;
+
+  const int64_t nbytes = count * frame_bytes;
+  unsigned char* raw = (unsigned char*)malloc(nbytes);
+  ssize_t got = pread(fd, raw, nbytes, info.data_offset + start * frame_bytes);
+  close(fd);
+  if (got < 0) { free(raw); return AERR_IO; }
+  int64_t frames = got / frame_bytes;
+
+  const int ch = channel, nch = info.num_channels;
+  if (info.encoding == ENC_ULAW) {
+    pthread_once(&ulaw_once, init_ulaw);
+    for (int64_t i = 0; i < frames; i++)
+      out[i] = ULAW[raw[i * nch + ch]] * (1.0f / 32768.0f);
+  } else if (info.encoding == ENC_FLOAT && info.sample_bytes == 4) {
+    const float* p = (const float*)raw;
+    for (int64_t i = 0; i < frames; i++) out[i] = p[i * nch + ch];
+  } else if (info.encoding == ENC_PCM && info.sample_bytes == 2) {
+    const uint16_t* p = (const uint16_t*)raw;
+    if (info.big_endian)
+      for (int64_t i = 0; i < frames; i++)
+        out[i] = (int16_t)bswap16(p[i * nch + ch]) * (1.0f / 32768.0f);
+    else
+      for (int64_t i = 0; i < frames; i++)
+        out[i] = (int16_t)p[i * nch + ch] * (1.0f / 32768.0f);
+  } else if (info.encoding == ENC_PCM && info.sample_bytes == 1) {
+    const int8_t* p = (const int8_t*)raw;
+    for (int64_t i = 0; i < frames; i++)
+      out[i] = p[i * nch + ch] * (1.0f / 128.0f);
+  } else if (info.encoding == ENC_PCM && info.sample_bytes == 4) {
+    const uint32_t* p = (const uint32_t*)raw;
+    if (info.big_endian)
+      for (int64_t i = 0; i < frames; i++)
+        out[i] = (int32_t)bswap32(p[i * nch + ch]) * (1.0f / 2147483648.0f);
+    else
+      for (int64_t i = 0; i < frames; i++)
+        out[i] = (int32_t)p[i * nch + ch] * (1.0f / 2147483648.0f);
+  } else {
+    free(raw);
+    return AERR_UNSUPPORTED;
+  }
+  free(raw);
+  return frames;
+}
+
+// ---------------------------------------------------------------------- //
+// Threaded batch decode (one meeting's channels in parallel)
+// ---------------------------------------------------------------------- //
+
+typedef struct {
+  const char* path;
+  int64_t start, count;
+  int32_t channel;
+  float* out;
+  int64_t result;
+} batch_item_t;
+
+typedef struct {
+  batch_item_t* items;
+  int n;
+  int next;
+  pthread_mutex_t lock;
+} batch_state_t;
+
+static void* batch_worker(void* arg) {
+  batch_state_t* st = (batch_state_t*)arg;
+  for (;;) {
+    pthread_mutex_lock(&st->lock);
+    int i = st->next++;
+    pthread_mutex_unlock(&st->lock);
+    if (i >= st->n) return nullptr;
+    batch_item_t* it = &st->items[i];
+    it->result = audio_read_f32(it->path, it->start, it->count, it->channel, it->out);
+  }
+}
+
+// Decode n files concurrently with up to `threads` workers.
+// results[i] receives the per-file sample count or error code.
+int audio_read_batch(const char** paths, const int64_t* starts,
+                     const int64_t* counts, const int32_t* channels,
+                     float** outs, int64_t* results, int n, int threads) {
+  if (n <= 0) return 0;
+  batch_item_t* items = (batch_item_t*)malloc(n * sizeof(batch_item_t));
+  for (int i = 0; i < n; i++)
+    items[i] = {paths[i], starts[i], counts[i], channels[i], outs[i], 0};
+  batch_state_t st = {items, n, 0, PTHREAD_MUTEX_INITIALIZER};
+  if (threads > n) threads = n;
+  if (threads < 1) threads = 1;
+  pthread_t* tids = (pthread_t*)malloc(threads * sizeof(pthread_t));
+  for (int t = 0; t < threads; t++) pthread_create(&tids[t], nullptr, batch_worker, &st);
+  for (int t = 0; t < threads; t++) pthread_join(tids[t], nullptr);
+  for (int i = 0; i < n; i++) results[i] = items[i].result;
+  free(tids);
+  free(items);
+  return 0;
+}
+
+}  // extern "C"

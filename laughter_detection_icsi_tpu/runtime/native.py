@@ -1,0 +1,193 @@
+"""ctypes binding for the native (C++) audio decode runtime.
+
+Builds ``csrc/audio_decoder.cpp`` with g++ on first use (cached next to the
+source) and exposes the same read API as data/audio.py; callers use
+:func:`read` / :func:`read_batch` and transparently fall back to the pure-
+Python codec when no compiler is available.  The batch path decodes a
+meeting's channels with a pthread pool — the host-side feeding stage for
+corpus-scale sweeps (SURVEY.md §7.3 "host-side .sph decode bandwidth").
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from pathlib import Path
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+_SRC = Path(__file__).parent / "csrc" / "audio_decoder.cpp"
+_LIB_PATH = Path(__file__).parent / "csrc" / "libaudiodec.so"
+_lock = threading.Lock()
+_lib: Optional[ctypes.CDLL] = None
+_build_failed = False
+
+_ERRORS = {
+    -1: "cannot open file",
+    -2: "unrecognized container magic",
+    -3: "malformed header",
+    -4: "unsupported encoding/channel",
+    -5: "IO error",
+    -6: "embedded-shorten SPHERE compression unsupported",
+}
+
+
+class _AudioInfo(ctypes.Structure):
+    _fields_ = [
+        ("sample_rate", ctypes.c_int32),
+        ("num_samples", ctypes.c_int64),
+        ("num_channels", ctypes.c_int32),
+        ("sample_bytes", ctypes.c_int32),
+        ("encoding", ctypes.c_int32),
+        ("big_endian", ctypes.c_int32),
+        ("data_offset", ctypes.c_int64),
+    ]
+
+
+def _build() -> Optional[ctypes.CDLL]:
+    global _build_failed
+    if _LIB_PATH.is_file() and _LIB_PATH.stat().st_mtime >= _SRC.stat().st_mtime:
+        return ctypes.CDLL(str(_LIB_PATH))
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-shared", "-fPIC", str(_SRC), "-o", str(_LIB_PATH), "-lpthread"],
+            check=True,
+            capture_output=True,
+        )
+        return ctypes.CDLL(str(_LIB_PATH))
+    except (OSError, subprocess.CalledProcessError) as e:
+        _build_failed = True
+        return None
+
+
+def _get_lib() -> Optional[ctypes.CDLL]:
+    global _lib
+    if _lib is not None or _build_failed:
+        return _lib
+    with _lock:
+        if _lib is None and not _build_failed:
+            lib = _build()
+            if lib is not None:
+                lib.audio_info.restype = ctypes.c_int
+                lib.audio_info.argtypes = [ctypes.c_char_p, ctypes.POINTER(_AudioInfo)]
+                lib.audio_read_f32.restype = ctypes.c_int64
+                lib.audio_read_f32.argtypes = [
+                    ctypes.c_char_p,
+                    ctypes.c_int64,
+                    ctypes.c_int64,
+                    ctypes.c_int32,
+                    ctypes.POINTER(ctypes.c_float),
+                ]
+                lib.audio_read_batch.restype = ctypes.c_int
+                lib.audio_read_batch.argtypes = [
+                    ctypes.POINTER(ctypes.c_char_p),
+                    ctypes.POINTER(ctypes.c_int64),
+                    ctypes.POINTER(ctypes.c_int64),
+                    ctypes.POINTER(ctypes.c_int32),
+                    ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
+                    ctypes.POINTER(ctypes.c_int64),
+                    ctypes.c_int,
+                    ctypes.c_int,
+                ]
+            _lib = lib
+    return _lib
+
+
+def available() -> bool:
+    return _get_lib() is not None
+
+
+def info(path: str):
+    """Native header parse; returns a data/audio.py-compatible AudioInfo."""
+    from laughter_detection_icsi_tpu.data.audio import AudioInfo
+
+    lib = _get_lib()
+    if lib is None:
+        from laughter_detection_icsi_tpu.data import audio as py_audio
+
+        return py_audio.info(path)
+    out = _AudioInfo()
+    rc = lib.audio_info(path.encode(), ctypes.byref(out))
+    if rc:
+        raise ValueError(f"{path}: {_ERRORS.get(rc, f'error {rc}')}")
+    return AudioInfo(
+        sample_rate=out.sample_rate,
+        num_samples=out.num_samples,
+        num_channels=out.num_channels,
+        sample_bytes=out.sample_bytes,
+        encoding={0: "pcm", 1: "ulaw", 2: "float"}[out.encoding],
+        big_endian=bool(out.big_endian),
+        data_offset=out.data_offset,
+        container="sphere" if out.encoding != 2 and out.data_offset == 1024 else "wav",
+    )
+
+
+def read(
+    path: str,
+    offset: float = 0.0,
+    duration: Optional[float] = None,
+    channel: int = 0,
+) -> Tuple[np.ndarray, int]:
+    """Ranged decode to float32 [-1, 1]; native fast path, Python fallback."""
+    lib = _get_lib()
+    if lib is None:
+        from laughter_detection_icsi_tpu.data import audio as py_audio
+
+        return py_audio.read(path, offset=offset, duration=duration, channel=channel)
+    meta = info(path)
+    sr = meta.sample_rate
+    start = int(round(offset * sr))
+    count = (
+        meta.num_samples - start
+        if duration is None
+        else min(int(round(duration * sr)), meta.num_samples - start)
+    )
+    count = max(count, 0)
+    out = np.empty(count, dtype=np.float32)
+    got = lib.audio_read_f32(
+        path.encode(),
+        start,
+        count,
+        channel,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+    )
+    if got < 0:
+        raise ValueError(f"{path}: {_ERRORS.get(int(got), f'error {got}')}")
+    return out[: int(got)], sr
+
+
+def read_batch(
+    paths: Sequence[str],
+    channels: Optional[Sequence[int]] = None,
+    threads: int = 8,
+) -> List[Tuple[np.ndarray, int]]:
+    """Decode whole files concurrently (a meeting's channels in one call)."""
+    lib = _get_lib()
+    if lib is None:
+        return [read(p, channel=(channels[i] if channels else 0)) for i, p in enumerate(paths)]
+    n = len(paths)
+    if n == 0:
+        return []
+    metas = [info(p) for p in paths]
+    outs = [np.empty(m.num_samples, dtype=np.float32) for m in metas]
+    c_paths = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+    c_starts = (ctypes.c_int64 * n)(*([0] * n))
+    c_counts = (ctypes.c_int64 * n)(*[m.num_samples for m in metas])
+    c_chans = (ctypes.c_int32 * n)(
+        *[(channels[i] if channels else 0) for i in range(n)]
+    )
+    c_outs = (ctypes.POINTER(ctypes.c_float) * n)(
+        *[o.ctypes.data_as(ctypes.POINTER(ctypes.c_float)) for o in outs]
+    )
+    c_res = (ctypes.c_int64 * n)()
+    lib.audio_read_batch(c_paths, c_starts, c_counts, c_chans, c_outs, c_res, n, threads)
+    results = []
+    for i in range(n):
+        got = int(c_res[i])
+        if got < 0:
+            raise ValueError(f"{paths[i]}: {_ERRORS.get(got, f'error {got}')}")
+        results.append((outs[i][:got], metas[i].sample_rate))
+    return results
