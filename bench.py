@@ -36,15 +36,17 @@ def main() -> None:
     on_accel = platform not in ("cpu",)
     audio_seconds = 600 if on_accel else 60  # 10 min on TPU, 1 min on CPU
     settings = inference.InferenceSettings(
-        chunk=8192 if on_accel else 1024,
-        bucket_frames=audio_seconds * 100,
+        chunk=6144 if on_accel else 1024,
+        bucket_frames=30720 if on_accel else 6144,  # ~5 min/bucket, streamed
         precision="bfloat16" if on_accel else "float32",
     )
     pipe = inference.LaughterPipeline(model, params, state, settings=settings)
 
     sr = 16000
     rng = np.random.default_rng(23)
-    wave = (rng.standard_normal(sr * audio_seconds) * 0.05).astype(np.float32)
+    # Raw int16 PCM, like the ICSI .sph decode hands over (16-bit sources
+    # transfer as int16 and are scaled on device).
+    wave = (rng.standard_normal(sr * audio_seconds) * 0.05 * 32767).astype(np.int16)
 
     pipe.probs_for_waveform(wave)  # warmup: compile both graphs
 

@@ -37,10 +37,10 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["float32", "bfloat16"],
                    help="default: bfloat16 on accelerators, float32 on CPU")
     p.add_argument("--chunk", type=int, default=None,
-                   help="windows per device step (default: 8192 on "
+                   help="windows per device step (default: 6144 on "
                         "accelerators, 1024 on CPU)")
     p.add_argument("--bucket_frames", type=int, default=None,
-                   help="jit shape bucket in frames (default: 30000 on "
+                   help="jit shape bucket in frames (default: 30720 on "
                         "accelerators, 6000 on CPU)")
     p.add_argument("--random_init", action="store_true",
                    help="skip checkpoint loading (smoke tests/benchmarks)")
@@ -109,8 +109,8 @@ def main(argv: Optional[List[str]] = None) -> int:
 
     on_accel = jax.devices()[0].platform != "cpu"
     settings = inference.InferenceSettings(
-        chunk=args.chunk or (8192 if on_accel else 1024),
-        bucket_frames=args.bucket_frames or (30000 if on_accel else 6000),
+        chunk=args.chunk or (6144 if on_accel else 1024),
+        bucket_frames=args.bucket_frames or (30720 if on_accel else 6144),
         precision=args.precision or ("bfloat16" if on_accel else "float32"),
     )
     pipe = inference.LaughterPipeline(model, params, state, settings=settings)

@@ -242,6 +242,42 @@ def read(
     return (data.astype(dtype) / scale).astype(dtype), sr
 
 
+def read_int16(
+    path: str,
+    offset: float = 0.0,
+    duration: Optional[float] = None,
+    channel: int = 0,
+) -> Tuple[np.ndarray, int]:
+    """Raw int16 PCM samples (no float scaling) — the cheap device-transfer
+    path: scale-by-1/32768 happens on device and matches :func:`read`
+    bit-for-bit.  Only valid for 16-bit PCM sources."""
+    meta = info(path)
+    if meta.encoding != "pcm" or meta.sample_bytes != 2:
+        raise ValueError(
+            f"{path}: read_int16 requires 16-bit PCM "
+            f"(got {meta.encoding}/{meta.sample_bytes * 8}-bit)"
+        )
+    sr = meta.sample_rate
+    start = int(round(offset * sr))
+    count = (
+        meta.num_samples - start
+        if duration is None
+        else min(int(round(duration * sr)), meta.num_samples - start)
+    )
+    count = max(count, 0)
+    frame_bytes = 2 * meta.num_channels
+    with open(path, "rb") as f:
+        f.seek(meta.data_offset + start * frame_bytes)
+        raw = f.read(count * frame_bytes)
+    count = len(raw) // frame_bytes
+    fmt = ">i2" if meta.big_endian else "<i2"
+    data = np.frombuffer(raw[: count * frame_bytes], dtype=fmt)
+    if meta.num_channels > 1:
+        data = data.reshape(-1, meta.num_channels)[:, channel]
+    # Native byte order for the device transfer
+    return np.ascontiguousarray(data, dtype=np.int16), sr
+
+
 def write_wav(path: str, samples: np.ndarray, sample_rate: int) -> None:
     """Write float [-1, 1] (or int16) samples as 16-bit PCM WAV
     (replaces the reference's scipy.io.wavfile + sph2pipe outputs)."""

@@ -37,9 +37,16 @@ from laughter_detection_icsi_tpu.ops import smoothing, windows
 @dataclasses.dataclass(frozen=True)
 class InferenceSettings:
     window: int = 100  # frames per model input (config.FEAT.num_samples)
-    chunk: int = 8192  # windows evaluated per device step
-    bucket_frames: int = 30000  # jit shape bucket (5 min of audio @ 100 fps)
+    # Measured sweet spot on TPU v5e: chunks beyond ~6k windows thrash HBM
+    # (stem activations: 64ch x 100x44 x chunk), smaller ones underfill the
+    # MXU; 5 chunks tile one bucket exactly.
+    chunk: int = 6144  # windows evaluated per device step
+    bucket_frames: int = 30720  # frames per streamed shape bucket (~5 min)
     precision: str = "float32"  # 'float32' | 'bfloat16' (bf16: MXU fast path)
+    # Ship PCM to the device as int16 and scale by 1/32768 on device —
+    # numerically identical to decoding on host (16-bit sources) at half the
+    # host->device bytes; transfer bandwidth dominates on tunneled chips.
+    transfer_int16: bool = True
 
 
 def _snip_cfg(cfg: FeatConfig) -> FeatConfig:
@@ -52,16 +59,15 @@ def host_pad_waveform(
     """Apply Kaldi's snip_edges=False symmetric padding on host.
 
     Returns (padded_wave, num_frames): framing the padded wave with simple
-    strides reproduces the exact reference frames.
+    strides reproduces the exact reference frames.  Dtype-preserving (int16
+    PCM stays int16 for the cheap device transfer).
     """
     n = len(wave)
     t = fbank_ops.num_frames(n, cfg)
     if t == 0:
-        return np.zeros(0, dtype=np.float32), 0
+        return np.zeros(0, dtype=wave.dtype), 0
     left, right = fbank_ops.pad_amounts(n, cfg)
-    padded = np.concatenate(
-        [wave[:left][::-1], wave, wave[n - right :][::-1]]
-    ).astype(np.float32)
+    padded = np.concatenate([wave[:left][::-1], wave, wave[n - right :][::-1]])
     return padded, t
 
 
@@ -110,10 +116,14 @@ class LaughterPipeline:
 
         return fn
 
-    def _graph_for_bucket(self, bucket_frames: int):
-        """Two jitted graphs per shape bucket.
+    def _graphs(self, int16_in: bool = False):
+        """Two jitted graphs, shared by every input length.
 
-        featurize: wave -> masked, tail-padded features (one dispatch).
+        featurize: one bucket's wave slice -> masked features for the
+        bucket's frames PLUS a window-1 halo (windows near the bucket end
+        read into the next bucket's frames; recomputing the halo keeps
+        buckets independent with EXACT semantics — frames are pure functions
+        of sample offsets once the wave is padded).
         chunk_probs: (feats, start) -> probs for ``chunk`` windows; ``start``
         is a traced scalar so ONE compilation serves every chunk position.
 
@@ -123,26 +133,30 @@ class LaughterPipeline:
         handful of large dispatches per bucket costs nothing next to the
         model FLOPs.
         """
-        if bucket_frames in self._jitted:
-            return self._jitted[bucket_frames]
+        if int16_in in self._jitted:
+            return self._jitted[int16_in]
         cfg = _snip_cfg(self.feat_cfg)
         shift = cfg.frame_shift_samples
         flen = cfg.frame_length_samples
-        wave_len = (bucket_frames - 1) * shift + flen
-        window_fn = self._window_fn()
+        bucket = self.settings.bucket_frames
         window = self.settings.window
         chunk = self.settings.chunk
-        n_chunks = -(-bucket_frames // chunk)
-        # Tail rows so the last window of the last chunk reads in bounds
-        # (mirrors the reference InferenceDataset zero-pad, datasets.py:85-93).
-        tail = n_chunks * chunk - bucket_frames + window - 1
+        ext = bucket + window - 1  # frames computed per bucket (with halo)
+        wave_len = (ext - 1) * shift + flen
+        n_chunks = -(-bucket // chunk)
+        # Enough rows that the last window of the last chunk reads in bounds
+        # (mirrors the reference InferenceDataset zero-pad, datasets.py:85-92).
+        feat_rows = n_chunks * chunk + window - 1
+        window_fn = self._window_fn()
 
         @jax.jit
         def featurize(wave: jnp.ndarray, valid_frames: jnp.ndarray) -> jnp.ndarray:
-            feats = fbank_ops.fbank(wave, cfg)  # [bucket_frames, F]
-            mask = jnp.arange(bucket_frames) < valid_frames
+            if int16_in:
+                wave = wave.astype(jnp.float32) * (1.0 / 32768.0)
+            feats = fbank_ops.fbank(wave, cfg)  # [ext, F]
+            mask = jnp.arange(ext) < valid_frames
             feats = jnp.where(mask[:, None], feats, 0.0)
-            return jnp.pad(feats, ((0, tail), (0, 0)))
+            return jnp.pad(feats, ((0, feat_rows - ext), (0, 0)))
 
         @jax.jit
         def chunk_probs(feats: jnp.ndarray, start: jnp.ndarray) -> jnp.ndarray:
@@ -150,42 +164,63 @@ class LaughterPipeline:
             return window_fn(wins)
 
         graphs = (featurize, chunk_probs, wave_len)
-        self._jitted[bucket_frames] = graphs
+        self._jitted[int16_in] = graphs
         return graphs
-
-    def _bucket(self, t: int) -> int:
-        b = self.settings.bucket_frames
-        return max(b, -(-t // b) * b)
 
     # ------------------------------------------------------------------ #
 
     def probs_for_waveform(self, wave: np.ndarray) -> np.ndarray:
-        """[n] float waveform -> [T] laughter probabilities (T = one per
-        10 ms frame, ≈100 fps — reference segment_laughter.py:103-105)."""
-        padded, t = host_pad_waveform(np.asarray(wave, dtype=np.float32), self.feat_cfg)
+        """[n] waveform -> [T] laughter probabilities (T = one per 10 ms
+        frame, ≈100 fps — reference segment_laughter.py:103-105).
+
+        Accepts float32 in [-1, 1] or raw int16 PCM; int16 ships to the
+        device as-is (half the transfer bytes) and is scaled on device —
+        bit-identical features to the host-scaled float path.  Arbitrary
+        lengths stream through fixed-size buckets (one compiled shape).
+        """
+        wave = np.asarray(wave)
+        int16_in = wave.dtype == np.int16
+        if not int16_in:
+            wave = wave.astype(np.float32)
+        padded, t = host_pad_waveform(wave, self.feat_cfg)
         if t == 0:
             return np.zeros(0, dtype=np.float32)
-        bucket = self._bucket(t)
-        featurize, chunk_probs, wave_len = self._graph_for_bucket(bucket)
-        buf = np.zeros(wave_len, dtype=np.float32)
-        buf[: len(padded)] = padded
-        feats = featurize(jnp.asarray(buf), jnp.asarray(t, dtype=jnp.int32))
+        featurize, chunk_probs, wave_len = self._graphs(int16_in)
+        bucket = self.settings.bucket_frames
         chunk = self.settings.chunk
         n_chunks = -(-bucket // chunk)
-        # Async dispatch: all chunk calls are enqueued before the first
-        # blocks, so the device pipeline stays full.
-        outs = [
-            chunk_probs(feats, jnp.asarray(i * chunk, dtype=jnp.int32))
-            for i in range(n_chunks)
-        ]
-        probs = np.concatenate([np.asarray(o) for o in outs])
-        return probs[:t]
+        shift = _snip_cfg(self.feat_cfg).frame_shift_samples
+
+        pieces = []
+        for k in range(-(-t // bucket)):
+            lo = k * bucket * shift
+            buf = np.zeros(wave_len, dtype=wave.dtype)
+            src = padded[lo : lo + wave_len]
+            buf[: len(src)] = src
+            valid = min(t - k * bucket, bucket + self.settings.window - 1)
+            feats = featurize(jnp.asarray(buf), jnp.asarray(valid, jnp.int32))
+            outs = [
+                chunk_probs(feats, jnp.asarray(i * chunk, dtype=jnp.int32))
+                for i in range(n_chunks)
+            ]
+            pieces.append(jnp.concatenate(outs)[: min(bucket, t - k * bucket)])
+        # One device->host transfer for the whole waveform — transfers carry
+        # fixed latency (hundreds of ms through a tunneled chip).
+        return np.asarray(jnp.concatenate(pieces)) if len(pieces) > 1 else np.asarray(pieces[0])
 
     def probs_for_file(self, audio_path: str, channel: int = 0) -> Tuple[np.ndarray, float]:
-        """Returns (probs [T], audio_duration_s)."""
-        wave, _sr = audio_io.read(audio_path, channel=channel)
-        duration = audio_io.get_audio_length(audio_path)
-        return self.probs_for_waveform(wave), duration
+        """Returns (probs [T], audio_duration_s).  16-bit PCM sources ship
+        to the device as raw int16 (half the bytes, identical numerics)."""
+        meta = audio_io.info(audio_path)
+        if (
+            self.settings.transfer_int16
+            and meta.encoding == "pcm"
+            and meta.sample_bytes == 2
+        ):
+            wave, _sr = audio_io.read_int16(audio_path, channel=channel)
+        else:
+            wave, _sr = audio_io.read(audio_path, channel=channel)
+        return self.probs_for_waveform(wave), meta.duration
 
     # ------------------------------------------------------------------ #
 

@@ -116,6 +116,42 @@ def _dft_bases(nfft: int) -> Tuple[np.ndarray, np.ndarray]:
     return np.cos(angle).astype(np.float32), (-np.sin(angle)).astype(np.float32)
 
 
+@functools.lru_cache(maxsize=8)
+def _effective_bases(cfg: FeatConfig) -> Tuple[np.ndarray, np.ndarray]:
+    """DFT bases with the whole per-frame preprocessing FOLDED IN.
+
+    DC removal (I - J/N), preemphasis (banded; row 0 = (1-c)e0, Kaldi edge
+    semantics), and the window (diagonal) are all linear maps on the frame,
+    so ``spectral = frame @ (M^T @ basis)`` with ``M = diag(win) @ P @ D``
+    computed once in float64.  At runtime the featurizer is pure MXU matmuls
+    — no elementwise preprocessing pass, no gather (TPU-first design; the
+    sequential reference ops live on in ``fbank(..., fold_preproc=False)``
+    and the differential tests).
+
+    Returns (cos_eff, sin_eff), each [frame_length_samples, nfft//2 + 1].
+    """
+    flen = cfg.frame_length_samples
+    nfft = cfg.fft_size
+    m = np.eye(flen, dtype=np.float64)
+    if cfg.remove_dc_offset:
+        m = m - np.full((flen, flen), 1.0 / flen)
+    if cfg.preemph_coeff != 0.0:
+        p = np.eye(flen, dtype=np.float64)
+        idx = np.arange(1, flen)
+        p[idx, idx - 1] = -cfg.preemph_coeff
+        p[0, 0] = 1.0 - cfg.preemph_coeff
+        m = p @ m
+    m = np.diag(_window_fn(cfg).astype(np.float64)) @ m
+    k = np.arange(nfft // 2 + 1, dtype=np.float64)
+    n = np.arange(flen, dtype=np.float64)
+    angle = 2.0 * math.pi * np.outer(n, k) / nfft
+    cos_b, sin_b = np.cos(angle), -np.sin(angle)
+    return (
+        (m.T @ cos_b).astype(np.float32),
+        (m.T @ sin_b).astype(np.float32),
+    )
+
+
 # --------------------------------------------------------------------------- #
 # Shape math
 # --------------------------------------------------------------------------- #
@@ -164,17 +200,88 @@ def frame_waveform(waveform: jnp.ndarray, cfg: FeatConfig = FEAT) -> jnp.ndarray
     return padded[..., idx]
 
 
+def _pad_for_framing(waveform: jnp.ndarray, cfg: FeatConfig) -> jnp.ndarray:
+    """snip_edges=False symmetric padding (no-op when snip_edges)."""
+    if cfg.snip_edges:
+        return waveform
+    n = waveform.shape[-1]
+    left, right = pad_amounts(n, cfg)
+    pad_l = jnp.flip(waveform[..., :left], axis=-1)
+    pad_r = jnp.flip(waveform[..., n - right :], axis=-1)
+    return jnp.concatenate([pad_l, waveform, pad_r], axis=-1)
+
+
+def _fbank_folded(
+    waveform: jnp.ndarray, cfg: FeatConfig, dtype: jnp.dtype
+) -> jnp.ndarray:
+    """Matmul-only featurizer: framing as reshaped row-shifted views (no
+    gather) against the preprocessing-folded bases (``_effective_bases``).
+
+    frame r = wave[r*shift : r*shift + flen] decomposes into rows r, r+1 and
+    the head of row r+2 of the [*, shift] wave view (valid while
+    2*shift < flen <= 3*shift, i.e. the Kaldi 25 ms / 10 ms geometry).
+    """
+    shift = cfg.frame_shift_samples
+    flen = cfg.frame_length_samples
+    tail = flen - 2 * shift
+    t = num_frames(waveform.shape[-1], cfg)
+    padded = _pad_for_framing(waveform.astype(jnp.float32), cfg)
+    need = (t + 2) * shift
+    pad = need - padded.shape[-1]
+    if pad > 0:
+        widths = [(0, 0)] * (padded.ndim - 1) + [(0, pad)]
+        padded = jnp.pad(padded, widths)
+    rows = padded[..., :need].reshape(*padded.shape[:-1], t + 2, shift)
+    p1 = rows[..., :t, :]
+    p2 = rows[..., 1 : t + 1, :]
+    p3 = rows[..., 2 : t + 2, :tail]
+
+    cos_eff, sin_eff = _effective_bases(cfg)
+    mm = functools.partial(
+        jnp.matmul,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    re = (
+        mm(p1, jnp.asarray(cos_eff[:shift]))
+        + mm(p2, jnp.asarray(cos_eff[shift : 2 * shift]))
+        + mm(p3, jnp.asarray(cos_eff[2 * shift :]))
+    )
+    im = (
+        mm(p1, jnp.asarray(sin_eff[:shift]))
+        + mm(p2, jnp.asarray(sin_eff[shift : 2 * shift]))
+        + mm(p3, jnp.asarray(sin_eff[2 * shift :]))
+    )
+    power = re * re + im * im
+    mel = mm(power, jnp.asarray(_mel_banks(cfg)))
+    return jnp.log(jnp.maximum(mel, cfg.energy_floor)).astype(dtype)
+
+
 def fbank(
     waveform: jnp.ndarray,
     cfg: FeatConfig = FEAT,
     use_fft: bool = False,
     dtype: jnp.dtype = jnp.float32,
+    fold_preproc: bool = True,
 ) -> jnp.ndarray:
     """Log-mel features: [..., n] waveform -> [..., T, num_filters].
 
     Jit-compatible for fixed input length; compose with ``jax.jit`` /
-    ``shard_map`` at the call site.
+    ``shard_map`` at the call site.  The default path folds the per-frame
+    preprocessing into the DFT bases and frames by reshaped views — pure
+    MXU matmuls, no gather (``_effective_bases``); ``fold_preproc=False``
+    keeps the sequential reference ops (used by differential tests and
+    non-Kaldi frame geometries).
     """
+    shift = cfg.frame_shift_samples
+    flen = cfg.frame_length_samples
+    if (
+        fold_preproc
+        and not use_fft
+        and 2 * shift < flen <= 3 * shift
+        and num_frames(waveform.shape[-1], cfg) > 0
+    ):
+        return _fbank_folded(waveform, cfg, dtype)
     frames = frame_waveform(waveform.astype(jnp.float32), cfg)
     if cfg.remove_dc_offset:
         frames = frames - jnp.mean(frames, axis=-1, keepdims=True)

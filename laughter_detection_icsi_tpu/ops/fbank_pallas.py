@@ -58,14 +58,14 @@ def _kernel_constants(cfg: FeatConfig) -> Tuple[np.ndarray, np.ndarray, np.ndarr
 
 
 def _fbank_kernel(
-    wave_hbm,  # [n_pad] f32, ANY/HBM
+    wave_hbm,  # [n_rows, shift] f32, ANY/HBM (reshaped wave view)
     cos_ref,  # [flen, nbins] VMEM
     sin_ref,  # [flen, nbins] VMEM
     mel_ref,  # [nbins, 128] VMEM
     win_ref,  # [1, flen] VMEM
     out_ref,  # [BLOCK, 128] VMEM (grid-blocked)
-    wave_vmem,  # scratch [wave_slice] f32
-    sem,  # DMA semaphore
+    frames_ref,  # scratch [BLOCK, flen] f32
+    sems,  # 3 DMA semaphores
     *,
     shift: int,
     flen: int,
@@ -74,26 +74,41 @@ def _fbank_kernel(
     log_floor: float,
 ):
     i = pl.program_id(0)
-    slice_len = BLOCK * shift + 2 * shift  # covers flen = 2.5 * shift
-    # Stream this block's PCM from HBM.
-    dma = pltpu.make_async_copy(
-        wave_hbm.at[pl.ds(i * BLOCK * shift, slice_len)], wave_vmem, sem
-    )
-    dma.start()
-    dma.wait()
-
-    # Overlapped framing as reshaped row-shifted views: frame r =
-    # [R[r], R[r+1], R[r+2][:flen-2*shift]] where R = wave.reshape(-1, shift).
-    rows = wave_vmem[:].reshape(BLOCK + 2, shift)
+    # The DMA engine does the framing: frame r = wave[160r : 160r+400]
+    # decomposes into three row-shifted views of the [n_rows, shift] wave —
+    # three strided DMAs land them side by side in the frames scratch, so
+    # the compute side never relayouts (Mosaic cannot concat sublane-shifted
+    # views).
     tail = flen - 2 * shift
-    frames = jnp.concatenate(
-        [rows[:BLOCK], rows[1 : BLOCK + 1], rows[2 : BLOCK + 2, :tail]], axis=1
-    )  # [BLOCK, flen]
+    row0 = i * BLOCK
+    d1 = pltpu.make_async_copy(
+        wave_hbm.at[pl.ds(row0, BLOCK), :], frames_ref.at[:, 0:shift], sems.at[0]
+    )
+    d2 = pltpu.make_async_copy(
+        wave_hbm.at[pl.ds(row0 + 1, BLOCK), :],
+        frames_ref.at[:, shift : 2 * shift],
+        sems.at[1],
+    )
+    d3 = pltpu.make_async_copy(
+        wave_hbm.at[pl.ds(row0 + 2, BLOCK), pl.ds(0, tail)],
+        frames_ref.at[:, 2 * shift : flen],
+        sems.at[2],
+    )
+    d1.start()
+    d2.start()
+    d3.start()
+    d1.wait()
+    d2.wait()
+    d3.wait()
 
+    frames = frames_ref[:]
     if remove_dc:
         frames = frames - jnp.mean(frames, axis=1, keepdims=True)
     if preemph != 0.0:
-        prev = jnp.concatenate([frames[:, :1], frames[:, :-1]], axis=1)
+        # prev[j] = frames[j-1], edge reuses column 0 (Kaldi semantics).
+        rolled = pltpu.roll(frames, 1, 1)
+        col = jax.lax.broadcasted_iota(jnp.int32, frames.shape, 1)
+        prev = jnp.where(col == 0, frames, rolled)
         frames = frames - preemph * prev
     frames = frames * win_ref[0, :]
 
@@ -144,10 +159,12 @@ def fbank_pallas(
         )
 
     n_blocks = pl.cdiv(t, BLOCK)
-    # Every block DMA reads slice_len = (BLOCK+2)*shift from offset
-    # i*BLOCK*shift; pad the wave so the last read is in bounds.
+    # Every block DMA reads rows [i*BLOCK, i*BLOCK + BLOCK+2) of the
+    # [n_rows, shift] view; pad the wave so the last read is in bounds.
     need = (n_blocks * BLOCK + 2) * shift
-    waveform = jnp.pad(waveform.astype(jnp.float32), (0, max(0, need - waveform.shape[-1])))
+    waveform = jnp.pad(
+        waveform.astype(jnp.float32), (0, max(0, need - waveform.shape[-1]))
+    ).reshape(-1, shift)
 
     cos_b, sin_b, mel_pad, win = _kernel_constants(cfg_snip)
     kernel = functools.partial(
@@ -171,8 +188,8 @@ def fbank_pallas(
         out_specs=pl.BlockSpec((BLOCK, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_blocks * BLOCK, LANES), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM(((BLOCK + 2) * shift,), jnp.float32),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((BLOCK, flen), jnp.float32),
+            pltpu.SemaphoreType.DMA((3,)),
         ],
         interpret=interpret,
     )(

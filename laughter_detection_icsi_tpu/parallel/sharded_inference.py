@@ -151,7 +151,9 @@ class ShardedPipeline:
             chunk_probs(feats, jnp.asarray(i * chunk, dtype=jnp.int32))
             for i in range(-(-bucket // chunk))
         ]
-        probs = np.concatenate([np.asarray(o) for o in outs], axis=1)  # [C, bucket]
+        # One device->host transfer for the whole batch (transfer latency
+        # dominates small reads through a tunneled chip).
+        probs = np.asarray(jnp.concatenate(outs, axis=1))  # [C, bucket]
         return [probs[i, : ts[i]] for i in range(c)]
 
     def probs_for_meeting(

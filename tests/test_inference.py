@@ -91,6 +91,29 @@ def test_bucket_reuse_consistency(pipeline, wave):
     assert got.shape == (fb.num_frames(8000),)
 
 
+def test_multi_bucket_streaming_exact(pipeline, small_model, wave):
+    """A bucket smaller than the input forces the streaming path with
+    window halos; output must equal the single-bucket pipeline's."""
+    model, params, state = small_model
+    small = inference.LaughterPipeline(
+        model,
+        params,
+        state,
+        settings=inference.InferenceSettings(chunk=64, bucket_frames=128),
+    )
+    got = small.probs_for_waveform(wave)  # t=335 -> 3 buckets
+    want = pipeline.probs_for_waveform(wave)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_int16_input_matches_float(pipeline, wave):
+    pcm = (np.clip(wave, -1, 1) * 32767).astype(np.int16)
+    as_float = pcm.astype(np.float32) / 32768.0
+    a = pipeline.probs_for_waveform(pcm)
+    b = pipeline.probs_for_waveform(as_float)
+    np.testing.assert_allclose(a, b, atol=1e-6)
+
+
 def test_bfloat16_pipeline_close(small_model, wave):
     model, params, state = small_model
     bf = inference.LaughterPipeline(
