@@ -47,6 +47,9 @@ class InferenceSettings:
     # numerically identical to decoding on host (16-bit sources) at half the
     # host->device bytes; transfer bandwidth dominates on tunneled chips.
     transfer_int16: bool = True
+    # None = auto: the fused Pallas featurizer on TPU (ops/fbank_pallas.py),
+    # the XLA featurizer elsewhere.  Both match to ~2e-5.
+    use_pallas_fbank: Optional[bool] = None
 
 
 def _snip_cfg(cfg: FeatConfig) -> FeatConfig:
@@ -149,11 +152,20 @@ class LaughterPipeline:
         feat_rows = n_chunks * chunk + window - 1
         window_fn = self._window_fn()
 
+        use_pallas = self.settings.use_pallas_fbank
+        if use_pallas is None:
+            use_pallas = jax.devices()[0].platform == "tpu"
+
         @jax.jit
         def featurize(wave: jnp.ndarray, valid_frames: jnp.ndarray) -> jnp.ndarray:
             if int16_in:
                 wave = wave.astype(jnp.float32) * (1.0 / 32768.0)
-            feats = fbank_ops.fbank(wave, cfg)  # [ext, F]
+            if use_pallas:
+                from laughter_detection_icsi_tpu.ops.fbank_pallas import fbank_pallas
+
+                feats = fbank_pallas(wave, cfg)  # [ext, F]
+            else:
+                feats = fbank_ops.fbank(wave, cfg)
             mask = jnp.arange(ext) < valid_frames
             feats = jnp.where(mask[:, None], feats, 0.0)
             return jnp.pad(feats, ((0, feat_rows - ext), (0, 0)))

@@ -1,14 +1,21 @@
 """Fused Pallas TPU kernel for the Kaldi-compatible log-mel featurizer.
 
-One kernel streams raw PCM from HBM and emits log-mel frames: per grid step
-a frame-block's waveform slice is DMA'd HBM->VMEM, the overlapped [B, 400]
-frame matrix is built with pure reshaped views (frame i = wave[160i:160i+400]
-decomposes into three row-shifted [B, 160]/[B, 80] views of the same buffer —
-no gather), then DC removal, preemphasis, povey window (VPU), the real-DFT
-as two MXU matmuls against cos/sin bases, power spectrum, mel projection
-(MXU), and log — all without touching HBM in between (BASELINE.json
-north_star: "frame -> STFT -> mel filterbank ... one fused Pallas kernel
-streaming raw PCM from HBM").
+The featurizer is factored TPU-first (shared with ops/fbank.py):
+
+1.  The per-frame preprocessing (DC removal, preemphasis, povey window) is
+    linear in the frame, so it is folded into the DFT bases on host
+    (ops/fbank.py ``_effective_bases``) — no elementwise preprocessing pass
+    exists at runtime.
+2.  Framing is three row-shifted views of the [n_rows, shift] wave (frame r
+    = wave[160r : 160r+400] = rows r, r+1 and the head of row r+2).  XLA
+    materializes the three views padded to a 256-lane row layout (Mosaic
+    DMA/tiling wants 128-aligned shapes; the pad lanes multiply against
+    zero rows of the bases, so they are free wrong-answer-proof).
+3.  This kernel consumes the views through auto-pipelined BlockSpecs
+    (double-buffered HBM->VMEM streaming) and fuses the whole spectral
+    chain per 256-frame block: six MXU matmuls (cos/sin x three parts),
+    power spectrum on the VPU, the mel projection, and the log — nothing
+    intermediate ever returns to HBM (BASELINE.json north_star).
 
 Alignment choices (pallas_guide.md tiling rules):
 - DFT bins: Kaldi's mel banks never read the Nyquist bin (ops/fbank.py
@@ -16,11 +23,9 @@ Alignment choices (pallas_guide.md tiling rules):
   two perfect 128-lane tiles — instead of nfft//2+1 = 257.
 - Mel output: 44 filters are padded to 128 lanes inside the kernel; the
   caller slices [:, :44].
-- Frame block: 256 frames/step keeps every operand tile-aligned and the
-  whole working set ~2.5 MB of VMEM.
 
-Semantics identical to ops/fbank.py (same bases, same host-side
-snip_edges=False padding); the differential test pins them together.
+Semantics identical to ops/fbank.py; the differential tests pin them
+together.
 """
 
 from __future__ import annotations
@@ -40,82 +45,64 @@ from laughter_detection_icsi_tpu.ops import fbank as fbank_ref
 
 BLOCK = 256  # frames per grid step
 LANES = 128
+ROW = 2 * LANES  # padded row width for the wave views
 
 
-def _kernel_constants(cfg: FeatConfig) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
-    """(cos, sin, mel_padded, window) with MXU-friendly shapes."""
+@functools.lru_cache(maxsize=8)
+def _kernel_constants(cfg: FeatConfig):
+    """(c1, c2, c3, s1, s2, s3, mel_pad): per-view folded bases, each padded
+    to ROW contraction rows (pad rows are zero), mel bank padded to 128
+    lanes."""
     nfft = cfg.fft_size
     flen = cfg.frame_length_samples
+    shift = cfg.frame_shift_samples
+    tail = flen - 2 * shift
     nbins = nfft // 2  # Nyquist bin excluded (mel row is zero)
-    cos_b, sin_b = fbank_ref._dft_bases(nfft)
-    cos_b = cos_b[:flen, :nbins]
-    sin_b = sin_b[:flen, :nbins]
+    cos_eff, sin_eff = fbank_ref._effective_bases(cfg)
+
+    def parts(basis):
+        out = []
+        for lo, hi in ((0, shift), (shift, 2 * shift), (2 * shift, flen)):
+            p = np.zeros((ROW, nbins), dtype=np.float32)
+            p[: hi - lo] = basis[lo:hi, :nbins]
+            out.append(p)
+        return out
+
+    c1, c2, c3 = parts(cos_eff)
+    s1, s2, s3 = parts(sin_eff)
     mel = fbank_ref._mel_banks(cfg)[:nbins]  # [nbins, n_mels]
     mel_pad = np.zeros((nbins, LANES), dtype=np.float32)
     mel_pad[:, : mel.shape[1]] = mel
-    win = fbank_ref._window_fn(cfg).reshape(1, flen)
-    return cos_b, sin_b, mel_pad, win
+    return c1, c2, c3, s1, s2, s3, mel_pad
 
 
 def _fbank_kernel(
-    wave_hbm,  # [n_rows, shift] f32, ANY/HBM (reshaped wave view)
-    cos_ref,  # [flen, nbins] VMEM
-    sin_ref,  # [flen, nbins] VMEM
-    mel_ref,  # [nbins, 128] VMEM
-    win_ref,  # [1, flen] VMEM
-    out_ref,  # [BLOCK, 128] VMEM (grid-blocked)
-    frames_ref,  # scratch [BLOCK, flen] f32
-    sems,  # 3 DMA semaphores
+    p1_ref,  # [BLOCK, ROW] VMEM (grid-blocked view 1)
+    p2_ref,  # [BLOCK, ROW] view 2 (rows shifted by 1)
+    p3_ref,  # [BLOCK, ROW] view 3 (rows shifted by 2; only `tail` lanes live)
+    c1_ref, c2_ref, c3_ref,  # [ROW, nbins] folded cos basis parts
+    s1_ref, s2_ref, s3_ref,  # [ROW, nbins] folded sin basis parts
+    mel_ref,  # [nbins, 128]
+    out_ref,  # [BLOCK, 128]
     *,
-    shift: int,
-    flen: int,
-    preemph: float,
-    remove_dc: bool,
     log_floor: float,
 ):
-    i = pl.program_id(0)
-    # The DMA engine does the framing: frame r = wave[160r : 160r+400]
-    # decomposes into three row-shifted views of the [n_rows, shift] wave —
-    # three strided DMAs land them side by side in the frames scratch, so
-    # the compute side never relayouts (Mosaic cannot concat sublane-shifted
-    # views).
-    tail = flen - 2 * shift
-    row0 = i * BLOCK
-    d1 = pltpu.make_async_copy(
-        wave_hbm.at[pl.ds(row0, BLOCK), :], frames_ref.at[:, 0:shift], sems.at[0]
+    # HIGHEST: f32 MXU passes — default precision truncates float32 operands
+    # to bfloat16 on TPU, which costs ~5e-2 in the log-mel output and breaks
+    # feature parity with the CPU reference (SURVEY.md §7.3).
+    mm = functools.partial(
+        jnp.dot,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )
-    d2 = pltpu.make_async_copy(
-        wave_hbm.at[pl.ds(row0 + 1, BLOCK), :],
-        frames_ref.at[:, shift : 2 * shift],
-        sems.at[1],
-    )
-    d3 = pltpu.make_async_copy(
-        wave_hbm.at[pl.ds(row0 + 2, BLOCK), pl.ds(0, tail)],
-        frames_ref.at[:, 2 * shift : flen],
-        sems.at[2],
-    )
-    d1.start()
-    d2.start()
-    d3.start()
-    d1.wait()
-    d2.wait()
-    d3.wait()
 
-    frames = frames_ref[:]
-    if remove_dc:
-        frames = frames - jnp.mean(frames, axis=1, keepdims=True)
-    if preemph != 0.0:
-        # prev[j] = frames[j-1], edge reuses column 0 (Kaldi semantics).
-        rolled = pltpu.roll(frames, 1, 1)
-        col = jax.lax.broadcasted_iota(jnp.int32, frames.shape, 1)
-        prev = jnp.where(col == 0, frames, rolled)
-        frames = frames - preemph * prev
-    frames = frames * win_ref[0, :]
+    def spectral(b1, b2, b3):
+        return mm(p1_ref[:], b1[:]) + mm(p2_ref[:], b2[:]) + mm(p3_ref[:], b3[:])
 
-    re = jnp.dot(frames, cos_ref[:], preferred_element_type=jnp.float32)
-    im = jnp.dot(frames, sin_ref[:], preferred_element_type=jnp.float32)
+    re = spectral(c1_ref, c2_ref, c3_ref)
+    im = spectral(s1_ref, s2_ref, s3_ref)
     power = re * re + im * im
-    mel = jnp.dot(power, mel_ref[:], preferred_element_type=jnp.float32)
+    mel = mm(power, mel_ref[:])
     out_ref[:] = jnp.log(jnp.maximum(mel, log_floor))
 
 
@@ -132,9 +119,10 @@ def fbank_pallas(
     cfg_snip = dataclasses.replace(cfg, snip_edges=True)
     shift = cfg_snip.frame_shift_samples
     flen = cfg_snip.frame_length_samples
-    if flen != 2 * shift + (flen - 2 * shift) or flen - 2 * shift > shift:
+    tail = flen - 2 * shift
+    if not (2 * shift < flen <= 3 * shift) or shift > ROW or tail > ROW:
         raise NotImplementedError(
-            "fbank_pallas assumes shift < frame_length <= 3*shift "
+            "fbank_pallas assumes 2*shift < frame_length <= 3*shift "
             f"(got shift={shift}, frame_length={flen})"
         )
 
@@ -159,45 +147,33 @@ def fbank_pallas(
         )
 
     n_blocks = pl.cdiv(t, BLOCK)
-    # Every block DMA reads rows [i*BLOCK, i*BLOCK + BLOCK+2) of the
-    # [n_rows, shift] view; pad the wave so the last read is in bounds.
-    need = (n_blocks * BLOCK + 2) * shift
-    waveform = jnp.pad(
+    rows_needed = n_blocks * BLOCK + 2
+    need = rows_needed * shift
+    wave = jnp.pad(
         waveform.astype(jnp.float32), (0, max(0, need - waveform.shape[-1]))
-    ).reshape(-1, shift)
+    )[:need].reshape(rows_needed, shift)
+    # The three row-shifted views, padded to the aligned ROW width (XLA
+    # fuses pad+slice; pad lanes hit zero basis rows).
+    pad = ((0, 0), (0, ROW - shift))
+    p1 = jnp.pad(wave[: n_blocks * BLOCK], pad)
+    p2 = jnp.pad(wave[1 : n_blocks * BLOCK + 1], pad)
+    p3 = jnp.pad(wave[2 : n_blocks * BLOCK + 2], pad)
 
-    cos_b, sin_b, mel_pad, win = _kernel_constants(cfg_snip)
-    kernel = functools.partial(
-        _fbank_kernel,
-        shift=shift,
-        flen=flen,
-        preemph=cfg.preemph_coeff,
-        remove_dc=cfg.remove_dc_offset,
-        log_floor=cfg.energy_floor,
-    )
+    c1, c2, c3, s1, s2, s3, mel_pad = _kernel_constants(cfg_snip)
+    view_spec = pl.BlockSpec((BLOCK, ROW), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    const_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
     out = pl.pallas_call(
-        kernel,
+        functools.partial(_fbank_kernel, log_floor=cfg.energy_floor),
         grid=(n_blocks,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),  # wave stays in HBM
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-        ],
+        in_specs=[view_spec] * 3 + [const_spec] * 7,
         out_specs=pl.BlockSpec((BLOCK, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_blocks * BLOCK, LANES), jnp.float32),
-        scratch_shapes=[
-            pltpu.VMEM((BLOCK, flen), jnp.float32),
-            pltpu.SemaphoreType.DMA((3,)),
-        ],
         interpret=interpret,
     )(
-        waveform,
-        jnp.asarray(cos_b),
-        jnp.asarray(sin_b),
+        p1, p2, p3,
+        jnp.asarray(c1), jnp.asarray(c2), jnp.asarray(c3),
+        jnp.asarray(s1), jnp.asarray(s2), jnp.asarray(s3),
         jnp.asarray(mel_pad),
-        jnp.asarray(win),
     )
     return out[:t, : cfg.num_filters]
 
