@@ -44,6 +44,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--bucket_frames", type=int, default=None)
     p.add_argument("--analyse", action="store_true",
                    help="run the evaluator on the sweep output afterwards")
+    p.add_argument("--trace_dir", type=str, default=None,
+                   help="capture a jax.profiler trace of the sweep here")
     return p
 
 
@@ -102,9 +104,14 @@ def main(argv: Optional[List[str]] = None) -> int:
         if (args.split == "all" or split_of_meeting(m) == args.split)
         and (wanted is None or m in wanted)
     ]
+    from laughter_detection_icsi_tpu.utils.profiling import ThroughputMeter, trace
+
     out_root = Path(args.output_dir) / args.split
+    meter = ThroughputMeter(n_chips=len(jax.devices()))
     total_audio_s = 0.0
     t0 = time.perf_counter()
+    profile_ctx = trace(args.trace_dir)
+    profile_ctx.__enter__()
     for meeting_id in meetings:
         info = store.info_df[store.info_df.meeting_id == meeting_id]
         chans, paths = [], []
@@ -121,7 +128,10 @@ def main(argv: Optional[List[str]] = None) -> int:
         if not paths:
             continue
         print(f"{meeting_id}: {len(paths)} channels ...", flush=True)
+        meter.start()
         probs_list, durations = pipe.probs_for_meeting(paths)
+        rtf = meter.stop(float(np.sum(durations)))
+        print(f"  {rtf:.1f}x realtime", flush=True)
         total_audio_s += float(np.sum(durations))
         for chan_id, probs, duration in zip(chans, probs_list, durations):
             fps = len(probs) / duration if duration > 0 else 100.0
@@ -134,12 +144,16 @@ def main(argv: Optional[List[str]] = None) -> int:
                 tg.write_textgrid(
                     str(d / f"{chan_id}.TextGrid"), insts, xmax=duration
                 )
+    profile_ctx.__exit__(None, None, None)
     dt = time.perf_counter() - t0
     if total_audio_s:
         print(
             f"swept {total_audio_s / 3600:.2f} h of audio in {dt:.1f}s "
-            f"({total_audio_s / dt:.1f}x realtime)"
+            f"({total_audio_s / dt:.1f}x realtime end-to-end; "
+            f"inference-only: {meter.report()})"
         )
+        if args.trace_dir:
+            print(f"profiler trace written to {args.trace_dir}")
     if args.analyse:
         from laughter_detection_icsi_tpu.eval.analyse import analyse
 

@@ -1,0 +1,7 @@
+"""Shared utilities: profiling, throughput counters, timing."""
+
+from laughter_detection_icsi_tpu.utils.profiling import (  # noqa: F401
+    ThroughputMeter,
+    epoch_time,
+    trace,
+)

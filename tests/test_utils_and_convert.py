@@ -1,0 +1,59 @@
+"""Profiling utilities + checkpoint converter CLI."""
+
+import sys
+import time
+from pathlib import Path
+
+import jax
+import numpy as np
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from laughter_detection_icsi_tpu import models
+from laughter_detection_icsi_tpu.train import checkpoint as ckpt
+from laughter_detection_icsi_tpu.utils import ThroughputMeter, epoch_time, trace
+
+
+def test_throughput_meter():
+    m = ThroughputMeter(n_chips=2)
+    with m.span(audio_seconds=7200.0):
+        time.sleep(0.01)
+    assert m.audio_seconds == 7200.0
+    assert m.x_realtime_per_chip > 0
+    assert m.audio_hours_per_sec_per_chip == pytest.approx(
+        m.x_realtime_per_chip / 3600
+    )
+    assert "x realtime/chip" in m.report()
+
+
+def test_trace_noop_and_real(tmp_path):
+    with trace(None):
+        pass
+    with trace(str(tmp_path / "prof")):
+        jax.jit(lambda x: x + 1)(1.0).block_until_ready()
+    assert any((tmp_path / "prof").rglob("*"))
+
+
+def test_epoch_time():
+    assert epoch_time(0.0, 125.0) == (2, 5)
+
+
+def test_convert_checkpoint_roundtrip(tmp_path):
+    from cli.convert_checkpoint import main
+
+    model = models.MLPModel(linear_layer_size=16, hid_dim1=8, hid_dim2=4)
+    params, state = model.init(jax.random.PRNGKey(0))
+    native = ckpt.save_checkpoint(
+        str(tmp_path), params, state, epoch=3, global_step=77, best_val_loss=0.4
+    )
+    pth = str(tmp_path / "out.pth.tar")
+    assert main([native, pth]) == 0
+    back = str(tmp_path / "back.ckpt.npz")
+    assert main([pth, back]) == 0
+    loaded = ckpt.load_checkpoint(back)
+    assert loaded["epoch"] == 3 and loaded["global_step"] == 77
+    for a, b in zip(
+        jax.tree_util.tree_leaves(loaded["params"]), jax.tree_util.tree_leaves(params)
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
