@@ -27,7 +27,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="single value or comma-separated list")
     p.add_argument("--min_lengths", type=str, default="0.2",
                    help="single value or comma-separated list")
-    p.add_argument("--input_audio_file", required=True, type=str)
+    p.add_argument("--input_audio_file", type=str, default=None)
+    p.add_argument("--interactive", action="store_true",
+                   help="REPL: read audio paths from stdin, print laugh "
+                        "instances (reference i_pred, segment_laughter.py:163-175)")
     p.add_argument("--output_dir", type=str, default=None)
     p.add_argument("--save_to_audio_files", type=str, default="True")
     p.add_argument("--save_to_textgrid", type=str, default="False")
@@ -114,6 +117,31 @@ def main(argv: Optional[List[str]] = None) -> int:
         precision=args.precision or ("bfloat16" if on_accel else "float32"),
     )
     pipe = inference.LaughterPipeline(model, params, state, settings=settings)
+
+    if args.interactive:
+        print("Starting interactive laughter-prediction shell (Ctrl-D to exit)")
+        while True:
+            try:
+                path = input("path to audio file: ").strip()
+            except (EOFError, KeyboardInterrupt):
+                print()
+                return 0
+            if not path:
+                continue
+            try:
+                inst, took = pipe.segment_file(
+                    path, thresholds=thresholds, min_lengths=min_lengths,
+                    channel=args.channel,
+                )
+            except Exception as e:  # keep the shell alive on bad input
+                print(f"error: {e}")
+                continue
+            for setting, instances in inst.items():
+                print(f"t={setting[0]} l={setting[1]}: {instances}")
+            print(f"({took:.2f}s)")
+
+    if not args.input_audio_file:
+        raise SystemExit("--input_audio_file is required (or use --interactive)")
     instance_dict, took = pipe.segment_file(
         args.input_audio_file,
         thresholds=thresholds,

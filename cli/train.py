@@ -111,7 +111,20 @@ def main(argv: Optional[List[str]] = None) -> int:
         linear_layer_size=preset.linear_layer_size,
         filter_sizes=preset.filter_sizes,
     )
-    trainer = Trainer(model=model, optimizer=Adam(), grad_accum=grad_accum)
+    if args.data_parallel:
+        from laughter_detection_icsi_tpu.parallel import DataParallelTrainer, make_mesh
+
+        mesh = make_mesh()
+        n_dev = mesh.devices.size
+        if batch_size % n_dev:
+            batch_size = -(-batch_size // n_dev) * n_dev
+            print(f"note: batch_size rounded up to {batch_size} for {n_dev} devices")
+        if grad_accum != 1:
+            raise SystemExit("--gradient_accumulation_steps requires single-device mode")
+        trainer = DataParallelTrainer(model=model, mesh=mesh, optimizer=Adam())
+        print(f"data-parallel over {n_dev} devices")
+    else:
+        trainer = Trainer(model=model, optimizer=Adam(), grad_accum=grad_accum)
     params, state, opt_state = trainer.init(jax.random.PRNGKey(args.seed))
     from laughter_detection_icsi_tpu.models import count_parameters
 
@@ -135,7 +148,12 @@ def main(argv: Optional[List[str]] = None) -> int:
 
     def val_batches(n: int):
         out = []
-        it = dev_ds.batches(batch_size, shuffle=True, seed=loop.global_step)
+        it = dev_ds.batches(
+            batch_size,
+            shuffle=True,
+            seed=loop.global_step,
+            drop_remainder=args.data_parallel,
+        )
         for _ in range(n):
             try:
                 out.append(next(it))
@@ -149,7 +167,12 @@ def main(argv: Optional[List[str]] = None) -> int:
             params,
             state,
             opt_state,
-            train_ds.batches(batch_size, shuffle=True, seed=args.seed + loop.epoch),
+            train_ds.batches(
+                batch_size,
+                shuffle=True,
+                seed=args.seed + loop.epoch,
+                drop_remainder=args.data_parallel,
+            ),
             val_batches_fn=val_batches,
             rng=jax.random.PRNGKey(args.seed * 1000 + loop.epoch),
         )

@@ -104,3 +104,15 @@ class DataParallelTrainer:
     def eval_batch(self, params, state, batch):
         sharded = self._prep(batch)
         return self._eval_step(params, state, sharded["x"], sharded["y"])
+
+    def eval_batches(self, params, state, batches):
+        """Mean metrics over batches (train.Trainer-compatible, so TrainLoop
+        drives either trainer)."""
+        acc = {}
+        n = 0
+        for batch in batches:
+            m = self.eval_batch(params, state, batch)
+            for k, v in m.items():
+                acc[k] = acc.get(k, 0.0) + float(v)
+            n += 1
+        return {k: v / max(n, 1) for k, v in acc.items()}

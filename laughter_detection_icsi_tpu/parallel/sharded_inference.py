@@ -65,17 +65,22 @@ class ShardedPipeline:
 
     # ------------------------------------------------------------------ #
 
-    def _graphs_for_bucket(self, bucket_frames: int):
-        if bucket_frames in self._jitted:
-            return self._jitted[bucket_frames]
+    def _graphs(self):
+        """Two jitted graphs (one compiled shape for any audio length —
+        channels stream through fixed-size buckets with a window-1 halo,
+        exactly like inference.LaughterPipeline)."""
+        if self._jitted:
+            return self._jitted[0]
         cfg = dataclasses.replace(self.feat_cfg, snip_edges=True)
         shift = cfg.frame_shift_samples
         flen = cfg.frame_length_samples
-        wave_len = (bucket_frames - 1) * shift + flen
+        bucket = self.settings.bucket_frames
         window = self.settings.window
         chunk = self.settings.chunk
-        n_chunks = -(-bucket_frames // chunk)
-        tail = n_chunks * chunk - bucket_frames + window - 1
+        ext = bucket + window - 1
+        wave_len = (ext - 1) * shift + flen
+        n_chunks = -(-bucket // chunk)
+        feat_rows = n_chunks * chunk + window - 1
         model, params, state = self.model, self.params, self.state
         compute_dtype = (
             jnp.bfloat16 if self.settings.precision == "bfloat16" else jnp.float32
@@ -83,13 +88,12 @@ class ShardedPipeline:
         repl = mesh_lib.replicated(self.mesh)
         ch = mesh_lib.data_sharding(self.mesh)  # shard leading channel axis
 
-        @jax.jit
         def featurize(waves: jnp.ndarray, valid_frames: jnp.ndarray) -> jnp.ndarray:
-            # waves [C, wave_len] (sharded on C) -> feats [C, T+tail, F]
+            # waves [C, wave_len] (sharded on C) -> feats [C, feat_rows, F]
             feats = fbank_ops.fbank(waves, cfg)
-            mask = jnp.arange(bucket_frames)[None, :] < valid_frames[:, None]
+            mask = jnp.arange(ext)[None, :] < valid_frames[:, None]
             feats = jnp.where(mask[:, :, None], feats, 0.0)
-            return jnp.pad(feats, ((0, 0), (0, tail), (0, 0)))
+            return jnp.pad(feats, ((0, 0), (0, feat_rows - ext), (0, 0)))
 
         featurize = jax.jit(featurize, in_shardings=(ch, ch), out_shardings=ch)
 
@@ -108,20 +112,16 @@ class ShardedPipeline:
         )
 
         graphs = (featurize, chunk_probs, wave_len)
-        self._jitted[bucket_frames] = graphs
+        self._jitted[0] = graphs
         return graphs
-
-    def _bucket(self, t: int) -> int:
-        b = self.settings.bucket_frames
-        return max(b, -(-t // b) * b)
 
     # ------------------------------------------------------------------ #
 
     def probs_for_waveforms(self, waves: Sequence[np.ndarray]) -> List[np.ndarray]:
         """[n_i]-sample waveforms -> per-channel [T_i] probabilities.
 
-        All channels are padded to one shape bucket and evaluated in a single
-        sharded batch (the C axis is padded to a mesh-size multiple).
+        Channels are batched (C padded to a mesh-size multiple) and streamed
+        together through fixed-size frame buckets.
         """
         if not waves:
             return []
@@ -133,27 +133,34 @@ class ShardedPipeline:
         t_max = max(ts)
         if t_max == 0:
             return [np.zeros(0, dtype=np.float32) for _ in waves]
-        bucket = self._bucket(t_max)
-        featurize, chunk_probs, wave_len = self._graphs_for_bucket(bucket)
+        featurize, chunk_probs, wave_len = self._graphs()
+        bucket = self.settings.bucket_frames
+        window = self.settings.window
+        chunk = self.settings.chunk
+        n_chunks = -(-bucket // chunk)
+        shift = dataclasses.replace(self.feat_cfg, snip_edges=True).frame_shift_samples
 
         c = len(waves)
         c_pad = -(-c // self.n_shards) * self.n_shards
-        batch = np.zeros((c_pad, wave_len), dtype=np.float32)
-        valid = np.zeros(c_pad, dtype=np.int32)
-        for i, (p, t) in enumerate(zip(padded_list, ts)):
-            batch[i, : len(p)] = p
-            valid[i] = t
-
-        sharded = mesh_lib.shard_batch({"w": batch, "v": valid}, self.mesh)
-        feats = featurize(sharded["w"], sharded["v"])
-        chunk = self.settings.chunk
-        outs = [
-            chunk_probs(feats, jnp.asarray(i * chunk, dtype=jnp.int32))
-            for i in range(-(-bucket // chunk))
-        ]
+        pieces = []
+        for k in range(-(-t_max // bucket)):
+            lo = k * bucket * shift
+            batch = np.zeros((c_pad, wave_len), dtype=np.float32)
+            valid = np.zeros(c_pad, dtype=np.int32)
+            for i, (p, t) in enumerate(zip(padded_list, ts)):
+                src = p[lo : lo + wave_len]
+                batch[i, : len(src)] = src
+                valid[i] = int(np.clip(t - k * bucket, 0, bucket + window - 1))
+            sharded = mesh_lib.shard_batch({"w": batch, "v": valid}, self.mesh)
+            feats = featurize(sharded["w"], sharded["v"])
+            outs = [
+                chunk_probs(feats, jnp.asarray(i * chunk, dtype=jnp.int32))
+                for i in range(n_chunks)
+            ]
+            pieces.append(jnp.concatenate(outs, axis=1)[:, : min(bucket, t_max - k * bucket)])
         # One device->host transfer for the whole batch (transfer latency
         # dominates small reads through a tunneled chip).
-        probs = np.asarray(jnp.concatenate(outs, axis=1))  # [C, bucket]
+        probs = np.asarray(jnp.concatenate(pieces, axis=1))  # [C, t_max]
         return [probs[i, : ts[i]] for i in range(c)]
 
     def probs_for_meeting(

@@ -27,11 +27,12 @@ def test_sharded_matches_single(small_model, settings, rng):
     sharded = ShardedPipeline(
         model=model, params=params, state=state, mesh=make_mesh(8), settings=settings
     )
-    # 3 channels (pads to 8), unequal lengths
+    # 3 channels (pads to 8), unequal lengths; the longest exceeds the
+    # 256-frame bucket -> exercises multi-bucket streaming with halos
     waves = [
         (rng.standard_normal(16000 * 2) * 0.1).astype(np.float32),
         (rng.standard_normal(16000 * 1 + 800) * 0.1).astype(np.float32),
-        (rng.standard_normal(16000 * 2 + 5000) * 0.1).astype(np.float32),
+        (rng.standard_normal(16000 * 3 + 5000) * 0.1).astype(np.float32),
     ]
     got = sharded.probs_for_waveforms(waves)
     assert len(got) == 3
