@@ -19,6 +19,27 @@ import time
 import numpy as np
 
 
+def _wait_for_healthy_d2h(max_wait_s: float = 300.0) -> bool:
+    """The tunneled-TPU device->host path intermittently degrades to ~190 s
+    per transfer (any size).  Probe it and wait (bounded) for recovery so a
+    flaky window doesn't masquerade as a framework regression; returns
+    whether the path looked healthy."""
+    import jax
+    import jax.numpy as jnp
+
+    deadline = time.monotonic() + max_wait_s
+    while True:
+        x = jax.jit(lambda v: v + 1)(jnp.ones(256))
+        x.block_until_ready()
+        t0 = time.perf_counter()
+        np.asarray(x)
+        if time.perf_counter() - t0 < 5.0:
+            return True
+        if time.monotonic() > deadline:
+            return False
+        time.sleep(30.0)
+
+
 def main() -> None:
     import jax
 
@@ -34,10 +55,10 @@ def main() -> None:
 
     platform = jax.devices()[0].platform
     on_accel = platform not in ("cpu",)
-    audio_seconds = 600 if on_accel else 60  # 10 min on TPU, 1 min on CPU
+    audio_seconds = 600 if on_accel else 12  # 10 min on TPU; tiny on (1-core) CPU
     settings = inference.InferenceSettings(
-        chunk=6144 if on_accel else 1024,
-        bucket_frames=30720 if on_accel else 6144,  # ~5 min/bucket, streamed
+        chunk=6144 if on_accel else 512,
+        bucket_frames=30720 if on_accel else 1024,  # ~5 min/bucket, streamed
         precision="bfloat16" if on_accel else "float32",
     )
     pipe = inference.LaughterPipeline(model, params, state, settings=settings)
@@ -48,9 +69,10 @@ def main() -> None:
     # transfer as int16 and are scaled on device).
     wave = (rng.standard_normal(sr * audio_seconds) * 0.05 * 32767).astype(np.int16)
 
+    healthy = _wait_for_healthy_d2h() if on_accel else True
     pipe.probs_for_waveform(wave)  # warmup: compile both graphs
 
-    iters = 3
+    iters = 3 if healthy else 1
     t0 = time.perf_counter()
     for _ in range(iters):
         probs = pipe.probs_for_waveform(wave)
