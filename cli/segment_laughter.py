@@ -45,6 +45,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--bucket_frames", type=int, default=None,
                    help="jit shape bucket in frames (default: 30720 on "
                         "accelerators, 6000 on CPU)")
+    p.add_argument("--mode", type=str, default="windows",
+                   choices=["windows", "fused_conv"],
+                   help="'windows' = reference-exact per-window conv; "
+                        "'fused_conv' = ~2.5x faster whole-track dilated conv "
+                        "(not bit-parity; models/fully_conv.py)")
     p.add_argument("--random_init", action="store_true",
                    help="skip checkpoint loading (smoke tests/benchmarks)")
     return p
@@ -115,6 +120,7 @@ def main(argv: Optional[List[str]] = None) -> int:
         chunk=args.chunk or (6144 if on_accel else 1024),
         bucket_frames=args.bucket_frames or (30720 if on_accel else 6144),
         precision=args.precision or ("bfloat16" if on_accel else "float32"),
+        mode=args.mode,
     )
     pipe = inference.LaughterPipeline(model, params, state, settings=settings)
 

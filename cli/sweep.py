@@ -42,6 +42,11 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["float32", "bfloat16"])
     p.add_argument("--chunk", type=int, default=None)
     p.add_argument("--bucket_frames", type=int, default=None)
+    p.add_argument("--mode", type=str, default="windows",
+                   choices=["windows", "fused_conv"],
+                   help="'windows' = reference-exact per-window conv; "
+                        "'fused_conv' = ~2.5x faster whole-track dilated conv "
+                        "(not bit-parity; models/fully_conv.py)")
     p.add_argument("--analyse", action="store_true",
                    help="run the evaluator on the sweep output afterwards")
     p.add_argument("--trace_dir", type=str, default=None,
@@ -87,6 +92,7 @@ def main(argv: Optional[List[str]] = None) -> int:
         chunk=args.chunk or (6144 if on_accel else 1024),
         bucket_frames=args.bucket_frames or (30720 if on_accel else 6144),
         precision=args.precision or ("bfloat16" if on_accel else "float32"),
+        mode=args.mode,
     )
     pipe = ShardedPipeline(
         model=model,

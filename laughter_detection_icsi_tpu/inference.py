@@ -50,6 +50,13 @@ class InferenceSettings:
     # None = auto: the fused Pallas featurizer on TPU (ops/fbank_pallas.py),
     # the XLA featurizer elsewhere.  Both match to ~2e-5.
     use_pallas_fbank: Optional[bool] = None
+    # 'windows'    — reference-exact: the conv stack runs per 100-frame
+    #                window (checkpoint parity).
+    # 'fused_conv' — à-trous fast path: the conv stack runs ONCE over the
+    #                whole track (~150x fewer FLOPs; models/fully_conv.py).
+    #                Better-posed (windows see real context, not synthetic
+    #                zeros) but NOT bit-parity with the reference.
+    mode: str = "windows"
 
 
 def _snip_cfg(cfg: FeatConfig) -> FeatConfig:
@@ -179,6 +186,53 @@ class LaughterPipeline:
         self._jitted[int16_in] = graphs
         return graphs
 
+    def _fc_graph(self, total_frames: int, int16_in: bool):
+        """Fused-conv whole-track graph (mode='fused_conv'): featurize +
+        dilated conv stack in one jit; one compile per rounded track size."""
+        key = ("fc", total_frames, int16_in)
+        if key in self._jitted:
+            return self._jitted[key]
+        from laughter_detection_icsi_tpu.models.fully_conv import fully_conv_probs
+
+        cfg = _snip_cfg(self.feat_cfg)
+        shift = cfg.frame_shift_samples
+        flen = cfg.frame_length_samples
+        wave_len = (total_frames - 1) * shift + flen
+        params, state = self.params, self.state
+        compute_dtype = (
+            jnp.bfloat16 if self.settings.precision == "bfloat16" else jnp.float32
+        )
+        use_pallas = self.settings.use_pallas_fbank
+        if use_pallas is None:
+            use_pallas = jax.devices()[0].platform == "tpu"
+
+        @jax.jit
+        def graph(wave: jnp.ndarray, valid_frames: jnp.ndarray) -> jnp.ndarray:
+            if int16_in:
+                wave = wave.astype(jnp.float32) * (1.0 / 32768.0)
+            if use_pallas:
+                from laughter_detection_icsi_tpu.ops.fbank_pallas import fbank_pallas
+
+                feats = fbank_pallas(wave, cfg)
+            else:
+                feats = fbank_ops.fbank(wave, cfg)
+            mask = jnp.arange(total_frames) < valid_frames
+            feats = jnp.where(mask[:, None], feats, 0.0).astype(compute_dtype)
+            return fully_conv_probs(params, state, feats).astype(jnp.float32)
+
+        graphs = (graph, wave_len)
+        self._jitted[key] = graphs
+        return graphs
+
+    def _probs_fused_conv(self, padded: np.ndarray, t: int) -> np.ndarray:
+        bucket = self.settings.bucket_frames
+        total = max(bucket, -(-t // bucket) * bucket)
+        graph, wave_len = self._fc_graph(total, padded.dtype == np.int16)
+        buf = np.zeros(wave_len, dtype=padded.dtype)
+        buf[: len(padded)] = padded
+        probs = graph(jnp.asarray(buf), jnp.asarray(t, jnp.int32))
+        return np.asarray(probs[:t])
+
     # ------------------------------------------------------------------ #
 
     def probs_for_waveform(self, wave: np.ndarray) -> np.ndarray:
@@ -197,6 +251,8 @@ class LaughterPipeline:
         padded, t = host_pad_waveform(wave, self.feat_cfg)
         if t == 0:
             return np.zeros(0, dtype=np.float32)
+        if self.settings.mode == "fused_conv":
+            return self._probs_fused_conv(padded, t)
         featurize, chunk_probs, wave_len = self._graphs(int16_in)
         bucket = self.settings.bucket_frames
         chunk = self.settings.chunk

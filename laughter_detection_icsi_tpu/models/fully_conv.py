@@ -1,0 +1,164 @@
+"""Fully-convolutional (à-trous) inference for ResNetBigger-family models.
+
+The reference classifies every 10 ms frame by running the FULL conv stack on
+a 100-frame window per output — adjacent windows overlap 99% and recompute
+~700 MFLOPs each (reference datasets.py:72-93 + models.py:181-244).  This
+module evaluates the same weights ONCE over the whole feature track using
+the standard dilation trick: every stride-2-in-time conv becomes a
+stride-1 conv with doubled time dilation (frequency keeps its stride), so
+the network stays at full time resolution and output t of the final map
+equals the strided network's row for the window starting at t.  The
+AvgPool + flatten + linear head becomes twelve shifted adds over the final
+map plus a [T, 48] matmul.  ~150x fewer FLOPs per output frame.
+
+Numerics: EXACT for a window with silence around it (the track context the
+dilated convs see is then identical to the per-window zero padding —
+pinned by test), but on continuous audio interior windows see real
+neighbour audio where the reference saw artificial zeros, so probabilities
+deviate near window borders.  This is a *better-posed* model (no synthetic
+zero-context) but NOT checkpoint-parity — hence an opt-in fast path
+(``InferenceSettings(mode="fused_conv")``), never the default.
+
+Only valid at inference: BatchNorm must be in running-stats (affine) mode.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+PyTree = Any
+
+BN_EPS = 1e-5
+
+
+def _affine_bn(params: PyTree, state: PyTree) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Inference-mode BN as (scale, bias)."""
+    inv = jax.lax.rsqrt(state["running_var"] + BN_EPS)
+    scale = params["weight"] * inv
+    return scale, params["bias"] - state["running_mean"] * scale
+
+
+def _conv(x, w, t_stride, f_stride, t_dil, bias=None):
+    """NCHW conv, 'same'-in-time padding scaled by the dilation."""
+    kh = w.shape[2]
+    pad_t = t_dil * (kh // 2)
+    pad_f = w.shape[3] // 2
+    out = jax.lax.conv_general_dilated(
+        x,
+        w,
+        window_strides=(t_stride, f_stride),
+        padding=[(pad_t, pad_t), (pad_f, pad_f)],
+        rhs_dilation=(t_dil, 1),
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+    )
+    if bias is not None:
+        out = out + bias[None, :, None, None]
+    return out
+
+
+def _bn4(x, params, state):
+    scale, bias = _affine_bn(params, state)
+    return x * scale[None, :, None, None] + bias[None, :, None, None]
+
+
+def _block(x, params, state, f_stride, t_dil_in, replaced_stride):
+    """ResidualBlock with the time stride replaced by dilation.
+
+    ``t_dil_in`` is the dilation entering the block; when the block's
+    original stride was 2 in time, the first conv keeps dilation t_dil_in
+    and every later conv (in this and following blocks) uses
+    t_dil_in * replaced_stride.
+    """
+    t_dil_out = t_dil_in * replaced_stride
+    out = _conv(x, params["conv1"]["weight"], 1, f_stride, t_dil_in,
+                params["conv1"].get("bias"))
+    out = _bn4(out, params["bn1"], state["bn1"])
+    out = jax.nn.relu(out)
+    out = _conv(out, params["conv2"]["weight"], 1, 1, t_dil_out,
+                params["conv2"].get("bias"))
+    out = _bn4(out, params["bn2"], state["bn2"])
+    if "shortcut" in params:
+        sc = jax.lax.conv_general_dilated(
+            x,
+            params["shortcut"]["0"]["weight"],
+            window_strides=(1, f_stride),
+            padding=[(0, 0), (0, 0)],
+            rhs_dilation=(1, 1),
+            dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        )
+        sc = _bn4(sc, params["shortcut"]["1"], state["shortcut"]["1"])
+    else:
+        sc = x
+    return jax.nn.relu(out + sc), t_dil_out
+
+
+def fully_conv_probs(
+    params: PyTree,
+    state: PyTree,
+    feats: jnp.ndarray,
+    window: int = 100,
+    strides: Sequence[int] = (1, 2, 2, 2),
+) -> jnp.ndarray:
+    """[T_in, F] feature track -> [T_in] per-frame laughter probabilities
+    (one per window start, like the per-window pipeline).
+
+    The track is right-padded internally by ``window - 1`` zero frames so
+    tail windows match the per-window zero-pad semantics
+    (reference datasets.py:85-92).
+    """
+    t_in = feats.shape[0]
+    feats = jnp.pad(feats, ((0, window - 1), (0, 0)))
+    x = feats[None, None, :, :]  # [1, 1, T, F]
+
+    x = _conv(x, params["conv1"]["weight"], 1, 1, 1, params["conv1"].get("bias"))
+    x = _bn4(x, params["bn1"], state["bn1"])
+    x = jax.nn.relu(x)
+
+    t_dil = 1
+    for i, s in enumerate(strides):
+        blk_p, blk_s = params[f"block{i + 1}"], state[f"block{i + 1}"]
+        # first block of the stage carries the stage stride, second is s=1
+        x, t_dil = _block(x, blk_p["0"], blk_s["0"], s, t_dil, s)
+        x, _ = _block(x, blk_p["1"], blk_s["1"], 1, t_dil, 1)
+
+    # x: [1, C, T, Wf] at full time resolution; t_dil == total replaced
+    # time stride (8).  Frequency followed the original striding, so Wf is
+    # the reference window's final width; the strided window map's row m for
+    # window i is x[:, :, i + t_dil*m, :].
+    c = x.shape[1]
+    wf = x.shape[3]
+    pool = 4
+    # Reference head: AvgPool2d(4) on the [13, Wf] window map -> rows r pool
+    # window-map rows 4r+q (q<4), cols 0..3 (floor; Wf=6 -> 1 col).
+    n_rows = ((window - 1) // t_dil + 1)  # 13 for window 100, stride 8
+    out_rows = n_rows // pool  # 3
+    m = jnp.mean(x[0, :, :, : pool * (wf // pool)].reshape(c, x.shape[2], wf // pool, pool), axis=-1)
+    m = m[:, :, 0] if wf // pool == 1 else m.mean(axis=-1)  # [C, T] freq-pooled
+
+    # pooled[r, i] = mean_q m[:, i + t_dil*(pool*r + q)]
+    total = x.shape[2]
+    pieces = []
+    for r in range(out_rows):
+        acc = 0
+        for q in range(pool):
+            off = t_dil * (pool * r + q)
+            sl = jax.lax.dynamic_slice_in_dim(m, off, total - t_dil * (pool * out_rows), axis=1)
+            acc = acc + sl
+        pieces.append(acc / pool)
+    pooled = jnp.stack(pieces, axis=0)  # [out_rows, C, T']
+
+    # torch .view flatten order over [C, H=out_rows, W=1]: index = c*out_rows + r
+    flat = jnp.transpose(pooled, (2, 1, 0)).reshape(pooled.shape[2], c * out_rows)
+
+    scale, bias = _affine_bn(params["bn2"], state["bn2"])
+    h = flat * scale + bias
+    h = h @ params["linear1"]["weight"].T + params["linear1"]["bias"]
+    scale, bias = _affine_bn(params["bn3"], state["bn3"])
+    h = h * scale + bias
+    h = jax.nn.relu(h)
+    h = h @ params["linear2"]["weight"].T + params["linear2"]["bias"]
+    probs = jax.nn.sigmoid(h)[:, 0]
+    return probs[:t_in]

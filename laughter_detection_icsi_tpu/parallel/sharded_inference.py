@@ -115,13 +115,44 @@ class ShardedPipeline:
         self._jitted[0] = graphs
         return graphs
 
+    def _fc_graph(self, total_frames: int):
+        """Fused-conv whole-track graph, channel axis sharded
+        (settings.mode == 'fused_conv'; see models/fully_conv.py)."""
+        key = ("fc", total_frames)
+        if key in self._jitted:
+            return self._jitted[key]
+        from laughter_detection_icsi_tpu.models.fully_conv import fully_conv_probs
+
+        cfg = dataclasses.replace(self.feat_cfg, snip_edges=True)
+        shift = cfg.frame_shift_samples
+        flen = cfg.frame_length_samples
+        wave_len = (total_frames - 1) * shift + flen
+        params, state = self.params, self.state
+        compute_dtype = (
+            jnp.bfloat16 if self.settings.precision == "bfloat16" else jnp.float32
+        )
+        ch = mesh_lib.data_sharding(self.mesh)
+
+        def graph(waves: jnp.ndarray, valid_frames: jnp.ndarray) -> jnp.ndarray:
+            feats = fbank_ops.fbank(waves, cfg)  # [C, total, F]
+            mask = jnp.arange(total_frames)[None, :] < valid_frames[:, None]
+            feats = jnp.where(mask[:, :, None], feats, 0.0).astype(compute_dtype)
+            probs = jax.vmap(lambda f: fully_conv_probs(params, state, f))(feats)
+            return probs.astype(jnp.float32)
+
+        graph = jax.jit(graph, in_shardings=(ch, ch), out_shardings=ch)
+        graphs = (graph, wave_len)
+        self._jitted[key] = graphs
+        return graphs
+
     # ------------------------------------------------------------------ #
 
     def probs_for_waveforms(self, waves: Sequence[np.ndarray]) -> List[np.ndarray]:
         """[n_i]-sample waveforms -> per-channel [T_i] probabilities.
 
         Channels are batched (C padded to a mesh-size multiple) and streamed
-        together through fixed-size frame buckets.
+        together through fixed-size frame buckets ('windows' mode) or run
+        through one whole-track dilated-conv graph ('fused_conv' mode).
         """
         if not waves:
             return []
@@ -133,6 +164,20 @@ class ShardedPipeline:
         t_max = max(ts)
         if t_max == 0:
             return [np.zeros(0, dtype=np.float32) for _ in waves]
+        c = len(waves)
+        c_pad = -(-c // self.n_shards) * self.n_shards
+        if self.settings.mode == "fused_conv":
+            b = self.settings.bucket_frames
+            total = max(b, -(-t_max // b) * b)
+            graph, wave_len = self._fc_graph(total)
+            batch = np.zeros((c_pad, wave_len), dtype=np.float32)
+            valid = np.zeros(c_pad, dtype=np.int32)
+            for i, (p, t) in enumerate(zip(padded_list, ts)):
+                batch[i, : len(p)] = p
+                valid[i] = t
+            sharded = mesh_lib.shard_batch({"w": batch, "v": valid}, self.mesh)
+            probs = np.asarray(graph(sharded["w"], sharded["v"]))
+            return [probs[i, : ts[i]] for i in range(c)]
         featurize, chunk_probs, wave_len = self._graphs()
         bucket = self.settings.bucket_frames
         window = self.settings.window
@@ -140,8 +185,6 @@ class ShardedPipeline:
         n_chunks = -(-bucket // chunk)
         shift = dataclasses.replace(self.feat_cfg, snip_edges=True).frame_shift_samples
 
-        c = len(waves)
-        c_pad = -(-c // self.n_shards) * self.n_shards
         pieces = []
         for k in range(-(-t_max // bucket)):
             lo = k * bucket * shift

@@ -1,0 +1,115 @@
+"""Fully-convolutional (dilated) inference vs the per-window model.
+
+The sharp test: for a window surrounded by silence, the track context the
+dilated network sees is exactly the per-window zero padding, so the
+probabilities must MATCH.  On continuous audio the paths legitimately
+deviate near window borders (documented in models/fully_conv.py).
+"""
+
+import jax
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from laughter_detection_icsi_tpu import models
+from laughter_detection_icsi_tpu.models.fully_conv import fully_conv_probs
+
+
+@pytest.fixture(scope="module")
+def model_and_params():
+    model = models.build(
+        "ResNetBigger", dropout_rate=0.0, linear_layer_size=48,
+        filter_sizes=(64, 32, 16, 16),
+    )
+    params, state = model.init(jax.random.PRNGKey(11))
+    # make BN running stats non-trivial so the affine fold is exercised
+    state = jax.tree_util.tree_map(
+        lambda x: x + 0.05 if x.dtype == jnp.float32 else x, state
+    )
+    return model, params, state
+
+
+@pytest.mark.parametrize("start", [0, 7, 23])
+def test_isolated_window_matches_per_window(model_and_params, rng, start):
+    model, params, state = model_and_params
+    t_in = 160
+    feats = np.zeros((t_in, 44), np.float32)
+    win = (rng.standard_normal((100, 44)) * 0.5).astype(np.float32)
+    feats[start : start + 100] = win
+
+    want, _ = model.apply(params, state, win[None, None, :, :], train=False)
+    got = np.asarray(fully_conv_probs(params, state, jnp.asarray(feats)))
+    assert got.shape == (t_in,)
+    assert got[start] == pytest.approx(float(want[0]), abs=2e-4)
+
+
+def test_tail_window_zero_padded(model_and_params, rng):
+    """The last window reads past the track: its zero tail must match the
+    per-window zero padding (reference datasets.py:85-92)."""
+    model, params, state = model_and_params
+    t_in = 130
+    feats = np.zeros((t_in, 44), np.float32)
+    feats[90:] = (rng.standard_normal((40, 44)) * 0.5).astype(np.float32)
+
+    win = np.zeros((100, 44), np.float32)
+    win[:40] = feats[90:130]
+    want, _ = model.apply(params, state, win[None, None, :, :], train=False)
+    got = np.asarray(fully_conv_probs(params, state, jnp.asarray(feats)))
+    assert got[90] == pytest.approx(float(want[0]), abs=2e-4)
+
+
+def test_continuous_audio_close_on_average(model_and_params, rng):
+    """On continuous audio the fused-conv path sees real context instead of
+    per-window zeros; probabilities deviate but stay close on average."""
+    model, params, state = model_and_params
+    t_in = 220
+    feats = (rng.standard_normal((t_in, 44)) * 0.5).astype(np.float32)
+    padded = np.concatenate([feats, np.zeros((99, 44), np.float32)])
+    wins = np.stack([padded[i : i + 100] for i in range(t_in)])
+    want, _ = model.apply(params, state, wins[:, None, :, :], train=False)
+    got = np.asarray(fully_conv_probs(params, state, jnp.asarray(feats)))
+    assert got.shape == (t_in,)
+    assert np.all((got >= 0) & (got <= 1))
+    assert np.mean(np.abs(got - np.asarray(want))) < 0.15
+
+
+def test_pipeline_fused_conv_mode(model_and_params, rng):
+    """LaughterPipeline(mode='fused_conv') == direct fully_conv_probs over
+    the track's fbank features."""
+    import jax.numpy as jnp
+
+    from laughter_detection_icsi_tpu import inference
+    from laughter_detection_icsi_tpu.ops import fbank as fb
+
+    model, params, state = model_and_params
+    wave = (rng.standard_normal(16000 * 2 + 900) * 0.1).astype(np.float32)
+    pipe = inference.LaughterPipeline(
+        model, params, state,
+        settings=inference.InferenceSettings(bucket_frames=256, mode="fused_conv"),
+    )
+    got = pipe.probs_for_waveform(wave)
+    feats = np.asarray(fb.fbank_jit(wave))
+    want = np.asarray(fully_conv_probs(params, state, jnp.asarray(feats)))
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_sharded_fused_conv_matches_single(model_and_params, rng):
+    from laughter_detection_icsi_tpu import inference
+    from laughter_detection_icsi_tpu.parallel import ShardedPipeline, make_mesh
+
+    model, params, state = model_and_params
+    settings = inference.InferenceSettings(bucket_frames=256, mode="fused_conv")
+    single = inference.LaughterPipeline(model, params, state, settings=settings)
+    sharded = ShardedPipeline(
+        model=model, params=params, state=state, mesh=make_mesh(8), settings=settings
+    )
+    waves = [
+        (rng.standard_normal(16000 * 2) * 0.1).astype(np.float32),
+        (rng.standard_normal(16000 + 777) * 0.1).astype(np.float32),
+    ]
+    got = sharded.probs_for_waveforms(waves)
+    for w, g in zip(waves, got):
+        want = single.probs_for_waveform(w)
+        assert g.shape == want.shape
+        np.testing.assert_allclose(g, want, rtol=1e-4, atol=1e-5)
