@@ -40,7 +40,7 @@ def main(argv: Optional[List[str]] = None) -> int:
 
     import numpy as np
 
-    from laughter_detection_icsi_tpu.config import PARTITIONS, load_env, split_of_meeting
+    from laughter_detection_icsi_tpu.config import load_env, split_of_meeting
     from laughter_detection_icsi_tpu.data import FeatureCache
     from laughter_detection_icsi_tpu.eval import transcript as transcript_lib
 

@@ -10,7 +10,6 @@ corpus can be mirrored in manually.
 from __future__ import annotations
 
 import argparse
-import os
 import sys
 import urllib.error
 import urllib.request

@@ -82,7 +82,6 @@ def main(argv: Optional[List[str]] = None) -> int:
     from laughter_detection_icsi_tpu.config import MODEL_MAP
     from laughter_detection_icsi_tpu.data import FeatureCache, LadDataset, load_split_df
     from laughter_detection_icsi_tpu.train import Adam, TrainLoop, Trainer
-    from laughter_detection_icsi_tpu.train.loop import update_metrics_on_disk
 
     preset = MODEL_MAP[args.config]
     batch_size = int(args.batch_size or preset.batch_size)

@@ -4,7 +4,6 @@ and evaluation CSVs."""
 from __future__ import annotations
 
 import argparse
-import os
 import sys
 from typing import List, Optional
 

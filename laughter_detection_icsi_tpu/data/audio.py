@@ -18,7 +18,6 @@ from __future__ import annotations
 
 import dataclasses
 import struct
-from pathlib import Path
 from typing import Optional, Tuple
 
 import numpy as np

@@ -15,7 +15,6 @@ from typing import Dict, Iterator, Optional
 import numpy as np
 import pandas as pd
 
-from laughter_detection_icsi_tpu.config import FEAT, FeatConfig
 from laughter_detection_icsi_tpu.data.feature_cache import FeatureCache
 
 

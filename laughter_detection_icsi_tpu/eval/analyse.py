@@ -23,7 +23,6 @@ Semantics mirrored:
 
 from __future__ import annotations
 
-import math
 import os
 from pathlib import Path
 from typing import Dict, List, Optional, Tuple

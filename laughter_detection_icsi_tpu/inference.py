@@ -19,7 +19,6 @@ matching the reference InferenceDataset's zero-pad tail, datasets.py:85-93).
 from __future__ import annotations
 
 import dataclasses
-import functools
 import time
 from typing import Callable, Dict, List, Optional, Sequence, Tuple
 

@@ -10,7 +10,6 @@ the feature array stays in HBM and windows are gathered chunk-by-chunk, so the
 
 from __future__ import annotations
 
-import functools
 from typing import Callable
 
 import jax

@@ -21,3 +21,4 @@ from laughter_detection_icsi_tpu.parallel.data_parallel import (  # noqa: F401
 from laughter_detection_icsi_tpu.parallel.sharded_inference import (  # noqa: F401
     ShardedPipeline,
 )
+from laughter_detection_icsi_tpu.parallel import distributed  # noqa: F401

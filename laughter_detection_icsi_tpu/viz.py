@@ -8,9 +8,7 @@ formats: ``metrics.csv`` written by the train loop (train/loop.py), and the
 
 from __future__ import annotations
 
-import os
-from pathlib import Path
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, Optional, Sequence
 
 import matplotlib
 

@@ -4,9 +4,6 @@ Layout driven: <preds>/<meeting>/t_<thr>/l_<minlen>/chanN.TextGrid
 (reference analyse.py:64-96, 227-266).
 """
 
-import math
-from pathlib import Path
-
 import numpy as np
 import pandas as pd
 import pytest

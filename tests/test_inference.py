@@ -6,7 +6,6 @@ import numpy as np
 import pytest
 
 from laughter_detection_icsi_tpu import inference, models
-from laughter_detection_icsi_tpu.config import FEAT
 from laughter_detection_icsi_tpu.data import audio
 from laughter_detection_icsi_tpu.ops import fbank as fb
 
