@@ -51,6 +51,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "(not bit-parity; models/fully_conv.py)")
     p.add_argument("--random_init", action="store_true",
                    help="skip checkpoint loading (smoke tests/benchmarks)")
+    p.add_argument("--benchmark", type=int, default=0, metavar="N",
+                   help="measure the realtime factor over N runs and exit "
+                        "(reference calc_real_time_factor, "
+                        "segment_laughter.py:178-197)")
     return p
 
 
@@ -147,6 +151,14 @@ def main(argv: Optional[List[str]] = None) -> int:
 
     if not args.input_audio_file:
         raise SystemExit("--input_audio_file is required (or use --interactive)")
+    if args.benchmark:
+        rtf = inference.calc_real_time_factor(
+            pipe, args.input_audio_file, iterations=args.benchmark,
+            thresholds=thresholds, min_lengths=min_lengths, channel=args.channel,
+        )
+        print(f"Real-time factor over {args.benchmark} runs: {rtf:.6f} "
+              f"({1.0 / rtf:.1f}x realtime)")
+        return 0
     instance_dict, took = pipe.segment_file(
         args.input_audio_file,
         thresholds=thresholds,

@@ -163,14 +163,24 @@ def load_checkpoint(path: str) -> Dict[str, Any]:
         out = load_reference_checkpoint(path)
         out["opt_state"] = None
         return out
-    with np.load(path, allow_pickle=False) as data:
-        meta = json.loads(str(data["__meta__"]))
-        trees: Dict[str, Dict[str, np.ndarray]] = {"params": {}, "state": {}, "opt": {}}
-        for key in data.files:
-            if key == "__meta__":
-                continue
-            prefix, _, rest = key.partition("/")
-            trees[prefix][rest] = data[key]
+    import zipfile
+
+    try:
+        with np.load(path, allow_pickle=False) as data:
+            meta = json.loads(str(data["__meta__"]))
+            trees: Dict[str, Dict[str, np.ndarray]] = {
+                "params": {}, "state": {}, "opt": {},
+            }
+            for key in data.files:
+                if key == "__meta__":
+                    continue
+                prefix, _, rest = key.partition("/")
+                trees[prefix][rest] = data[key]
+    except (ValueError, OSError, EOFError, KeyError, zipfile.BadZipFile) as e:
+        raise ValueError(
+            f"{path}: corrupt or unreadable checkpoint ({e}); writes are "
+            "atomic, so a stale .tmp sibling may hold a partial save"
+        ) from e
     return {
         "params": unflatten_tree(trees["params"]),
         "state": unflatten_tree(trees["state"]),

@@ -57,3 +57,10 @@ def test_convert_checkpoint_roundtrip(tmp_path):
         jax.tree_util.tree_leaves(loaded["params"]), jax.tree_util.tree_leaves(params)
     ):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_corrupt_checkpoint_error(tmp_path):
+    p = tmp_path / "last.ckpt.npz"
+    p.write_bytes(b"PK\x03\x04 definitely not a real npz")
+    with pytest.raises(ValueError, match="corrupt or unreadable"):
+        ckpt.load_checkpoint(str(p))
