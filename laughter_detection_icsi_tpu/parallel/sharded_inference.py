@@ -65,12 +65,13 @@ class ShardedPipeline:
 
     # ------------------------------------------------------------------ #
 
-    def _graphs(self):
+    def _graphs(self, int16_in: bool = False):
         """Two jitted graphs (one compiled shape for any audio length —
         channels stream through fixed-size buckets with a window-1 halo,
         exactly like inference.LaughterPipeline)."""
-        if self._jitted:
-            return self._jitted[0]
+        key = ("win", int16_in)
+        if key in self._jitted:
+            return self._jitted[key]
         cfg = dataclasses.replace(self.feat_cfg, snip_edges=True)
         shift = cfg.frame_shift_samples
         flen = cfg.frame_length_samples
@@ -90,6 +91,8 @@ class ShardedPipeline:
 
         def featurize(waves: jnp.ndarray, valid_frames: jnp.ndarray) -> jnp.ndarray:
             # waves [C, wave_len] (sharded on C) -> feats [C, feat_rows, F]
+            if int16_in:
+                waves = waves.astype(jnp.float32) * (1.0 / 32768.0)
             feats = fbank_ops.fbank(waves, cfg)
             mask = jnp.arange(ext)[None, :] < valid_frames[:, None]
             feats = jnp.where(mask[:, :, None], feats, 0.0)
@@ -112,13 +115,13 @@ class ShardedPipeline:
         )
 
         graphs = (featurize, chunk_probs, wave_len)
-        self._jitted[0] = graphs
+        self._jitted[key] = graphs
         return graphs
 
-    def _fc_graph(self, total_frames: int):
+    def _fc_graph(self, total_frames: int, int16_in: bool = False):
         """Fused-conv whole-track graph, channel axis sharded
         (settings.mode == 'fused_conv'; see models/fully_conv.py)."""
-        key = ("fc", total_frames)
+        key = ("fc", total_frames, int16_in)
         if key in self._jitted:
             return self._jitted[key]
         from laughter_detection_icsi_tpu.models.fully_conv import fully_conv_probs
@@ -134,6 +137,8 @@ class ShardedPipeline:
         ch = mesh_lib.data_sharding(self.mesh)
 
         def graph(waves: jnp.ndarray, valid_frames: jnp.ndarray) -> jnp.ndarray:
+            if int16_in:
+                waves = waves.astype(jnp.float32) * (1.0 / 32768.0)
             feats = fbank_ops.fbank(waves, cfg)  # [C, total, F]
             mask = jnp.arange(total_frames)[None, :] < valid_frames[:, None]
             feats = jnp.where(mask[:, :, None], feats, 0.0).astype(compute_dtype)
@@ -156,9 +161,11 @@ class ShardedPipeline:
         """
         if not waves:
             return []
+        int16_in = all(np.asarray(w).dtype == np.int16 for w in waves)
+        dtype = np.int16 if int16_in else np.float32
         padded_list, ts = [], []
         for w in waves:
-            p, t = host_pad_waveform(np.asarray(w, dtype=np.float32), self.feat_cfg)
+            p, t = host_pad_waveform(np.asarray(w).astype(dtype), self.feat_cfg)
             padded_list.append(p)
             ts.append(t)
         t_max = max(ts)
@@ -169,8 +176,8 @@ class ShardedPipeline:
         if self.settings.mode == "fused_conv":
             b = self.settings.bucket_frames
             total = max(b, -(-t_max // b) * b)
-            graph, wave_len = self._fc_graph(total)
-            batch = np.zeros((c_pad, wave_len), dtype=np.float32)
+            graph, wave_len = self._fc_graph(total, int16_in)
+            batch = np.zeros((c_pad, wave_len), dtype=dtype)
             valid = np.zeros(c_pad, dtype=np.int32)
             for i, (p, t) in enumerate(zip(padded_list, ts)):
                 batch[i, : len(p)] = p
@@ -178,7 +185,7 @@ class ShardedPipeline:
             sharded = mesh_lib.shard_batch({"w": batch, "v": valid}, self.mesh)
             probs = np.asarray(graph(sharded["w"], sharded["v"]))
             return [probs[i, : ts[i]] for i in range(c)]
-        featurize, chunk_probs, wave_len = self._graphs()
+        featurize, chunk_probs, wave_len = self._graphs(int16_in)
         bucket = self.settings.bucket_frames
         window = self.settings.window
         chunk = self.settings.chunk
@@ -188,7 +195,7 @@ class ShardedPipeline:
         pieces = []
         for k in range(-(-t_max // bucket)):
             lo = k * bucket * shift
-            batch = np.zeros((c_pad, wave_len), dtype=np.float32)
+            batch = np.zeros((c_pad, wave_len), dtype=dtype)
             valid = np.zeros(c_pad, dtype=np.int32)
             for i, (p, t) in enumerate(zip(padded_list, ts)):
                 src = p[lo : lo + wave_len]
@@ -212,9 +219,20 @@ class ShardedPipeline:
         """All channels of one meeting in one batch.  Returns (probs per
         channel, durations).  Decode goes through the native C++ runtime's
         thread pool when available (runtime/native.py)."""
+        from laughter_detection_icsi_tpu.data import audio as audio_io
         from laughter_detection_icsi_tpu.runtime import native
 
-        decoded = native.read_batch(audio_paths, channels=[channel] * len(audio_paths))
+        metas = [audio_io.info(p) for p in audio_paths]
+        if all(m.encoding == "pcm" and m.sample_bytes == 2 for m in metas):
+            # 16-bit PCM ships to the device raw (half the transfer bytes,
+            # scaled on device — identical numerics).
+            decoded = [
+                audio_io.read_int16(p, channel=channel) for p in audio_paths
+            ]
+        else:
+            decoded = native.read_batch(
+                audio_paths, channels=[channel] * len(audio_paths)
+            )
         waves = [w for w, _sr in decoded]
         durations = [len(w) / sr for w, sr in decoded]
         return self.probs_for_waveforms(waves), durations

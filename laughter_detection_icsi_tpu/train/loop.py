@@ -282,7 +282,10 @@ class TrainLoop:
         Returns (params, state, opt_state, mean_train_loss)."""
         if rng is None:
             rng = jax.random.PRNGKey(self.epoch)
-        total_loss = 0.0
+        # Losses stay ON DEVICE between log points: float(loss) every step
+        # would force a device->host sync per batch and stall the dispatch
+        # pipeline (the async-dispatch win of the jitted step).
+        device_losses: List[jnp.ndarray] = []
         num_batches = 0
         t0 = time.perf_counter()
         for batch in train_batches:
@@ -290,7 +293,7 @@ class TrainLoop:
             params, state, opt_state, metrics = self.trainer.train_batch(
                 params, state, opt_state, batch, step_rng
             )
-            total_loss += float(metrics["loss"])
+            device_losses.append(metrics["loss"])
             num_batches += 1
             self.global_step += 1
             if self.log_frequency and self.global_step % self.log_frequency == 0:
@@ -325,7 +328,9 @@ class TrainLoop:
                 f"({num_batches / max(dt, 1e-9):.1f} it/s)",
                 flush=True,
             )
-        mean_loss = total_loss / max(num_batches, 1)
+        mean_loss = (
+            float(np.mean([float(l) for l in device_losses])) if device_losses else 0.0
+        )
         return params, state, opt_state, mean_loss
 
     def flush_metrics(self, path: str) -> None:

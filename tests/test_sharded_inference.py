@@ -69,3 +69,16 @@ def test_sharded_meeting_from_files(small_model, settings, rng, tmp_path):
     assert len(probs) == 2
     assert durations == [pytest.approx(2.0), pytest.approx(2.0)]
     assert all(p.shape == (200,) for p in probs)
+
+
+def test_sharded_int16_matches_float(small_model, settings, rng):
+    model, params, state = small_model
+    sharded = ShardedPipeline(
+        model=model, params=params, state=state, mesh=make_mesh(8), settings=settings
+    )
+    w = (rng.standard_normal(16000) * 0.1).astype(np.float32)
+    pcm = (np.clip(w, -1, 1) * 32767).astype(np.int16)
+    as_float = pcm.astype(np.float32) / 32768.0
+    a = sharded.probs_for_waveforms([pcm])[0]
+    b = sharded.probs_for_waveforms([as_float])[0]
+    np.testing.assert_allclose(a, b, atol=1e-6)
