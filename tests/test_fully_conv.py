@@ -17,9 +17,11 @@ from laughter_detection_icsi_tpu.models.fully_conv import fully_conv_probs
 
 @pytest.fixture(scope="module")
 def model_and_params():
+    # tiny filter plan for speed; test_isolated_full_size covers the
+    # production geometry once
     model = models.build(
-        "ResNetBigger", dropout_rate=0.0, linear_layer_size=48,
-        filter_sizes=(64, 32, 16, 16),
+        "ResNetBigger", dropout_rate=0.0, linear_layer_size=24,
+        filter_sizes=(8, 8, 8, 8),
     )
     params, state = model.init(jax.random.PRNGKey(11))
     # make BN running stats non-trivial so the affine fold is exercised
@@ -113,3 +115,18 @@ def test_sharded_fused_conv_matches_single(model_and_params, rng):
         want = single.probs_for_waveform(w)
         assert g.shape == want.shape
         np.testing.assert_allclose(g, want, rtol=1e-4, atol=1e-5)
+
+
+def test_isolated_full_size(rng):
+    """One full-geometry (production filter plan) check of the dilation math."""
+    model = models.build(
+        "ResNetBigger", dropout_rate=0.0, linear_layer_size=48,
+        filter_sizes=(64, 32, 16, 16),
+    )
+    params, state = model.init(jax.random.PRNGKey(2))
+    feats = np.zeros((140, 44), np.float32)
+    win = (rng.standard_normal((100, 44)) * 0.5).astype(np.float32)
+    feats[13 : 13 + 100] = win
+    want, _ = model.apply(params, state, win[None, None, :, :], train=False)
+    got = np.asarray(fully_conv_probs(params, state, jnp.asarray(feats)))
+    assert got[13] == pytest.approx(float(want[0]), abs=1e-3)

@@ -11,7 +11,11 @@ from laughter_detection_icsi_tpu.parallel import ShardedPipeline, make_mesh
 
 @pytest.fixture(scope="module")
 def small_model():
-    model = models.build("ResNetBigger", dropout_rate=0.0, linear_layer_size=48)
+    # tiny filter plan — sharding equivalence is size-independent (1-core CPU)
+    model = models.build(
+        "ResNetBigger", dropout_rate=0.0, linear_layer_size=24,
+        filter_sizes=(8, 8, 8, 8),
+    )
     params, state = model.init(jax.random.PRNGKey(7))
     return model, params, state
 
