@@ -110,8 +110,17 @@ def fbank_pallas(
     cfg: FeatConfig = FEAT,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """[n] float waveform -> [T, num_filters] log-mel, snip_edges=False
-    semantics like ops/fbank.py (host symmetric padding applied here).
+    """[..., n] float waveform -> [..., T, num_filters] log-mel,
+    snip_edges=False semantics like ops/fbank.py (host symmetric padding
+    applied here).
+
+    Batched inputs (e.g. the [C, n] channel batches of
+    parallel/sharded_inference.py) flatten onto the frame-block grid axis:
+    each channel's row-shifted views stack along the frame dimension, so the
+    kernel is identical for any batch size — one grid of C x cdiv(T, BLOCK)
+    auto-pipelined blocks.  Frame counts are per-length, so all leading
+    batch entries share the trailing sample count (true for the padded
+    channel batches).
 
     ``interpret=True`` runs the kernel in the Pallas interpreter (CPU tests).
     """
@@ -125,10 +134,11 @@ def fbank_pallas(
             f"(got shift={shift}, frame_length={flen})"
         )
 
+    batch_shape = waveform.shape[:-1]
     n = waveform.shape[-1]
     t = fbank_ref.num_frames(n, cfg)
     if t == 0:
-        return jnp.zeros((0, cfg.num_filters), jnp.float32)
+        return jnp.zeros((*batch_shape, 0, cfg.num_filters), jnp.float32)
     if n < flen:
         # Degenerate sub-frame input: the reflection pad is shorter than the
         # frame and semantics reduce to the XLA path's clamped gather —
@@ -145,28 +155,32 @@ def fbank_pallas(
             axis=-1,
         )
 
+    wf = waveform.reshape(-1, waveform.shape[-1])
+    b = wf.shape[0]
     n_blocks = pl.cdiv(t, BLOCK)
     rows_needed = n_blocks * BLOCK + 2
     need = rows_needed * shift
     wave = jnp.pad(
-        waveform.astype(jnp.float32), (0, max(0, need - waveform.shape[-1]))
-    )[:need].reshape(rows_needed, shift)
-    # The three row-shifted views, padded to the aligned ROW width (XLA
-    # fuses pad+slice; pad lanes hit zero basis rows).
-    pad = ((0, 0), (0, ROW - shift))
-    p1 = jnp.pad(wave[: n_blocks * BLOCK], pad)
-    p2 = jnp.pad(wave[1 : n_blocks * BLOCK + 1], pad)
-    p3 = jnp.pad(wave[2 : n_blocks * BLOCK + 2], pad)
+        wf.astype(jnp.float32), ((0, 0), (0, max(0, need - wf.shape[-1])))
+    )[:, :need].reshape(b, rows_needed, shift)
+    # The three row-shifted views, padded to the aligned ROW width and
+    # flattened over the batch (XLA fuses pad+slice; pad lanes hit zero
+    # basis rows).
+    pad = ((0, 0), (0, 0), (0, ROW - shift))
+    rows = b * n_blocks * BLOCK
+    p1 = jnp.pad(wave[:, : n_blocks * BLOCK], pad).reshape(rows, ROW)
+    p2 = jnp.pad(wave[:, 1 : n_blocks * BLOCK + 1], pad).reshape(rows, ROW)
+    p3 = jnp.pad(wave[:, 2 : n_blocks * BLOCK + 2], pad).reshape(rows, ROW)
 
     c1, c2, c3, s1, s2, s3, mel_pad = _kernel_constants(cfg_snip)
     view_spec = pl.BlockSpec((BLOCK, ROW), lambda i: (i, 0), memory_space=pltpu.VMEM)
     const_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         functools.partial(_fbank_kernel, log_floor=cfg.energy_floor),
-        grid=(n_blocks,),
+        grid=(b * n_blocks,),
         in_specs=[view_spec] * 3 + [const_spec] * 7,
         out_specs=pl.BlockSpec((BLOCK, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n_blocks * BLOCK, LANES), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((rows, LANES), jnp.float32),
         interpret=interpret,
     )(
         p1, p2, p3,
@@ -174,7 +188,8 @@ def fbank_pallas(
         jnp.asarray(s1), jnp.asarray(s2), jnp.asarray(s3),
         jnp.asarray(mel_pad),
     )
-    return out[:t, : cfg.num_filters]
+    out = out.reshape(b, n_blocks * BLOCK, LANES)[:, :t, : cfg.num_filters]
+    return out.reshape(*batch_shape, t, cfg.num_filters)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "interpret"))

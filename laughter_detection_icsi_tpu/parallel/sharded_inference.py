@@ -22,7 +22,7 @@ from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh
+from jax.sharding import Mesh, PartitionSpec as P
 
 from laughter_detection_icsi_tpu.config import FEAT, FeatConfig
 from laughter_detection_icsi_tpu.inference import InferenceSettings, host_pad_waveform
@@ -63,13 +63,45 @@ class ShardedPipeline:
     def n_shards(self) -> int:
         return int(self.mesh.devices.size)
 
+    def _use_pallas(self) -> bool:
+        use = self.settings.use_pallas_fbank
+        if use is None:
+            use = jax.devices()[0].platform == "tpu"
+        return use
+
+    def _sharded_fbank(self, cfg: FeatConfig):
+        """Per-device fused Pallas featurizer over the local channel shard.
+
+        pallas_call is a custom call XLA cannot partition, so the kernel is
+        mapped over the mesh explicitly: each device featurizes its own
+        [C/n_shards, wave_len] block — no collectives, channels are
+        independent (SURVEY.md §5.7)."""
+        from laughter_detection_icsi_tpu.ops.fbank_pallas import fbank_pallas
+
+        interpret = jax.devices()[0].platform != "tpu"
+        return jax.shard_map(
+            lambda w: fbank_pallas(w, cfg, interpret=interpret),
+            mesh=self.mesh,
+            in_specs=P(mesh_lib.DATA_AXIS),
+            out_specs=P(mesh_lib.DATA_AXIS),
+            # No collectives inside (channels are independent) and
+            # pallas_call's out_shape carries no vma annotation.
+            check_vma=False,
+        )
+
     # ------------------------------------------------------------------ #
 
-    def _graphs(self, int16_in: bool = False):
+    def _graphs(self, int16_in: bool = False, c_local: int = 1):
         """Two jitted graphs (one compiled shape for any audio length —
         channels stream through fixed-size buckets with a window-1 halo,
-        exactly like inference.LaughterPipeline)."""
-        key = ("win", int16_in)
+        exactly like inference.LaughterPipeline).
+
+        ``c_local`` is the channel count per device: the classifier vmaps
+        over local channels, so the per-channel chunk shrinks to keep the
+        per-device window count (= MXU batch = activation footprint) at the
+        tuned ``settings.chunk`` regardless of how many channels share a
+        chip."""
+        key = ("win", int16_in, c_local)
         if key in self._jitted:
             return self._jitted[key]
         cfg = dataclasses.replace(self.feat_cfg, snip_edges=True)
@@ -77,7 +109,7 @@ class ShardedPipeline:
         flen = cfg.frame_length_samples
         bucket = self.settings.bucket_frames
         window = self.settings.window
-        chunk = self.settings.chunk
+        chunk = max(1, self.settings.chunk // max(1, c_local))
         ext = bucket + window - 1
         wave_len = (ext - 1) * shift + flen
         n_chunks = -(-bucket // chunk)
@@ -89,11 +121,17 @@ class ShardedPipeline:
         repl = mesh_lib.replicated(self.mesh)
         ch = mesh_lib.data_sharding(self.mesh)  # shard leading channel axis
 
+        fbank_fn = (
+            self._sharded_fbank(cfg)
+            if self._use_pallas()
+            else lambda w: fbank_ops.fbank(w, cfg)
+        )
+
         def featurize(waves: jnp.ndarray, valid_frames: jnp.ndarray) -> jnp.ndarray:
             # waves [C, wave_len] (sharded on C) -> feats [C, feat_rows, F]
             if int16_in:
                 waves = waves.astype(jnp.float32) * (1.0 / 32768.0)
-            feats = fbank_ops.fbank(waves, cfg)
+            feats = fbank_fn(waves)
             mask = jnp.arange(ext)[None, :] < valid_frames[:, None]
             feats = jnp.where(mask[:, :, None], feats, 0.0)
             return jnp.pad(feats, ((0, 0), (0, feat_rows - ext), (0, 0)))
@@ -135,11 +173,16 @@ class ShardedPipeline:
             jnp.bfloat16 if self.settings.precision == "bfloat16" else jnp.float32
         )
         ch = mesh_lib.data_sharding(self.mesh)
+        fbank_fn = (
+            self._sharded_fbank(cfg)
+            if self._use_pallas()
+            else lambda w: fbank_ops.fbank(w, cfg)
+        )
 
         def graph(waves: jnp.ndarray, valid_frames: jnp.ndarray) -> jnp.ndarray:
             if int16_in:
                 waves = waves.astype(jnp.float32) * (1.0 / 32768.0)
-            feats = fbank_ops.fbank(waves, cfg)  # [C, total, F]
+            feats = fbank_fn(waves)  # [C, total, F]
             mask = jnp.arange(total_frames)[None, :] < valid_frames[:, None]
             feats = jnp.where(mask[:, :, None], feats, 0.0).astype(compute_dtype)
             probs = jax.vmap(lambda f: fully_conv_probs(params, state, f))(feats)
@@ -185,10 +228,11 @@ class ShardedPipeline:
             sharded = mesh_lib.shard_batch({"w": batch, "v": valid}, self.mesh)
             probs = np.asarray(graph(sharded["w"], sharded["v"]))
             return [probs[i, : ts[i]] for i in range(c)]
-        featurize, chunk_probs, wave_len = self._graphs(int16_in)
+        c_local = c_pad // self.n_shards
+        featurize, chunk_probs, wave_len = self._graphs(int16_in, c_local)
         bucket = self.settings.bucket_frames
         window = self.settings.window
-        chunk = self.settings.chunk
+        chunk = max(1, self.settings.chunk // max(1, c_local))
         n_chunks = -(-bucket // chunk)
         shift = dataclasses.replace(self.feat_cfg, snip_edges=True).frame_shift_samples
 

@@ -31,6 +31,20 @@ def test_pallas_multi_block(rng):
     np.testing.assert_allclose(got, ref, atol=2e-4, rtol=1e-4)
 
 
+def test_pallas_batched_matches_per_channel(rng):
+    # [C, n] channel batches (the sharded-inference shape) flatten onto the
+    # frame-block grid; every channel must match its own 1-D run exactly.
+    n = 16000 + 777
+    batch = (rng.standard_normal((3, n)) * 0.1).astype(np.float32)
+    got = np.asarray(fbank_pallas(batch, interpret=True))
+    assert got.shape == (3, fb.num_frames(n), FEAT.num_filters)
+    for c in range(3):
+        one = np.asarray(fbank_pallas(batch[c], interpret=True))
+        np.testing.assert_array_equal(got[c], one)
+    ref = np.asarray(fb.fbank_jit(batch))
+    np.testing.assert_allclose(got, ref, atol=2e-4, rtol=1e-4)
+
+
 def test_pallas_rejects_odd_geometry():
     cfg = dataclasses.replace(FEAT, frame_length=0.05)  # flen > 3*shift
     with pytest.raises(NotImplementedError, match="assumes"):

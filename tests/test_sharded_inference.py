@@ -86,3 +86,30 @@ def test_sharded_int16_matches_float(small_model, settings, rng):
     a = sharded.probs_for_waveforms([pcm])[0]
     b = sharded.probs_for_waveforms([as_float])[0]
     np.testing.assert_allclose(a, b, atol=1e-6)
+
+
+@pytest.mark.parametrize("mode", ["windows", "fused_conv"])
+def test_sharded_pallas_fbank_matches_xla(small_model, rng, mode):
+    # The fused Pallas featurizer mapped over the mesh (shard_map, interpret
+    # mode on CPU) must reproduce the XLA-featurizer sharded pipeline.
+    model, params, state = small_model
+    base = inference.InferenceSettings(chunk=128, bucket_frames=256, mode=mode)
+    xla = ShardedPipeline(
+        model=model, params=params, state=state, mesh=make_mesh(8),
+        settings=base,
+    )
+    pallas = ShardedPipeline(
+        model=model, params=params, state=state, mesh=make_mesh(8),
+        settings=inference.InferenceSettings(
+            chunk=128, bucket_frames=256, mode=mode, use_pallas_fbank=True
+        ),
+    )
+    waves = [
+        (rng.standard_normal(16000 * 2) * 0.1).astype(np.float32),
+        (rng.standard_normal(16000 + 800) * 0.1).astype(np.float32),
+    ]
+    want = xla.probs_for_waveforms(waves)
+    got = pallas.probs_for_waveforms(waves)
+    for w, g in zip(want, got):
+        assert g.shape == w.shape
+        np.testing.assert_allclose(g, w, rtol=1e-4, atol=1e-5)
