@@ -11,8 +11,12 @@ Prints ONE JSON line:
   vs_baseline  — value / 500 (fraction of the BASELINE.json north-star target
                  of >=500x realtime; the reference publishes no RTF of its
                  own — BASELINE.md)
+
+Optional modes (informational; the driver runs the default):
+  python bench.py --train   — jitted train-step throughput (samples/sec/chip)
 """
 
+import argparse
 import json
 import time
 
@@ -38,6 +42,56 @@ def _wait_for_healthy_d2h(max_wait_s: float = 300.0) -> bool:
         if time.monotonic() > deadline:
             return False
         time.sleep(30.0)
+
+
+def bench_train() -> None:
+    """Jitted train-step throughput on the flagship model (resnet_base
+    ResNetBigger, BCE+Adam, dropout 0.5 — the reference train.py hot loop).
+    Reported as samples/sec/chip; one sample = one 1 s log-mel window, so the
+    number is also audio-seconds trained per second."""
+    import jax
+    import jax.numpy as jnp
+
+    from laughter_detection_icsi_tpu import models
+    from laughter_detection_icsi_tpu.train.loop import Trainer
+
+    model = models.build(
+        "ResNetBigger",
+        dropout_rate=0.5,
+        linear_layer_size=48,
+        filter_sizes=(64, 32, 16, 16),
+    )
+    trainer = Trainer(model)
+    params, state, opt_state = trainer.init(jax.random.PRNGKey(0))
+    on_accel = jax.devices()[0].platform not in ("cpu",)
+    batch = 1024 if on_accel else 32
+    iters = 50 if on_accel else 5
+
+    rng = np.random.default_rng(23)
+    x = jnp.asarray(rng.standard_normal((batch, 100, 44)), jnp.float32)[:, None]
+    y = jnp.asarray(rng.integers(0, 2, batch), jnp.float32)
+    key = jax.random.PRNGKey(1)
+    keys = [jax.random.fold_in(key, i) for i in range(iters)]  # off the clock
+
+    p, s, o, m = trainer._train_step(params, state, opt_state, x, y, key)
+    jax.block_until_ready(m["loss"])  # compile off the clock
+    t0 = time.perf_counter()
+    for i in range(iters):
+        p, s, o, m = trainer._train_step(p, s, o, x, y, keys[i])
+    jax.block_until_ready(m["loss"])
+    dt = time.perf_counter() - t0
+
+    samples_per_s = batch * iters / dt
+    print(
+        json.dumps(
+            {
+                "metric": "train_step_throughput",
+                "value": round(samples_per_s, 1),
+                "unit": "samples_per_sec_per_chip",
+                "vs_baseline": None,
+            }
+        )
+    )
 
 
 def main() -> None:
@@ -93,4 +147,11 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument(
+        "--train",
+        action="store_true",
+        help="measure train-step throughput instead of inference RTF",
+    )
+    args = ap.parse_args()
+    bench_train() if args.train else main()
