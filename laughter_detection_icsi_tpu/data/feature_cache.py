@@ -34,9 +34,13 @@ def compute_track_features(
     cfg: FeatConfig = FEAT,
     bucket_frames: int = 30000,
     dtype=np.float32,
+    use_pallas: bool | None = None,
 ) -> np.ndarray:
     """[n] waveform -> [T, num_filters] features via fixed-shape jitted
-    buckets (static shapes for XLA; one compile per bucket size)."""
+    buckets (static shapes for XLA; one compile per bucket size).
+
+    ``use_pallas=None`` auto-selects the fused Pallas kernel on TPU and the
+    XLA featurizer elsewhere (same numerics to ~2e-5, like inference)."""
     import dataclasses as _dc
 
     import jax
@@ -46,6 +50,14 @@ def compute_track_features(
     t = fbank_ops.num_frames(n, cfg)
     if t == 0:
         return np.zeros((0, cfg.num_filters), dtype=dtype)
+    if use_pallas is None:
+        use_pallas = jax.devices()[0].platform == "tpu"
+    if use_pallas:
+        from laughter_detection_icsi_tpu.ops.fbank_pallas import fbank_pallas_jit
+
+        featurize = fbank_pallas_jit
+    else:
+        featurize = fbank_ops.fbank_jit
     snip = _dc.replace(cfg, snip_edges=True)
     left, right = fbank_ops.pad_amounts(n, cfg)
     padded = np.concatenate(
@@ -63,7 +75,7 @@ def compute_track_features(
         lo = done * shift
         hi = min(lo + bucket_wave, len(padded))
         buf[: hi - lo] = padded[lo:hi]
-        feats = fbank_ops.fbank_jit(jnp.asarray(buf), snip)
+        feats = featurize(jnp.asarray(buf), snip)
         out[done : done + todo] = np.asarray(feats[:todo], dtype=dtype)
         done += todo
     return out

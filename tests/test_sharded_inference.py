@@ -113,3 +113,26 @@ def test_sharded_pallas_fbank_matches_xla(small_model, rng, mode):
     for w, g in zip(want, got):
         assert g.shape == w.shape
         np.testing.assert_allclose(g, w, rtol=1e-4, atol=1e-5)
+
+
+def test_sharded_many_channels_per_device(small_model, rng):
+    # 4 channels on a 2-device mesh -> 2 channels/device: the per-channel
+    # chunk halves so the per-device window batch stays at settings.chunk
+    # (the fix for the multi-channel-per-chip OOM), and results still match
+    # the single-channel pipeline exactly.
+    model, params, state = small_model
+    settings = inference.InferenceSettings(chunk=128, bucket_frames=256)
+    single = inference.LaughterPipeline(model, params, state, settings=settings)
+    sharded = ShardedPipeline(
+        model=model, params=params, state=state, mesh=make_mesh(2),
+        settings=settings,
+    )
+    waves = [
+        (rng.standard_normal(16000 + 1000 * i) * 0.1).astype(np.float32)
+        for i in range(4)
+    ]
+    got = sharded.probs_for_waveforms(waves)
+    for w, g in zip(waves, got):
+        want = single.probs_for_waveform(w)
+        assert g.shape == want.shape
+        np.testing.assert_allclose(g, want, rtol=1e-4, atol=1e-5)
