@@ -112,7 +112,7 @@ def main() -> None:
     audio_seconds = 600 if on_accel else 12  # 10 min on TPU; tiny on (1-core) CPU
     settings = inference.InferenceSettings(
         chunk=6144 if on_accel else 512,
-        bucket_frames=30720 if on_accel else 1024,  # ~5 min/bucket, streamed
+        bucket_frames=6144 if on_accel else 1024,  # ~61 s/bucket, streamed
         precision="bfloat16" if on_accel else "float32",
     )
     pipe = inference.LaughterPipeline(model, params, state, settings=settings)

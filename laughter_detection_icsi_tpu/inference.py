@@ -36,11 +36,11 @@ from laughter_detection_icsi_tpu.ops import smoothing, windows
 @dataclasses.dataclass(frozen=True)
 class InferenceSettings:
     window: int = 100  # frames per model input (config.FEAT.num_samples)
-    # Measured sweet spot on TPU v5e: chunks beyond ~6k windows thrash HBM
-    # (stem activations: 64ch x 100x44 x chunk), smaller ones underfill the
-    # MXU; 5 chunks tile one bucket exactly.
+    # Measured sweet spot on TPU v5e (shared-stem mode): one chunk per
+    # bucket at ~6k windows — larger buckets push the whole-track stems
+    # past an XLA tiling cliff, smaller chunks underfill the MXU.
     chunk: int = 6144  # windows evaluated per device step
-    bucket_frames: int = 30720  # frames per streamed shape bucket (~5 min)
+    bucket_frames: int = 6144  # frames per streamed shape bucket (~61 s)
     precision: str = "float32"  # 'float32' | 'bfloat16' (bf16: MXU fast path)
     # Ship PCM to the device as int16 and scale by 1/32768 on device —
     # numerically identical to decoding on host (16-bit sources) at half the
@@ -49,6 +49,12 @@ class InferenceSettings:
     # None = auto: the fused Pallas featurizer on TPU (ops/fbank_pallas.py),
     # the XLA featurizer elsewhere.  Both match to ~2e-5.
     use_pallas_fbank: Optional[bool] = None
+    # Shared-stem windows mode (models/shared_stem.py): compute the stride-1
+    # stem once per track and recompute only the 5 zero-pad-contaminated
+    # rows per window edge — per-window-exact numerics (bit-identical on
+    # CPU, pinned by tests) at ~4.5x fewer FLOPs.  None = auto (on for the
+    # ResNet family); False forces the naive window batch.
+    shared_stem: Optional[bool] = None
     # 'windows'    — reference-exact: the conv stack runs per 100-frame
     #                window (checkpoint parity).
     # 'fused_conv' — à-trous fast path: the conv stack runs ONCE over the
@@ -125,6 +131,17 @@ class LaughterPipeline:
 
         return fn
 
+    def _use_shared_stem(self) -> bool:
+        use = self.settings.shared_stem
+        if use is None:
+            from laughter_detection_icsi_tpu.models import shared_stem
+
+            use = (
+                self.model.name in shared_stem.SUPPORTED_MODELS
+                and self.settings.window > 2 * shared_stem.DEPTH
+            )
+        return use
+
     def _graphs(self, int16_in: bool = False):
         """Two jitted graphs, shared by every input length.
 
@@ -161,9 +178,14 @@ class LaughterPipeline:
         use_pallas = self.settings.use_pallas_fbank
         if use_pallas is None:
             use_pallas = jax.devices()[0].platform == "tpu"
+        use_shared = self._use_shared_stem()
+        params, state = self.params, self.state
+        compute_dtype = (
+            jnp.bfloat16 if self.settings.precision == "bfloat16" else jnp.float32
+        )
 
         @jax.jit
-        def featurize(wave: jnp.ndarray, valid_frames: jnp.ndarray) -> jnp.ndarray:
+        def featurize(wave: jnp.ndarray, valid_frames: jnp.ndarray):
             if int16_in:
                 wave = wave.astype(jnp.float32) * (1.0 / 32768.0)
             if use_pallas:
@@ -174,12 +196,43 @@ class LaughterPipeline:
                 feats = fbank_ops.fbank(wave, cfg)
             mask = jnp.arange(ext) < valid_frames
             feats = jnp.where(mask[:, None], feats, 0.0)
-            return jnp.pad(feats, ((0, feat_rows - ext), (0, 0)))
+            feats = jnp.pad(feats, ((0, feat_rows - ext), (0, 0)))
+            if use_shared:
+                from laughter_detection_icsi_tpu.models import shared_stem
 
-        @jax.jit
-        def chunk_probs(feats: jnp.ndarray, start: jnp.ndarray) -> jnp.ndarray:
-            wins = windows.extract_windows(feats, start, chunk, window)
-            return window_fn(wins)
+                feats = feats.astype(compute_dtype)
+                # Stems once per bucket; chunks read interior rows from them.
+                track1 = shared_stem.stem_track(params, state, feats)
+                if shared_stem.supports_track2(window):
+                    track2 = shared_stem.stem_track2(params, state, track1)
+                    return feats, track1, track2
+                return feats, track1
+            return feats
+
+        if use_shared:
+
+            @jax.jit
+            def chunk_probs(feats_tracks, start: jnp.ndarray) -> jnp.ndarray:
+                from laughter_detection_icsi_tpu.models import shared_stem
+
+                if len(feats_tracks) == 3:
+                    feats, track1, track2 = feats_tracks
+                    probs = shared_stem.chunk_probs_from_track2(
+                        params, state, track1, track2, feats, start, chunk, window
+                    )
+                else:
+                    feats, track1 = feats_tracks
+                    probs = shared_stem.chunk_probs_from_track(
+                        params, state, track1, feats, start, chunk, window
+                    )
+                return probs.astype(jnp.float32)
+
+        else:
+
+            @jax.jit
+            def chunk_probs(feats: jnp.ndarray, start: jnp.ndarray) -> jnp.ndarray:
+                wins = windows.extract_windows(feats, start, chunk, window)
+                return window_fn(wins)
 
         graphs = (featurize, chunk_probs, wave_len)
         self._jitted[int16_in] = graphs

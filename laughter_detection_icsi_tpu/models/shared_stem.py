@@ -1,0 +1,399 @@
+"""Shared-stem sliding-window inference: exact per-window semantics at
+~4.5x fewer FLOPs than the naive window batch.
+
+The reference classifies one 100-frame window per 10 ms output frame
+(reference datasets.py:72-93), so adjacent windows share 99 of their 100
+rows.  For the stride-1 prefix of the ResNet family — stem conv + the first
+residual stage, 5 of the 9 convs and ~90% of the per-window FLOPs — the
+activations at interior window rows are *the same values* as a single conv
+pass over the whole track: a 3x3 'same' conv only diverges from the track
+computation where its receptive field crosses the window's zero padding,
+and after 5 stacked 3x3 convs that contamination is exactly 5 rows at each
+window edge (receptive-field radius = #convs).  BatchNorm (running stats),
+ReLU and residual adds are per-position, so they commute with splicing.
+
+This module therefore computes, per chunk of windows:
+
+1.  ``stem_track``  — conv1 + stage 1 ONCE over the whole [T, F] track
+    (amortized across all windows; a window's interior rows 5..94 are read
+    straight out of this map),
+2.  ``_band_stem``  — the 5 contaminated rows at each window edge, batched
+    over windows, via convs with one-sided zero padding whose heights
+    telescope 10 -> 9 -> 8 -> 7 -> 6 -> 5 (each conv consumes one row from
+    the un-padded side, reproducing the window's own zero-pad exactly),
+3.  splice bands + interior into the [B, C, 100, F] stage-1 output and run
+    the cheap strided tail (stages 2-4 + head) per window.
+
+Numerics: mathematically identical to the naive per-window forward; float
+results differ only by reduction-order ULPs (pinned to ~1e-6 by tests).
+Inference only (BatchNorm in running-stats mode; dropout 0).
+
+Validity: ResNetBigger / ResNet / ResNetNoBN (stage-1 stride 1, 3x3 convs,
+'same' padding — reference models.py:181-244); any ``filter_sizes``
+(a stage-1 1x1-conv shortcut has no row context and splices exactly).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from laughter_detection_icsi_tpu.models import layers as L
+from laughter_detection_icsi_tpu.models.zoo import _block_apply, _stage_apply
+
+PyTree = Any
+
+#: stride-1 3x3 convs before the first stride-2 conv: stem conv1 + two
+#: residual blocks of stage 1 (2 convs each) = receptive-field radius 5.
+DEPTH = 5
+
+#: contaminated rows per window edge at the stage-2 output (window rows at
+#: the half-resolution scale): the stride-2 conv maps block1 contamination
+#: (5 rows) to ceil(5/2) + 1 = 3 rows, and the three following effective-
+#: dilation-2 convs add one row each -> 6.
+DEPTH2 = 6
+
+#: models whose architecture satisfies the validity conditions above.
+SUPPORTED_MODELS = ("ResNetBigger", "ResNet", "ResNetNoBN")
+
+
+def _bn_eval(x, params, state, with_bn):
+    if not with_bn:
+        return x
+    y, _ = L.batch_norm(x, params, state, train=False)
+    return y
+
+
+def _conv_rows(x, params, pad: Tuple[int, int]):
+    """3x3 conv with one-sided time padding (full 'same' padding in F)."""
+    out = jax.lax.conv_general_dilated(
+        x,
+        params["weight"],
+        window_strides=(1, 1),
+        padding=[pad, (1, 1)],
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+    )
+    if "bias" in params:
+        out = out + params["bias"][None, :, None, None]
+    return out
+
+
+def stem_track(params, state, feats: jnp.ndarray) -> jnp.ndarray:
+    """conv1 + stage 1 over the whole track: [T, F] -> [T, C, F].
+
+    Row t of the result equals the stage-1 output row r of any window w
+    with w + r = t and DEPTH <= r < window - DEPTH (interior rows).  The
+    time-major layout lets chunks gather window interiors without a
+    per-chunk transpose of the multi-GB gathered tensor."""
+    with_bn = "bn1" in params
+    x = feats[None, None, :, :]
+    x = L.conv2d(x, params["conv1"], stride=1, padding=1)
+    x = _bn_eval(x, params.get("bn1"), state.get("bn1"), with_bn)
+    x = jax.nn.relu(x)
+    x, _ = _stage_apply(
+        x, params["block1"], state["block1"], 1, False, with_bn
+    )
+    return jnp.transpose(x[0], (1, 0, 2))
+
+
+def _band_stem(params, state, x: jnp.ndarray, top: bool) -> jnp.ndarray:
+    """The contaminated window-edge rows of the stage-1 output.
+
+    x: [B, 1, 2*DEPTH, F] — the first (``top=True``) or last 2*DEPTH feature
+    rows of each window.  Each conv zero-pads only the window-edge side and
+    stays 'valid' on the interior side, so heights telescope
+    2*DEPTH -> ... -> DEPTH and every surviving row is exactly the window's
+    own computation.  Returns [B, C, DEPTH, F]."""
+    with_bn = "bn1" in params
+    pad = (1, 0) if top else (0, 1)
+
+    def crop(v, n):
+        # Align a residual input of height h with an output of height h - n
+        # (rows are edge-aligned: drop n rows from the interior side).
+        return v[:, :, : v.shape[2] - n, :] if top else v[:, :, n:, :]
+
+    x = _conv_rows(x, params["conv1"], pad)
+    x = _bn_eval(x, params.get("bn1"), state.get("bn1"), with_bn)
+    x = jax.nn.relu(x)
+
+    for b in ("0", "1"):
+        blk_p = params["block1"][b]
+        blk_s = state["block1"].get(b, {})
+        inp = x
+        out = _conv_rows(x, blk_p["conv1"], pad)
+        out = _bn_eval(out, blk_p.get("bn1"), blk_s.get("bn1"), with_bn)
+        out = jax.nn.relu(out)
+        out = _conv_rows(out, blk_p["conv2"], pad)
+        out = _bn_eval(out, blk_p.get("bn2"), blk_s.get("bn2"), with_bn)
+        if "shortcut" in blk_p:
+            sc = L.conv2d(crop(inp, 2), blk_p["shortcut"]["0"], stride=1, padding=0)
+            if with_bn:
+                sc = _bn_eval(
+                    sc, blk_p["shortcut"]["1"], blk_s["shortcut"]["1"], True
+                )
+        else:
+            sc = crop(inp, 2)
+        x = jax.nn.relu(out + sc)
+    return x
+
+
+def _conv_nhcw_hw(x, params, strides, padding):
+    """Conv consuming [B, H, C, W], emitting NCHW, with per-axis strides and
+    explicit per-axis padding pairs."""
+    out = jax.lax.conv_general_dilated(
+        x,
+        params["weight"],
+        window_strides=strides,
+        padding=padding,
+        dimension_numbers=("NHCW", "OIHW", "NCHW"),
+    )
+    if "bias" in params:
+        out = out + params["bias"][None, :, None, None]
+    return out
+
+
+def _conv_dil(x, params, t_dil: int, pad_f: int = 1):
+    """NCHW 3x3 conv, stride 1, time dilation ``t_dil`` ('same' in time)."""
+    out = jax.lax.conv_general_dilated(
+        x,
+        params["weight"],
+        window_strides=(1, 1),
+        padding=[(t_dil, t_dil), (pad_f, pad_f)],
+        rhs_dilation=(t_dil, 1),
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+    )
+    if "bias" in params:
+        out = out + params["bias"][None, :, None, None]
+    return out
+
+
+def stem_track2(params, state, track1: jnp.ndarray) -> jnp.ndarray:
+    """Stage 2 over the whole track, à-trous: [T, C1, F] -> [T, C2, F//2].
+
+    The window's stride-2-in-time convs become stride-1 convs evaluated at
+    EVERY track position (frequency keeps its stride), with the following
+    convs time-dilated by 2 — so position t of the result equals the
+    stage-2 output row m of any window w with w + 2m = t, wherever the
+    receptive field stays in the window interior (DEPTH2 <= m <
+    H2 - DEPTH2).  Same construction as models/fully_conv.py, but spliced
+    with exact per-window edge bands instead of approximating them."""
+    with_bn = "bn1" in params
+    p2, s2 = params["block2"], state["block2"]
+    b0, st0 = p2["0"], s2.get("0", {})
+    x = track1[None]  # [1, T, C1, F] consumed as NHCW
+
+    out = _conv_nhcw_hw(x, b0["conv1"], (1, 2), [(1, 1), (1, 1)])
+    out = _bn_eval(out, b0.get("bn1"), st0.get("bn1"), with_bn)
+    out = jax.nn.relu(out)
+    out = _conv_dil(out, b0["conv2"], t_dil=2)
+    out = _bn_eval(out, b0.get("bn2"), st0.get("bn2"), with_bn)
+    if "shortcut" in b0:
+        sc = _conv_nhcw_hw(x, b0["shortcut"]["0"], (1, 2), [(0, 0), (0, 0)])
+        if with_bn:
+            sc = _bn_eval(sc, b0["shortcut"]["1"], st0["shortcut"]["1"], True)
+    else:  # impossible for stride-2 stages (zoo always adds the shortcut)
+        sc = jnp.transpose(x, (0, 2, 1, 3))
+    x = jax.nn.relu(out + sc)
+
+    b1, st1 = p2["1"], s2.get("1", {})
+    out = _conv_dil(x, b1["conv1"], t_dil=2)
+    out = _bn_eval(out, b1.get("bn1"), st1.get("bn1"), with_bn)
+    out = jax.nn.relu(out)
+    out = _conv_dil(out, b1["conv2"], t_dil=2)
+    out = _bn_eval(out, b1.get("bn2"), st1.get("bn2"), with_bn)
+    x = jax.nn.relu(out + x)
+    return jnp.transpose(x[0], (1, 0, 2))  # [T, C2, F2]
+
+
+def _band2(params, state, band1: jnp.ndarray, strip: jnp.ndarray, top: bool):
+    """Exact stage-2 output rows at one window edge.
+
+    band1: [B, C1, DEPTH, F] from ``_band_stem``; strip: the adjacent
+    interior stage-1 rows gathered from the track, [B, S, C1, F] (NHCW;
+    S = 2*DEPTH2 + 1 for the top edge, 2*DEPTH2 + 2 for the bottom — the
+    bottom stride-2 centers sit one row deeper).  Heights telescope
+    18 -> 9 -> 8 -> 7 -> 6 (top; bottom 19 -> 9 -> ...), every conv padding
+    only the window-edge side, reproducing the window's own zero pad and
+    the stage's stride-2 phase.  Returns [B, C2, DEPTH2, F//2]."""
+    with_bn = "bn1" in params
+    p2, s2 = params["block2"], state["block2"]
+    b0, st0 = p2["0"], s2.get("0", {})
+    b1h = jnp.transpose(band1, (0, 2, 1, 3))  # [B, DEPTH, C1, F]
+    x = jnp.concatenate([b1h, strip] if top else [strip, b1h], axis=1)
+
+    pad = (1, 0) if top else (0, 1)
+    t0pad = (1, 0) if top else (0, 0)  # bottom centers touch no zero pad
+    out = _conv_nhcw_hw(x, b0["conv1"], (2, 2), [t0pad, (1, 1)])  # rows: 9
+    out = _bn_eval(out, b0.get("bn1"), st0.get("bn1"), with_bn)
+    out = jax.nn.relu(out)
+    out = _conv_rows(out, b0["conv2"], pad)  # 9 -> 8
+    out = _bn_eval(out, b0.get("bn2"), st0.get("bn2"), with_bn)
+    # Stride-2 1x1 shortcut: even window rows only — local rows 0,2,.. for
+    # the top edge; the bottom edge's even rows start at local row 3.
+    xs = x if top else x[:, 3:]
+    sc = _conv_nhcw_hw(xs, b0["shortcut"]["0"], (2, 2), [(0, 0), (0, 0)])
+    sc = sc[:, :, : out.shape[2]] if top else sc[:, :, -out.shape[2] :]
+    if with_bn:
+        sc = _bn_eval(sc, b0["shortcut"]["1"], st0["shortcut"]["1"], True)
+    x = jax.nn.relu(out + sc)  # [B, C2, 8, F2]
+
+    b1, st1 = p2["1"], s2.get("1", {})
+    inp = x
+    out = _conv_rows(x, b1["conv1"], pad)  # 8 -> 7
+    out = _bn_eval(out, b1.get("bn1"), st1.get("bn1"), with_bn)
+    out = jax.nn.relu(out)
+    out = _conv_rows(out, b1["conv2"], pad)  # 7 -> 6
+    out = _bn_eval(out, b1.get("bn2"), st1.get("bn2"), with_bn)
+    sc = inp[:, :, :-2] if top else inp[:, :, 2:]
+    return jax.nn.relu(out + sc)
+
+
+def _conv_nhcw(x, params, stride: int, padding: int):
+    """Conv consuming [B, H, C, W] input, emitting NCHW — the layout
+    permutation rides inside the conv (dimension_numbers) instead of
+    materializing a multi-GB transpose of the gathered window tensor."""
+    out = jax.lax.conv_general_dilated(
+        x,
+        params["weight"],
+        window_strides=(stride, stride),
+        padding=[(padding, padding), (padding, padding)],
+        dimension_numbers=("NHCW", "OIHW", "NCHW"),
+    )
+    if "bias" in params:
+        out = out + params["bias"][None, :, None, None]
+    return out
+
+
+def _block2_first_nhcw(x, params, state, with_bn):
+    """The first stage-2 residual block (stride 2), consuming the spliced
+    [B, H, C, W] stage-1 output directly (mirrors zoo._block_apply)."""
+    out = _conv_nhcw(x, params["conv1"], stride=2, padding=1)
+    out = _bn_eval(out, params.get("bn1"), state.get("bn1"), with_bn)
+    out = jax.nn.relu(out)
+    out = L.conv2d(out, params["conv2"], stride=1, padding=1)
+    out = _bn_eval(out, params.get("bn2"), state.get("bn2"), with_bn)
+    if "shortcut" in params:
+        sc = _conv_nhcw(x, params["shortcut"]["0"], stride=2, padding=0)
+        if with_bn:
+            sc = _bn_eval(sc, params["shortcut"]["1"], state["shortcut"]["1"], True)
+    else:
+        # Identity shortcut is impossible at stride 2 (shape changes), but
+        # keep the NCHW fallback for odd custom plans.
+        sc = jnp.transpose(x, (0, 2, 1, 3))
+    return jax.nn.relu(out + sc)
+
+
+def tail_probs(
+    params, state, x: jnp.ndarray, nhcw: bool = False, first_stage: int = 2
+) -> jnp.ndarray:
+    """Stages ``first_stage``..4 + head on a spliced stage-(first_stage-1)
+    output — [B, C, H, F] NCHW, or [B, H, C, F] with ``nhcw=True`` (mirrors
+    zoo.apply_fn from that stage on, train=False)."""
+    with_bn = "bn1" in params
+    first = True
+    for i in range(first_stage, 5):
+        key = f"block{i}"
+        if nhcw and first:
+            x = _block2_first_nhcw(
+                x, params[key]["0"], state[key].get("0", {}), with_bn
+            )
+            x, _ = _block_apply(
+                x, params[key]["1"], state[key].get("1", {}), 1, False, with_bn
+            )
+        else:
+            x, _ = _stage_apply(
+                x, params[key], state[key], 2, False, with_bn
+            )
+        first = False
+    x = L.avg_pool2d(x, 4)
+    x = x.reshape(x.shape[0], -1)
+    if with_bn:
+        x = _bn_eval(x, params["bn2"], state["bn2"], True)
+    x = L.linear(x, params["linear1"])
+    if with_bn:
+        x = _bn_eval(x, params["bn3"], state["bn3"], True)
+    x = jax.nn.relu(x)
+    x = L.linear(x, params["linear2"])
+    return jax.nn.sigmoid(x)[:, 0]
+
+
+def chunk_probs_from_track(
+    params,
+    state,
+    track: jnp.ndarray,
+    feats: jnp.ndarray,
+    start: jnp.ndarray,
+    count: int,
+    window: int = 100,
+) -> jnp.ndarray:
+    """Probabilities for windows ``start .. start+count-1``.
+
+    track: [T, C, F] = ``stem_track(params, state, feats)`` (amortized
+    across chunks); feats: [T, F] with T >= start + count + window - 1.
+    Returns [count] probs, per-window-exact (see module docstring)."""
+    d = DEPTH
+    interior_len = window - 2 * d
+    w0 = start + jnp.arange(count)[:, None]
+
+    # Gather straight from the time-major track — [B, interior, C, F] — and
+    # keep that layout through block2's first convs (dimension_numbers), so
+    # no multi-GB transpose/copy of the gathered tensor is materialized.
+    interior = track[w0 + d + jnp.arange(interior_len)[None, :]]
+
+    top_in = feats[w0 + jnp.arange(2 * d)[None, :]][:, None]
+    bot_in = feats[w0 + (window - 2 * d) + jnp.arange(2 * d)[None, :]][:, None]
+    top = _band_stem(params, state, top_in, top=True)
+    bot = _band_stem(params, state, bot_in, top=False)
+    to_hcf = lambda b: jnp.transpose(b, (0, 2, 1, 3))  # [B, d, C, F] (tiny)
+
+    x = jnp.concatenate([to_hcf(top), interior, to_hcf(bot)], axis=1)
+    return tail_probs(params, state, x, nhcw=True)
+
+
+def supports_track2(window: int) -> bool:
+    """Stage-2 sharing needs an even window (the stride-2 phase is then the
+    same for every window) with a non-empty interior at half resolution."""
+    return window % 2 == 0 and window // 2 > 2 * DEPTH2
+
+
+def chunk_probs_from_track2(
+    params,
+    state,
+    track1: jnp.ndarray,
+    track2: jnp.ndarray,
+    feats: jnp.ndarray,
+    start: jnp.ndarray,
+    count: int,
+    window: int = 100,
+) -> jnp.ndarray:
+    """Like :func:`chunk_probs_from_track`, but with stage 2 also shared:
+    the per-window tensor materializes at half resolution ([B, window/2,
+    C2, F/2] — 8x smaller), windows read stage-2 interiors from ``track2``
+    (= ``stem_track2(params, state, track1)``) and only the DEPTH2-row edge
+    bands run per window.  Requires ``supports_track2(window)``."""
+    d, d2 = DEPTH, DEPTH2
+    h2 = window // 2
+    w0 = start + jnp.arange(count)[:, None]
+
+    top_in = feats[w0 + jnp.arange(2 * d)[None, :]][:, None]
+    bot_in = feats[w0 + (window - 2 * d) + jnp.arange(2 * d)[None, :]][:, None]
+    band1t = _band_stem(params, state, top_in, top=True)
+    band1b = _band_stem(params, state, bot_in, top=False)
+
+    # Stage-1 interior strips adjacent to each band (window rows
+    # DEPTH..2*DEPTH2+5 and 2*(H2-DEPTH2-3)-1..window-DEPTH-1).
+    strip_t = track1[w0 + d + jnp.arange(2 * d2 + 1)[None, :]]
+    blo = 2 * (h2 - d2 - 3) - 1
+    strip_b = track1[w0 + blo + jnp.arange(window - d - blo)[None, :]]
+    band2t = _band2(params, state, band1t, strip_t, top=True)
+    band2b = _band2(params, state, band1b, strip_b, top=False)
+
+    # Stage-2 interior: window row m at half resolution = track position
+    # w + 2m, for m in [DEPTH2, H2 - DEPTH2).
+    interior = track2[w0 + 2 * d2 + 2 * jnp.arange(h2 - 2 * d2)[None, :]]
+
+    to_hcf = lambda b: jnp.transpose(b, (0, 2, 1, 3))
+    x = jnp.concatenate([to_hcf(band2t), interior, to_hcf(band2b)], axis=1)
+    return tail_probs(params, state, x, nhcw=True, first_stage=3)

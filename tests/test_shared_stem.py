@@ -1,0 +1,95 @@
+"""Shared-stem sliding-window inference (models/shared_stem.py) must be
+bit-exact against the naive per-window forward: the whole-track stems only
+replace computation at rows whose values are mathematically identical
+(window interiors), and the per-window edge bands reproduce the window's
+own zero padding conv-for-conv."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from laughter_detection_icsi_tpu import inference, models
+from laughter_detection_icsi_tpu.models import shared_stem
+from laughter_detection_icsi_tpu.ops import windows
+
+CASES = [
+    ("ResNetBigger", dict(linear_layer_size=24, filter_sizes=(8, 8, 8, 8))),
+    # (8,...) plan puts a 1x1 shortcut in stage 1 (64 -> 8 at stride 1);
+    # NoBN covers the bn-free family member.
+    ("ResNetNoBN", dict(linear_layer_size=48)),
+]
+
+
+def _model_with_stats(name, kw, rng):
+    model = models.build(name, dropout_rate=0.0, **kw)
+    params, state = model.init(jax.random.PRNGKey(0))
+    # Randomize BN running stats so eval-mode BN is non-trivial.
+    state = jax.tree_util.tree_map(
+        lambda x: x + 0.1 * jnp.asarray(rng.standard_normal(x.shape), x.dtype)
+        if x.ndim
+        else x,
+        state,
+    )
+    return model, params, state
+
+
+@pytest.mark.parametrize("name,kw", CASES)
+def test_track1_matches_naive(rng, name, kw):
+    model, params, state = _model_with_stats(name, kw, rng)
+    T, count = 300, 16
+    feats = jnp.asarray(rng.standard_normal((T, 44)), jnp.float32)
+    track1 = shared_stem.stem_track(params, state, feats)
+    for start in (0, 7, T - 100 - count):  # includes track-edge windows
+        got = shared_stem.chunk_probs_from_track(
+            params, state, track1, feats, jnp.asarray(start), count
+        )
+        wins = windows.extract_windows(feats, jnp.asarray(start), count)[:, None]
+        want, _ = model.apply(params, state, wins, train=False)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+@pytest.mark.parametrize("name,kw", CASES)
+def test_track2_matches_naive(rng, name, kw):
+    model, params, state = _model_with_stats(name, kw, rng)
+    T, count = 300, 16
+    feats = jnp.asarray(rng.standard_normal((T, 44)), jnp.float32)
+    track1 = shared_stem.stem_track(params, state, feats)
+    track2 = shared_stem.stem_track2(params, state, track1)
+    assert shared_stem.supports_track2(100)
+    for start in (0, 7, T - 100 - count):
+        got = shared_stem.chunk_probs_from_track2(
+            params, state, track1, track2, feats, jnp.asarray(start), count
+        )
+        wins = windows.extract_windows(feats, jnp.asarray(start), count)[:, None]
+        want, _ = model.apply(params, state, wins, train=False)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_supports_track2_guards():
+    assert not shared_stem.supports_track2(99)  # odd: stride-2 phase varies
+    assert not shared_stem.supports_track2(24)  # no interior at half res
+    assert shared_stem.supports_track2(26)
+
+
+def test_pipeline_shared_vs_naive(rng):
+    # End-to-end: the pipeline with shared_stem on (the default) must match
+    # the naive window batch bit-for-bit in float32.
+    model = models.build(
+        "ResNetBigger", dropout_rate=0.0, linear_layer_size=24,
+        filter_sizes=(8, 8, 8, 8),
+    )
+    params, state = model.init(jax.random.PRNGKey(1))
+    wave = (rng.standard_normal(16000 * 2 + 777) * 0.1).astype(np.float32)
+    base = dict(chunk=128, bucket_frames=256)
+    fast = inference.LaughterPipeline(
+        model, params, state,
+        settings=inference.InferenceSettings(**base, shared_stem=True),
+    )
+    naive = inference.LaughterPipeline(
+        model, params, state,
+        settings=inference.InferenceSettings(**base, shared_stem=False),
+    )
+    a = fast.probs_for_waveform(wave)
+    b = naive.probs_for_waveform(wave)
+    np.testing.assert_array_equal(a, b)
