@@ -319,6 +319,15 @@ def tail_probs(
     return jax.nn.sigmoid(x)[:, 0]
 
 
+def _window_starts(start, count: int) -> jnp.ndarray:
+    """[count, 1] window-start column: consecutive from a scalar ``start``,
+    or explicit per-window starts from a [count] vector."""
+    start = jnp.asarray(start)
+    if start.ndim == 0:
+        return start + jnp.arange(count)[:, None]
+    return start[:, None]
+
+
 def chunk_probs_from_track(
     params,
     state,
@@ -332,10 +341,12 @@ def chunk_probs_from_track(
 
     track: [T, C, F] = ``stem_track(params, state, feats)`` (amortized
     across chunks); feats: [T, F] with T >= start + count + window - 1.
-    Returns [count] probs, per-window-exact (see module docstring)."""
+    ``start`` may also be a [count] vector of explicit window starts (used
+    to flatten several channels' windows into one batch).  Returns [count]
+    probs, per-window-exact (see module docstring)."""
     d = DEPTH
     interior_len = window - 2 * d
-    w0 = start + jnp.arange(count)[:, None]
+    w0 = _window_starts(start, count)
 
     # Gather straight from the time-major track — [B, interior, C, F] — and
     # keep that layout through block2's first convs (dimension_numbers), so
@@ -372,10 +383,11 @@ def chunk_probs_from_track2(
     the per-window tensor materializes at half resolution ([B, window/2,
     C2, F/2] — 8x smaller), windows read stage-2 interiors from ``track2``
     (= ``stem_track2(params, state, track1)``) and only the DEPTH2-row edge
-    bands run per window.  Requires ``supports_track2(window)``."""
+    bands run per window.  ``start`` may be a [count] vector like
+    :func:`chunk_probs_from_track`.  Requires ``supports_track2(window)``."""
     d, d2 = DEPTH, DEPTH2
     h2 = window // 2
-    w0 = start + jnp.arange(count)[:, None]
+    w0 = _window_starts(start, count)
 
     top_in = feats[w0 + jnp.arange(2 * d)[None, :]][:, None]
     bot_in = feats[w0 + (window - 2 * d) + jnp.arange(2 * d)[None, :]][:, None]

@@ -69,6 +69,17 @@ class ShardedPipeline:
             use = jax.devices()[0].platform == "tpu"
         return use
 
+    def _use_shared_stem(self) -> bool:
+        use = self.settings.shared_stem
+        if use is None:
+            from laughter_detection_icsi_tpu.models import shared_stem
+
+            use = (
+                self.model.name in shared_stem.SUPPORTED_MODELS
+                and self.settings.window > 2 * shared_stem.DEPTH
+            )
+        return use
+
     def _sharded_fbank(self, cfg: FeatConfig):
         """Per-device fused Pallas featurizer over the local channel shard.
 
@@ -126,31 +137,87 @@ class ShardedPipeline:
             if self._use_pallas()
             else lambda w: fbank_ops.fbank(w, cfg)
         )
+        use_shared = self._use_shared_stem()
+        if use_shared:
+            from laughter_detection_icsi_tpu.models import shared_stem
 
-        def featurize(waves: jnp.ndarray, valid_frames: jnp.ndarray) -> jnp.ndarray:
+            track2_ok = shared_stem.supports_track2(window)
+
+        def featurize(waves: jnp.ndarray, valid_frames: jnp.ndarray):
             # waves [C, wave_len] (sharded on C) -> feats [C, feat_rows, F]
             if int16_in:
                 waves = waves.astype(jnp.float32) * (1.0 / 32768.0)
             feats = fbank_fn(waves)
             mask = jnp.arange(ext)[None, :] < valid_frames[:, None]
             feats = jnp.where(mask[:, :, None], feats, 0.0)
-            return jnp.pad(feats, ((0, 0), (0, feat_rows - ext), (0, 0)))
+            feats = jnp.pad(feats, ((0, 0), (0, feat_rows - ext), (0, 0)))
+            if use_shared:
+                feats = feats.astype(compute_dtype)
+                track1 = jax.vmap(
+                    lambda f: shared_stem.stem_track(params, state, f)
+                )(feats)
+                if track2_ok:
+                    track2 = jax.vmap(
+                        lambda t: shared_stem.stem_track2(params, state, t)
+                    )(track1)
+                    return feats, track1, track2
+                return feats, track1
+            return feats
 
         featurize = jax.jit(featurize, in_shardings=(ch, ch), out_shardings=ch)
 
-        def chunk_probs_one(feats: jnp.ndarray, start: jnp.ndarray) -> jnp.ndarray:
-            wins = windows.extract_windows(feats, start, chunk, window)
-            x = wins.astype(compute_dtype)[:, None, :, :]
-            probs, _ = model.apply(params, state, x, train=False)
-            return probs.astype(jnp.float32)
+        if use_shared:
+            # Flatten each device's local channels into ONE window batch:
+            # windows never straddle channels, so window w of local channel
+            # c is just flat start c*T + w into the time-flattened arrays.
+            # (vmap over channels instead compiles the NHCW convs badly —
+            # the mapped axis can't merge into the conv batch.)
+            def chunk_local(ft, start: jnp.ndarray) -> jnp.ndarray:
+                arrays = [a.reshape(-1, *a.shape[2:]) for a in ft]
+                c_loc, t_len = ft[0].shape[0], ft[0].shape[1]
+                starts = (
+                    jnp.arange(c_loc)[:, None] * t_len
+                    + start
+                    + jnp.arange(chunk)[None, :]
+                ).reshape(-1)
+                if track2_ok:
+                    feats_f, t1_f, t2_f = arrays
+                    probs = shared_stem.chunk_probs_from_track2(
+                        params, state, t1_f, t2_f, feats_f, starts,
+                        c_loc * chunk, window,
+                    )
+                else:
+                    feats_f, t1_f = arrays
+                    probs = shared_stem.chunk_probs_from_track(
+                        params, state, t1_f, feats_f, starts,
+                        c_loc * chunk, window,
+                    )
+                return probs.reshape(c_loc, chunk).astype(jnp.float32)
 
-        # vmap over the channel axis; channels stay sharded so each device
-        # classifies its own channels' windows.
-        chunk_probs = jax.jit(
-            jax.vmap(chunk_probs_one, in_axes=(0, None)),
-            in_shardings=(ch, repl),
-            out_shardings=ch,
-        )
+            chunk_probs = jax.jit(
+                jax.shard_map(
+                    chunk_local,
+                    mesh=self.mesh,
+                    in_specs=(P(mesh_lib.DATA_AXIS), P()),
+                    out_specs=P(mesh_lib.DATA_AXIS),
+                    check_vma=False,
+                )
+            )
+        else:
+
+            def chunk_probs_one(feats: jnp.ndarray, start: jnp.ndarray) -> jnp.ndarray:
+                wins = windows.extract_windows(feats, start, chunk, window)
+                x = wins.astype(compute_dtype)[:, None, :, :]
+                probs, _ = model.apply(params, state, x, train=False)
+                return probs.astype(jnp.float32)
+
+            # vmap over the channel axis; channels stay sharded so each
+            # device classifies its own channels' windows.
+            chunk_probs = jax.jit(
+                jax.vmap(chunk_probs_one, in_axes=(0, None)),
+                in_shardings=(ch, repl),
+                out_shardings=ch,
+            )
 
         graphs = (featurize, chunk_probs, wave_len)
         self._jitted[key] = graphs
