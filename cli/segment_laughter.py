@@ -42,8 +42,7 @@ def build_parser() -> argparse.ArgumentParser:
                    help="windows per device step (default: 6144 on "
                         "accelerators, 1024 on CPU)")
     p.add_argument("--bucket_frames", type=int, default=None,
-                   help="jit shape bucket in frames (default: 30720 on "
-                        "accelerators, 6000 on CPU)")
+                   help="jit shape bucket in frames (default: 6144)")
     p.add_argument("--mode", type=str, default="windows",
                    choices=["windows", "fused_conv"],
                    help="'windows' = reference-exact per-window conv; "
@@ -121,7 +120,7 @@ def main(argv: Optional[List[str]] = None) -> int:
     on_accel = jax.devices()[0].platform != "cpu"
     settings = inference.InferenceSettings(
         chunk=args.chunk or (6144 if on_accel else 1024),
-        bucket_frames=args.bucket_frames or (30720 if on_accel else 6144),
+        bucket_frames=args.bucket_frames or 6144,
         precision=args.precision or ("bfloat16" if on_accel else "float32"),
         mode=args.mode,
     )

@@ -90,7 +90,7 @@ def main(argv: Optional[List[str]] = None) -> int:
     on_accel = jax.devices()[0].platform != "cpu"
     settings = inference.InferenceSettings(
         chunk=args.chunk or (6144 if on_accel else 1024),
-        bucket_frames=args.bucket_frames or (30720 if on_accel else 6144),
+        bucket_frames=args.bucket_frames or 6144,
         precision=args.precision or ("bfloat16" if on_accel else "float32"),
         mode=args.mode,
     )

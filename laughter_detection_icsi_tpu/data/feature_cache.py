@@ -50,14 +50,12 @@ def compute_track_features(
     t = fbank_ops.num_frames(n, cfg)
     if t == 0:
         return np.zeros((0, cfg.num_filters), dtype=dtype)
-    if use_pallas is None:
-        use_pallas = jax.devices()[0].platform == "tpu"
-    if use_pallas:
-        from laughter_detection_icsi_tpu.ops.fbank_pallas import fbank_pallas_jit
+    from laughter_detection_icsi_tpu.ops.fbank_pallas import (
+        fbank_pallas_jit,
+        resolve_use_pallas,
+    )
 
-        featurize = fbank_pallas_jit
-    else:
-        featurize = fbank_ops.fbank_jit
+    featurize = fbank_pallas_jit if resolve_use_pallas(use_pallas) else fbank_ops.fbank_jit
     snip = _dc.replace(cfg, snip_edges=True)
     left, right = fbank_ops.pad_amounts(n, cfg)
     padded = np.concatenate(
@@ -113,9 +111,11 @@ class FeatureCache:
         wave: np.ndarray,
         dtype=np.float32,
         bucket_frames: int = 30000,
+        use_pallas: bool | None = None,
     ) -> np.ndarray:
         feats = compute_track_features(
-            wave, self.cfg, bucket_frames=bucket_frames, dtype=dtype
+            wave, self.cfg, bucket_frames=bucket_frames, dtype=dtype,
+            use_pallas=use_pallas,
         )
         path = self._track_path(meeting_id, chan_id)
         path.parent.mkdir(parents=True, exist_ok=True)

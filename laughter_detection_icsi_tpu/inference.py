@@ -132,15 +132,11 @@ class LaughterPipeline:
         return fn
 
     def _use_shared_stem(self) -> bool:
-        use = self.settings.shared_stem
-        if use is None:
-            from laughter_detection_icsi_tpu.models import shared_stem
+        from laughter_detection_icsi_tpu.models import shared_stem
 
-            use = (
-                self.model.name in shared_stem.SUPPORTED_MODELS
-                and self.settings.window > 2 * shared_stem.DEPTH
-            )
-        return use
+        return shared_stem.resolve_shared_stem(
+            self.settings.shared_stem, self.model.name, self.settings.window
+        )
 
     def _graphs(self, int16_in: bool = False):
         """Two jitted graphs, shared by every input length.
@@ -175,9 +171,9 @@ class LaughterPipeline:
         feat_rows = n_chunks * chunk + window - 1
         window_fn = self._window_fn()
 
-        use_pallas = self.settings.use_pallas_fbank
-        if use_pallas is None:
-            use_pallas = jax.devices()[0].platform == "tpu"
+        from laughter_detection_icsi_tpu.ops.fbank_pallas import resolve_use_pallas
+
+        use_pallas = resolve_use_pallas(self.settings.use_pallas_fbank)
         use_shared = self._use_shared_stem()
         params, state = self.params, self.state
         compute_dtype = (
@@ -254,9 +250,9 @@ class LaughterPipeline:
         compute_dtype = (
             jnp.bfloat16 if self.settings.precision == "bfloat16" else jnp.float32
         )
-        use_pallas = self.settings.use_pallas_fbank
-        if use_pallas is None:
-            use_pallas = jax.devices()[0].platform == "tpu"
+        from laughter_detection_icsi_tpu.ops.fbank_pallas import resolve_use_pallas
+
+        use_pallas = resolve_use_pallas(self.settings.use_pallas_fbank)
 
         @jax.jit
         def graph(wave: jnp.ndarray, valid_frames: jnp.ndarray) -> jnp.ndarray:

@@ -59,6 +59,25 @@ DEPTH2 = 6
 SUPPORTED_MODELS = ("ResNetBigger", "ResNet", "ResNetNoBN")
 
 
+def resolve_shared_stem(setting, model_name: str, window: int) -> bool:
+    """Resolve an ``InferenceSettings.shared_stem`` value (the ONE place the
+    validity conditions live — both pipelines call this, so they can never
+    disagree).  ``None`` auto-enables when valid; an explicit ``True`` on an
+    unsupported configuration raises instead of computing garbage (the edge
+    bands would read out-of-window rows for window <= 2*DEPTH, and non-
+    ResNet models lack the stem/stage structure entirely)."""
+    supported = model_name in SUPPORTED_MODELS and window > 2 * DEPTH
+    if setting is None:
+        return supported
+    if setting and not supported:
+        raise ValueError(
+            "shared_stem=True requires a ResNet-family model "
+            f"({'/'.join(SUPPORTED_MODELS)}) and window > {2 * DEPTH}; "
+            f"got model {model_name!r} with window {window}"
+        )
+    return bool(setting)
+
+
 def _bn_eval(x, params, state, with_bn):
     if not with_bn:
         return x

@@ -47,6 +47,15 @@ LANES = 128
 ROW = 2 * LANES  # padded row width for the wave views
 
 
+def resolve_use_pallas(setting=None) -> bool:
+    """Resolve a ``use_pallas_fbank`` knob: ``None`` auto-selects this fused
+    kernel on TPU and the XLA featurizer elsewhere (the one shared
+    predicate for every featurizing call site)."""
+    if setting is None:
+        return jax.devices()[0].platform == "tpu"
+    return bool(setting)
+
+
 @functools.lru_cache(maxsize=8)
 def _kernel_constants(cfg: FeatConfig):
     """(c1, c2, c3, s1, s2, s3, mel_pad): per-view folded bases, each padded

@@ -64,21 +64,16 @@ class ShardedPipeline:
         return int(self.mesh.devices.size)
 
     def _use_pallas(self) -> bool:
-        use = self.settings.use_pallas_fbank
-        if use is None:
-            use = jax.devices()[0].platform == "tpu"
-        return use
+        from laughter_detection_icsi_tpu.ops.fbank_pallas import resolve_use_pallas
+
+        return resolve_use_pallas(self.settings.use_pallas_fbank)
 
     def _use_shared_stem(self) -> bool:
-        use = self.settings.shared_stem
-        if use is None:
-            from laughter_detection_icsi_tpu.models import shared_stem
+        from laughter_detection_icsi_tpu.models import shared_stem
 
-            use = (
-                self.model.name in shared_stem.SUPPORTED_MODELS
-                and self.settings.window > 2 * shared_stem.DEPTH
-            )
-        return use
+        return shared_stem.resolve_shared_stem(
+            self.settings.shared_stem, self.model.name, self.settings.window
+        )
 
     def _sharded_fbank(self, cfg: FeatConfig):
         """Per-device fused Pallas featurizer over the local channel shard.
@@ -219,7 +214,7 @@ class ShardedPipeline:
                 out_shardings=ch,
             )
 
-        graphs = (featurize, chunk_probs, wave_len)
+        graphs = (featurize, chunk_probs, wave_len, chunk)
         self._jitted[key] = graphs
         return graphs
 
@@ -296,10 +291,11 @@ class ShardedPipeline:
             probs = np.asarray(graph(sharded["w"], sharded["v"]))
             return [probs[i, : ts[i]] for i in range(c)]
         c_local = c_pad // self.n_shards
-        featurize, chunk_probs, wave_len = self._graphs(int16_in, c_local)
+        # The effective per-channel chunk comes back from _graphs so the
+        # host loop's offsets can never drift from the compiled graph.
+        featurize, chunk_probs, wave_len, chunk = self._graphs(int16_in, c_local)
         bucket = self.settings.bucket_frames
         window = self.settings.window
-        chunk = max(1, self.settings.chunk // max(1, c_local))
         n_chunks = -(-bucket // chunk)
         shift = dataclasses.replace(self.feat_cfg, snip_edges=True).frame_shift_samples
 

@@ -93,3 +93,15 @@ def test_pipeline_shared_vs_naive(rng):
     a = fast.probs_for_waveform(wave)
     b = naive.probs_for_waveform(wave)
     np.testing.assert_array_equal(a, b)
+
+
+def test_forced_shared_stem_validates():
+    # Explicit True on an unsupported configuration must raise clearly, not
+    # crash mid-trace or compute garbage bands.
+    with pytest.raises(ValueError, match="shared_stem=True requires"):
+        shared_stem.resolve_shared_stem(True, "MLPModel", 100)
+    with pytest.raises(ValueError, match="window"):
+        shared_stem.resolve_shared_stem(True, "ResNetBigger", 10)
+    assert shared_stem.resolve_shared_stem(True, "ResNetBigger", 100)
+    assert not shared_stem.resolve_shared_stem(None, "MLPModel", 100)
+    assert not shared_stem.resolve_shared_stem(False, "ResNetBigger", 100)
