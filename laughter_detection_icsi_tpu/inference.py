@@ -240,7 +240,9 @@ class LaughterPipeline:
         key = ("fc", total_frames, int16_in)
         if key in self._jitted:
             return self._jitted[key]
-        from laughter_detection_icsi_tpu.models.fully_conv import fully_conv_probs
+        from laughter_detection_icsi_tpu.models.fully_conv import (
+            fully_conv_probs_blocked,
+        )
 
         cfg = _snip_cfg(self.feat_cfg)
         shift = cfg.frame_shift_samples
@@ -266,7 +268,7 @@ class LaughterPipeline:
                 feats = fbank_ops.fbank(wave, cfg)
             mask = jnp.arange(total_frames) < valid_frames
             feats = jnp.where(mask[:, None], feats, 0.0).astype(compute_dtype)
-            return fully_conv_probs(params, state, feats).astype(jnp.float32)
+            return fully_conv_probs_blocked(params, state, feats).astype(jnp.float32)
 
         graphs = (graph, wave_len)
         self._jitted[key] = graphs

@@ -95,6 +95,149 @@ def _block(x, params, state, f_stride, t_dil_in, replaced_stride):
     return jax.nn.relu(out + sc), t_dil_out
 
 
+def _conv_valid_t(x, w, f_stride, t_dil, bias=None):
+    """NCHW conv, VALID in time (the halo provides context), 'same' in F."""
+    pad_f = w.shape[3] // 2
+    out = jax.lax.conv_general_dilated(
+        x,
+        w,
+        window_strides=(1, f_stride),
+        padding=[(0, 0), (pad_f, pad_f)],
+        rhs_dilation=(t_dil, 1),
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+    )
+    if bias is not None:
+        out = out + bias[None, :, None, None]
+    return out
+
+
+def _block_valid_t(x, params, state, f_stride, t_dil_in, replaced_stride):
+    """ResidualBlock like :func:`_block`, but valid-in-time (blocked path):
+    each conv consumes ``t_dil`` rows of halo from each side, and the 1x1
+    shortcut (no time context) is sliced to stay aligned."""
+    t_dil_out = t_dil_in * replaced_stride
+    out = _conv_valid_t(x, params["conv1"]["weight"], f_stride, t_dil_in,
+                        params["conv1"].get("bias"))
+    out = _bn4(out, params["bn1"], state["bn1"])
+    out = jax.nn.relu(out)
+    out = _conv_valid_t(out, params["conv2"]["weight"], 1, t_dil_out,
+                        params["conv2"].get("bias"))
+    out = _bn4(out, params["bn2"], state["bn2"])
+    off = t_dil_in + t_dil_out  # rows consumed from each side
+    if "shortcut" in params:
+        sc = jax.lax.conv_general_dilated(
+            x,
+            params["shortcut"]["0"]["weight"],
+            window_strides=(1, f_stride),
+            padding=[(0, 0), (0, 0)],
+            dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        )
+        sc = _bn4(sc, params["shortcut"]["1"], state["shortcut"]["1"])
+    else:
+        sc = x
+    sc = sc[:, :, off : sc.shape[2] - off, :]
+    return jax.nn.relu(out + sc), t_dil_out
+
+
+def fully_conv_probs_blocked(
+    params: PyTree,
+    state: PyTree,
+    feats: jnp.ndarray,
+    window: int = 100,
+    block: int = 1024,
+) -> jnp.ndarray:
+    """[T_in, F] -> [T_in] probabilities, numerically identical to
+    :func:`fully_conv_probs` but ~20x faster on TPU for long tracks.
+
+    A single batch-1 conv over tens of thousands of time steps tiles badly
+    on the MXU (measured ~20x off the FLOP bound on v5e); this variant cuts
+    the track into ``block``-row segments with receptive-field halos —
+    R = 54 rows of dilated-conv context before, R + 88 rows (the head's
+    pooling extent at time stride 8) after — and runs the stack VALID in
+    time over the [n_blocks, block + 196, F] batch.  Halos come from the
+    real track, so interior outputs equal the unblocked computation
+    exactly.  The first R and last R + 88 output rows see the TRACK edge,
+    where the unblocked conv zero-pads at every layer (zero-feature halos
+    propagate differently through BN biases) — those rows are recomputed
+    with two small unblocked prefix/suffix segments and spliced in, which
+    is exact because a segment's interior rows never read its far edge."""
+    strides = (1, 2, 2, 2)
+    # Receptive radius of the dilated stack: per stage, first conv at the
+    # incoming dilation + three convs at the outgoing one.
+    t_dil, radius = 1, 1  # stem conv
+    for s in strides:
+        radius += t_dil + 3 * (t_dil * s)
+        t_dil *= s
+    head_extent = t_dil * (4 * 3 - 1)  # pool offsets 0..11 at stride t_dil
+    halo_l, halo_r = radius, radius + head_extent
+
+    t_in = feats.shape[0]
+    seg = 2 * (halo_l + halo_r)  # prefix/suffix segment for exact track edges
+    if t_in <= 2 * seg:
+        return fully_conv_probs(params, state, feats, window)
+    nb = -(-t_in // block)
+    # Right padding covers: block rounding, the per-window zero-pad tail
+    # (window - 1, included in halo_r's reach beyond t_in), and the halo.
+    ptrack = jnp.pad(feats, ((halo_l, nb * block - t_in + halo_r), (0, 0)))
+    idx = (
+        jnp.arange(nb)[:, None] * block
+        + jnp.arange(block + halo_l + halo_r)[None, :]
+    )
+    xb = ptrack[idx][:, None, :, :]  # [nb, 1, block+halos, F]
+
+    x = _conv_valid_t(xb, params["conv1"]["weight"], 1, 1,
+                      params["conv1"].get("bias"))
+    x = _bn4(x, params["bn1"], state["bn1"])
+    x = jax.nn.relu(x)
+    t_dil = 1
+    for i, s in enumerate(strides):
+        blk_p, blk_s = params[f"block{i + 1}"], state[f"block{i + 1}"]
+        x, t_dil = _block_valid_t(x, blk_p["0"], blk_s["0"], s, t_dil, s)
+        x, _ = _block_valid_t(x, blk_p["1"], blk_s["1"], 1, t_dil, 1)
+
+    # x: [nb, C, block + head_extent, Wf]; freq-pool like fully_conv_probs.
+    c, wf = x.shape[1], x.shape[3]
+    pool = 4
+    m = jnp.mean(
+        x[:, :, :, : pool * (wf // pool)].reshape(
+            x.shape[0], c, x.shape[2], wf // pool, pool
+        ),
+        axis=-1,
+    )
+    m = m[:, :, :, 0] if wf // pool == 1 else m.mean(axis=-1)  # [nb, C, H]
+
+    pieces = []
+    for r in range(3):
+        acc = 0
+        for q in range(pool):
+            off = t_dil * (pool * r + q)
+            acc = acc + jax.lax.dynamic_slice_in_dim(m, off, block, axis=2)
+        pieces.append(acc / pool)
+    pooled = jnp.stack(pieces, axis=0)  # [3, nb, C, block]
+
+    # torch .view flatten order over [C, H=3, W=1]: index = c*3 + r.
+    flat = jnp.transpose(pooled, (1, 3, 2, 0)).reshape(nb * block, c * 3)
+
+    scale, bias = _affine_bn(params["bn2"], state["bn2"])
+    h = flat * scale + bias
+    h = h @ params["linear1"]["weight"].T + params["linear1"]["bias"]
+    scale, bias = _affine_bn(params["bn3"], state["bn3"])
+    h = h * scale + bias
+    h = jax.nn.relu(h)
+    h = h @ params["linear2"]["weight"].T + params["linear2"]["bias"]
+    probs = jax.nn.sigmoid(h)[:, 0]
+
+    # Splice in the exact track edges (see docstring): rows < halo_l read
+    # the left track edge, rows >= t_in - halo_r can read beyond the
+    # window-pad tail; both segments' spliced rows are interior to their
+    # own far edge, so they equal the unblocked whole-track values.
+    pre = fully_conv_probs(params, state, feats[:seg], window)[:halo_l]
+    suf = fully_conv_probs(params, state, feats[t_in - seg :], window)[
+        seg - halo_r :
+    ]
+    return jnp.concatenate([pre, probs[halo_l : t_in - halo_r], suf])
+
+
 def fully_conv_probs(
     params: PyTree,
     state: PyTree,

@@ -224,7 +224,9 @@ class ShardedPipeline:
         key = ("fc", total_frames, int16_in)
         if key in self._jitted:
             return self._jitted[key]
-        from laughter_detection_icsi_tpu.models.fully_conv import fully_conv_probs
+        from laughter_detection_icsi_tpu.models.fully_conv import (
+            fully_conv_probs_blocked,
+        )
 
         cfg = dataclasses.replace(self.feat_cfg, snip_edges=True)
         shift = cfg.frame_shift_samples
@@ -247,7 +249,7 @@ class ShardedPipeline:
             feats = fbank_fn(waves)  # [C, total, F]
             mask = jnp.arange(total_frames)[None, :] < valid_frames[:, None]
             feats = jnp.where(mask[:, :, None], feats, 0.0).astype(compute_dtype)
-            probs = jax.vmap(lambda f: fully_conv_probs(params, state, f))(feats)
+            probs = jax.vmap(lambda f: fully_conv_probs_blocked(params, state, f))(feats)
             return probs.astype(jnp.float32)
 
         graph = jax.jit(graph, in_shardings=(ch, ch), out_shardings=ch)

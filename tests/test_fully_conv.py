@@ -130,3 +130,31 @@ def test_isolated_full_size(rng):
     want, _ = model.apply(params, state, win[None, None, :, :], train=False)
     got = np.asarray(fully_conv_probs(params, state, jnp.asarray(feats)))
     assert got[13] == pytest.approx(float(want[0]), abs=1e-3)
+
+
+def test_blocked_matches_whole_track(rng, small_model_fc=None):
+    # The blocked variant (receptive-field halos + valid-in-time convs +
+    # exact prefix/suffix splice) must reproduce the whole-track pass
+    # bit-for-bit, including track edges and non-multiple lengths.
+    from laughter_detection_icsi_tpu import models
+    from laughter_detection_icsi_tpu.models.fully_conv import (
+        fully_conv_probs,
+        fully_conv_probs_blocked,
+    )
+
+    model = models.build(
+        "ResNetBigger", dropout_rate=0.0, linear_layer_size=24,
+        filter_sizes=(8, 8, 8, 8),
+    )
+    params, state = model.init(jax.random.PRNGKey(2))
+    state = jax.tree_util.tree_map(
+        lambda x: x + 0.1 * jnp.asarray(rng.standard_normal(x.shape), x.dtype)
+        if x.ndim
+        else x,
+        state,
+    )
+    for t_in, block in ((1500, 256), (790, 300), (700, 1024), (100, 256)):
+        feats = jnp.asarray(rng.standard_normal((t_in, 44)), jnp.float32)
+        a = np.asarray(fully_conv_probs(params, state, feats))
+        b = np.asarray(fully_conv_probs_blocked(params, state, feats, block=block))
+        np.testing.assert_array_equal(a, b)
