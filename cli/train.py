@@ -71,6 +71,11 @@ def _ensure_features(cache, df, signals_dir: str) -> None:
 
 
 def main(argv: Optional[List[str]] = None) -> int:
+    from laughter_detection_icsi_tpu.utils.compile_cache import (
+        enable_compilation_cache,
+    )
+
+    enable_compilation_cache()
     args = build_parser().parse_args(argv)
     for flag in ("torch_device", "include_words", "train_on_noisy_audioset"):
         if getattr(args, flag):

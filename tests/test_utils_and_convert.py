@@ -64,3 +64,18 @@ def test_corrupt_checkpoint_error(tmp_path):
     p.write_bytes(b"PK\x03\x04 definitely not a real npz")
     with pytest.raises(ValueError, match="corrupt or unreadable"):
         ckpt.load_checkpoint(str(p))
+
+
+def test_enable_compilation_cache(tmp_path, monkeypatch):
+    import jax
+
+    from laughter_detection_icsi_tpu.utils.compile_cache import (
+        enable_compilation_cache,
+    )
+
+    d = str(tmp_path / "jc")
+    assert enable_compilation_cache(d) == d
+    assert jax.config.jax_compilation_cache_dir == d
+    # env-var disable
+    monkeypatch.setenv("LAD_JAX_CACHE_DIR", "off")
+    assert enable_compilation_cache() is None
