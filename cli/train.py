@@ -44,6 +44,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "(default <data_root>/signals)")
     p.add_argument("--data_parallel", action="store_true",
                    help="shard batches over all visible devices")
+    p.add_argument("--transfer_dtype", type=str, default=None,
+                   choices=["bfloat16"],
+                   help="ship feature batches to the device as bfloat16 "
+                        "(half the host->device bytes; inputs are "
+                        "bf16-rounded, params/grads stay float32)")
     p.add_argument("--val_batches_per_log", type=int, default=10)
     p.add_argument("--seed", type=int, default=0)
     return p
@@ -128,7 +133,8 @@ def main(argv: Optional[List[str]] = None) -> int:
         trainer = DataParallelTrainer(model=model, mesh=mesh, optimizer=Adam())
         print(f"data-parallel over {n_dev} devices")
     else:
-        trainer = Trainer(model=model, optimizer=Adam(), grad_accum=grad_accum)
+        trainer = Trainer(model=model, optimizer=Adam(), grad_accum=grad_accum,
+                          transfer_dtype=args.transfer_dtype)
     params, state, opt_state = trainer.init(jax.random.PRNGKey(args.seed))
     from laughter_detection_icsi_tpu.models import count_parameters
 

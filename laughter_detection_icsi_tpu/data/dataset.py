@@ -53,28 +53,131 @@ class LadDataset:
             "is_laugh": np.float32(row["label"]),
         }
 
+    # ------------------------------------------------------------------ #
+    # Vectorized batch assembly
+    #
+    # The per-example path (``self.example`` row by row) costs ~1 ms/sample
+    # in Python — ~900x slower than the jitted TPU train step.  Batches are
+    # instead assembled with one fancy-indexed gather per (track, batch)
+    # into the memory-mapped cache, and an epoch runs a one-batch-deep
+    # background prefetch thread so host assembly overlaps the device step.
+    # ------------------------------------------------------------------ #
+
+    def _plan(self):
+        if getattr(self, "_plan_cache", None) is not None:
+            return self._plan_cache
+        fps = self.cache.cfg.num_samples
+        keys = (
+            self.df["meeting_id"].astype(str) + "/" + self.df["chan_id"].astype(str)
+        )
+        track_idx, uniques = pd.factorize(keys)
+        tracks = []
+        for k in uniques:
+            meeting_id, chan_id = k.split("/", 1)
+            tracks.append(self.cache.track(meeting_id, chan_id))
+        first = np.round(self.df["sub_start"].to_numpy(float) * fps).astype(np.int64)
+        n = np.round(self.df["sub_duration"].to_numpy(float) * fps).astype(np.int64)
+        lens = np.asarray([t.shape[0] for t in tracks], dtype=np.int64)
+        first = np.clip(first, 0, lens[track_idx])
+        self._plan_cache = {
+            "track_idx": np.asarray(track_idx, dtype=np.int64),
+            "first": first,
+            "n": n,
+            "labels": self.df["label"].to_numpy(np.float32),
+            "tracks": tracks,
+            "lens": lens,
+        }
+        return self._plan_cache
+
+    def _assemble(self, idx: np.ndarray) -> Dict[str, np.ndarray]:
+        """Batch for df rows ``idx`` — semantics identical to per-row
+        ``example()`` (cut at [first, first+n) clipped to the track, right
+        zero-pad to the window), pinned by test."""
+        plan = self._plan()
+        w = self.window_frames
+        nf = self.cache.cfg.num_filters
+        b = len(idx)
+        out = np.zeros((b, w, nf), dtype=np.float32)
+        t_idx = plan["track_idx"][idx]
+        first = plan["first"][idx]
+        n = plan["n"][idx]
+        cols = np.arange(w)
+        for t in np.unique(t_idx):
+            track = plan["tracks"][t]
+            rows = np.nonzero(t_idx == t)[0]
+            pos = first[rows][:, None] + cols[None, :]
+            mask = (cols[None, :] < np.minimum(n[rows], w)[:, None]) & (
+                pos < track.shape[0]
+            )
+            gathered = np.asarray(
+                track[np.minimum(pos, track.shape[0] - 1)], dtype=np.float32
+            )
+            out[rows] = np.where(mask[:, :, None], gathered, 0.0)
+        return {
+            "inputs": out,
+            "input_lens": np.minimum(n, w).astype(np.int32),
+            "is_laugh": plan["labels"][idx],
+        }
+
     def batches(
         self,
         batch_size: int,
         shuffle: bool = True,
         seed: int = 0,
         drop_remainder: bool = False,
+        prefetch: int = 2,
     ) -> Iterator[Dict[str, np.ndarray]]:
         """One epoch of batches.  With ``drop_remainder`` the tail partial
-        batch is dropped (use for pjit static shapes)."""
+        batch is dropped (use for pjit static shapes).  ``prefetch`` > 0
+        assembles upcoming batches on a background thread."""
         order = np.arange(len(self.df))
         if shuffle:
             np.random.default_rng(seed).shuffle(order)
-        for lo in range(0, len(order), batch_size):
-            idx = order[lo : lo + batch_size]
-            if drop_remainder and len(idx) < batch_size:
-                return
-            examples = [self.example(int(i)) for i in idx]
-            yield {
-                "inputs": np.stack([e["inputs"] for e in examples]),
-                "input_lens": np.asarray([e["input_lens"] for e in examples]),
-                "is_laugh": np.asarray([e["is_laugh"] for e in examples]),
-            }
+        slices = [
+            order[lo : lo + batch_size]
+            for lo in range(0, len(order), batch_size)
+        ]
+        if drop_remainder and slices and len(slices[-1]) < batch_size:
+            slices.pop()
+
+        if prefetch <= 0:
+            for idx in slices:
+                yield self._assemble(idx)
+            return
+
+        import queue
+        import threading
+
+        q: "queue.Queue" = queue.Queue(maxsize=prefetch)
+        stop = threading.Event()
+
+        def worker():
+            try:
+                for idx in slices:
+                    if stop.is_set():
+                        return
+                    q.put(self._assemble(idx))
+            except BaseException as e:  # surface assembly errors to the consumer
+                q.put(e)
+            finally:
+                q.put(None)
+
+        th = threading.Thread(target=worker, daemon=True)
+        th.start()
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    return
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            stop.set()
+            # Drain so the worker's blocked put() can observe the stop flag.
+            while not q.empty():
+                q.get_nowait()
+            th.join(timeout=5)
 
 
 def load_split_df(data_dfs_dir: str, split: str) -> pd.DataFrame:

@@ -85,6 +85,12 @@ class Trainer:
     model: Model
     optimizer: Adam = dataclasses.field(default_factory=Adam)
     grad_accum: int = 1
+    # 'bfloat16' ships feature batches to the device at half the bytes
+    # (features are bf16-rounded on host, restored to float32 on device).
+    # Training numerics change by one bf16 rounding of the INPUTS only —
+    # params/grads/optimizer stay float32.  Opt-in: host->device bandwidth
+    # is only a bottleneck on tunneled dev chips, not PCIe-attached hosts.
+    transfer_dtype: Optional[str] = None
 
     def __post_init__(self):
         model, optimizer = self.model, self.optimizer
@@ -141,9 +147,14 @@ class Trainer:
         params, state = self.model.init(rng)
         return params, state, self.optimizer.init(params)
 
-    @staticmethod
-    def _prep(batch) -> Tuple[jnp.ndarray, jnp.ndarray]:
-        x = jnp.asarray(batch["inputs"], dtype=jnp.float32)[:, None, :, :]
+    def _prep(self, batch) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        if self.transfer_dtype == "bfloat16":
+            import ml_dtypes
+
+            host = np.asarray(batch["inputs"]).astype(ml_dtypes.bfloat16)
+            x = jnp.asarray(host)[:, None, :, :].astype(jnp.float32)
+        else:
+            x = jnp.asarray(batch["inputs"], dtype=jnp.float32)[:, None, :, :]
         y = jnp.asarray(batch["is_laugh"], dtype=jnp.float32)
         return x, y
 

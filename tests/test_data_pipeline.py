@@ -190,3 +190,36 @@ def test_dataset_features_match_cache(store, idx, populated_cache):
         row.meeting_id, row.chan_id, row.sub_start, row.sub_duration, pad_to_frames=100
     )
     np.testing.assert_array_equal(ex["inputs"], want)
+
+
+def test_vectorized_batches_match_examples(tmp_path, rng):
+    # The fancy-indexed batch assembly must equal the per-row example()
+    # path exactly, including short cuts, track-end clipping, and padding.
+    from laughter_detection_icsi_tpu.data.dataset import LadDataset
+    from laughter_detection_icsi_tpu.data.feature_cache import FeatureCache
+
+    cache = FeatureCache(cache_dir=str(tmp_path / "fc"))
+    cache.add_track("M0", "chan0", (rng.standard_normal(16000 * 4) * 0.1).astype(np.float32))
+    cache.add_track("M0", "chan1", (rng.standard_normal(16000 * 2) * 0.1).astype(np.float32))
+    rows = []
+    for i in range(37):
+        rows.append(dict(
+            meeting_id="M0", chan_id=f"chan{i % 2}",
+            sub_start=float(rng.uniform(0, 3.8)),
+            sub_duration=float(rng.choice([1.0, 0.45, 2.0])),  # short + long cuts
+            label=int(rng.integers(2)), start=0.0, duration=1.0,
+        ))
+    ds = LadDataset(pd.DataFrame(rows), cache)
+    for prefetch in (0, 2):
+        got = list(ds.batches(8, shuffle=True, seed=3, prefetch=prefetch))
+        order = np.arange(len(ds.df))
+        np.random.default_rng(3).shuffle(order)
+        flat_i = 0
+        for batch in got:
+            for j in range(len(batch["is_laugh"])):
+                e = ds.example(int(order[flat_i]))
+                np.testing.assert_array_equal(batch["inputs"][j], e["inputs"])
+                assert batch["input_lens"][j] == e["input_lens"]
+                assert batch["is_laugh"][j] == e["is_laugh"]
+                flat_i += 1
+        assert flat_i == len(ds.df)

@@ -200,3 +200,26 @@ def test_metrics_csv_append_merge(tmp_path):
     assert [r["global_step"] for r in rows] == ["5", "10", "15"]
     assert rows[1]["train_loss"] == "0.35"
     assert rows[1]["val_loss"] == "0.6"
+
+
+def test_transfer_dtype_bfloat16_step(tiny_model):
+    # bf16 input transfer must round ONLY the inputs: one step's loss sits
+    # within bf16 input tolerance of the float32-transfer step.
+    import jax
+
+    from laughter_detection_icsi_tpu.train.loop import Trainer
+
+    model = tiny_model
+    rng = np.random.default_rng(0)
+    batch = {
+        "inputs": (rng.standard_normal((8, 12, 8)) * 2).astype(np.float32),
+        "is_laugh": rng.integers(0, 2, 8).astype(np.float32),
+    }
+    key = jax.random.PRNGKey(3)
+    losses = {}
+    for td in (None, "bfloat16"):
+        tr = Trainer(model, transfer_dtype=td)
+        params, state, opt = tr.init(jax.random.PRNGKey(0))
+        _, _, _, m = tr.train_batch(params, state, opt, batch, key)
+        losses[td] = float(m["loss"])
+    assert losses["bfloat16"] == pytest.approx(losses[None], rel=2e-2)
