@@ -1,0 +1,99 @@
+"""Randomized property tests against brute-force oracles.
+
+The eval core's precision/recall numbers hinge on exact integer interval
+algebra at 1 ms resolution (reference analysis/preprocess.py:27-46 built on
+the `portion` library; SURVEY.md §7.3 "off-by-one at boundaries shifts
+precision/recall"), and the segmenter's run-length scan must match a naive
+frame loop (reference laugh_segmenter.py:74-111).  These tests compare both
+against set-of-integers / pure-Python oracles over hundreds of random cases.
+"""
+
+import numpy as np
+import pytest
+
+from laughter_detection_icsi_tpu.eval.intervals import IntervalSet
+from laughter_detection_icsi_tpu.ops import smoothing
+
+UNIVERSE = 60
+
+
+def _random_set(rng) -> IntervalSet:
+    n = int(rng.integers(0, 6))
+    pairs = []
+    for _ in range(n):
+        a = int(rng.integers(0, UNIVERSE))
+        b = int(rng.integers(0, UNIVERSE))
+        if a != b:
+            pairs.append((min(a, b), max(a, b)))
+    return IntervalSet.from_pairs(pairs)
+
+
+def _as_points(s: IntervalSet) -> set:
+    return {p for a, b in s.pairs() for p in range(a, b)}
+
+
+def test_interval_algebra_vs_integer_sets(rng):
+    for case in range(300):
+        a, b = _random_set(rng), _random_set(rng)
+        pa, pb = _as_points(a), _as_points(b)
+        assert _as_points(a.union(b)) == pa | pb, (a, b)
+        assert _as_points(a.intersection(b)) == pa & pb, (a, b)
+        assert _as_points(a.difference(b)) == pa - pb, (a, b)
+        assert a.length() == len(pa)
+        assert a.overlaps(b) == bool(pa & pb)
+        assert a.contains(b) == (pb <= pa)
+        # canonicalization: atoms are disjoint, sorted, non-empty
+        pairs = list(a.pairs())
+        assert all(x < y for x, y in pairs)
+        assert all(pairs[i][1] < pairs[i + 1][0] for i in range(len(pairs) - 1))
+
+
+def _oracle_instances(probs, threshold, min_length, fps):
+    """Frame-by-frame transliteration of reference laugh_segmenter.py:74-111:
+    strict > threshold grouping, an instance spans (first_frame, LAST_frame)
+    / fps (not last+1 — reference collapse_to_start_and_end_frame), and a
+    strict > min_length filter."""
+    instances = []
+    start = None
+    for i, p in enumerate(probs):
+        if p > threshold and start is None:
+            start = i
+        elif p <= threshold and start is not None:
+            instances.append((start / fps, (i - 1) / fps))
+            start = None
+    if start is not None:
+        instances.append((start / fps, (len(probs) - 1) / fps))
+    return [
+        (round(a, 4), round(b, 4))
+        for a, b in instances
+        if (b - a) > min_length
+    ]
+
+
+def test_run_length_instances_vs_frame_loop(rng):
+    fps = 100.0
+    for case in range(120):
+        n = int(rng.integers(1, 400))
+        probs = rng.uniform(0, 1, n).astype(np.float32)
+        # sprinkle exact-threshold values to pin the strict-> semantics
+        probs[rng.uniform(size=n) < 0.1] = 0.5
+        got = smoothing.get_laughter_instances(
+            probs, thresholds=[0.5], min_lengths=[0.0, 0.2], fps=fps
+        )
+        for min_len in (0.0, 0.2):
+            want = _oracle_instances(probs, 0.5, min_len, fps)
+            have = [(round(a, 4), round(b, 4)) for a, b in got[(0.5, min_len)]]
+            assert have == want, (case, min_len)
+
+
+def test_fix_over_underflow_matches_reference(rng):
+    # reference laugh_segmenter.py:57-71: p <= 0 -> 1e-7, p > 1 -> exactly 1
+    probs = np.asarray([-0.5, 0.0, 1e-9, 0.3, 1.0, 1.5], np.float32)
+    fixed = np.asarray(smoothing.fix_over_underflow(probs))
+    assert fixed[0] == pytest.approx(1e-7)
+    assert fixed[1] == pytest.approx(1e-7)
+    assert fixed[2] == pytest.approx(1e-9)  # > 0 passes through untouched
+    assert fixed[3] == pytest.approx(0.3)
+    assert fixed[4] == 1.0
+    assert fixed[5] == 1.0
+    assert np.all((fixed > 0) & (fixed <= 1))
