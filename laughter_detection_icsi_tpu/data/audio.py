@@ -127,9 +127,17 @@ def _parse_wav_header(path: str) -> AudioInfo:
     audio_format, channels, sample_rate, _, _, bits = struct.unpack(
         "<HHIIHH", fmt[:16]
     )
+    if audio_format == 0xFFFE:
+        # WAVE_FORMAT_EXTENSIBLE: the real format is the first two bytes of
+        # the SubFormat GUID in the extension (fmt bytes 24-25); treating
+        # extensible float WAVs as integer PCM would decode bit patterns as
+        # noise.
+        if len(fmt) < 26:
+            raise ValueError(f"{path}: extensible WAV without SubFormat GUID")
+        audio_format = struct.unpack("<H", fmt[24:26])[0]
     if audio_format == 7:
         encoding, sample_bytes = "ulaw", 1
-    elif audio_format in (1, 0xFFFE):
+    elif audio_format == 1:
         encoding, sample_bytes = "pcm", bits // 8
     elif audio_format == 3:
         encoding, sample_bytes = "float", bits // 8

@@ -151,16 +151,30 @@ class LadDataset:
         q: "queue.Queue" = queue.Queue(maxsize=prefetch)
         stop = threading.Event()
 
+        def put(item) -> bool:
+            """Blocking put that aborts when the consumer is gone (a plain
+            q.put could block forever on the final sentinel if the consumer
+            abandoned the generator and the drain raced the worker's last
+            batch back into the queue)."""
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def worker():
             try:
                 for idx in slices:
                     if stop.is_set():
                         return
-                    q.put(self._assemble(idx))
+                    if not put(self._assemble(idx)):
+                        return
             except BaseException as e:  # surface assembly errors to the consumer
-                q.put(e)
+                put(e)
             finally:
-                q.put(None)
+                put(None)
 
         th = threading.Thread(target=worker, daemon=True)
         th.start()
@@ -174,7 +188,7 @@ class LadDataset:
                 yield item
         finally:
             stop.set()
-            # Drain so the worker's blocked put() can observe the stop flag.
+            # Unblock a worker waiting on a full queue, then reap it.
             while not q.empty():
                 q.get_nowait()
             th.join(timeout=5)

@@ -74,37 +74,43 @@ class DataFrameSampler:
     # ------------------------------------------------------------------ #
 
     def random_non_laugh(
-        self, duration: float, meeting_id: str, silence: bool = False, _depth: int = 0
+        self, duration: float, meeting_id: str, silence: bool = False
     ) -> List:
         """A random segment from any channel of the meeting that does not
         overlap laugh/invalid (and, for ``silence=True``, lies fully inside
         the silence index) — rejection sampling (reference
-        create_data_df.py:32-63)."""
-        if _depth > 1000:
-            raise RuntimeError(
-                f"rejection sampling failed for meeting {meeting_id} "
-                f"(duration {duration}s)"
-            )
+        create_data_df.py:32-63).  A loop, not recursion: at rejection rates
+        near 1, recursion would hit Python's stack limit (RecursionError
+        from pandas internals) before any attempt cap and lose this clear
+        diagnostic."""
         duration = max(duration, self.cfg.subsample_duration)
         info = self.store.info_df[self.store.info_df.meeting_id == meeting_id]
-        row = info.iloc[self.rng.randint(0, info.shape[0])]
-        if row.length <= duration:
-            return self.random_non_laugh(duration, meeting_id, silence, _depth + 1)
-        start = self.rng.uniform(0, row.length - duration)
-        seg = IntervalSet.closed(to_frames(start), to_frames(start + duration))
-        part_id = row.part_id
-        if silence:
-            if not self.idx.silence.get(meeting_id, part_id).contains(seg):
-                return self.random_non_laugh(duration, meeting_id, True, _depth + 1)
-        elif self.idx.laugh.get(meeting_id, part_id).overlaps(seg) or self.idx.invalid.get(
-            meeting_id, part_id
-        ).overlaps(seg):
-            return self.random_non_laugh(duration, meeting_id, False, _depth + 1)
-        sub_start, sub_dur = get_subsample(
-            start, duration, self.cfg.subsample_duration, self.rng
+        for _attempt in range(1001):
+            row = info.iloc[self.rng.randint(0, info.shape[0])]
+            if row.length <= duration:
+                continue
+            start = self.rng.uniform(0, row.length - duration)
+            seg = IntervalSet.closed(to_frames(start), to_frames(start + duration))
+            part_id = row.part_id
+            if silence:
+                if not self.idx.silence.get(meeting_id, part_id).contains(seg):
+                    continue
+            elif self.idx.laugh.get(meeting_id, part_id).overlaps(seg) or (
+                self.idx.invalid.get(meeting_id, part_id).overlaps(seg)
+            ):
+                continue
+            sub_start, sub_dur = get_subsample(
+                start, duration, self.cfg.subsample_duration, self.rng
+            )
+            audio_path = f"{meeting_id}/{row.chan_id}.sph"
+            return [
+                start, duration, sub_start, sub_dur, audio_path,
+                meeting_id, row.chan_id, 0,
+            ]
+        raise RuntimeError(
+            f"rejection sampling failed for meeting {meeting_id} "
+            f"(duration {duration}s)"
         )
-        audio_path = f"{meeting_id}/{row.chan_id}.sph"
-        return [start, duration, sub_start, sub_dur, audio_path, meeting_id, row.chan_id, 0]
 
     def random_from_df(self, duration: float, meeting_id: str, df: pd.DataFrame) -> List:
         """A random transcribed segment of the given kind (reference

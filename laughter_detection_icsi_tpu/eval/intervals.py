@@ -234,9 +234,6 @@ def _normalize(starts: np.ndarray, ends: np.ndarray) -> Tuple[np.ndarray, np.nda
     new_atom = np.empty(starts.size, dtype=bool)
     new_atom[0] = True
     new_atom[1:] = starts[1:] > run_max[:-1]
-    group = np.cumsum(new_atom) - 1
-    n_groups = group[-1] + 1
-    del group, n_groups
     out_s = starts[new_atom]
     # Each merged atom ends at the running max over its member ranges.
     boundaries = np.flatnonzero(new_atom)

@@ -75,32 +75,34 @@ def get_laughter_instances(
     thresholds: Sequence[float] = (0.5,),
     min_lengths: Sequence[float] = (0.2,),
     fps: float = 100.0,
-    max_events: int = 2048,
+    max_events: int = 0,  # unused; kept for call compatibility
 ) -> Dict[Tuple[float, float], List[Tuple[float, float]]]:
     """Drop-in equivalent of reference laugh_segmenter.py:74-111.
 
-    Runs the threshold sweep on device once; the (cheap) min-length filtering
-    fans out on host into the same ``{(threshold, min_length): [(start_s,
-    end_s), ...]}`` dict the reference returns.
+    Pure-host numpy: the [T] probability vector already lives on host after
+    inference, a jitted scan would recompile per track length, and a host
+    diff-scan has no run-count ceiling (a near-random underfit checkpoint at
+    a low threshold can legally produce tens of thousands of runs).  The
+    in-graph equivalent for on-device smoothing is :func:`laughter_runs`.
     """
-    probs = jnp.asarray(np.asarray(probs, dtype=np.float32))
-    thr_arr = jnp.asarray(np.asarray(thresholds, dtype=np.float32))
-    starts, lasts, counts = laughter_runs(probs, thr_arr, max_events=max_events)
-    starts = np.asarray(starts)
-    lasts = np.asarray(lasts)
-    counts = np.asarray(counts)
+    probs = np.asarray(probs, dtype=np.float32)
+    # reference fix_over_underflow semantics: p > 1 -> 1, p <= 0 -> eps
+    probs = np.where(probs > 1.0, 1.0, probs)
+    probs = np.where(probs <= 0.0, OVERFLOW_EPS, probs)
 
     out: Dict[Tuple[float, float], List[Tuple[float, float]]] = {}
-    for k, thr in enumerate(thresholds):
-        n = int(counts[k])
-        if n > max_events:
-            raise ValueError(
-                f"{n} laughter runs exceed max_events={max_events}; "
-                "raise max_events"
-            )
-        spans = [
-            (starts[k, i] / fps, lasts[k, i] / fps) for i in range(n)
-        ]
+    for thr in thresholds:
+        mask = probs > thr
+        d = np.diff(mask.astype(np.int8))
+        starts = np.nonzero(d == 1)[0] + 1
+        lasts = np.nonzero(d == -1)[0]
+        if mask.size and mask[0]:
+            starts = np.concatenate([[0], starts])
+        if mask.size and mask[-1]:
+            lasts = np.concatenate([lasts, [mask.size - 1]])
+        # (first_frame, LAST_frame)/fps spans, like the reference's
+        # collapse_to_start_and_end_frame (laugh_segmenter.py:19-24).
+        spans = [(s / fps, e / fps) for s, e in zip(starts, lasts)]
         for min_l in min_lengths:
             out[(float(thr), float(min_l))] = [
                 (float(s), float(e)) for s, e in spans if e - s > min_l

@@ -94,9 +94,10 @@ class DataParallelTrainer:
         return mesh_lib.shard_batch({"x": x, "y": y}, self.mesh)
 
     def train_batch(self, params, state, opt_state, batch, rng: Optional[jax.Array] = None):
+        # rng=None disables dropout (layers.dropout no-ops without a key) —
+        # the same contract as train.Trainer.  Substituting a fixed key here
+        # would silently apply the IDENTICAL dropout mask every step.
         sharded = self._prep(batch)
-        if rng is None:
-            rng = jax.random.PRNGKey(0)
         return self._train_step(
             params, state, opt_state, sharded["x"], sharded["y"], rng
         )

@@ -272,7 +272,13 @@ class ShardedPipeline:
         dtype = np.int16 if int16_in else np.float32
         padded_list, ts = [], []
         for w in waves:
-            p, t = host_pad_waveform(np.asarray(w).astype(dtype), self.feat_cfg)
+            w = np.asarray(w)
+            if not int16_in and w.dtype == np.int16:
+                # Mixed batch: the device graph won't apply the int16 scale,
+                # so scale this channel on host (a bare astype would feed
+                # +-32768-range values into the featurizer).
+                w = w.astype(np.float32) / 32768.0
+            p, t = host_pad_waveform(w.astype(dtype), self.feat_cfg)
             padded_list.append(p)
             ts.append(t)
         t_max = max(ts)

@@ -113,12 +113,18 @@ static int parse_wav(int fd, audio_info_t* info) {
     memcpy(&size, ch + 4, 4);
     pos += 8;
     if (!memcmp(ch, "fmt ", 4)) {
-      unsigned char f[16];
+      unsigned char f[26];
       if (size < 16 || pread(fd, f, 16, pos) != 16) return AERR_HEADER;
       memcpy(&fmt_code, f, 2);
       memcpy(&channels, f + 2, 2);
       memcpy(&rate, f + 4, 4);
       memcpy(&bits, f + 14, 2);
+      if (fmt_code == 0xFFFE) {
+        // WAVE_FORMAT_EXTENSIBLE: real format = first 2 bytes of the
+        // SubFormat GUID (fmt bytes 24-25).
+        if (size < 26 || pread(fd, f, 26, pos) != 26) return AERR_HEADER;
+        memcpy(&fmt_code, f + 24, 2);
+      }
       have_fmt = true;
       pos += size + (size & 1);
     } else if (!memcmp(ch, "data", 4)) {
@@ -128,7 +134,7 @@ static int parse_wav(int fd, audio_info_t* info) {
       info->big_endian = 0;
       info->data_offset = pos;
       if (fmt_code == 7) { info->encoding = ENC_ULAW; info->sample_bytes = 1; }
-      else if (fmt_code == 1 || fmt_code == 0xFFFE) {
+      else if (fmt_code == 1) {
         info->encoding = ENC_PCM; info->sample_bytes = bits / 8;
       } else if (fmt_code == 3) {
         info->encoding = ENC_FLOAT; info->sample_bytes = bits / 8;

@@ -54,9 +54,13 @@ def bce_loss(probs: jnp.ndarray, targets: jnp.ndarray) -> jnp.ndarray:
 
 
 def batch_metrics(probs: jnp.ndarray, targets: jnp.ndarray) -> Dict[str, jnp.ndarray]:
-    """accuracy/precision/recall at 0.5 (reference train.py:203-224):
-    precision := 1.0 with no positive predictions, recall := 1.0 with no
-    positive targets."""
+    """accuracy/precision/recall at 0.5 (reference train.py:203-224).
+
+    precision := 1.0 with no positive predictions matches the reference's
+    explicit special case (train.py:216-218).  recall with no positive
+    targets is 0/0 = NaN in the reference (train.py:221, which then poisons
+    its logged means); we deliberately return 1.0 instead so metric
+    averages stay finite — documented divergence, PARITY.md #13."""
     preds = (probs > 0.5).astype(jnp.float32)
     targets = targets.astype(jnp.float32)
     tp = jnp.sum(preds * targets)

@@ -88,3 +88,40 @@ def test_stereo_channel_select(tmp_path, rng):
     got_r, _ = audio.read(path, channel=1)
     np.testing.assert_allclose(got_l, _int16_roundtrip(left), atol=1e-6)
     np.testing.assert_allclose(got_r, _int16_roundtrip(right), atol=1e-6)
+
+
+def test_wave_format_extensible_float(tmp_path, rng):
+    # WAVE_FORMAT_EXTENSIBLE (0xFFFE) must resolve the real format from the
+    # SubFormat GUID — an extensible float WAV decoded as integer PCM would
+    # reinterpret float bit patterns as noise.
+    import struct
+
+    from laughter_detection_icsi_tpu.data import audio
+
+    w = (rng.standard_normal(1600) * 0.1).astype(np.float32)
+    path = str(tmp_path / "ext_float.wav")
+    data = w.tobytes()
+    # KSDATAFORMAT_SUBTYPE_IEEE_FLOAT GUID: 03000000-0000-0010-8000-00aa00389b71
+    guid = struct.pack("<H", 3) + bytes.fromhex("0000000000001000800000aa00389b71")
+    fmt = struct.pack("<HHIIHH", 0xFFFE, 1, 16000, 16000 * 4, 4, 32)
+    fmt += struct.pack("<H", 22) + struct.pack("<HI", 32, 0x4) + guid[2:]
+    # rebuild: cbSize(22) + validbits(2) + channelmask(4) + full 16-byte GUID
+    fmt = struct.pack("<HHIIHH", 0xFFFE, 1, 16000, 16000 * 4, 4, 32)
+    fmt += struct.pack("<HHI", 22, 32, 0x4) + guid
+    riff = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    riff += b"data" + struct.pack("<I", len(data)) + data
+    with open(path, "wb") as f:
+        f.write(b"RIFF" + struct.pack("<I", 4 + len(riff)) + riff)
+
+    info = audio.info(path)
+    assert info.encoding == "float" and info.sample_bytes == 4
+    got, sr = audio.read(path)
+    assert sr == 16000
+    np.testing.assert_allclose(got, w, atol=1e-6)
+
+    # the native C++ decoder must agree (skips gracefully if g++ absent)
+    from laughter_detection_icsi_tpu.runtime import native
+
+    if native.available():
+        wn, srn = native.read(path)
+        np.testing.assert_allclose(wn, w, atol=1e-6)

@@ -136,3 +136,21 @@ def test_sharded_many_channels_per_device(small_model, rng):
         want = single.probs_for_waveform(w)
         assert g.shape == want.shape
         np.testing.assert_allclose(g, want, rtol=1e-4, atol=1e-5)
+
+
+def test_sharded_mixed_dtype_waveforms(small_model, settings, rng):
+    # A batch mixing int16 PCM and float32 channels must scale the int16
+    # ones (a bare astype would feed +-32768-range values to the featurizer).
+    model, params, state = small_model
+    sharded = ShardedPipeline(
+        model=model, params=params, state=state, mesh=make_mesh(8),
+        settings=settings,
+    )
+    f = (rng.standard_normal(16000) * 0.1).astype(np.float32)
+    pcm = (np.clip(f, -1, 1) * 32767).astype(np.int16)
+    mixed = sharded.probs_for_waveforms([pcm, f.copy()])
+    pure = sharded.probs_for_waveforms([pcm])[0]
+    np.testing.assert_allclose(mixed[0], pure, atol=1e-5)
+    np.testing.assert_allclose(
+        mixed[1], sharded.probs_for_waveforms([f])[0], atol=1e-6
+    )
