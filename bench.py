@@ -23,6 +23,41 @@ import time
 import numpy as np
 
 
+def speech_like_pcm(seconds: int, sr: int = 16000, seed: int = 23) -> np.ndarray:
+    """Synthetic close-talk meeting audio with ICSI-like structure: mostly
+    near-silence (a personal mic picks up its wearer rarely) broken by
+    speech bursts, plus occasional loud (laughter-like) events.
+
+    Spectrally tilted segments (2-pole resonator around 500 Hz) rather than
+    white noise: white noise is both unrepresentative of speech and the
+    adversarial worst case for the lossless packed-PCM transfer codec
+    (ops/pcm_pack.py) that real meeting audio benefits from.  Deterministic
+    (seeded) so every round measures the same waveform.
+    """
+    n = sr * seconds
+    rng = np.random.default_rng(seed)
+    # 2-pole resonator: poles at r=0.92, f0=500 Hz -> speech-like tilt.
+    theta = 2 * np.pi * 500 / sr
+    a1, a2 = -2 * 0.92 * np.cos(theta), 0.92**2
+    e = rng.standard_normal(n).astype(np.float32)
+    from scipy.signal import lfilter
+
+    x = lfilter([1.0], [1.0, a1, a2], e).astype(np.float32)
+    x /= np.abs(x).max()
+    # Segment gains per 250 ms: 60% silence floor, 35% speech, 5% loud.
+    seg = sr // 4
+    n_segs = -(-n // seg)
+    kind = rng.choice(3, size=n_segs, p=[0.60, 0.35, 0.05])
+    gain_by_kind = np.array([0.002, 0.08, 0.30], dtype=np.float32)
+    gains = np.repeat(gain_by_kind[kind], seg)[:n]
+    # Smooth 10 ms ramps between segments so deltas stay speech-like.
+    ramp = np.ones(sr // 100, dtype=np.float32) / (sr // 100)
+    gains = np.convolve(gains, ramp, mode="same")
+    mic_floor = rng.standard_normal(n).astype(np.float32) * 0.0015
+    wave = np.clip(x * gains + mic_floor, -1.0, 1.0)
+    return (wave * 32767.0).astype(np.int16)
+
+
 def _wait_for_healthy_d2h(max_wait_s: float = 300.0) -> bool:
     """The tunneled-TPU device->host path intermittently degrades to ~190 s
     per transfer (any size).  Probe it and wait (bounded) for recovery so a
@@ -117,11 +152,12 @@ def main() -> None:
     )
     pipe = inference.LaughterPipeline(model, params, state, settings=settings)
 
-    sr = 16000
-    rng = np.random.default_rng(23)
     # Raw int16 PCM, like the ICSI .sph decode hands over (16-bit sources
-    # transfer as int16 and are scaled on device).
-    wave = (rng.standard_normal(sr * audio_seconds) * 0.05 * 32767).astype(np.int16)
+    # transfer as int16, are packed losslessly for the wire when that wins,
+    # and are scaled on device).  ICSI-like synthetic meeting audio — see
+    # speech_like_pcm.  (Rounds 1a-1c used full-scale white noise; numbers
+    # before/after are not directly comparable.)
+    wave = speech_like_pcm(audio_seconds)
 
     healthy = _wait_for_healthy_d2h() if on_accel else True
     pipe.probs_for_waveform(wave)  # warmup: compile both graphs

@@ -46,6 +46,17 @@ class InferenceSettings:
     # numerically identical to decoding on host (16-bit sources) at half the
     # host->device bytes; transfer bandwidth dominates on tunneled chips.
     transfer_int16: bool = True
+    # 'packed' — bit-pack int16 PCM on host (per-block delta coding,
+    #            ops/pcm_pack.py) and decode inside the featurize graph:
+    #            typically 1.5-3x fewer host->device bytes on speech,
+    #            bit-exact.  'raw' — plain int16/float32 upload.
+    # 'auto'   — pack whenever it saves >= 10% wire bytes for the bucket.
+    # Default 'raw': links that compress transparently (e.g. tunneled dev
+    # chips — measured: raw PCM moves ~1.9x faster per byte than the
+    # incompressible packed stream, erasing the codec's byte savings) are
+    # better served by raw uploads; opt into 'auto'/'packed' on direct
+    # PCIe/DCN-attached hosts where wire bytes are wire bytes.
+    transfer_codec: str = "raw"
     # None = auto: the fused Pallas featurizer on TPU (ops/fbank_pallas.py),
     # the XLA featurizer elsewhere.  Both match to ~2e-5.
     use_pallas_fbank: Optional[bool] = None
@@ -62,6 +73,14 @@ class InferenceSettings:
     #                Better-posed (windows see real context, not synthetic
     #                zeros) but NOT bit-parity with the reference.
     mode: str = "windows"
+
+    def __post_init__(self):
+        if self.precision not in ("float32", "bfloat16"):
+            raise ValueError(f"unknown precision {self.precision!r}")
+        if self.mode not in ("windows", "fused_conv"):
+            raise ValueError(f"unknown mode {self.mode!r}")
+        if self.transfer_codec not in ("auto", "raw", "packed"):
+            raise ValueError(f"unknown transfer_codec {self.transfer_codec!r}")
 
 
 def _snip_cfg(cfg: FeatConfig) -> FeatConfig:
@@ -180,10 +199,9 @@ class LaughterPipeline:
             jnp.bfloat16 if self.settings.precision == "bfloat16" else jnp.float32
         )
 
-        @jax.jit
-        def featurize(wave: jnp.ndarray, valid_frames: jnp.ndarray):
-            if int16_in:
-                wave = wave.astype(jnp.float32) * (1.0 / 32768.0)
+        def featurize_body(wave: jnp.ndarray, valid_frames: jnp.ndarray):
+            """wave: float32 [wave_len] in [-1, 1] -> bucket features
+            (+ shared-stem tracks); shared by every transfer codec."""
             if use_pallas:
                 from laughter_detection_icsi_tpu.ops.fbank_pallas import fbank_pallas
 
@@ -204,6 +222,14 @@ class LaughterPipeline:
                     return feats, track1, track2
                 return feats, track1
             return feats
+
+        self._jitted["body"] = (featurize_body, wave_len)
+
+        @jax.jit
+        def featurize(wave: jnp.ndarray, valid_frames: jnp.ndarray):
+            if int16_in:
+                wave = wave.astype(jnp.float32) * (1.0 / 32768.0)
+            return featurize_body(wave, valid_frames)
 
         if use_shared:
 
@@ -233,6 +259,49 @@ class LaughterPipeline:
         graphs = (featurize, chunk_probs, wave_len)
         self._jitted[int16_in] = graphs
         return graphs
+
+    def _packed_featurize(self, wire_len: int, n_blocks: int, delta: bool):
+        """Featurize a bit-packed bucket (ops/pcm_pack.py): ONE uploaded
+        wire buffer (width table + word stream — each transfer pays fixed
+        link latency, so never two) decodes to the bucket's int16 samples
+        ON DEVICE, then runs the shared featurize body.  One compilation
+        per (padded wire length, delta flag) — word streams are padded to
+        WORD_PAD multiples so a handful of compilations serve arbitrary
+        audio."""
+        key = ("pk", wire_len, delta)
+        if key in self._jitted:
+            return self._jitted[key]
+        featurize_body, wave_len = self._jitted["body"]
+        from laughter_detection_icsi_tpu.ops import pcm_pack
+
+        @jax.jit
+        def featurize_packed(wire, valid_frames):
+            widths, words = pcm_pack.split_wire(wire, n_blocks)
+            vals = pcm_pack.unpack_pcm(words, widths, n=wave_len, delta=delta)
+            wave = vals.astype(jnp.float32) * (1.0 / 32768.0)
+            # Materialize the decoded wave: without the barrier XLA fuses
+            # the decode (gathers + cumsum) into the fbank framing, which
+            # reads every sample ~2.5x (frame 400 / shift 160) and would
+            # re-decode per read (~5x featurize cost, measured).
+            wave = jax.lax.optimization_barrier(wave)
+            return featurize_body(wave, valid_frames)
+
+        self._jitted[key] = featurize_packed
+        return featurize_packed
+
+    def _maybe_pack(self, buf: np.ndarray):
+        """Pack a bucket buffer for transfer when the codec settings say so
+        and it actually shrinks the wire bytes; returns a PackedPCM or
+        None (= upload ``buf`` raw)."""
+        codec = self.settings.transfer_codec
+        if codec == "raw" or buf.dtype != np.int16 or self.settings.mode == "fused_conv":
+            return None
+        from laughter_detection_icsi_tpu.ops import pcm_pack
+
+        packed = pcm_pack.pack_pcm(buf)
+        if codec == "packed":
+            return packed
+        return packed if packed.packed_bytes <= 0.9 * packed.raw_bytes else None
 
     def _fc_graph(self, total_frames: int, int16_in: bool):
         """Fused-conv whole-track graph (mode='fused_conv'): featurize +
@@ -316,7 +385,15 @@ class LaughterPipeline:
             src = padded[lo : lo + wave_len]
             buf[: len(src)] = src
             valid = min(t - k * bucket, bucket + self.settings.window - 1)
-            feats = featurize(jnp.asarray(buf), jnp.asarray(valid, jnp.int32))
+            packed = self._maybe_pack(buf)
+            if packed is not None:
+                wire = packed.wire()
+                featurize_pk = self._packed_featurize(
+                    len(wire), len(packed.widths), packed.delta
+                )
+                feats = featurize_pk(jnp.asarray(wire), jnp.asarray(valid, jnp.int32))
+            else:
+                feats = featurize(jnp.asarray(buf), jnp.asarray(valid, jnp.int32))
             outs = [
                 chunk_probs(feats, jnp.asarray(i * chunk, dtype=jnp.int32))
                 for i in range(n_chunks)

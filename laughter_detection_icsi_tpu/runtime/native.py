@@ -25,6 +25,12 @@ _lock = threading.Lock()
 _lib: Optional[ctypes.CDLL] = None
 _build_failed = False
 
+_PACK_SRC = Path(__file__).parent / "csrc" / "pcm_pack.cpp"
+_PACK_LIB_PATH = Path(__file__).parent / "csrc" / "libpcmpack.so"
+_pack_lock = threading.Lock()
+_pack_lib: Optional[ctypes.CDLL] = None
+_pack_build_failed = False
+
 _ERRORS = {
     -1: "cannot open file",
     -2: "unrecognized container magic",
@@ -98,6 +104,74 @@ def _get_lib() -> Optional[ctypes.CDLL]:
 
 def available() -> bool:
     return _get_lib() is not None
+
+
+def _get_pack_lib() -> Optional[ctypes.CDLL]:
+    """Build/load the native PCM packer (csrc/pcm_pack.cpp)."""
+    global _pack_lib, _pack_build_failed
+    if _pack_lib is not None or _pack_build_failed:
+        return _pack_lib
+    with _pack_lock:
+        if _pack_lib is not None or _pack_build_failed:
+            return _pack_lib
+        if not (
+            _PACK_LIB_PATH.is_file()
+            and _PACK_LIB_PATH.stat().st_mtime >= _PACK_SRC.stat().st_mtime
+        ):
+            try:
+                subprocess.run(
+                    ["g++", "-O3", "-shared", "-fPIC", str(_PACK_SRC), "-o", str(_PACK_LIB_PATH)],
+                    check=True,
+                    capture_output=True,
+                )
+            except (OSError, subprocess.CalledProcessError):
+                _pack_build_failed = True
+                return None
+        lib = ctypes.CDLL(str(_PACK_LIB_PATH))
+        lib.pcm_pack.restype = ctypes.c_int64
+        lib.pcm_pack.argtypes = [
+            ctypes.POINTER(ctypes.c_int16),
+            ctypes.c_int64,
+            ctypes.c_int32,
+            ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_uint32),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32),
+        ]
+        _pack_lib = lib
+    return _pack_lib
+
+
+def pack_pcm_native(
+    wave: np.ndarray, block: int, mode: int = -1
+) -> Optional[Tuple[np.ndarray, np.ndarray, bool, int]]:
+    """Native bit-pack of int16 PCM (see ops/pcm_pack.py for the layout).
+
+    Returns (words, widths, delta, n_words) with ``words`` sized to the
+    worst case (trim/pad at the call site), or None when no compiler is
+    available (callers fall back to the numpy packer).
+    """
+    lib = _get_pack_lib()
+    if lib is None:
+        return None
+    wave = np.ascontiguousarray(wave, dtype=np.int16)
+    n = len(wave)
+    n_blocks = max(1, -(-n // block))
+    words = np.zeros(n_blocks * (block // 32) * 17 + 1, dtype=np.uint32)
+    widths = np.empty(n_blocks, dtype=np.int32)
+    delta = ctypes.c_int32(0)
+    n_words = lib.pcm_pack(
+        wave.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+        n,
+        block,
+        mode,
+        words.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        widths.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        ctypes.byref(delta),
+    )
+    if n_words < 0:
+        return None
+    return words, widths, bool(delta.value), int(n_words)
 
 
 def info(path: str):

@@ -140,3 +140,54 @@ def test_bfloat16_pipeline_close(small_model, wave):
     assert a.shape == b.shape
     # bf16 probabilities stay close on [0,1]
     assert np.abs(a - b).max() < 0.05
+
+
+def test_packed_transfer_codec_bit_exact(small_model, wave):
+    """'packed' (on-device pcm_pack decode) must give EXACTLY the probs of
+    'raw' int16 upload — the codec is lossless, so the featurize graph sees
+    identical samples."""
+    model, params, state = small_model
+    pcm = (np.clip(wave, -1, 1) * 32767).astype(np.int16)
+    mk = lambda codec: inference.LaughterPipeline(
+        model, params, state,
+        settings=inference.InferenceSettings(
+            chunk=256, bucket_frames=512, transfer_codec=codec
+        ),
+    )
+    a = mk("packed").probs_for_waveform(pcm)
+    b = mk("raw").probs_for_waveform(pcm)
+    np.testing.assert_array_equal(a, b)
+
+
+def test_auto_codec_matches_raw_on_speechlike_pcm(small_model):
+    """'auto' packs quiet speech-like PCM (savings >= 10%) and must still
+    be bit-exact; a float32 input bypasses packing entirely."""
+    model, params, state = small_model
+    rng = np.random.default_rng(3)
+    n = 16000 * 2
+    e = rng.standard_normal(n) * 60
+    x = np.empty(n)
+    acc = 0.0
+    for i in range(n):
+        acc = 0.96 * acc + e[i]
+        x[i] = acc
+    pcm = np.clip(x, -32768, 32767).astype(np.int16)
+    mk = lambda codec: inference.LaughterPipeline(
+        model, params, state,
+        settings=inference.InferenceSettings(
+            chunk=256, bucket_frames=512, transfer_codec=codec
+        ),
+    )
+    auto = mk("auto")
+    a = auto.probs_for_waveform(pcm)
+    b = mk("raw").probs_for_waveform(pcm)
+    np.testing.assert_array_equal(a, b)
+    # the auto pipeline actually compiled a packed featurize variant
+    assert any(isinstance(k, tuple) and k[0] == "pk" for k in auto._jitted)
+
+
+def test_transfer_codec_validation():
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        inference.InferenceSettings(transfer_codec="zip")
