@@ -150,14 +150,22 @@ def _finish(stream: np.ndarray, n_words: int, widths, n, delta) -> PackedPCM:
     return PackedPCM(words=words, widths=widths, n=n, delta=delta)
 
 
+#: pack_pcm encoding modes -> native packer's mode int.
+_MODES = {"auto": -1, "direct": 0, "delta": 1}
+
+
 def pack_pcm(
-    wave: np.ndarray, prefer_delta: bool = True, use_native: bool = True
+    wave: np.ndarray, mode: str = "auto", use_native: bool = True
 ) -> PackedPCM:
-    """Pack an int16 waveform for transfer.  Chooses delta vs direct
-    encoding by measuring both width tables (deltas almost always win on
-    audio; direct wins on e.g. white noise near full scale).  Uses the
-    native packer (runtime/csrc/pcm_pack.cpp, ~GB/s) when a compiler is
-    around, else the vectorized numpy fallback below."""
+    """Pack an int16 waveform for transfer.  mode='auto' measures both
+    width tables and keeps the smaller encoding (deltas almost always win
+    on audio; direct wins on e.g. white noise near full scale);
+    'delta'/'direct' force one — batched decoders need every channel on
+    the same mode.  Uses the native packer (runtime/csrc/pcm_pack.cpp,
+    ~GB/s) when a compiler is around, else the vectorized numpy fallback
+    below."""
+    if mode not in _MODES:
+        raise ValueError(f"unknown pack mode {mode!r}")
     wave = np.ascontiguousarray(wave)
     if wave.dtype != np.int16:
         raise TypeError(f"pack_pcm wants int16 PCM, got {wave.dtype}")
@@ -167,16 +175,17 @@ def pack_pcm(
     if use_native:
         from laughter_detection_icsi_tpu.runtime import native
 
-        got = native.pack_pcm_native(wave, BLOCK, mode=-1 if prefer_delta else 0)
+        got = native.pack_pcm_native(wave, BLOCK, mode=_MODES[mode])
         if got is not None:
             stream, widths, use_delta, n_words = got
             return _finish(stream, n_words, widths, n, use_delta)
 
     padded = np.zeros(n_blocks * BLOCK, dtype=np.int32)
     padded[:n] = wave
-    direct_w = _block_widths(padded, n_blocks)
-    candidates = [(False, direct_w)]
-    if prefer_delta:
+    candidates = []
+    if mode in ("auto", "direct"):
+        candidates.append((False, _block_widths(padded, n_blocks)))
+    if mode in ("auto", "delta"):
         deltas = np.empty_like(padded)
         deltas[0] = padded[0]
         np.subtract(padded[1:], padded[:-1], out=deltas[1:])

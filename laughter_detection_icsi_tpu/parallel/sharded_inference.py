@@ -138,10 +138,9 @@ class ShardedPipeline:
 
             track2_ok = shared_stem.supports_track2(window)
 
-        def featurize(waves: jnp.ndarray, valid_frames: jnp.ndarray):
-            # waves [C, wave_len] (sharded on C) -> feats [C, feat_rows, F]
-            if int16_in:
-                waves = waves.astype(jnp.float32) * (1.0 / 32768.0)
+        def featurize_body(waves: jnp.ndarray, valid_frames: jnp.ndarray):
+            # waves [C, wave_len] float32 (sharded on C) -> feats
+            # [C, feat_rows, F]; shared by every transfer codec.
             feats = fbank_fn(waves)
             mask = jnp.arange(ext)[None, :] < valid_frames[:, None]
             feats = jnp.where(mask[:, :, None], feats, 0.0)
@@ -158,6 +157,13 @@ class ShardedPipeline:
                     return feats, track1, track2
                 return feats, track1
             return feats
+
+        self._jitted[("body", c_local)] = (featurize_body, wave_len, ch)
+
+        def featurize(waves: jnp.ndarray, valid_frames: jnp.ndarray):
+            if int16_in:
+                waves = waves.astype(jnp.float32) * (1.0 / 32768.0)
+            return featurize_body(waves, valid_frames)
 
         featurize = jax.jit(featurize, in_shardings=(ch, ch), out_shardings=ch)
 
@@ -217,6 +223,58 @@ class ShardedPipeline:
         graphs = (featurize, chunk_probs, wave_len, chunk)
         self._jitted[key] = graphs
         return graphs
+
+    def _packed_featurize(self, wire_len: int, c_local: int, delta: bool):
+        """Batched packed-PCM featurize (ops/pcm_pack.py): each channel row
+        of the [C, wire_len] wire batch decodes on its own device shard,
+        then the shared featurize body runs.  All channels share one decode
+        mode (the packer is forced to 'delta'), so one compilation serves
+        the batch."""
+        key = ("pk", wire_len, c_local, delta)
+        if key in self._jitted:
+            return self._jitted[key]
+        featurize_body, wave_len, ch = self._jitted[("body", c_local)]
+        from laughter_detection_icsi_tpu.ops import pcm_pack
+
+        n_blocks = -(-wave_len // pcm_pack.BLOCK)
+
+        def featurize_packed(wires, valid_frames):
+            def unp(row):
+                widths, words = pcm_pack.split_wire(row, n_blocks)
+                v = pcm_pack.unpack_pcm(words, widths, n=wave_len, delta=delta)
+                return v.astype(jnp.float32) * (1.0 / 32768.0)
+
+            waves = jax.vmap(unp)(wires)
+            # Materialize the decoded waves (see inference._packed_featurize).
+            waves = jax.lax.optimization_barrier(waves)
+            return featurize_body(waves, valid_frames)
+
+        featurize_packed = jax.jit(
+            featurize_packed, in_shardings=(ch, ch), out_shardings=ch
+        )
+        self._jitted[key] = featurize_packed
+        return featurize_packed
+
+    def _maybe_pack_batch(self, batch: np.ndarray):
+        """Pack a [C, wave_len] int16 bucket batch into a [C, wire_len]
+        uint32 wire batch when the codec settings say so and it shrinks the
+        wire; returns (wires, delta) or None (= upload raw).  Every channel
+        is forced to delta mode so the batched decoder compiles once."""
+        codec = self.settings.transfer_codec
+        if codec == "raw" or batch.dtype != np.int16:
+            return None
+        from laughter_detection_icsi_tpu.ops import pcm_pack
+
+        packs = [pcm_pack.pack_pcm(row, mode="delta") for row in batch]
+        rows = [p.wire() for p in packs]
+        wire_len = max(len(r) for r in rows)
+        total = len(rows) * wire_len * 4
+        if codec == "auto" and total > 0.9 * batch.nbytes:
+            return None
+        wires = np.zeros((len(rows), wire_len), dtype=np.uint32)
+        for i, r in enumerate(rows):
+            wires[i, : len(r)] = r
+        return wires, True
 
     def _fc_graph(self, total_frames: int, int16_in: bool = False):
         """Fused-conv whole-track graph, channel axis sharded
@@ -316,8 +374,17 @@ class ShardedPipeline:
                 src = p[lo : lo + wave_len]
                 batch[i, : len(src)] = src
                 valid[i] = int(np.clip(t - k * bucket, 0, bucket + window - 1))
-            sharded = mesh_lib.shard_batch({"w": batch, "v": valid}, self.mesh)
-            feats = featurize(sharded["w"], sharded["v"])
+            packed = self._maybe_pack_batch(batch)  # windows-mode only path
+            if packed is not None:
+                wires, delta = packed
+                featurize_pk = self._packed_featurize(
+                    wires.shape[1], c_local, delta
+                )
+                sharded = mesh_lib.shard_batch({"w": wires, "v": valid}, self.mesh)
+                feats = featurize_pk(sharded["w"], sharded["v"])
+            else:
+                sharded = mesh_lib.shard_batch({"w": batch, "v": valid}, self.mesh)
+                feats = featurize(sharded["w"], sharded["v"])
             outs = [
                 chunk_probs(feats, jnp.asarray(i * chunk, dtype=jnp.int32))
                 for i in range(n_chunks)

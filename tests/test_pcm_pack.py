@@ -105,7 +105,7 @@ def test_pack_rejects_non_int16():
 def test_widths_are_minimal():
     # A block of values in [-4, 3] fits 3-bit two's complement exactly.
     wave = np.tile(np.array([-4, 3, 0, -1], dtype=np.int16), pcm_pack.BLOCK // 4)
-    packed = pcm_pack.pack_pcm(wave, prefer_delta=False)
+    packed = pcm_pack.pack_pcm(wave, mode="direct")
     assert packed.widths.tolist() == [3]
     _roundtrip(wave)
 

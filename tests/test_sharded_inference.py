@@ -154,3 +154,26 @@ def test_sharded_mixed_dtype_waveforms(small_model, settings, rng):
     np.testing.assert_allclose(
         mixed[1], sharded.probs_for_waveforms([f])[0], atol=1e-6
     )
+
+
+def test_sharded_packed_codec_bit_exact(small_model, rng):
+    """The sharded packed-PCM path (one wire batch, per-shard decode) must
+    reproduce the raw int16 upload exactly for every channel."""
+    model, params, state = small_model
+    mk = lambda codec: ShardedPipeline(
+        model=model, params=params, state=state, mesh=make_mesh(8),
+        settings=inference.InferenceSettings(
+            chunk=128, bucket_frames=256, transfer_codec=codec
+        ),
+    )
+    waves = [
+        (rng.standard_normal(16000 * 2) * 1500).astype(np.int16),
+        np.zeros(16000, dtype=np.int16),  # silent channel: near-empty wire
+        (np.cumsum(rng.integers(-80, 81, 16000 * 3 + 700))
+         .clip(-32768, 32767).astype(np.int16)),
+    ]
+    got = mk("packed").probs_for_waveforms(waves)
+    want = mk("raw").probs_for_waveforms(waves)
+    assert len(got) == len(want) == 3
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(g, w)
