@@ -47,6 +47,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="'windows' = reference-exact per-window conv; "
                         "'fused_conv' = ~2.5x faster whole-track dilated conv "
                         "(not bit-parity; models/fully_conv.py)")
+    p.add_argument("--transfer_codec", type=str, default="raw",
+                   choices=["raw", "auto", "packed"],
+                   help="host->device PCM transfer: 'packed'/'auto' = "
+                        "lossless bit-packed wire (ops/pcm_pack.py; wins on "
+                        "PCIe/DCN hosts), 'raw' = plain int16 upload")
     p.add_argument("--analyse", action="store_true",
                    help="run the evaluator on the sweep output afterwards")
     p.add_argument("--trace_dir", type=str, default=None,
@@ -98,6 +103,7 @@ def main(argv: Optional[List[str]] = None) -> int:
         bucket_frames=args.bucket_frames or 6144,
         precision=args.precision or ("bfloat16" if on_accel else "float32"),
         mode=args.mode,
+        transfer_codec=args.transfer_codec,
     )
     pipe = ShardedPipeline(
         model=model,

@@ -1,0 +1,70 @@
+"""Subprocess smoke tests for the reference-compatible CLI wrappers.
+
+The library surface is covered by the unit suites; these pin the actual
+``python segment_laughter.py ...`` entry (reference segment_laughter.py's
+contract: flags in, TextGrid/wavs out) end-to-end in a fresh process —
+argument plumbing, env setup, and output layout included.
+"""
+
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def _cpu_env():
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("PYTHONPATH", None)  # drop any accelerator-plugin site dir
+    return env
+
+
+def test_segment_laughter_cli_writes_textgrid(tmp_path):
+    from laughter_detection_icsi_tpu.data import audio
+
+    wav = tmp_path / "meeting.wav"
+    rng = np.random.default_rng(11)
+    # 1.5 s with a loud burst so some threshold can fire either way
+    w = (rng.standard_normal(24000) * 0.05).astype(np.float32)
+    w[8000:12000] += 0.3
+    audio.write_wav(str(wav), np.clip(w, -1, 1), 16000)
+    out_dir = tmp_path / "out"
+
+    res = subprocess.run(
+        [
+            sys.executable,
+            str(REPO / "segment_laughter.py"),
+            "--input_audio_file", str(wav),
+            "--output_dir", str(out_dir),
+            "--random_init",
+            "--thresholds", "0.2,0.9",
+            "--min_lengths", "0.0,0.2",
+            "--save_to_textgrid", "True",
+            "--save_to_audio_files", "False",
+            "--chunk", "64",
+            "--bucket_frames", "128",
+            "--transfer_codec", "packed",
+        ],
+        cwd=REPO,
+        env=_cpu_env(),
+        capture_output=True,
+        text=True,
+        timeout=560,
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    # Reference layout: <out>/t_<thr>/l_<minlen>/<name>.TextGrid, written
+    # only for settings with >= 1 instance (reference
+    # segment_laughter.py:132-133 gates on len(instances) > 0; the random
+    # init's sigmoid output hovers near 0.5, so t_0.2 fires and t_0.9
+    # cannot).  Empty settings still get their directory (mkdir parity).
+    grids = sorted(out_dir.rglob("*.TextGrid"))
+    rels = {g.relative_to(out_dir).parts[:2] for g in grids}
+    assert rels == {("t_0.2", "l_0.0"), ("t_0.2", "l_0.2")}, (
+        res.stdout,
+        res.stderr[-500:],
+    )
+    assert (out_dir / "t_0.9" / "l_0.2").is_dir()
