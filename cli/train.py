@@ -49,6 +49,15 @@ def build_parser() -> argparse.ArgumentParser:
                    help="ship feature batches to the device as bfloat16 "
                         "(half the host->device bytes; inputs are "
                         "bf16-rounded, params/grads stay float32)")
+    p.add_argument("--device_cache", type=str, default="auto",
+                   choices=["auto", "on", "off"],
+                   help="keep the whole split's features resident in device "
+                        "HBM and gather batches on device (zero per-step "
+                        "feature upload; data.ResidentLadDataset).  'auto' "
+                        "enables it on accelerators when the split fits "
+                        "--device_cache_budget_gb")
+    p.add_argument("--device_cache_budget_gb", type=float, default=4.0,
+                   help="max HBM the 'auto' device cache may claim")
     p.add_argument("--val_batches_per_log", type=int, default=10)
     p.add_argument("--seed", type=int, default=0)
     return p
@@ -114,6 +123,35 @@ def main(argv: Optional[List[str]] = None) -> int:
     train_ds = LadDataset(train_df, cache)
     dev_ds = LadDataset(dev_df, cache)
 
+    # Device-resident feature cache: pay the split's upload once, gather
+    # batches in HBM (data.ResidentLadDataset).  Incompatible with
+    # --data_parallel's host-sharded batches for now.
+    from laughter_detection_icsi_tpu.data import ResidentLadDataset
+
+    want_cache = args.device_cache
+    if want_cache == "on" and args.data_parallel:
+        raise SystemExit("--device_cache on requires single-device mode")
+    use_cache = False
+    if want_cache != "off" and not args.data_parallel:
+        est = ResidentLadDataset.estimated_nbytes(
+            train_ds, args.transfer_dtype
+        ) + ResidentLadDataset.estimated_nbytes(dev_ds, args.transfer_dtype)
+        on_accel = jax.devices()[0].platform != "cpu"
+        fits = est <= args.device_cache_budget_gb * 1e9
+        use_cache = want_cache == "on" or (on_accel and fits)
+        if want_cache == "auto" and not use_cache and on_accel:
+            print(
+                f"device_cache auto: split needs {est/1e9:.2f} GB > budget "
+                f"{args.device_cache_budget_gb} GB; streaming from host"
+            )
+    if use_cache:
+        train_ds = ResidentLadDataset(train_ds, args.transfer_dtype)
+        dev_ds = ResidentLadDataset(dev_ds, args.transfer_dtype)
+        print(
+            f"device cache: {len(train_ds)} train + {len(dev_ds)} dev "
+            "windows resident in HBM"
+        )
+
     model = models.build(
         preset.model,
         dropout_rate=dropout,
@@ -173,16 +211,23 @@ def main(argv: Optional[List[str]] = None) -> int:
 
     t_start = time.perf_counter()
     for epoch in range(args.num_epochs):
-        params, state, opt_state, mean_loss = loop.run_epoch(
-            params,
-            state,
-            opt_state,
-            train_ds.batches(
+        if use_cache:
+            # Fused resident steps: one device dispatch per batch.
+            epoch_batches = train_ds.index_batches(
+                batch_size, shuffle=True, seed=args.seed + loop.epoch
+            )
+        else:
+            epoch_batches = train_ds.batches(
                 batch_size,
                 shuffle=True,
                 seed=args.seed + loop.epoch,
                 drop_remainder=args.data_parallel,
-            ),
+            )
+        params, state, opt_state, mean_loss = loop.run_epoch(
+            params,
+            state,
+            opt_state,
+            epoch_batches,
             val_batches_fn=val_batches,
             rng=jax.random.PRNGKey(args.seed * 1000 + loop.epoch),
         )

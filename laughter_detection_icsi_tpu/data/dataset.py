@@ -194,6 +194,130 @@ class LadDataset:
             th.join(timeout=5)
 
 
+class ResidentLadDataset:
+    """The whole split resident in device HBM; batches are device gathers.
+
+    The streamed path uploads ~18 MB of features per 1024-batch every step
+    — on a bandwidth-starved host link that is the training bottleneck
+    (measured ~150x slower than the jitted step).  A full ICSI split is
+    only a few GB of windows, so the TPU-native answer is to pay the
+    upload ONCE: features live in HBM ([N, W, F], optionally bfloat16 at
+    half the footprint), and each step ships 4 KB of int32 row indices;
+    the batch gather runs on device.  Batch ordering reproduces
+    ``LadDataset.batches`` exactly (same seeded permutation), so streamed
+    and resident training are the same run.
+
+    No reference analogue — the reference re-reads lilcom files from disk
+    inside its train loop (reference datasets.py:56, load_data.py:24-34).
+    """
+
+    def __init__(
+        self,
+        dataset: LadDataset,
+        transfer_dtype: Optional[str] = None,
+        assemble_chunk: int = 8192,
+    ):
+        import jax
+        import jax.numpy as jnp
+
+        self.dataset = dataset
+        n = len(dataset)
+        w = dataset.window_frames
+        nf = dataset.cache.cfg.num_filters
+        store_dtype = jnp.bfloat16 if transfer_dtype == "bfloat16" else jnp.float32
+        if transfer_dtype == "bfloat16":
+            import ml_dtypes
+
+            host_dtype = ml_dtypes.bfloat16
+        else:
+            host_dtype = np.float32
+        feats = np.empty((n, w, nf), dtype=host_dtype)
+        lens = np.empty(n, dtype=np.int32)
+        labels = np.empty(n, dtype=np.float32)
+        for lo in range(0, n, assemble_chunk):
+            idx = np.arange(lo, min(lo + assemble_chunk, n))
+            batch = dataset._assemble(idx)
+            feats[idx] = batch["inputs"].astype(host_dtype)
+            lens[idx] = batch["input_lens"]
+            labels[idx] = batch["is_laugh"]
+        self.feats = jnp.asarray(feats)  # one upload for the whole split
+        self.lens = jnp.asarray(lens)
+        self.labels = jnp.asarray(labels)
+
+        @jax.jit
+        def gather(data, lens_d, labels_d, idx):
+            return (
+                data[idx].astype(jnp.float32),
+                lens_d[idx],
+                labels_d[idx],
+            )
+
+        self._gather = gather
+
+    @staticmethod
+    def estimated_nbytes(
+        dataset: LadDataset, transfer_dtype: Optional[str] = None
+    ) -> int:
+        """HBM footprint of :class:`ResidentLadDataset` before building it."""
+        itemsize = 2 if transfer_dtype == "bfloat16" else 4
+        return (
+            len(dataset)
+            * dataset.window_frames
+            * dataset.cache.cfg.num_filters
+            * itemsize
+        )
+
+    def __len__(self) -> int:
+        return len(self.dataset)
+
+    def batches(
+        self,
+        batch_size: int,
+        shuffle: bool = True,
+        seed: int = 0,
+        drop_remainder: bool = False,
+    ) -> Iterator[Dict[str, object]]:
+        """One epoch of device-resident batches: same slicing/permutation as
+        ``LadDataset.batches``, but 'inputs' / 'input_lens' / 'is_laugh'
+        are device arrays gathered in HBM (only the index vector crosses
+        the host->device link)."""
+        order = np.arange(len(self.dataset))
+        if shuffle:
+            np.random.default_rng(seed).shuffle(order)
+        slices = [
+            order[lo : lo + batch_size]
+            for lo in range(0, len(order), batch_size)
+        ]
+        if drop_remainder and slices and len(slices[-1]) < batch_size:
+            slices.pop()
+        import jax.numpy as jnp
+
+        for idx in slices:
+            x, lens, labels = self._gather(
+                self.feats, self.lens, self.labels, jnp.asarray(idx)
+            )
+            yield {"inputs": x, "input_lens": lens, "is_laugh": labels}
+
+    def index_batches(
+        self,
+        batch_size: int,
+        shuffle: bool = True,
+        seed: int = 0,
+        drop_remainder: bool = False,
+    ) -> Iterator[Dict[str, object]]:
+        """Like :meth:`batches` but yields {'resident', 'idx'} markers the
+        train loop turns into ONE fused device dispatch per step
+        (train.loop.Trainer.train_batch_resident) — the fastest path."""
+        order = np.arange(len(self.dataset))
+        if shuffle:
+            np.random.default_rng(seed).shuffle(order)
+        for lo in range(0, len(order), batch_size):
+            idx = order[lo : lo + batch_size]
+            if drop_remainder and len(idx) < batch_size:
+                return
+            yield {"resident": self, "idx": idx}
+
+
 def load_split_df(data_dfs_dir: str, split: str) -> pd.DataFrame:
     """Read ``<dir>/<split>_df.csv`` (reference load_data.py:12-18 reads the
     cutset equivalent)."""

@@ -114,6 +114,26 @@ class Trainer:
             return new_params, new_state, new_opt_state, metrics
 
         @jax.jit
+        def train_step_resident(
+            params, state, opt_state, data, labels, idx, key, step
+        ):
+            """Fused step for device-resident datasets: HBM batch gather +
+            per-step rng derivation + train step in ONE dispatch (only the
+            [B] index vector and the step scalar cross the link; link/
+            dispatch latency is the loop bound once features are
+            resident)."""
+            x = data[idx].astype(jnp.float32)[:, None, :, :]
+            y = labels[idx]
+            rng = jax.random.fold_in(key, step)
+            (loss, (probs, new_state)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(params, state, x, y, rng)
+            new_params, new_opt_state = optimizer.update(grads, opt_state, params)
+            metrics = batch_metrics(probs, y)
+            metrics["loss"] = loss
+            return new_params, new_state, new_opt_state, metrics
+
+        @jax.jit
         def grad_step(params, state, acc_grads, x, y, rng):
             """One accumulation micro-step: adds grads/accum into acc_grads."""
             (loss, (probs, new_state)), grads = jax.value_and_grad(
@@ -139,6 +159,7 @@ class Trainer:
             return metrics
 
         self._train_step = train_step
+        self._train_step_resident = train_step_resident
         self._grad_step = grad_step
         self._apply_grads = apply_grads
         self._eval_step = eval_step
@@ -152,13 +173,18 @@ class Trainer:
         return params, state, self.optimizer.init(params)
 
     def _prep(self, batch) -> Tuple[jnp.ndarray, jnp.ndarray]:
-        if self.transfer_dtype == "bfloat16":
+        inputs = batch["inputs"]
+        if isinstance(inputs, jax.Array):
+            # Device-resident batch (data.ResidentLadDataset): already
+            # gathered in HBM as float32 [B, W, F] — nothing to transfer.
+            x = inputs[:, None, :, :]
+        elif self.transfer_dtype == "bfloat16":
             import ml_dtypes
 
-            host = np.asarray(batch["inputs"]).astype(ml_dtypes.bfloat16)
+            host = np.asarray(inputs).astype(ml_dtypes.bfloat16)
             x = jnp.asarray(host)[:, None, :, :].astype(jnp.float32)
         else:
-            x = jnp.asarray(batch["inputs"], dtype=jnp.float32)[:, None, :, :]
+            x = jnp.asarray(inputs, dtype=jnp.float32)[:, None, :, :]
         y = jnp.asarray(batch["is_laugh"], dtype=jnp.float32)
         return x, y
 
@@ -180,6 +206,32 @@ class Trainer:
             self._acc_grads = None
             self._accum_count = 0
         return params, state, opt_state, metrics
+
+    def train_batch_resident(self, params, state, opt_state, resident, idx, key, step):
+        """One step from a data.ResidentLadDataset: single fused dispatch
+        when grad_accum == 1, else a device gather feeding the
+        accumulation micro-path."""
+        idx = np.asarray(idx, dtype=np.int32)
+        if self.grad_accum == 1:
+            return self._train_step_resident(
+                params,
+                state,
+                opt_state,
+                resident.feats,
+                resident.labels,
+                idx,
+                key,
+                np.int32(step),
+            )
+        import jax.numpy as _jnp
+
+        x, _lens, y = resident._gather(
+            resident.feats, resident.lens, resident.labels, _jnp.asarray(idx)
+        )
+        rng = jax.random.fold_in(key, step)
+        return self.train_batch(
+            params, state, opt_state, {"inputs": x, "is_laugh": y}, rng
+        )
 
     def eval_batch(self, params, state, batch):
         x, y = self._prep(batch)
@@ -304,10 +356,18 @@ class TrainLoop:
         num_batches = 0
         t0 = time.perf_counter()
         for batch in train_batches:
-            rng, step_rng = jax.random.split(rng)
-            params, state, opt_state, metrics = self.trainer.train_batch(
-                params, state, opt_state, batch, step_rng
-            )
+            if isinstance(batch, dict) and batch.get("resident") is not None:
+                # Fused resident step: rng derives on device from
+                # (epoch key, global_step) — no per-step split dispatch.
+                params, state, opt_state, metrics = self.trainer.train_batch_resident(
+                    params, state, opt_state,
+                    batch["resident"], batch["idx"], rng, self.global_step,
+                )
+            else:
+                rng, step_rng = jax.random.split(rng)
+                params, state, opt_state, metrics = self.trainer.train_batch(
+                    params, state, opt_state, batch, step_rng
+                )
             device_losses.append(metrics["loss"])
             num_batches += 1
             self.global_step += 1

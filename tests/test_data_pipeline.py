@@ -223,3 +223,134 @@ def test_vectorized_batches_match_examples(tmp_path, rng):
                 assert batch["is_laugh"][j] == e["is_laugh"]
                 flat_i += 1
         assert flat_i == len(ds.df)
+
+
+def test_resident_dataset_matches_streamed(tmp_path, rng):
+    """ResidentLadDataset (features gathered in device HBM) must yield the
+    exact same batches, in the same order, as the streamed LadDataset —
+    resident and streamed training are the same run."""
+    from laughter_detection_icsi_tpu.data.dataset import (
+        LadDataset,
+        ResidentLadDataset,
+    )
+    from laughter_detection_icsi_tpu.data.feature_cache import FeatureCache
+
+    cache = FeatureCache(cache_dir=str(tmp_path / "fc"))
+    cache.add_track(
+        "M0", "chan0", (rng.standard_normal(16000 * 3) * 0.1).astype(np.float32)
+    )
+    rows = [
+        dict(
+            meeting_id="M0", chan_id="chan0",
+            sub_start=float(rng.uniform(0, 1.9)),
+            sub_duration=float(rng.choice([1.0, 0.5])),
+            label=int(rng.integers(2)), start=0.0, duration=1.0,
+        )
+        for _ in range(21)
+    ]
+    ds = LadDataset(pd.DataFrame(rows), cache)
+    est = ResidentLadDataset.estimated_nbytes(ds)
+    resident = ResidentLadDataset(ds, assemble_chunk=8)
+    assert resident.feats.nbytes == est
+
+    streamed = list(ds.batches(8, shuffle=True, seed=4, prefetch=0))
+    dev = list(resident.batches(8, shuffle=True, seed=4))
+    assert len(streamed) == len(dev)
+    for s, d in zip(streamed, dev):
+        np.testing.assert_array_equal(s["inputs"], np.asarray(d["inputs"]))
+        np.testing.assert_array_equal(s["input_lens"], np.asarray(d["input_lens"]))
+        np.testing.assert_array_equal(s["is_laugh"], np.asarray(d["is_laugh"]))
+
+    # bf16 residency: inputs round-trip through one bfloat16 rounding
+    import ml_dtypes
+
+    res16 = ResidentLadDataset(ds, transfer_dtype="bfloat16")
+    d16 = next(res16.batches(8, shuffle=False))
+    want = streamed_first = next(ds.batches(8, shuffle=False, prefetch=0))
+    rounded = want["inputs"].astype(ml_dtypes.bfloat16).astype(np.float32)
+    np.testing.assert_array_equal(np.asarray(d16["inputs"]), rounded)
+
+
+def test_trainer_accepts_resident_batches(tmp_path, rng):
+    """A train step fed device-resident batches must match the same step fed
+    the streamed numpy batch (same params in, same loss out)."""
+    import jax
+
+    from laughter_detection_icsi_tpu import models
+    from laughter_detection_icsi_tpu.data.dataset import (
+        LadDataset,
+        ResidentLadDataset,
+    )
+    from laughter_detection_icsi_tpu.data.feature_cache import FeatureCache
+    from laughter_detection_icsi_tpu.train.loop import Trainer
+
+    cache = FeatureCache(cache_dir=str(tmp_path / "fc"))
+    cache.add_track(
+        "M0", "chan0", (rng.standard_normal(16000 * 2) * 0.1).astype(np.float32)
+    )
+    rows = [
+        dict(meeting_id="M0", chan_id="chan0", sub_start=0.1 * i,
+             sub_duration=1.0, label=i % 2, start=0.0, duration=1.0)
+        for i in range(8)
+    ]
+    ds = LadDataset(pd.DataFrame(rows), cache)
+    model = models.build(
+        "ResNetBigger", dropout_rate=0.0, linear_layer_size=24,
+        filter_sizes=(8, 8, 8, 8),
+    )
+    trainer = Trainer(model)
+    params, state, opt_state = trainer.init(jax.random.PRNGKey(0))
+    rng_step = jax.random.PRNGKey(1)
+
+    sb = next(ds.batches(8, shuffle=False, prefetch=0))
+    db = next(ResidentLadDataset(ds).batches(8, shuffle=False))
+    _, _, _, m_stream = trainer.train_batch(params, state, opt_state, sb, rng_step)
+    _, _, _, m_dev = trainer.train_batch(params, state, opt_state, db, rng_step)
+    np.testing.assert_allclose(
+        float(m_stream["loss"]), float(m_dev["loss"]), rtol=0, atol=0
+    )
+
+
+def test_trainloop_fused_resident_path(tmp_path, rng):
+    """index_batches -> TrainLoop.run_epoch uses the fused single-dispatch
+    resident step: losses must be finite, params must move, and the step
+    counter must advance once per batch."""
+    import jax
+
+    from laughter_detection_icsi_tpu import models
+    from laughter_detection_icsi_tpu.data.dataset import (
+        LadDataset,
+        ResidentLadDataset,
+    )
+    from laughter_detection_icsi_tpu.data.feature_cache import FeatureCache
+    from laughter_detection_icsi_tpu.train.loop import Trainer, TrainLoop
+
+    cache = FeatureCache(cache_dir=str(tmp_path / "fc"))
+    cache.add_track(
+        "M0", "chan0", (rng.standard_normal(16000 * 2) * 0.1).astype(np.float32)
+    )
+    rows = [
+        dict(meeting_id="M0", chan_id="chan0", sub_start=0.05 * i,
+             sub_duration=1.0, label=i % 2, start=0.0, duration=1.0)
+        for i in range(12)
+    ]
+    res = ResidentLadDataset(
+        LadDataset(pd.DataFrame(rows), cache)
+    )
+    model = models.build(
+        "ResNetBigger", dropout_rate=0.5, linear_layer_size=24,
+        filter_sizes=(8, 8, 8, 8),
+    )
+    trainer = Trainer(model)
+    params, state, opt_state = trainer.init(jax.random.PRNGKey(0))
+    p0 = np.asarray(params["conv1"]["weight"]).copy()
+    loop = TrainLoop(trainer=trainer, checkpoint_dir=str(tmp_path / "ck"),
+                     log_frequency=0)
+    params, state, opt_state, mean_loss = loop.run_epoch(
+        params, state, opt_state,
+        res.index_batches(4, shuffle=True, seed=2),
+        rng=jax.random.PRNGKey(3), verbose=False,
+    )
+    assert loop.global_step == 3  # 12 rows / batch 4
+    assert np.isfinite(mean_loss)
+    assert not np.array_equal(p0, np.asarray(params["conv1"]["weight"]))
