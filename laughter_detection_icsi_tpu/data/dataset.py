@@ -130,15 +130,9 @@ class LadDataset:
         """One epoch of batches.  With ``drop_remainder`` the tail partial
         batch is dropped (use for pjit static shapes).  ``prefetch`` > 0
         assembles upcoming batches on a background thread."""
-        order = np.arange(len(self.df))
-        if shuffle:
-            np.random.default_rng(seed).shuffle(order)
-        slices = [
-            order[lo : lo + batch_size]
-            for lo in range(0, len(order), batch_size)
-        ]
-        if drop_remainder and slices and len(slices[-1]) < batch_size:
-            slices.pop()
+        slices = _epoch_slices(
+            len(self.df), batch_size, shuffle, seed, drop_remainder
+        )
 
         if prefetch <= 0:
             for idx in slices:
@@ -194,6 +188,22 @@ class LadDataset:
             th.join(timeout=5)
 
 
+def _epoch_slices(
+    n: int, batch_size: int, shuffle: bool, seed: int, drop_remainder: bool
+):
+    """One epoch's batch index slices: seeded permutation + contiguous
+    slicing.  The SINGLE source of batch ordering — LadDataset and
+    ResidentLadDataset both draw from here, which is what makes streamed
+    and resident epochs the same run."""
+    order = np.arange(n)
+    if shuffle:
+        np.random.default_rng(seed).shuffle(order)
+    slices = [order[lo : lo + batch_size] for lo in range(0, n, batch_size)]
+    if drop_remainder and slices and len(slices[-1]) < batch_size:
+        slices.pop()
+    return slices
+
+
 class ResidentLadDataset:
     """The whole split resident in device HBM; batches are device gathers.
 
@@ -224,7 +234,6 @@ class ResidentLadDataset:
         n = len(dataset)
         w = dataset.window_frames
         nf = dataset.cache.cfg.num_filters
-        store_dtype = jnp.bfloat16 if transfer_dtype == "bfloat16" else jnp.float32
         if transfer_dtype == "bfloat16":
             import ml_dtypes
 
@@ -281,18 +290,11 @@ class ResidentLadDataset:
         ``LadDataset.batches``, but 'inputs' / 'input_lens' / 'is_laugh'
         are device arrays gathered in HBM (only the index vector crosses
         the host->device link)."""
-        order = np.arange(len(self.dataset))
-        if shuffle:
-            np.random.default_rng(seed).shuffle(order)
-        slices = [
-            order[lo : lo + batch_size]
-            for lo in range(0, len(order), batch_size)
-        ]
-        if drop_remainder and slices and len(slices[-1]) < batch_size:
-            slices.pop()
         import jax.numpy as jnp
 
-        for idx in slices:
+        for idx in _epoch_slices(
+            len(self.dataset), batch_size, shuffle, seed, drop_remainder
+        ):
             x, lens, labels = self._gather(
                 self.feats, self.lens, self.labels, jnp.asarray(idx)
             )
@@ -308,13 +310,9 @@ class ResidentLadDataset:
         """Like :meth:`batches` but yields {'resident', 'idx'} markers the
         train loop turns into ONE fused device dispatch per step
         (train.loop.Trainer.train_batch_resident) — the fastest path."""
-        order = np.arange(len(self.dataset))
-        if shuffle:
-            np.random.default_rng(seed).shuffle(order)
-        for lo in range(0, len(order), batch_size):
-            idx = order[lo : lo + batch_size]
-            if drop_remainder and len(idx) < batch_size:
-                return
+        for idx in _epoch_slices(
+            len(self.dataset), batch_size, shuffle, seed, drop_remainder
+        ):
             yield {"resident": self, "idx": idx}
 
 

@@ -81,6 +81,12 @@ class InferenceSettings:
             raise ValueError(f"unknown mode {self.mode!r}")
         if self.transfer_codec not in ("auto", "raw", "packed"):
             raise ValueError(f"unknown transfer_codec {self.transfer_codec!r}")
+        if self.transfer_codec == "packed" and self.mode == "fused_conv":
+            raise ValueError(
+                "transfer_codec='packed' is not implemented for "
+                "mode='fused_conv' (the whole-track graph has no packed "
+                "decode stage); use 'raw', or the 'windows' mode"
+            )
 
 
 def _snip_cfg(cfg: FeatConfig) -> FeatConfig:
@@ -294,7 +300,17 @@ class LaughterPipeline:
         and it actually shrinks the wire bytes; returns a PackedPCM or
         None (= upload ``buf`` raw)."""
         codec = self.settings.transfer_codec
-        if codec == "raw" or buf.dtype != np.int16 or self.settings.mode == "fused_conv":
+        if codec == "raw":
+            return None
+        if buf.dtype != np.int16:
+            if codec == "packed":
+                import warnings
+
+                warnings.warn(
+                    "transfer_codec='packed' needs int16 PCM input; this "
+                    "float waveform uploads raw",
+                    stacklevel=3,
+                )
             return None
         from laughter_detection_icsi_tpu.ops import pcm_pack
 

@@ -261,7 +261,17 @@ class ShardedPipeline:
         wire; returns (wires, delta) or None (= upload raw).  Every channel
         is forced to delta mode so the batched decoder compiles once."""
         codec = self.settings.transfer_codec
-        if codec == "raw" or batch.dtype != np.int16:
+        if codec == "raw":
+            return None
+        if batch.dtype != np.int16:
+            if codec == "packed":
+                import warnings
+
+                warnings.warn(
+                    "transfer_codec='packed' needs int16 PCM channels; this "
+                    "float batch uploads raw",
+                    stacklevel=3,
+                )
             return None
         from laughter_detection_icsi_tpu.ops import pcm_pack
 

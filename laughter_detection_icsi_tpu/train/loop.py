@@ -223,10 +223,8 @@ class Trainer:
                 key,
                 np.int32(step),
             )
-        import jax.numpy as _jnp
-
         x, _lens, y = resident._gather(
-            resident.feats, resident.lens, resident.labels, _jnp.asarray(idx)
+            resident.feats, resident.lens, resident.labels, jnp.asarray(idx)
         )
         rng = jax.random.fold_in(key, step)
         return self.train_batch(
@@ -364,7 +362,10 @@ class TrainLoop:
                     batch["resident"], batch["idx"], rng, self.global_step,
                 )
             else:
-                rng, step_rng = jax.random.split(rng)
+                # Same derivation as the fused resident step, so streamed
+                # and resident epochs see IDENTICAL per-step dropout keys
+                # (switching --device_cache cannot change a run's results).
+                step_rng = jax.random.fold_in(rng, self.global_step)
                 params, state, opt_state, metrics = self.trainer.train_batch(
                     params, state, opt_state, batch, step_rng
                 )

@@ -191,3 +191,22 @@ def test_transfer_codec_validation():
 
     with _pytest.raises(ValueError):
         inference.InferenceSettings(transfer_codec="zip")
+
+
+def test_packed_codec_conflicts_and_warnings(small_model, wave):
+    import warnings as _warnings
+
+    with pytest.raises(ValueError):
+        inference.InferenceSettings(transfer_codec="packed", mode="fused_conv")
+
+    model, params, state = small_model
+    pipe = inference.LaughterPipeline(
+        model, params, state,
+        settings=inference.InferenceSettings(
+            chunk=256, bucket_frames=512, transfer_codec="packed"
+        ),
+    )
+    with _warnings.catch_warnings(record=True) as rec:
+        _warnings.simplefilter("always")
+        pipe.probs_for_waveform(wave.astype(np.float32))
+    assert any("int16" in str(w.message) for w in rec)
