@@ -124,15 +124,13 @@ def main(argv: Optional[List[str]] = None) -> int:
     dev_ds = LadDataset(dev_df, cache)
 
     # Device-resident feature cache: pay the split's upload once, gather
-    # batches in HBM (data.ResidentLadDataset).  Incompatible with
-    # --data_parallel's host-sharded batches for now.
+    # batches in HBM (data.ResidentLadDataset).  Under --data_parallel the
+    # rows shard across the mesh and the batch gather rides ICI.
     from laughter_detection_icsi_tpu.data import ResidentLadDataset
 
     want_cache = args.device_cache
-    if want_cache == "on" and args.data_parallel:
-        raise SystemExit("--device_cache on requires single-device mode")
     use_cache = False
-    if want_cache != "off" and not args.data_parallel:
+    if want_cache != "off":
         est = ResidentLadDataset.estimated_nbytes(
             train_ds, args.transfer_dtype
         ) + ResidentLadDataset.estimated_nbytes(dev_ds, args.transfer_dtype)
@@ -144,13 +142,6 @@ def main(argv: Optional[List[str]] = None) -> int:
                 f"device_cache auto: split needs {est/1e9:.2f} GB > budget "
                 f"{args.device_cache_budget_gb} GB; streaming from host"
             )
-    if use_cache:
-        train_ds = ResidentLadDataset(train_ds, args.transfer_dtype)
-        dev_ds = ResidentLadDataset(dev_ds, args.transfer_dtype)
-        print(
-            f"device cache: {len(train_ds)} train + {len(dev_ds)} dev "
-            "windows resident in HBM"
-        )
 
     model = models.build(
         preset.model,
@@ -173,6 +164,24 @@ def main(argv: Optional[List[str]] = None) -> int:
     else:
         trainer = Trainer(model=model, optimizer=Adam(), grad_accum=grad_accum,
                           transfer_dtype=args.transfer_dtype)
+
+    if use_cache:
+        if args.data_parallel:
+            from laughter_detection_icsi_tpu.parallel import mesh as mesh_lib
+
+            row_sharding = mesh_lib.data_sharding(mesh)
+            train_ds = ResidentLadDataset(
+                train_ds,
+                args.transfer_dtype,
+                sharding=row_sharding,
+                pad_rows_to=int(mesh.devices.size),
+            )
+            # dev stays streamed: eval batches go through the host-sharded
+            # path, and validation is a tiny fraction of the step count.
+        else:
+            train_ds = ResidentLadDataset(train_ds, args.transfer_dtype)
+            dev_ds = ResidentLadDataset(dev_ds, args.transfer_dtype)
+        print(f"device cache: {len(train_ds)} train windows resident in HBM")
     params, state, opt_state = trainer.init(jax.random.PRNGKey(args.seed))
     from laughter_detection_icsi_tpu.models import count_parameters
 
@@ -214,7 +223,10 @@ def main(argv: Optional[List[str]] = None) -> int:
         if use_cache:
             # Fused resident steps: one device dispatch per batch.
             epoch_batches = train_ds.index_batches(
-                batch_size, shuffle=True, seed=args.seed + loop.epoch
+                batch_size,
+                shuffle=True,
+                seed=args.seed + loop.epoch,
+                drop_remainder=args.data_parallel,
             )
         else:
             epoch_batches = train_ds.batches(

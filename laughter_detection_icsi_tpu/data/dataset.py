@@ -226,12 +226,20 @@ class ResidentLadDataset:
         dataset: LadDataset,
         transfer_dtype: Optional[str] = None,
         assemble_chunk: int = 8192,
+        sharding=None,
+        pad_rows_to: int = 1,
     ):
+        """``sharding`` (a jax.sharding.Sharding, e.g. rows over a mesh's
+        'data' axis) places the resident arrays across devices for
+        data-parallel training; ``pad_rows_to`` zero-pads the row count to
+        a multiple (mesh size) so the sharded axis divides evenly — padded
+        rows are never indexed (epoch slices cover only real rows)."""
         import jax
         import jax.numpy as jnp
 
         self.dataset = dataset
         n = len(dataset)
+        n_pad = -(-max(n, 1) // pad_rows_to) * pad_rows_to
         w = dataset.window_frames
         nf = dataset.cache.cfg.num_filters
         if transfer_dtype == "bfloat16":
@@ -240,18 +248,27 @@ class ResidentLadDataset:
             host_dtype = ml_dtypes.bfloat16
         else:
             host_dtype = np.float32
-        feats = np.empty((n, w, nf), dtype=host_dtype)
-        lens = np.empty(n, dtype=np.int32)
-        labels = np.empty(n, dtype=np.float32)
+        feats = np.zeros((n_pad, w, nf), dtype=host_dtype)
+        lens = np.zeros(n_pad, dtype=np.int32)
+        labels = np.zeros(n_pad, dtype=np.float32)
         for lo in range(0, n, assemble_chunk):
             idx = np.arange(lo, min(lo + assemble_chunk, n))
             batch = dataset._assemble(idx)
             feats[idx] = batch["inputs"].astype(host_dtype)
             lens[idx] = batch["input_lens"]
             labels[idx] = batch["is_laugh"]
-        self.feats = jnp.asarray(feats)  # one upload for the whole split
-        self.lens = jnp.asarray(lens)
-        self.labels = jnp.asarray(labels)
+        if sharding is None:
+            self.feats = jnp.asarray(feats)  # one upload for the whole split
+            self.lens = jnp.asarray(lens)
+            self.labels = jnp.asarray(labels)
+        else:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            row_axis = sharding.spec[0] if len(sharding.spec) else None
+            one_d = NamedSharding(sharding.mesh, PartitionSpec(row_axis))
+            self.feats = jax.device_put(feats, sharding)
+            self.lens = jax.device_put(lens, one_d)
+            self.labels = jax.device_put(labels, one_d)
 
         @jax.jit
         def gather(data, lens_d, labels_d, idx):

@@ -66,6 +66,24 @@ class DataParallelTrainer:
             out_shardings=(repl, repl, repl, repl),
         )
 
+        def step_resident(params, state, opt_state, data, labels, idx, key, step_no):
+            """Fused resident step over the mesh: the dataset's rows live
+            sharded across devices (data.ResidentLadDataset with a 'data'
+            sharding); the batch gather crosses shards over ICI (XLA
+            inserts the collective from the shardings) and lands batch-
+            sharded, so the rest IS the plain data-parallel step."""
+            x = data[idx].astype(jnp.float32)[:, None, :, :]
+            x = jax.lax.with_sharding_constraint(x, dp)
+            y = jax.lax.with_sharding_constraint(labels[idx], dp)
+            rng = jax.random.fold_in(key, step_no)
+            return step(params, state, opt_state, x, y, rng)
+
+        self._train_step_resident = jax.jit(
+            step_resident,
+            in_shardings=(repl, repl, repl, dp, dp, dp, repl, repl),
+            out_shardings=(repl, repl, repl, repl),
+        )
+
         def ev(params, state, x, y):
             probs, _ = model.apply(params, state, x, train=False)
             metrics = batch_metrics(probs, y)
@@ -100,6 +118,27 @@ class DataParallelTrainer:
         sharded = self._prep(batch)
         return self._train_step(
             params, state, opt_state, sharded["x"], sharded["y"], rng
+        )
+
+    def train_batch_resident(self, params, state, opt_state, resident, idx, key, step):
+        """TrainLoop's fused resident hook (same contract as
+        train.Trainer.train_batch_resident): ``resident`` must hold
+        mesh-sharded arrays (build ResidentLadDataset with
+        sharding=data_sharding(mesh) extended over its dims) and ``idx``
+        must divide by the mesh size."""
+        import numpy as np
+
+        idx = np.asarray(idx, dtype=np.int32)
+        sharded_idx = mesh_lib.shard_batch({"i": idx}, self.mesh)["i"]
+        return self._train_step_resident(
+            params,
+            state,
+            opt_state,
+            resident.feats,
+            resident.labels,
+            sharded_idx,
+            key,
+            np.int32(step),
         )
 
     def eval_batch(self, params, state, batch):

@@ -126,3 +126,64 @@ def test_graft_entry_and_dryrun():
     assert probs.shape == (32,)
     assert bool(jnp.all((probs >= 0) & (probs <= 1)))
     ge.dryrun_multichip(8)
+
+
+def test_dp_resident_matches_dp_streamed(tmp_path, rng):
+    """The mesh-sharded resident path (rows sharded over 'data', batch
+    gather over the mesh, fused step) must reproduce the host-streamed
+    data-parallel epoch exactly — same ordering, same fold_in rng keys,
+    same losses and params."""
+    import pandas as pd
+
+    from laughter_detection_icsi_tpu.data.dataset import (
+        LadDataset,
+        ResidentLadDataset,
+    )
+    from laughter_detection_icsi_tpu.data.feature_cache import FeatureCache
+    from laughter_detection_icsi_tpu.parallel import mesh as mesh_lib
+    from laughter_detection_icsi_tpu.train.loop import TrainLoop
+
+    cache = FeatureCache(cache_dir=str(tmp_path / "fc"))
+    cache.add_track(
+        "M0", "chan0", (rng.standard_normal(16000 * 3) * 0.1).astype(np.float32)
+    )
+    rows = [
+        dict(meeting_id="M0", chan_id="chan0",
+             sub_start=round(float(rng.uniform(0, 1.9)), 2),
+             sub_duration=1.0, label=i % 2, start=0.0, duration=1.0)
+        for i in range(19)  # deliberately not a multiple of 8 or 16
+    ]
+    ds = LadDataset(pd.DataFrame(rows), cache)
+    mesh = make_mesh(8)
+    model = models.build(
+        "ResNetBigger", dropout_rate=0.5, linear_layer_size=24,
+        filter_sizes=(8, 8, 8, 8),
+    )
+
+    def run(resident: bool):
+        dp = DataParallelTrainer(model=model, mesh=mesh)
+        params, state, opt_state = dp.init(jax.random.PRNGKey(0))
+        loop = TrainLoop(trainer=dp, checkpoint_dir=str(tmp_path / "ck"),
+                         log_frequency=0)
+        if resident:
+            res = ResidentLadDataset(
+                ds, sharding=mesh_lib.data_sharding(mesh), pad_rows_to=8
+            )
+            batches = res.index_batches(8, shuffle=True, seed=5,
+                                        drop_remainder=True)
+        else:
+            batches = ds.batches(8, shuffle=True, seed=5,
+                                 drop_remainder=True, prefetch=0)
+        params, state, opt_state, mean_loss = loop.run_epoch(
+            params, state, opt_state, batches,
+            rng=jax.random.PRNGKey(7), verbose=False,
+        )
+        return mean_loss, params
+
+    loss_s, params_s = run(resident=False)
+    loss_r, params_r = run(resident=True)
+    assert loss_s == loss_r
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        params_s, params_r,
+    )
