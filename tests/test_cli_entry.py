@@ -68,3 +68,64 @@ def test_segment_laughter_cli_writes_textgrid(tmp_path):
         res.stderr[-500:],
     )
     assert (out_dir / "t_0.9" / "l_0.2").is_dir()
+
+
+def _mini_train_root(tmp_path):
+    import pandas as pd
+
+    from laughter_detection_icsi_tpu.data import audio
+
+    root = tmp_path / "root"
+    (root / "signals" / "M0").mkdir(parents=True)
+    (root / "data_dfs").mkdir()
+    rng = np.random.default_rng(0)
+    audio.write_wav(
+        str(root / "signals" / "M0" / "chan0.wav"),
+        (rng.standard_normal(16000 * 6) * 0.1).astype(np.float32),
+        16000,
+    )
+    rows = [
+        dict(start=0.0, duration=1.0, sub_start=round(float(rng.uniform(0, 4.9)), 2),
+             sub_duration=1.0, audio_path="x", meeting_id="M0", chan_id="chan0",
+             label=i % 2)
+        for i in range(16)
+    ]
+    pd.DataFrame(rows).to_csv(root / "data_dfs" / "train_df.csv", index=False)
+    pd.DataFrame(rows[:8]).to_csv(root / "data_dfs" / "dev_df.csv", index=False)
+    return root
+
+
+def _run_train(root, ckpt_dir, epochs):
+    res = subprocess.run(
+        [
+            sys.executable, str(REPO / "train.py"),
+            "--config", "resnet_base",
+            "--checkpoint_dir", str(ckpt_dir),
+            "--data_root", str(root),
+            "--num_epochs", str(epochs),
+            "--batch_size", "8",
+        ],
+        cwd=REPO, env=_cpu_env(), capture_output=True, text=True, timeout=560,
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    return res
+
+
+def test_train_cli_interrupted_resume_equals_continuous(tmp_path):
+    """The reference scales training as N single-epoch jobs that resume
+    each other's checkpoints (reference cluster_scripts/gen_train_exp.py:
+    49-62).  Two one-epoch runs resuming from disk must produce EXACTLY
+    the checkpoint of one two-epoch run — params, optimizer state, and
+    counters — or resume is silently lossy."""
+    root = _mini_train_root(tmp_path)
+
+    _run_train(root, tmp_path / "ck_cont", 2)
+    _run_train(root, tmp_path / "ck_resume", 1)
+    out = _run_train(root, tmp_path / "ck_resume", 1)
+    assert "resumed from step" in out.stdout, out.stdout
+
+    a = np.load(tmp_path / "ck_cont" / "last.ckpt.npz", allow_pickle=True)
+    b = np.load(tmp_path / "ck_resume" / "last.ckpt.npz", allow_pickle=True)
+    assert set(a.files) == set(b.files)
+    for k in a.files:
+        np.testing.assert_array_equal(a[k], b[k], err_msg=k)
