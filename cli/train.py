@@ -196,6 +196,7 @@ def main(argv: Optional[List[str]] = None) -> int:
     params, state, opt_state = loop.resume_if_possible(params, state, opt_state)
     if loop.global_step:
         print(f"resumed from step {loop.global_step} (epoch {loop.epoch})")
+    loop.install_preemption_handler()  # checkpoint + clean exit on SIGTERM
 
     # train_params.csv (reference train.py:314-322)
     with open(ckpt_dir / "train_params.csv", "w", newline="") as f:
@@ -243,6 +244,9 @@ def main(argv: Optional[List[str]] = None) -> int:
             val_batches_fn=val_batches,
             rng=jax.random.PRNGKey(args.seed * 1000 + loop.epoch),
         )
+        if loop.preempted:
+            print("preemption requested: checkpoint saved, exiting cleanly")
+            break
         print(f"epoch {loop.epoch} done: mean train loss {mean_loss:.4f}")
     total = time.perf_counter() - t_start
     print(f"training finished in {total:.1f}s")

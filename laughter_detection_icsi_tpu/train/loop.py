@@ -293,6 +293,30 @@ class TrainLoop:
     epoch: int = 0
     best_val_loss: float = float("inf")
     metrics_rows: List[Dict[str, Any]] = dataclasses.field(default_factory=list)
+    #: set asynchronously (signal handler) to request a graceful stop; the
+    #: epoch loop checkpoints and returns at the next step boundary.
+    preempted: bool = dataclasses.field(default=False, init=False)
+
+    def install_preemption_handler(self, signals=None) -> None:
+        """Checkpoint-on-SIGTERM: schedulers (Borg/GKE/Slurm) signal before
+        evicting a job; the reference survives eviction only through its
+        periodic log_frequency saves (reference train.py:408-412), losing
+        up to 900 steps.  The handler sets a flag; ``run_epoch`` finishes
+        the in-flight step, saves ``last``, flushes metrics, and returns —
+        the next run resumes the interrupted epoch from its start with all
+        counters/optimizer state intact (epoch-granular resume, the
+        reference's own model — cluster_scripts/gen_train_exp.py:49-62).
+        """
+        import signal as signal_mod
+
+        if signals is None:
+            signals = (signal_mod.SIGTERM, signal_mod.SIGINT)
+
+        def _handler(signum, frame):
+            self.preempted = True
+
+        for s in signals:
+            signal_mod.signal(s, _handler)
 
     def resume_if_possible(self, params, state, opt_state):
         """reference train.py:428-430: resume from last checkpoint if present.
@@ -396,6 +420,22 @@ class TrainLoop:
                 if verbose:
                     msg = " ".join(f"{k}={v:.4f}" for k, v in row.items() if k != "global_step")
                     print(f"step {self.global_step}: {msg}", flush=True)
+            if self.preempted:
+                # Graceful eviction: save at the step boundary and hand
+                # control back without completing (or counting) the epoch.
+                self._save(params, state, opt_state, is_best=False)
+                if verbose:
+                    print(
+                        f"preempted at step {self.global_step}; "
+                        "checkpoint saved",
+                        flush=True,
+                    )
+                mean_loss = (
+                    float(np.mean([float(l) for l in device_losses]))
+                    if device_losses
+                    else 0.0
+                )
+                return params, state, opt_state, mean_loss
         self.epoch += 1
         if verbose:
             dt = time.perf_counter() - t0

@@ -223,3 +223,69 @@ def test_transfer_dtype_bfloat16_step(tiny_model):
         _, _, _, m = tr.train_batch(params, state, opt, batch, key)
         losses[td] = float(m["loss"])
     assert losses["bfloat16"] == pytest.approx(losses[None], rel=2e-2)
+
+
+def test_preemption_checkpoint_and_resume(tiny_model, rng, tmp_path):
+    """SIGTERM mid-epoch: the loop saves at the step boundary, skips the
+    epoch increment, and a fresh loop resumes with every counter and the
+    optimizer state intact (TrainLoop.install_preemption_handler)."""
+    import os
+    import signal
+
+    trainer = Trainer(model=tiny_model)
+    params, state, opt_state = trainer.init(jax.random.PRNGKey(0))
+    loop = TrainLoop(trainer=trainer, checkpoint_dir=str(tmp_path), log_frequency=0)
+    loop.install_preemption_handler()
+
+    def batches_with_signal(n, kill_after):
+        for i, b in enumerate(_toy_batches(rng, n)):
+            if i == kill_after:
+                os.kill(os.getpid(), signal.SIGTERM)
+            yield b
+
+    params, state, opt_state, _ = loop.run_epoch(
+        params, state, opt_state, batches_with_signal(10, kill_after=3),
+        verbose=False,
+    )
+    assert loop.preempted
+    assert loop.global_step == 4  # the in-flight step completed, then stop
+    assert loop.epoch == 0  # interrupted epoch does not count
+
+    loop2 = TrainLoop(trainer=trainer, checkpoint_dir=str(tmp_path), log_frequency=0)
+    p2, s2, o2 = trainer.init(jax.random.PRNGKey(9))
+    p2, s2, o2 = loop2.resume_if_possible(p2, s2, o2)
+    assert loop2.global_step == 4 and loop2.epoch == 0
+    np.testing.assert_array_equal(
+        np.asarray(jax.tree_util.tree_leaves(p2)[0]),
+        np.asarray(jax.tree_util.tree_leaves(params)[0]),
+    )
+    assert int(o2.step) == int(opt_state.step)
+    # restore default handlers for the rest of the test session
+    signal.signal(signal.SIGTERM, signal.SIG_DFL)
+    signal.signal(signal.SIGINT, signal.default_int_handler)
+
+
+def test_checkpoint_portable_across_device_counts(tiny_model, rng, tmp_path):
+    """Elastic resume: a single-device checkpoint must load into the
+    8-device data-parallel trainer and keep training (and vice versa) —
+    checkpoints are device-layout-agnostic npz trees."""
+    from laughter_detection_icsi_tpu.parallel import DataParallelTrainer, make_mesh
+
+    trainer = Trainer(model=tiny_model)
+    params, state, opt_state = trainer.init(jax.random.PRNGKey(0))
+    loop = TrainLoop(trainer=trainer, checkpoint_dir=str(tmp_path), log_frequency=0)
+    params, state, opt_state, _ = loop.run_epoch(
+        params, state, opt_state, _toy_batches(rng, 4), verbose=False
+    )
+    loop._save(params, state, opt_state, is_best=False)
+
+    dp = DataParallelTrainer(model=tiny_model, mesh=make_mesh(8))
+    p2, s2, o2 = dp.init(jax.random.PRNGKey(1))
+    loop2 = TrainLoop(trainer=dp, checkpoint_dir=str(tmp_path), log_frequency=0)
+    p2, s2, o2 = loop2.resume_if_possible(p2, s2, o2)
+    assert loop2.global_step == 4
+    p2, s2, o2, loss = loop2.run_epoch(
+        p2, s2, o2, _toy_batches(rng, 4), verbose=False
+    )
+    assert np.isfinite(loss)
+    assert loop2.global_step == 8
