@@ -10,16 +10,36 @@ from typing import List, Optional
 
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("preds_dir", type=str,
+    p.add_argument("preds_dir", type=str, nargs="?", default=None,
                    help="dir of <meeting>/t_<thr>/l_<minlen>/chanN.TextGrid")
     p.add_argument("--transcript_dir", type=str, default=None)
     p.add_argument("--force", action="store_true",
                    help="ignore cached eval CSVs")
+    p.add_argument("--laugh_counts", action="store_true",
+                   help="print per-meeting laugh-segment counts (all vs "
+                        "laugh-only) from the transcripts and exit — the "
+                        "reference's filter_all_laughs.sh / "
+                        "filter_laugh_only.sh xmllint sweeps")
     return p
 
 
 def main(argv: Optional[List[str]] = None) -> int:
     args = build_parser().parse_args(argv)
+    if args.laugh_counts:
+        from laughter_detection_icsi_tpu.config import ANALYSIS
+        from laughter_detection_icsi_tpu.eval.transcript import count_laugh_segments
+
+        tdir = args.transcript_dir or ANALYSIS.transcript_dir
+        counts = count_laugh_segments(tdir)
+        all_sum = only_sum = 0
+        for meeting, (n_all, n_only) in counts.items():
+            print(f"{meeting}: all={n_all} laugh_only={n_only}")
+            all_sum += n_all
+            only_sum += n_only
+        print(f"total: all={all_sum} laugh_only={only_sum}")
+        return 0
+    if args.preds_dir is None:
+        build_parser().error("preds_dir is required unless --laugh_counts")
     from laughter_detection_icsi_tpu.eval.analyse import analyse
 
     stats = analyse(

@@ -232,6 +232,31 @@ class TranscriptStore:
 _STORE_CACHE: Dict[str, TranscriptStore] = {}
 
 
+def count_laugh_segments(transcript_dir: str) -> Dict[str, Tuple[int, int]]:
+    """Per-meeting (all_laugh_segments, laugh_only_segments) counts.
+
+    Exact equivalents of the reference's xmllint sweeps (reference
+    analysis/transcript_parsing/filter_all_laughs.sh /
+    filter_laugh_only.sh): "all" counts ``Segment`` elements containing a
+    VocalSound whose Description mentions 'laugh'; "laugh only" further
+    requires no surrounding text and no sibling sound tags
+    (``count(./*) < 2`` with empty text around the laugh)."""
+    out: Dict[str, Tuple[int, int]] = {}
+    no_text = "text()[normalize-space()='']"
+    all_xp = "count(//Segment[VocalSound[contains(@Description,'laugh')]])"
+    only_xp = (
+        "count(//Segment[VocalSound[contains(@Description,'laugh')]"
+        f"[preceding-sibling::{no_text} and following-sibling::{no_text}]"
+        " and count(./*) < 2])"
+    )
+    for path in sorted(Path(transcript_dir).glob("*.mrt")):
+        if path.name == "preambles.mrt":
+            continue
+        tree = etree.parse(str(path))
+        out[path.stem] = (int(tree.xpath(all_xp)), int(tree.xpath(only_xp)))
+    return out
+
+
 def load(transcript_dir: Optional[str] = None) -> TranscriptStore:
     """Memoized TranscriptStore for ``transcript_dir`` (defaults to
     config.ANALYSIS.transcript_dir)."""

@@ -116,3 +116,51 @@ def test_index_cache_roundtrip(store, tmp_path):
     second = idx_mod.load(store, cache_dir=str(tmp_path))
     assert first.laugh.get("Btr001", "me001") == second.laugh.get("Btr001", "me001")
     assert first.laugh.tot_len == second.laugh.tot_len
+
+
+def test_count_laugh_segments(synthetic_corpus):
+    """Parity with the reference's xmllint counting scripts (reference
+    analysis/transcript_parsing/filter_all_laughs.sh /
+    filter_laugh_only.sh) on the synthetic corpus: 'all' counts segments
+    containing any laugh VocalSound; 'laugh only' requires no text and no
+    sibling tags around it."""
+    from laughter_detection_icsi_tpu.eval.transcript import count_laugh_segments
+
+    counts = count_laugh_segments(str(synthetic_corpus.transcript_dir))
+    assert set(counts) == {"Btr001", "Bmr021"}
+    # Btr001 fixture (tests/fixtures/mrt.py): segments containing a laugh
+    # VocalSound are the pure laugh, breath-laugh, short laugh, laugh+text,
+    # multi-child laugh, and me002's laugh = 6.  The fixture serializes
+    # sounds with NO whitespace text siblings, and the reference xpath
+    # requires empty-text siblings on both sides — so laugh_only is 0
+    # there, exactly as xmllint would report on the same bytes.
+    n_all, n_only = counts["Btr001"]
+    assert n_all == 6
+    assert n_only == 0
+
+
+def test_count_laugh_segments_laugh_only_branch(tmp_path):
+    """With the real corpus's whitespace-rich serialization, the laugh-only
+    predicate (empty text around a single laugh child) fires."""
+    from laughter_detection_icsi_tpu.eval.transcript import count_laugh_segments
+
+    (tmp_path / "Bxx001.mrt").write_text(
+        """<?xml version="1.0" encoding="UTF-8"?>
+<Meeting Session="Bxx001">
+  <Transcript StartTime="0.0" EndTime="10.0">
+    <Segment StartTime="1.0" EndTime="2.0" Participant="me001">
+      <VocalSound Description="laugh"/>
+    </Segment>
+    <Segment StartTime="3.0" EndTime="4.0" Participant="me001">
+      <VocalSound Description="laugh"/> yeah
+    </Segment>
+    <Segment StartTime="5.0" EndTime="6.0" Participant="me001">
+      <VocalSound Description="laugh"/>
+      <NonVocalSound Description="clap"/>
+    </Segment>
+  </Transcript>
+</Meeting>
+"""
+    )
+    counts = count_laugh_segments(str(tmp_path))
+    assert counts["Bxx001"] == (3, 1)
