@@ -97,3 +97,49 @@ def test_fix_over_underflow_matches_reference(rng):
     assert fixed[4] == 1.0
     assert fixed[5] == 1.0
     assert np.all((fixed > 0) & (fixed <= 1))
+
+
+def test_pcm_pack_roundtrip_property(rng):
+    """Packed-PCM codec (ops/pcm_pack.py): for random mixed-regime signals,
+    every mode x packer combination must round-trip bit-exactly, the
+    stream must be exactly word-aligned per block (sum(widths) * BLOCK/32
+    words), and 'auto' must never be larger than the better forced mode."""
+    import jax
+
+    from laughter_detection_icsi_tpu.ops import pcm_pack
+    from laughter_detection_icsi_tpu.runtime import native
+
+    have_native = native._get_pack_lib() is not None
+    for case in range(40):
+        n = int(rng.integers(1, 3 * pcm_pack.BLOCK))
+        kind = case % 4
+        if kind == 0:
+            wave = rng.integers(-32768, 32768, n)
+        elif kind == 1:
+            wave = np.cumsum(rng.integers(-200, 201, n)).clip(-32768, 32767)
+        elif kind == 2:
+            wave = np.zeros(n)
+            lo = int(rng.integers(0, n))
+            wave[lo:] = rng.integers(-50, 50, n - lo)
+        else:
+            wave = np.full(n, int(rng.integers(-32768, 32768)))
+        wave = wave.astype(np.int16)
+
+        sizes = {}
+        for mode in ("auto", "delta", "direct"):
+            for use_native in ([True, False] if have_native else [False]):
+                p = pcm_pack.pack_pcm(wave, mode=mode, use_native=use_native)
+                n_words = int(p.widths.sum()) * pcm_pack.BLOCK // 32
+                assert n_words + 1 <= len(p.words)
+                assert not p.words[n_words:].any()
+                out = jax.jit(
+                    lambda w, wd, d=p.delta: pcm_pack.unpack_pcm(
+                        w, wd, n=len(wave), delta=d
+                    )
+                )(p.words, p.widths)
+                np.testing.assert_array_equal(np.asarray(out), wave.astype(np.int32))
+                sizes[(mode, use_native)] = int(p.widths.sum())
+        for use_native in ([True, False] if have_native else [False]):
+            assert sizes[("auto", use_native)] == min(
+                sizes[("delta", use_native)], sizes[("direct", use_native)]
+            )
