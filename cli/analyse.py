@@ -24,13 +24,20 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv: Optional[List[str]] = None) -> int:
-    args = build_parser().parse_args(argv)
+    parser = build_parser()
+    args = parser.parse_args(argv)
     if args.laugh_counts:
+        import os
+
         from laughter_detection_icsi_tpu.config import ANALYSIS
         from laughter_detection_icsi_tpu.eval.transcript import count_laugh_segments
 
         tdir = args.transcript_dir or ANALYSIS.transcript_dir
+        if not os.path.isdir(tdir):
+            parser.error(f"transcript dir not found: {tdir}")
         counts = count_laugh_segments(tdir)
+        if not counts:
+            parser.error(f"no .mrt transcripts under {tdir}")
         all_sum = only_sum = 0
         for meeting, (n_all, n_only) in counts.items():
             print(f"{meeting}: all={n_all} laugh_only={n_only}")
@@ -39,7 +46,7 @@ def main(argv: Optional[List[str]] = None) -> int:
         print(f"total: all={all_sum} laugh_only={only_sum}")
         return 0
     if args.preds_dir is None:
-        build_parser().error("preds_dir is required unless --laugh_counts")
+        parser.error("preds_dir is required unless --laugh_counts")
     from laughter_detection_icsi_tpu.eval.analyse import analyse
 
     stats = analyse(

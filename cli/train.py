@@ -131,16 +131,20 @@ def main(argv: Optional[List[str]] = None) -> int:
     want_cache = args.device_cache
     use_cache = False
     if want_cache != "off":
-        est = ResidentLadDataset.estimated_nbytes(
-            train_ds, args.transfer_dtype
-        ) + ResidentLadDataset.estimated_nbytes(dev_ds, args.transfer_dtype)
+        # Budget what actually becomes resident: under --data_parallel only
+        # the train split (rows sharded across the mesh, so per-device HBM
+        # is 1/n of it); single-device also keeps the dev split resident.
+        n_dev = len(jax.devices()) if args.data_parallel else 1
+        est = ResidentLadDataset.estimated_nbytes(train_ds, args.transfer_dtype) // n_dev
+        if not args.data_parallel:
+            est += ResidentLadDataset.estimated_nbytes(dev_ds, args.transfer_dtype)
         on_accel = jax.devices()[0].platform != "cpu"
         fits = est <= args.device_cache_budget_gb * 1e9
         use_cache = want_cache == "on" or (on_accel and fits)
         if want_cache == "auto" and not use_cache and on_accel:
             print(
-                f"device_cache auto: split needs {est/1e9:.2f} GB > budget "
-                f"{args.device_cache_budget_gb} GB; streaming from host"
+                f"device_cache auto: split needs {est/1e9:.2f} GB/device > "
+                f"budget {args.device_cache_budget_gb} GB; streaming from host"
             )
 
     model = models.build(

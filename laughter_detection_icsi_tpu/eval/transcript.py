@@ -239,8 +239,11 @@ def count_laugh_segments(transcript_dir: str) -> Dict[str, Tuple[int, int]]:
     analysis/transcript_parsing/filter_all_laughs.sh /
     filter_laugh_only.sh): "all" counts ``Segment`` elements containing a
     VocalSound whose Description mentions 'laugh'; "laugh only" further
-    requires no surrounding text and no sibling sound tags
-    (``count(./*) < 2`` with empty text around the laugh)."""
+    requires whitespace-only text siblings on BOTH sides of the laugh and
+    no sibling tags (``count(./*) < 2``).  Note the reference predicate
+    tests for the EXISTENCE of empty text siblings, so a serialization
+    with no text nodes at all never matches — faithfully reproduced here
+    (xmllint reports the same on the same bytes; pinned by tests)."""
     out: Dict[str, Tuple[int, int]] = {}
     no_text = "text()[normalize-space()='']"
     all_xp = "count(//Segment[VocalSound[contains(@Description,'laugh')]])"

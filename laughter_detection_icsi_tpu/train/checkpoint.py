@@ -109,6 +109,7 @@ def load_reference_checkpoint(path: str) -> Dict[str, Any]:
         "epoch": ckpt.get("epoch"),
         "global_step": ckpt.get("global_step"),
         "best_val_loss": ckpt.get("best_val_loss"),
+        "epoch_step": 0,
     }
 
 
@@ -129,6 +130,7 @@ def save_checkpoint(
     global_step: int = 0,
     best_val_loss: float = float("inf"),
     is_best: bool = False,
+    epoch_step: int = 0,
 ) -> str:
     """Write ``last.ckpt.npz``; copy to ``best.ckpt.npz`` when ``is_best``
     (mirrors reference utils/torch_utils.py:36-52)."""
@@ -144,6 +146,9 @@ def save_checkpoint(
         "epoch": int(epoch),
         "global_step": int(global_step),
         "best_val_loss": float(best_val_loss),
+        # steps already taken inside the (possibly interrupted) epoch;
+        # resume skips this many batches of the seeded epoch order.
+        "epoch_step": int(epoch_step),
         "format_version": 1,
     }
     path = ckpt_dir / LAST_NAME
@@ -188,6 +193,7 @@ def load_checkpoint(path: str) -> Dict[str, Any]:
         "epoch": meta["epoch"],
         "global_step": meta["global_step"],
         "best_val_loss": meta["best_val_loss"],
+        "epoch_step": meta.get("epoch_step", 0),
     }
 
 

@@ -291,6 +291,11 @@ class TrainLoop:
 
     global_step: int = 0
     epoch: int = 0
+    #: steps already trained inside the current epoch (0 = epoch boundary).
+    #: Persisted in checkpoints so a mid-epoch save resumes EXACTLY: the
+    #: epoch's batch order is a pure function of its seed, so the resumed
+    #: run skips this many batches and continues as if never interrupted.
+    epoch_step: int = 0
     best_val_loss: float = float("inf")
     metrics_rows: List[Dict[str, Any]] = dataclasses.field(default_factory=list)
     #: set asynchronously (signal handler) to request a graceful stop; the
@@ -303,9 +308,12 @@ class TrainLoop:
         periodic log_frequency saves (reference train.py:408-412), losing
         up to 900 steps.  The handler sets a flag; ``run_epoch`` finishes
         the in-flight step, saves ``last``, flushes metrics, and returns —
-        the next run resumes the interrupted epoch from its start with all
-        counters/optimizer state intact (epoch-granular resume, the
-        reference's own model — cluster_scripts/gen_train_exp.py:49-62).
+        the next run resumes the interrupted epoch exactly where it
+        stopped (``epoch_step`` is checkpointed and the seeded batch order
+        is deterministic) — interrupted + resumed training equals the
+        uninterrupted run.  A second signal escalates: handlers restore to
+        their defaults and SIGINT raises KeyboardInterrupt, so Ctrl-C can
+        still break out of a hung step.
         """
         import signal as signal_mod
 
@@ -313,6 +321,11 @@ class TrainLoop:
             signals = (signal_mod.SIGTERM, signal_mod.SIGINT)
 
         def _handler(signum, frame):
+            if self.preempted:  # second signal: stop being graceful
+                for s in signals:
+                    signal_mod.signal(s, signal_mod.SIG_DFL)
+                if signum == signal_mod.SIGINT:
+                    raise KeyboardInterrupt
             self.preempted = True
 
         for s in signals:
@@ -328,6 +341,7 @@ class TrainLoop:
         loaded = ckpt_lib.load_checkpoint(path)
         self.epoch = int(loaded["epoch"] or 0)
         self.global_step = int(loaded["global_step"] or 0)
+        self.epoch_step = int(loaded.get("epoch_step") or 0)
         self.best_val_loss = float(
             loaded["best_val_loss"] if loaded["best_val_loss"] is not None else np.inf
         )
@@ -354,6 +368,7 @@ class TrainLoop:
             global_step=self.global_step,
             best_val_loss=self.best_val_loss,
             is_best=is_best,
+            epoch_step=self.epoch_step,
         )
 
     def run_epoch(
@@ -376,8 +391,12 @@ class TrainLoop:
         # pipeline (the async-dispatch win of the jitted step).
         device_losses: List[jnp.ndarray] = []
         num_batches = 0
+        skip = self.epoch_step  # mid-epoch resume: already-trained batches
         t0 = time.perf_counter()
         for batch in train_batches:
+            if skip > 0:
+                skip -= 1
+                continue
             if isinstance(batch, dict) and batch.get("resident") is not None:
                 # Fused resident step: rng derives on device from
                 # (epoch key, global_step) — no per-step split dispatch.
@@ -396,6 +415,7 @@ class TrainLoop:
             device_losses.append(metrics["loss"])
             num_batches += 1
             self.global_step += 1
+            self.epoch_step += 1
             if self.log_frequency and self.global_step % self.log_frequency == 0:
                 row = {
                     "global_step": self.global_step,
@@ -423,6 +443,15 @@ class TrainLoop:
             if self.preempted:
                 # Graceful eviction: save at the step boundary and hand
                 # control back without completing (or counting) the epoch.
+                # Micro-batches of a partially accumulated gradient group
+                # have not touched params — roll the counters back to the
+                # last apply boundary so the resumed run replays them.
+                pending = getattr(self.trainer, "_accum_count", 0)
+                if pending:
+                    self.global_step -= pending
+                    self.epoch_step -= pending
+                    self.trainer._acc_grads = None
+                    self.trainer._accum_count = 0
                 self._save(params, state, opt_state, is_best=False)
                 if verbose:
                     print(
@@ -437,6 +466,7 @@ class TrainLoop:
                 )
                 return params, state, opt_state, mean_loss
         self.epoch += 1
+        self.epoch_step = 0
         if verbose:
             dt = time.perf_counter() - t0
             print(

@@ -226,43 +226,74 @@ def test_transfer_dtype_bfloat16_step(tiny_model):
 
 
 def test_preemption_checkpoint_and_resume(tiny_model, rng, tmp_path):
-    """SIGTERM mid-epoch: the loop saves at the step boundary, skips the
-    epoch increment, and a fresh loop resumes with every counter and the
-    optimizer state intact (TrainLoop.install_preemption_handler)."""
+    """SIGTERM mid-epoch: the loop saves at the step boundary with its
+    intra-epoch position, and a resumed loop skips the already-trained
+    batches of the seeded epoch — interrupted + resumed training produces
+    EXACTLY the params of the uninterrupted run."""
     import os
     import signal
 
-    trainer = Trainer(model=tiny_model)
-    params, state, opt_state = trainer.init(jax.random.PRNGKey(0))
-    loop = TrainLoop(trainer=trainer, checkpoint_dir=str(tmp_path), log_frequency=0)
-    loop.install_preemption_handler()
+    def fixed_batches(n):
+        # deterministic batches (epoch replays must see identical data)
+        r = np.random.default_rng(77)
+        return _toy_batches(r, n)
 
-    def batches_with_signal(n, kill_after):
-        for i, b in enumerate(_toy_batches(rng, n)):
-            if i == kill_after:
-                os.kill(os.getpid(), signal.SIGTERM)
-            yield b
+    try:
+        # --- continuous oracle -------------------------------------- #
+        trainer_c = Trainer(model=tiny_model)
+        pc, sc, oc = trainer_c.init(jax.random.PRNGKey(0))
+        loop_c = TrainLoop(
+            trainer=trainer_c, checkpoint_dir=str(tmp_path / "c"), log_frequency=0
+        )
+        pc, sc, oc, _ = loop_c.run_epoch(
+            pc, sc, oc, fixed_batches(10), rng=jax.random.PRNGKey(5), verbose=False
+        )
 
-    params, state, opt_state, _ = loop.run_epoch(
-        params, state, opt_state, batches_with_signal(10, kill_after=3),
-        verbose=False,
-    )
-    assert loop.preempted
-    assert loop.global_step == 4  # the in-flight step completed, then stop
-    assert loop.epoch == 0  # interrupted epoch does not count
+        # --- interrupted at step 4 ----------------------------------- #
+        trainer = Trainer(model=tiny_model)
+        params, state, opt_state = trainer.init(jax.random.PRNGKey(0))
+        loop = TrainLoop(
+            trainer=trainer, checkpoint_dir=str(tmp_path / "i"), log_frequency=0
+        )
+        loop.install_preemption_handler()
 
-    loop2 = TrainLoop(trainer=trainer, checkpoint_dir=str(tmp_path), log_frequency=0)
-    p2, s2, o2 = trainer.init(jax.random.PRNGKey(9))
-    p2, s2, o2 = loop2.resume_if_possible(p2, s2, o2)
-    assert loop2.global_step == 4 and loop2.epoch == 0
-    np.testing.assert_array_equal(
-        np.asarray(jax.tree_util.tree_leaves(p2)[0]),
-        np.asarray(jax.tree_util.tree_leaves(params)[0]),
-    )
-    assert int(o2.step) == int(opt_state.step)
-    # restore default handlers for the rest of the test session
-    signal.signal(signal.SIGTERM, signal.SIG_DFL)
-    signal.signal(signal.SIGINT, signal.default_int_handler)
+        def batches_with_signal(n, kill_after):
+            for i, b in enumerate(fixed_batches(n)):
+                if i == kill_after:
+                    os.kill(os.getpid(), signal.SIGTERM)
+                yield b
+
+        params, state, opt_state, _ = loop.run_epoch(
+            params, state, opt_state, batches_with_signal(10, kill_after=3),
+            rng=jax.random.PRNGKey(5), verbose=False,
+        )
+        assert loop.preempted
+        assert loop.global_step == 4  # in-flight step completed, then stop
+        assert loop.epoch == 0 and loop.epoch_step == 4
+
+        # --- resume: skips the 4 trained batches, finishes the epoch - #
+        loop2 = TrainLoop(
+            trainer=trainer, checkpoint_dir=str(tmp_path / "i"), log_frequency=0
+        )
+        p2, s2, o2 = trainer.init(jax.random.PRNGKey(9))
+        p2, s2, o2 = loop2.resume_if_possible(p2, s2, o2)
+        assert loop2.global_step == 4 and loop2.epoch == 0 and loop2.epoch_step == 4
+        p2, s2, o2, _ = loop2.run_epoch(
+            p2, s2, o2, fixed_batches(10), rng=jax.random.PRNGKey(5), verbose=False
+        )
+        assert loop2.global_step == 10 and loop2.epoch == 1 and loop2.epoch_step == 0
+
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_array_equal(
+                np.asarray(a), np.asarray(b)
+            ),
+            p2, pc,
+        )
+        assert int(o2.step) == int(oc.step)
+    finally:
+        # restore default handlers for the rest of the test session
+        signal.signal(signal.SIGTERM, signal.SIG_DFL)
+        signal.signal(signal.SIGINT, signal.default_int_handler)
 
 
 def test_checkpoint_portable_across_device_counts(tiny_model, rng, tmp_path):
