@@ -129,3 +129,66 @@ def test_train_cli_interrupted_resume_equals_continuous(tmp_path):
     assert set(a.files) == set(b.files)
     for k in a.files:
         np.testing.assert_array_equal(a[k], b[k], err_msg=k)
+
+
+def test_create_data_df_and_compute_features_cli(synthetic_corpus, tmp_path):
+    """Fresh-process drives of the data-prep entry points (reference
+    create_data_df.py / compute_features.py): sample tables for all three
+    splits, then whole-track features for the sampled channels."""
+    import pandas as pd
+
+    from laughter_detection_icsi_tpu.data import audio as audio_lib
+    from laughter_detection_icsi_tpu.eval.transcript import TranscriptStore
+
+    dfs_dir = tmp_path / "data_dfs"
+    res = subprocess.run(
+        [
+            sys.executable, str(REPO / "create_data_df.py"),
+            "--data_dfs_dir", str(dfs_dir),
+            "--transcript_dir", str(synthetic_corpus.transcript_dir),
+            "--num_laugh_samples", "1",
+            "--num_non_laugh_samples", "3",
+        ],
+        cwd=REPO, env=_cpu_env(), capture_output=True, text=True, timeout=300,
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    train_df = pd.read_csv(dfs_dir / "train_df.csv")
+    assert {"sub_start", "sub_duration", "meeting_id", "chan_id", "label"} <= set(
+        train_df.columns
+    )
+    assert set(train_df["label"].unique()) == {0, 1}
+
+    # audio for every (meeting, chan) the tables reference
+    store = TranscriptStore(str(synthetic_corpus.transcript_dir))
+    audio_dir = tmp_path / "audio"
+    rng = np.random.default_rng(1)
+    for _, row in store.info_df.iterrows():
+        d = audio_dir / row.meeting_id
+        d.mkdir(parents=True, exist_ok=True)
+        audio_lib.write_wav(
+            str(d / f"{row.chan_id}.wav"),
+            (rng.standard_normal(int(row.length * 16000)) * 0.05).astype(np.float32),
+            16000,
+        )
+
+    feats_dir = tmp_path / "feats"
+    res = subprocess.run(
+        [
+            sys.executable, str(REPO / "compute_features.py"),
+            "--audio_dir", str(audio_dir),
+            "--transcript_dir", str(synthetic_corpus.transcript_dir),
+            "--output_dir", str(feats_dir),
+            "--splits", "train",
+        ],
+        cwd=REPO, env=_cpu_env(), capture_output=True, text=True, timeout=540,
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    tracks = sorted(feats_dir.rglob("*.npy"))
+    assert tracks, res.stdout
+    # the cache is readable and shaped [T, num_filters]
+    from laughter_detection_icsi_tpu.data.feature_cache import FeatureCache
+
+    cache = FeatureCache(str(feats_dir))
+    m, c = train_df.iloc[0][["meeting_id", "chan_id"]]
+    track = cache.track(m, c)
+    assert track.ndim == 2 and track.shape[1] == 44
