@@ -60,6 +60,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="max HBM the 'auto' device cache may claim")
     p.add_argument("--val_batches_per_log", type=int, default=10)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--trace_dir", type=str, default=None,
+                   help="capture a jax.profiler trace of the training run")
     return p
 
 
@@ -223,7 +225,11 @@ def main(argv: Optional[List[str]] = None) -> int:
                 break
         return out
 
+    from laughter_detection_icsi_tpu.utils.profiling import trace
+
     t_start = time.perf_counter()
+    profile_ctx = trace(args.trace_dir)
+    profile_ctx.__enter__()
     for epoch in range(args.num_epochs):
         if use_cache:
             # Fused resident steps: one device dispatch per batch.
@@ -252,6 +258,9 @@ def main(argv: Optional[List[str]] = None) -> int:
             print("preemption requested: checkpoint saved, exiting cleanly")
             break
         print(f"epoch {loop.epoch} done: mean train loss {mean_loss:.4f}")
+    profile_ctx.__exit__(None, None, None)
+    if args.trace_dir:
+        print(f"profiler trace written to {args.trace_dir}")
     total = time.perf_counter() - t_start
     print(f"training finished in {total:.1f}s")
     loop.flush_metrics(str(ckpt_dir / "metrics.csv"))
