@@ -154,6 +154,8 @@ def pack_pcm_native(
     lib = _get_pack_lib()
     if lib is None:
         return None
+    if block <= 0 or block % 32:
+        return None  # the C side enforces the same (word alignment)
     wave = np.ascontiguousarray(wave, dtype=np.int16)
     n = len(wave)
     n_blocks = max(1, -(-n // block))

@@ -81,3 +81,17 @@ def test_error_reporting(tmp_path):
     p.write_bytes(b"\x00\x01junkjunkjunk")
     with pytest.raises(ValueError, match="magic"):
         native.info(str(p))
+
+
+def test_native_packer_rejects_bad_block():
+    """pcm_pack C ABI: invalid block sizes (non-multiple of 32, <= 0)
+    return an error instead of writing garbage."""
+    from laughter_detection_icsi_tpu.runtime import native
+
+    if native._get_pack_lib() is None:
+        import pytest
+
+        pytest.skip("no C++ toolchain")
+    wave = np.zeros(100, dtype=np.int16)
+    assert native.pack_pcm_native(wave, block=33) is None
+    assert native.pack_pcm_native(wave, block=0) is None

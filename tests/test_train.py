@@ -320,3 +320,23 @@ def test_checkpoint_portable_across_device_counts(tiny_model, rng, tmp_path):
     )
     assert np.isfinite(loss)
     assert loop2.global_step == 8
+
+
+def test_preemption_second_sigint_escalates(tiny_model, tmp_path):
+    """A second SIGINT must break out of the graceful handler (raise
+    KeyboardInterrupt) so a hung step can still be interrupted."""
+    import os
+    import signal
+
+    loop = TrainLoop(
+        trainer=Trainer(model=tiny_model), checkpoint_dir=str(tmp_path),
+    )
+    try:
+        loop.install_preemption_handler()
+        os.kill(os.getpid(), signal.SIGINT)  # first: graceful flag
+        assert loop.preempted
+        with pytest.raises(KeyboardInterrupt):
+            os.kill(os.getpid(), signal.SIGINT)  # second: escalate
+    finally:
+        signal.signal(signal.SIGTERM, signal.SIG_DFL)
+        signal.signal(signal.SIGINT, signal.default_int_handler)
