@@ -455,6 +455,188 @@ class LaughterPipeline:
         return instances, time.perf_counter() - t0
 
 
+class StreamingSession:
+    """Online (streaming) inference over one audio stream.
+
+    Feed PCM in arbitrary-size chunks; probabilities come back as soon as
+    their shape bucket completes, so a live stream is classified with
+    bounded latency (~``bucket_frames`` x 10 ms + compute) and bounded
+    memory.  The emitted probability sequence is BIT-IDENTICAL to
+    ``pipeline.probs_for_waveform(concatenated_audio)`` (pinned by tests):
+    a bucket is evaluated eagerly only once every sample its windows (and
+    their halo) read is final, and the end-of-stream reflection padding is
+    applied in :meth:`finish`, exactly like the offline path.
+
+    No reference analogue — the reference is strictly offline, one whole
+    file at a time (reference segment_laughter.py:79-122).  This is the
+    serving-path counterpart of the batch pipeline, sharing its compiled
+    graphs (same shape buckets -> zero extra compilations).
+
+    Usage::
+
+        sess = StreamingSession(pipeline)
+        for chunk in microphone():        # int16 or float32 PCM @ 16 kHz
+            probs = sess.feed(chunk)      # [k] newly-final frame probs
+        probs_tail = sess.finish()
+    """
+
+    def __init__(self, pipeline: LaughterPipeline):
+        if pipeline.settings.mode != "windows":
+            raise ValueError("StreamingSession requires mode='windows'")
+        self._pipe = pipeline
+        self._cfg = _snip_cfg(pipeline.feat_cfg)
+        self._raw_head: List[np.ndarray] = []  # pre-init samples
+        self._buf = np.zeros(0, dtype=np.float32)  # padded stream tail
+        self._consumed = 0  # padded samples dropped from _buf's front
+        self._n = 0  # raw samples seen
+        self._bucket_idx = 0
+        self._dtype: Optional[np.dtype] = None
+        self._finished = False
+
+    # ------------------------------------------------------------------ #
+
+    @property
+    def _left_pad(self) -> int:
+        cfg = self._cfg
+        return (cfg.frame_length_samples - cfg.frame_shift_samples) // 2
+
+    def _append(self, pcm: np.ndarray) -> None:
+        pcm = np.asarray(pcm)
+        if pcm.ndim != 1:
+            raise ValueError("feed() wants a 1-D PCM chunk")
+        if self._dtype is None and len(pcm):
+            if pcm.dtype not in (np.int16, np.float32, np.float64):
+                raise TypeError(f"unsupported PCM dtype {pcm.dtype}")
+            self._dtype = np.dtype(np.int16 if pcm.dtype == np.int16 else np.float32)
+        if len(pcm) and pcm.dtype != self._dtype:
+            if self._dtype == np.float32 and pcm.dtype == np.int16:
+                # Int16 into a float stream: scale like the offline mixed
+                # path (parallel/sharded_inference.py) — exact.
+                pcm = pcm.astype(np.float32) / 32768.0
+            elif self._dtype == np.float32:
+                pcm = pcm.astype(np.float32)
+            else:
+                raise TypeError(
+                    "cannot mix float chunks into an int16 stream (floats "
+                    "are not exactly representable as int16)"
+                )
+        self._n += len(pcm)
+        # Initialize with the constant left reflection pad once enough
+        # samples exist (host_pad_waveform semantics).
+        if self._raw_head is not None:
+            if len(pcm):
+                self._raw_head.append(pcm)
+            parts = [p for p in self._raw_head if len(p)]
+            head = (
+                np.concatenate(parts)
+                if parts
+                else np.zeros(0, dtype=self._dtype or np.float32)
+            )
+            # Initialize only once a full frame exists: shorter streams
+            # have truncated-reflection padding (right pad can exceed the
+            # signal) that only the offline whole-stream path reproduces —
+            # finish() delegates those.
+            if len(head) < self._cfg.frame_length_samples:
+                return
+            self._raw_head = None
+            self._buf = np.concatenate([head[: self._left_pad][::-1], head])
+            return
+        self._buf = np.concatenate([self._buf, pcm]) if len(pcm) else self._buf
+
+    def _run_bucket(self, buf_slice: np.ndarray, valid: int) -> np.ndarray:
+        pipe = self._pipe
+        s = pipe.settings
+        int16_in = self._dtype == np.int16
+        featurize, chunk_probs, wave_len = pipe._graphs(int16_in)
+        buf = np.zeros(wave_len, dtype=self._dtype)
+        buf[: len(buf_slice)] = buf_slice[:wave_len]
+        packed = pipe._maybe_pack(buf)
+        if packed is not None:
+            wire = packed.wire()
+            fpk = pipe._packed_featurize(len(wire), len(packed.widths), packed.delta)
+            feats = fpk(jnp.asarray(wire), jnp.asarray(valid, jnp.int32))
+        else:
+            feats = featurize(jnp.asarray(buf), jnp.asarray(valid, jnp.int32))
+        n_chunks = -(-s.bucket_frames // s.chunk)
+        outs = [
+            chunk_probs(feats, jnp.asarray(i * s.chunk, dtype=jnp.int32))
+            for i in range(n_chunks)
+        ]
+        return np.asarray(jnp.concatenate(outs))
+
+    def feed(self, pcm: np.ndarray) -> np.ndarray:
+        """Add a PCM chunk; returns probabilities for every frame that
+        became final (possibly empty)."""
+        if self._finished:
+            raise RuntimeError("stream already finished")
+        self._append(pcm)
+        if self._raw_head is not None:
+            return np.zeros(0, dtype=np.float32)
+        cfg = self._cfg
+        shift = cfg.frame_shift_samples
+        s = self._pipe.settings
+        bucket = s.bucket_frames
+        wave_len = (bucket + s.window - 2) * shift + cfg.frame_length_samples
+        pieces = []
+        while True:
+            lo = self._bucket_idx * bucket * shift
+            if self._consumed + len(self._buf) < lo + wave_len:
+                break
+            sl = self._buf[lo - self._consumed : lo - self._consumed + wave_len]
+            # Every halo sample is final -> full-validity bucket, exactly
+            # the offline path's non-final buckets.
+            pieces.append(self._run_bucket(sl, bucket + s.window - 1)[:bucket])
+            self._bucket_idx += 1
+            # Bound memory: drop consumed samples, keeping what later
+            # buckets and the final reflection pad still need.
+            new_lo = self._bucket_idx * bucket * shift
+            drop = new_lo - self._consumed
+            if drop > 0:
+                self._buf = self._buf[drop:]
+                self._consumed = new_lo
+        if not pieces:
+            return np.zeros(0, dtype=np.float32)
+        return np.concatenate(pieces)
+
+    def finish(self) -> np.ndarray:
+        """End of stream: apply the final reflection padding and flush the
+        remaining frames."""
+        if self._finished:
+            raise RuntimeError("stream already finished")
+        self._finished = True
+        if self._raw_head is not None:
+            # Too short to ever initialize: delegate whole-stream.
+            head = (
+                np.concatenate(self._raw_head)
+                if self._raw_head
+                else np.zeros(0, dtype=np.float32)
+            )
+            return self._pipe.probs_for_waveform(head)
+        cfg = self._cfg
+        shift = cfg.frame_shift_samples
+        t = fbank_ops.num_frames(self._n, self._pipe.feat_cfg)
+        left, right = fbank_ops.pad_amounts(self._n, self._pipe.feat_cfg)
+        if right > 0:
+            tail = self._buf[len(self._buf) - right :][::-1]
+            self._buf = np.concatenate([self._buf, tail])
+        s = self._pipe.settings
+        bucket = s.bucket_frames
+        wave_len = (bucket + s.window - 2) * shift + cfg.frame_length_samples
+        pieces = []
+        emitted = self._bucket_idx * bucket
+        while emitted < t:
+            lo = self._bucket_idx * bucket * shift
+            sl = self._buf[lo - self._consumed : lo - self._consumed + wave_len]
+            valid = min(t - self._bucket_idx * bucket, bucket + s.window - 1)
+            probs = self._run_bucket(sl, valid)
+            pieces.append(probs[: min(bucket, t - emitted)])
+            emitted += bucket
+            self._bucket_idx += 1
+        if not pieces:
+            return np.zeros(0, dtype=np.float32)
+        return np.concatenate(pieces)
+
+
 def calc_real_time_factor(
     pipeline: LaughterPipeline, audio_path: str, iterations: int = 3, **kwargs
 ) -> float:

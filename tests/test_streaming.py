@@ -1,0 +1,117 @@
+"""Streaming (online) inference must be bit-exact against the offline
+pipeline: StreamingSession evaluates a shape bucket only once every sample
+its windows read is final, and applies the end-of-stream reflection pad in
+finish() — so chunked feeding reproduces probs_for_waveform on the
+concatenated audio sample for sample.
+
+No reference analogue (the reference is strictly offline, one file per
+process — reference segment_laughter.py:79-122); this is the serving path.
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from laughter_detection_icsi_tpu import inference, models
+
+
+@pytest.fixture(scope="module")
+def pipeline():
+    model = models.build(
+        "ResNetBigger", dropout_rate=0.0, linear_layer_size=24,
+        filter_sizes=(8, 8, 8, 8),
+    )
+    params, state = model.init(jax.random.PRNGKey(7))
+    return inference.LaughterPipeline(
+        model, params, state,
+        settings=inference.InferenceSettings(chunk=256, bucket_frames=512),
+    )
+
+
+def _stream(pipeline, wave, chunks):
+    sess = inference.StreamingSession(pipeline)
+    got = []
+    lo = 0
+    for size in chunks:
+        got.append(sess.feed(wave[lo : lo + size]))
+        lo += size
+    assert lo >= len(wave)
+    got.append(sess.finish())
+    return np.concatenate(got)
+
+
+@pytest.mark.parametrize("chunk_size", [1000, 16000, 16384, 100_000])
+def test_streaming_matches_offline(pipeline, rng, chunk_size):
+    n = 16000 * 7 + 1234  # several buckets + ragged tail
+    wave = (rng.standard_normal(n) * 0.1).astype(np.float32)
+    want = pipeline.probs_for_waveform(wave)
+    sizes = [chunk_size] * (-(-n // chunk_size))
+    got = _stream(pipeline, wave, sizes)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_streaming_int16_matches_offline(pipeline, rng):
+    n = 16000 * 6
+    wave = (rng.standard_normal(n) * 3000).astype(np.int16)
+    want = pipeline.probs_for_waveform(wave)
+    got = _stream(pipeline, wave, [7000] * (-(-n // 7000)))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_streaming_emits_incrementally(pipeline, rng):
+    # 512-frame buckets = 81920 samples + halo; after ~2 buckets of audio
+    # the first bucket's probs must already be out.
+    sess = inference.StreamingSession(pipeline)
+    wave = (rng.standard_normal(16000 * 12) * 0.1).astype(np.float32)
+    out = sess.feed(wave)
+    assert len(out) >= 512  # at least one bucket finalized before finish()
+    tail = sess.finish()
+    total = np.concatenate([out, tail])
+    np.testing.assert_array_equal(total, pipeline.probs_for_waveform(wave))
+
+
+def test_streaming_tiny_and_empty_streams(pipeline, rng):
+    for n in (0, 50, 119, 120, 121, 4000):
+        wave = (rng.standard_normal(n) * 0.1).astype(np.float32)
+        want = pipeline.probs_for_waveform(wave)
+        sess = inference.StreamingSession(pipeline)
+        a = sess.feed(wave[: n // 2])
+        b = sess.feed(wave[n // 2 :])
+        c = sess.finish()
+        np.testing.assert_array_equal(np.concatenate([a, b, c]), want)
+
+
+def test_streaming_mixed_dtype_rules(pipeline, rng):
+    # int16 into a float stream: exact (scaled); float into int16: rejected
+    f = (rng.standard_normal(30000) * 0.1).astype(np.float32)
+    i = (rng.standard_normal(30000) * 3000).astype(np.int16)
+    sess = inference.StreamingSession(pipeline)
+    sess.feed(f)
+    sess.feed(i)
+    got = sess.finish()
+    want = pipeline.probs_for_waveform(
+        np.concatenate([f, i.astype(np.float32) / 32768.0])
+    )
+    np.testing.assert_array_equal(got, want)
+
+    sess = inference.StreamingSession(pipeline)
+    sess.feed(i)
+    with pytest.raises(TypeError):
+        sess.feed(f)
+
+
+def test_streaming_lifecycle_errors(pipeline):
+    sess = inference.StreamingSession(pipeline)
+    sess.finish()
+    with pytest.raises(RuntimeError):
+        sess.feed(np.zeros(10, np.float32))
+    with pytest.raises(RuntimeError):
+        sess.finish()
+    fc = inference.LaughterPipeline(
+        pipeline.model, pipeline.params, pipeline.state,
+        settings=inference.InferenceSettings(
+            chunk=256, bucket_frames=512, mode="fused_conv"
+        ),
+    )
+    with pytest.raises(ValueError):
+        inference.StreamingSession(fc)
