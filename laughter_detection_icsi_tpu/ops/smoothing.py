@@ -28,6 +28,67 @@ import numpy as np
 OVERFLOW_EPS = 1e-7
 
 
+class StreamingEventDetector:
+    """Incremental run-length smoothing for one (threshold, min_length).
+
+    The online companion of :func:`get_laughter_instances` (which needs the
+    whole probability vector): feed frame probabilities chunk by chunk —
+    e.g. straight from ``inference.StreamingSession`` — and laughter events
+    come back the moment their run CLOSES (the next frame drops below the
+    threshold); ``finish()`` closes a run still open at end of stream.
+    Event list over any chunking equals the offline function's for the same
+    setting (pinned by tests): same fix_over_underflow, (first, LAST)/fps
+    spans, and strict ``>`` min-length filtering.
+    """
+
+    def __init__(self, threshold: float, min_length: float = 0.2, fps: float = 100.0):
+        self.threshold = float(threshold)
+        self.min_length = float(min_length)
+        self.fps = float(fps)
+        self._f = 0  # global frame index of the next fed frame
+        self._open: "int | None" = None  # start frame of the open run
+        self._done = False
+
+    def _emit(self, start_f: int, last_f: int) -> "Tuple[float, float] | None":
+        s, e = start_f / self.fps, last_f / self.fps
+        return (s, e) if e - s > self.min_length else None
+
+    def feed(self, probs: np.ndarray) -> List[Tuple[float, float]]:
+        """Add frame probabilities; returns the events that closed."""
+        if self._done:
+            raise RuntimeError("detector already finished")
+        probs = np.asarray(probs, dtype=np.float32)
+        probs = np.where(probs > 1.0, 1.0, probs)
+        probs = np.where(probs <= 0.0, OVERFLOW_EPS, probs)
+        mask = probs > self.threshold
+        prev = np.int8(0 if self._open is None else 1)
+        d = np.diff(np.concatenate([[prev], mask.astype(np.int8)]))
+        starts = list(self._f + np.nonzero(d == 1)[0])
+        lasts = list(self._f + np.nonzero(d == -1)[0] - 1)
+        events: List[Tuple[float, float]] = []
+        for last_f in lasts:  # transitions alternate: each close pairs in order
+            start_f = self._open if self._open is not None else starts.pop(0)
+            self._open = None
+            ev = self._emit(start_f, int(last_f))
+            if ev is not None:
+                events.append(ev)
+        if starts:  # a run is still running at chunk end
+            self._open = int(starts[0])
+        self._f += len(mask)
+        return events
+
+    def finish(self) -> List[Tuple[float, float]]:
+        """End of stream: close and (maybe) emit the open run."""
+        if self._done:
+            raise RuntimeError("detector already finished")
+        self._done = True
+        if self._open is None:
+            return []
+        ev = self._emit(self._open, self._f - 1)
+        self._open = None
+        return [ev] if ev is not None else []
+
+
 def fix_over_underflow(probs: jnp.ndarray) -> jnp.ndarray:
     """Vectorized reference laugh_segmenter.py:57-71."""
     probs = jnp.minimum(probs, 1.0)

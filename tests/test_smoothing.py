@@ -89,3 +89,48 @@ def test_windowed_map_tail_is_zero_padded():
     # window starting at frame 9 sees frames [9, 0pad, 0pad, 0pad]
     np.testing.assert_allclose(out[9], 2.0)
     np.testing.assert_allclose(out[0], 8.0)
+
+
+def test_streaming_event_detector_matches_offline(rng):
+    """StreamingEventDetector over random chunkings must produce exactly
+    get_laughter_instances' events for the same (threshold, min_length),
+    including runs spanning chunk boundaries and a run open at stream end."""
+    from laughter_detection_icsi_tpu.ops.smoothing import (
+        StreamingEventDetector,
+        get_laughter_instances,
+    )
+
+    for case in range(30):
+        t = int(rng.integers(5, 400))
+        probs = rng.uniform(0, 1, t).astype(np.float32)
+        if case % 3 == 0:
+            probs[-max(1, t // 5):] = 0.9  # run open at end of stream
+        if case % 4 == 0:
+            probs[: max(1, t // 7)] = 0.9  # run open at start
+        thr = float(rng.choice([0.2, 0.5, 0.8]))
+        min_l = float(rng.choice([0.0, 0.05, 0.2]))
+        want = get_laughter_instances(
+            probs, thresholds=[thr], min_lengths=[min_l], fps=100.0
+        )[(thr, min_l)]
+
+        det = StreamingEventDetector(thr, min_l, fps=100.0)
+        got = []
+        lo = 0
+        while lo < t:
+            size = int(rng.integers(1, 60))
+            got.extend(det.feed(probs[lo : lo + size]))
+            lo += size
+        got.extend(det.finish())
+        assert got == pytest.approx(want), (case, thr, min_l)
+
+
+def test_streaming_event_detector_lifecycle():
+    from laughter_detection_icsi_tpu.ops.smoothing import StreamingEventDetector
+
+    det = StreamingEventDetector(0.5)
+    det.feed(np.asarray([0.9, 0.9]))
+    assert det.finish() == []  # 2 frames = 0.01 s, not > 0.2
+    with pytest.raises(RuntimeError):
+        det.feed(np.asarray([0.1]))
+    with pytest.raises(RuntimeError):
+        det.finish()
