@@ -115,3 +115,26 @@ def test_streaming_lifecycle_errors(pipeline):
     )
     with pytest.raises(ValueError):
         inference.StreamingSession(fc)
+
+
+def test_many_sessions_share_one_pipeline(pipeline, rng):
+    """Sessions hold no compiled state of their own, so one pipeline serves
+    many concurrent streams (a meeting's channels live): interleaved feeds
+    must not cross-contaminate, and each stream matches its offline run."""
+    waves = [
+        (rng.standard_normal(16000 * 6 + i * 777) * 0.1).astype(np.float32)
+        for i in range(3)
+    ]
+    sessions = [inference.StreamingSession(pipeline) for _ in waves]
+    outs = [[] for _ in waves]
+    lo = 0
+    while any(lo < len(w) for w in waves):
+        for s, w, o in zip(sessions, waves, outs):
+            if lo < len(w):
+                o.append(s.feed(w[lo : lo + 9000]))
+        lo += 9000
+    for s, w, o in zip(sessions, waves, outs):
+        o.append(s.finish())
+        np.testing.assert_array_equal(
+            np.concatenate(o), pipeline.probs_for_waveform(w)
+        )
