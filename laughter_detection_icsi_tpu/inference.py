@@ -359,14 +359,14 @@ class LaughterPipeline:
         self._jitted[key] = graphs
         return graphs
 
-    def _probs_fused_conv(self, padded: np.ndarray, t: int) -> np.ndarray:
+    def _probs_fused_conv_device(self, padded: np.ndarray, t: int) -> jnp.ndarray:
         bucket = self.settings.bucket_frames
         total = max(bucket, -(-t // bucket) * bucket)
         graph, wave_len = self._fc_graph(total, padded.dtype == np.int16)
         buf = np.zeros(wave_len, dtype=padded.dtype)
         buf[: len(padded)] = padded
         probs = graph(jnp.asarray(buf), jnp.asarray(t, jnp.int32))
-        return np.asarray(probs[:t])
+        return probs[:t]
 
     # ------------------------------------------------------------------ #
 
@@ -379,15 +379,24 @@ class LaughterPipeline:
         bit-identical features to the host-scaled float path.  Arbitrary
         lengths stream through fixed-size buckets (one compiled shape).
         """
+        # One device->host transfer for the whole waveform — transfers carry
+        # fixed latency (hundreds of ms through a tunneled chip).
+        return np.asarray(self.probs_for_waveform_device(wave))
+
+    def probs_for_waveform_device(self, wave: np.ndarray) -> jnp.ndarray:
+        """Like :meth:`probs_for_waveform` but the [T] probabilities STAY on
+        device — feed them to on-device smoothing
+        (ops/smoothing.instances_from_device_probs) so only tiny run tables
+        ever cross back to host."""
         wave = np.asarray(wave)
         int16_in = wave.dtype == np.int16
         if not int16_in:
             wave = wave.astype(np.float32)
         padded, t = host_pad_waveform(wave, self.feat_cfg)
         if t == 0:
-            return np.zeros(0, dtype=np.float32)
+            return jnp.zeros(0, dtype=jnp.float32)
         if self.settings.mode == "fused_conv":
-            return self._probs_fused_conv(padded, t)
+            return self._probs_fused_conv_device(padded, t)
         featurize, chunk_probs, wave_len = self._graphs(int16_in)
         bucket = self.settings.bucket_frames
         chunk = self.settings.chunk
@@ -415,13 +424,15 @@ class LaughterPipeline:
                 for i in range(n_chunks)
             ]
             pieces.append(jnp.concatenate(outs)[: min(bucket, t - k * bucket)])
-        # One device->host transfer for the whole waveform — transfers carry
-        # fixed latency (hundreds of ms through a tunneled chip).
-        return np.asarray(jnp.concatenate(pieces)) if len(pieces) > 1 else np.asarray(pieces[0])
+        return jnp.concatenate(pieces) if len(pieces) > 1 else pieces[0]
 
-    def probs_for_file(self, audio_path: str, channel: int = 0) -> Tuple[np.ndarray, float]:
+    def probs_for_file(
+        self, audio_path: str, channel: int = 0, device: bool = False
+    ) -> Tuple[np.ndarray, float]:
         """Returns (probs [T], audio_duration_s).  16-bit PCM sources ship
-        to the device as raw int16 (half the bytes, identical numerics)."""
+        to the device as raw int16 (half the bytes, identical numerics).
+        ``device=True`` leaves the probabilities on device (for on-device
+        smoothing)."""
         meta = audio_io.info(audio_path)
         if (
             self.settings.transfer_int16
@@ -431,7 +442,8 @@ class LaughterPipeline:
             wave, _sr = audio_io.read_int16(audio_path, channel=channel)
         else:
             wave, _sr = audio_io.read(audio_path, channel=channel)
-        return self.probs_for_waveform(wave), meta.duration
+        probs = self.probs_for_waveform_device(wave)
+        return (probs if device else np.asarray(probs)), meta.duration
 
     # ------------------------------------------------------------------ #
 
@@ -445,12 +457,17 @@ class LaughterPipeline:
         """Full reference load_and_pred equivalent
         (reference segment_laughter.py:79-122): probs -> threshold x
         min_length sweep -> instance dict.  Returns (instances, seconds_taken).
-        """
+
+        The sweep runs ON DEVICE (BASELINE.json north_star): probabilities
+        never leave HBM — only [K, max_events] run tables do — and the
+        result is exactly the host scan's (ops/smoothing.py)."""
         t0 = time.perf_counter()
-        probs, duration = self.probs_for_file(audio_path, channel=channel)
-        fps = len(probs) / float(duration) if duration > 0 else 100.0
-        instances = smoothing.get_laughter_instances(
-            probs, thresholds=thresholds, min_lengths=min_lengths, fps=fps
+        probs_dev, duration = self.probs_for_file(
+            audio_path, channel=channel, device=True
+        )
+        fps = probs_dev.shape[0] / float(duration) if duration > 0 else 100.0
+        instances = smoothing.instances_from_device_probs(
+            probs_dev, thresholds=thresholds, min_lengths=min_lengths, fps=fps
         )
         return instances, time.perf_counter() - t0
 

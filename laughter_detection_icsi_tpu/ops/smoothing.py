@@ -131,6 +131,76 @@ def laughter_runs(
     return jax.vmap(per_thr)(thresholds)
 
 
+#: probs pad granularity for the jitted run scan: one compiled shape per
+#: ~82 s of audio instead of one per track length.
+_RUNS_PAD = 8192
+
+
+@functools.partial(jax.jit, static_argnames=("max_events",))
+def _padded_runs(probs, thresholds, valid, max_events: int):
+    """laughter_runs over a zero-padded probs buffer: frames >= ``valid``
+    are masked out (zero pads would otherwise fire at threshold 0.0)."""
+    fixed = fix_over_underflow(probs)
+    in_range = jnp.arange(probs.shape[0]) < valid
+
+    def per_thr(thr):
+        return _runs_from_mask((fixed > thr) & in_range, max_events)
+
+    return jax.vmap(per_thr)(thresholds)
+
+
+def instances_from_device_probs(
+    probs_dev,
+    thresholds: Sequence[float] = (0.5,),
+    min_lengths: Sequence[float] = (0.2,),
+    fps: float = 100.0,
+    max_events: int = 2048,
+) -> Dict[Tuple[float, float], List[Tuple[float, float]]]:
+    """On-device smoothing for a DEVICE-resident probability vector
+    (BASELINE.json north_star: "threshold + min-length smoothing
+    on-device"): the [T]-length threshold scan and run-length extraction
+    run as one jitted graph (:func:`laughter_runs`), and only tiny
+    [K, max_events] integer run tables cross back to host, where the
+    min-length filter applies in float64 — so the result is EXACTLY
+    :func:`get_laughter_instances`' (pinned by tests).  If a threshold
+    overflows ``max_events`` runs (a near-random checkpoint at a low
+    threshold), that threshold falls back to the unbounded host scan.
+    """
+    t = int(probs_dev.shape[0])
+    padded_len = max(_RUNS_PAD, -(-t // _RUNS_PAD) * _RUNS_PAD)
+    probs_p = jnp.pad(probs_dev, (0, padded_len - t))
+    thr_arr = jnp.asarray(np.asarray(thresholds, dtype=np.float32))
+    starts, lasts, counts = _padded_runs(
+        probs_p, thr_arr, jnp.asarray(t, jnp.int32), max_events
+    )
+    starts = np.asarray(starts)
+    lasts = np.asarray(lasts)
+    counts = np.asarray(counts)
+
+    out: Dict[Tuple[float, float], List[Tuple[float, float]]] = {}
+    host_probs: "np.ndarray | None" = None
+    for k, thr in enumerate(thresholds):
+        if counts[k] >= max_events:
+            if host_probs is None:
+                host_probs = np.asarray(probs_dev)
+            out.update(
+                get_laughter_instances(
+                    host_probs, thresholds=[thr], min_lengths=min_lengths, fps=fps
+                )
+            )
+            continue
+        n = int(counts[k])
+        spans = [
+            (int(s) / fps, int(e) / fps)
+            for s, e in zip(starts[k, :n], lasts[k, :n])
+        ]
+        for min_l in min_lengths:
+            out[(float(thr), float(min_l))] = [
+                (float(s), float(e)) for s, e in spans if e - s > min_l
+            ]
+    return out
+
+
 def get_laughter_instances(
     probs: np.ndarray,
     thresholds: Sequence[float] = (0.5,),

@@ -134,3 +134,48 @@ def test_streaming_event_detector_lifecycle():
         det.feed(np.asarray([0.1]))
     with pytest.raises(RuntimeError):
         det.finish()
+
+
+def test_instances_from_device_probs_matches_host(rng):
+    """On-device smoothing (jitted run scan + tiny run tables) must return
+    exactly the host scan's instance dict, including threshold 0.0 against
+    the zero padding and t==0."""
+    import jax.numpy as jnp
+
+    from laughter_detection_icsi_tpu.ops.smoothing import (
+        get_laughter_instances,
+        instances_from_device_probs,
+    )
+
+    for case in range(12):
+        t = int(rng.integers(0, 900))
+        probs = rng.uniform(0, 1, t).astype(np.float32)
+        thresholds = [0.0, 0.3, 0.7]
+        min_lengths = [0.0, 0.1]
+        want = get_laughter_instances(
+            probs, thresholds=thresholds, min_lengths=min_lengths, fps=100.0
+        )
+        got = instances_from_device_probs(
+            jnp.asarray(probs), thresholds=thresholds,
+            min_lengths=min_lengths, fps=100.0,
+        )
+        assert got == want, case
+
+
+def test_instances_from_device_probs_overflow_fallback(rng):
+    """More runs than max_events -> that threshold falls back to the
+    unbounded host scan (still exact)."""
+    import jax.numpy as jnp
+
+    from laughter_detection_icsi_tpu.ops.smoothing import (
+        get_laughter_instances,
+        instances_from_device_probs,
+    )
+
+    probs = np.tile(np.asarray([0.9, 0.9, 0.1], np.float32), 300)  # 300 runs
+    want = get_laughter_instances(probs, thresholds=[0.5], min_lengths=[0.0])
+    got = instances_from_device_probs(
+        jnp.asarray(probs), thresholds=[0.5], min_lengths=[0.0], max_events=64
+    )
+    assert got == want
+    assert len(got[(0.5, 0.0)]) == 300  # 2-frame runs survive strict > 0.0
