@@ -146,14 +146,18 @@ def main(argv: Optional[List[str]] = None) -> int:
             continue
         print(f"{meeting_id}: {len(paths)} channels ...", flush=True)
         meter.start()
-        probs_list, durations = pipe.probs_for_meeting(paths)
+        (probs_dev, ts), durations = pipe.probs_for_meeting(paths, device=True)
         rtf = meter.stop(float(np.sum(durations)))
         print(f"  {rtf:.1f}x realtime", flush=True)
         total_audio_s += float(np.sum(durations))
-        for chan_id, probs, duration in zip(chans, probs_list, durations):
-            fps = len(probs) / duration if duration > 0 else 100.0
-            instances = smoothing.get_laughter_instances(
-                probs, thresholds=thresholds, min_lengths=min_lengths, fps=fps
+        for i, (chan_id, duration) in enumerate(zip(chans, durations)):
+            # On-device threshold x min-length sweep per channel row —
+            # probabilities never leave HBM, only run tables do.
+            t_i = ts[i]
+            fps = t_i / duration if duration > 0 else 100.0
+            instances = smoothing.instances_from_device_probs(
+                probs_dev[i, :t_i] if probs_dev is not None else np.zeros(0),
+                thresholds=thresholds, min_lengths=min_lengths, fps=fps,
             )
             for (thr, min_len), insts in instances.items():
                 d = out_root / meeting_id / f"t_{thr}" / f"l_{min_len}"

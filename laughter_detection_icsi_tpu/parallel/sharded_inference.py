@@ -5,8 +5,9 @@ channel) × threshold × min_length (reference cluster_scripts/
 gen_eval_exp.py:91-114) — with one jitted graph evaluating a [C, n] batch of
 channel waveforms: featurize + window-classify every channel at once, the
 channel axis sharded over the mesh's ``data`` axis (BASELINE.json config 4/5).
-Thresholding/min-length sweeps happen on the host afterwards over the tiny
-[C, T] probability matrix (ops/smoothing.py).
+The threshold/min-length sweep then runs on device per channel row
+(ops/smoothing.instances_from_device_probs; see cli/sweep.py) — only run
+tables cross back to host.
 
 Channels of one ICSI meeting share a length, so a meeting is naturally one
 static-shape batch; across meetings, lengths bucket to ``bucket_frames``
@@ -334,8 +335,21 @@ class ShardedPipeline:
         together through fixed-size frame buckets ('windows' mode) or run
         through one whole-track dilated-conv graph ('fused_conv' mode).
         """
+        probs, ts = self.probs_for_waveforms_device(waves)
+        if probs is None:
+            return [np.zeros(0, dtype=np.float32) for _ in waves]
+        # One device->host transfer for the whole batch (transfer latency
+        # dominates small reads through a tunneled chip).
+        host = np.asarray(probs)
+        return [host[i, : ts[i]] for i in range(len(waves))]
+
+    def probs_for_waveforms_device(self, waves: Sequence[np.ndarray]):
+        """Like :meth:`probs_for_waveforms` but returns (probs [C, t_max]
+        ON DEVICE, frame counts) — feed rows to on-device smoothing
+        (ops/smoothing.instances_from_device_probs) so only run tables
+        cross back to host.  (None, counts) when nothing to compute."""
         if not waves:
-            return []
+            return None, []
         int16_in = all(np.asarray(w).dtype == np.int16 for w in waves)
         dtype = np.int16 if int16_in else np.float32
         padded_list, ts = [], []
@@ -351,7 +365,7 @@ class ShardedPipeline:
             ts.append(t)
         t_max = max(ts)
         if t_max == 0:
-            return [np.zeros(0, dtype=np.float32) for _ in waves]
+            return None, ts
         c = len(waves)
         c_pad = -(-c // self.n_shards) * self.n_shards
         if self.settings.mode == "fused_conv":
@@ -364,8 +378,7 @@ class ShardedPipeline:
                 batch[i, : len(p)] = p
                 valid[i] = t
             sharded = mesh_lib.shard_batch({"w": batch, "v": valid}, self.mesh)
-            probs = np.asarray(graph(sharded["w"], sharded["v"]))
-            return [probs[i, : ts[i]] for i in range(c)]
+            return graph(sharded["w"], sharded["v"])[:c], ts
         c_local = c_pad // self.n_shards
         # The effective per-channel chunk comes back from _graphs so the
         # host loop's offsets can never drift from the compiled graph.
@@ -400,17 +413,16 @@ class ShardedPipeline:
                 for i in range(n_chunks)
             ]
             pieces.append(jnp.concatenate(outs, axis=1)[:, : min(bucket, t_max - k * bucket)])
-        # One device->host transfer for the whole batch (transfer latency
-        # dominates small reads through a tunneled chip).
-        probs = np.asarray(jnp.concatenate(pieces, axis=1))  # [C, t_max]
-        return [probs[i, : ts[i]] for i in range(c)]
+        return jnp.concatenate(pieces, axis=1)[:c], ts  # [C, t_max] on device
 
     def probs_for_meeting(
-        self, audio_paths: Sequence[str], channel: int = 0
-    ) -> Tuple[List[np.ndarray], List[float]]:
+        self, audio_paths: Sequence[str], channel: int = 0, device: bool = False
+    ):
         """All channels of one meeting in one batch.  Returns (probs per
-        channel, durations).  Decode goes through the native C++ runtime's
-        thread pool when available (runtime/native.py)."""
+        channel, durations) — or, with ``device=True``, ((device probs
+        [C, t_max], frame counts), durations) for on-device smoothing.
+        Decode goes through the native C++ runtime's thread pool when
+        available (runtime/native.py)."""
         from laughter_detection_icsi_tpu.data import audio as audio_io
         from laughter_detection_icsi_tpu.runtime import native
 
@@ -427,4 +439,6 @@ class ShardedPipeline:
             )
         waves = [w for w, _sr in decoded]
         durations = [len(w) / sr for w, sr in decoded]
+        if device:
+            return self.probs_for_waveforms_device(waves), durations
         return self.probs_for_waveforms(waves), durations

@@ -177,3 +177,32 @@ def test_sharded_packed_codec_bit_exact(small_model, rng):
     assert len(got) == len(want) == 3
     for g, w in zip(got, want):
         np.testing.assert_array_equal(g, w)
+
+
+def test_sharded_device_probs_and_smoothing(small_model, settings, rng):
+    """probs_for_waveforms_device + on-device smoothing must reproduce the
+    host path: same probabilities row-for-row and the same instance dicts."""
+    from laughter_detection_icsi_tpu.ops import smoothing
+
+    model, params, state = small_model
+    sharded = ShardedPipeline(
+        model=model, params=params, state=state, mesh=make_mesh(8),
+        settings=settings,
+    )
+    waves = [
+        (rng.standard_normal(16000 * 2) * 0.1).astype(np.float32),
+        (rng.standard_normal(16000 + 700) * 0.1).astype(np.float32),
+    ]
+    host = sharded.probs_for_waveforms(waves)
+    dev, ts = sharded.probs_for_waveforms_device(waves)
+    assert ts == [len(h) for h in host]
+    for i, h in enumerate(host):
+        np.testing.assert_array_equal(np.asarray(dev[i, : ts[i]]), h)
+        want = smoothing.get_laughter_instances(
+            h, thresholds=[0.2, 0.6], min_lengths=[0.0, 0.1], fps=100.0
+        )
+        got = smoothing.instances_from_device_probs(
+            dev[i, : ts[i]], thresholds=[0.2, 0.6],
+            min_lengths=[0.0, 0.1], fps=100.0,
+        )
+        assert got == want
