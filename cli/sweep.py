@@ -5,9 +5,9 @@ The reference fans out one process per (meeting, channel) — 29 thresholds x
 cluster_scripts/gen_eval_exp.py:30-36,91-114).  Here one command does the
 whole split: every meeting's channels are batched through the sharded
 pipeline (one featurize+classify graph, channel axis over the mesh), the
-threshold x min_length sweep runs on host over the [C, T] probability
-matrix, and TextGrids land in the ``<out>/<split>/<meeting>/t_<thr>/
-l_<minlen>/chanN.TextGrid`` layout that ``analyse`` consumes.
+threshold x min_length sweep runs ON DEVICE per channel row (only run
+tables return to host), and TextGrids land in the ``<out>/<split>/
+<meeting>/t_<thr>/l_<minlen>/chanN.TextGrid`` layout ``analyse`` consumes.
 """
 
 from __future__ import annotations
@@ -146,7 +146,7 @@ def main(argv: Optional[List[str]] = None) -> int:
             continue
         print(f"{meeting_id}: {len(paths)} channels ...", flush=True)
         meter.start()
-        (probs_dev, ts), durations = pipe.probs_for_meeting(paths, device=True)
+        (probs_dev, ts), durations = pipe.probs_for_meeting_device(paths)
         rtf = meter.stop(float(np.sum(durations)))
         print(f"  {rtf:.1f}x realtime", flush=True)
         total_audio_s += float(np.sum(durations))

@@ -370,6 +370,30 @@ class LaughterPipeline:
 
     # ------------------------------------------------------------------ #
 
+    def _bucket_probs(self, buf: np.ndarray, valid: int) -> jnp.ndarray:
+        """One bucket buffer (already wave_len-sized, int16 or float32) ->
+        its [bucket + extra] device probabilities.  The ONE bucket
+        execution body — the offline loop and StreamingSession both run
+        through it, which is what keeps streaming bit-exact vs offline."""
+        int16_in = buf.dtype == np.int16
+        featurize, chunk_probs, _wave_len = self._graphs(int16_in)
+        packed = self._maybe_pack(buf)
+        if packed is not None:
+            wire = packed.wire()
+            featurize_pk = self._packed_featurize(
+                len(wire), len(packed.widths), packed.delta
+            )
+            feats = featurize_pk(jnp.asarray(wire), jnp.asarray(valid, jnp.int32))
+        else:
+            feats = featurize(jnp.asarray(buf), jnp.asarray(valid, jnp.int32))
+        chunk = self.settings.chunk
+        n_chunks = -(-self.settings.bucket_frames // chunk)
+        outs = [
+            chunk_probs(feats, jnp.asarray(i * chunk, dtype=jnp.int32))
+            for i in range(n_chunks)
+        ]
+        return jnp.concatenate(outs)
+
     def probs_for_waveform(self, wave: np.ndarray) -> np.ndarray:
         """[n] waveform -> [T] laughter probabilities (T = one per 10 ms
         frame, ≈100 fps — reference segment_laughter.py:103-105).
@@ -397,10 +421,8 @@ class LaughterPipeline:
             return jnp.zeros(0, dtype=jnp.float32)
         if self.settings.mode == "fused_conv":
             return self._probs_fused_conv_device(padded, t)
-        featurize, chunk_probs, wave_len = self._graphs(int16_in)
+        wave_len = self._graphs(int16_in)[2]
         bucket = self.settings.bucket_frames
-        chunk = self.settings.chunk
-        n_chunks = -(-bucket // chunk)
         shift = _snip_cfg(self.feat_cfg).frame_shift_samples
 
         pieces = []
@@ -410,25 +432,13 @@ class LaughterPipeline:
             src = padded[lo : lo + wave_len]
             buf[: len(src)] = src
             valid = min(t - k * bucket, bucket + self.settings.window - 1)
-            packed = self._maybe_pack(buf)
-            if packed is not None:
-                wire = packed.wire()
-                featurize_pk = self._packed_featurize(
-                    len(wire), len(packed.widths), packed.delta
-                )
-                feats = featurize_pk(jnp.asarray(wire), jnp.asarray(valid, jnp.int32))
-            else:
-                feats = featurize(jnp.asarray(buf), jnp.asarray(valid, jnp.int32))
-            outs = [
-                chunk_probs(feats, jnp.asarray(i * chunk, dtype=jnp.int32))
-                for i in range(n_chunks)
-            ]
-            pieces.append(jnp.concatenate(outs)[: min(bucket, t - k * bucket)])
+            probs = self._bucket_probs(buf, valid)
+            pieces.append(probs[: min(bucket, t - k * bucket)])
         return jnp.concatenate(pieces) if len(pieces) > 1 else pieces[0]
 
     def probs_for_file(
         self, audio_path: str, channel: int = 0, device: bool = False
-    ) -> Tuple[np.ndarray, float]:
+    ) -> "Tuple[np.ndarray | jnp.ndarray, float]":
         """Returns (probs [T], audio_duration_s).  16-bit PCM sources ship
         to the device as raw int16 (half the bytes, identical numerics).
         ``device=True`` leaves the probabilities on device (for on-device
@@ -521,9 +531,9 @@ class StreamingSession:
         pcm = np.asarray(pcm)
         if pcm.ndim != 1:
             raise ValueError("feed() wants a 1-D PCM chunk")
+        if len(pcm) and pcm.dtype not in (np.int16, np.float32, np.float64):
+            raise TypeError(f"unsupported PCM dtype {pcm.dtype}")
         if self._dtype is None and len(pcm):
-            if pcm.dtype not in (np.int16, np.float32, np.float64):
-                raise TypeError(f"unsupported PCM dtype {pcm.dtype}")
             self._dtype = np.dtype(np.int16 if pcm.dtype == np.int16 else np.float32)
         if len(pcm) and pcm.dtype != self._dtype:
             if self._dtype == np.float32 and pcm.dtype == np.int16:
@@ -562,24 +572,10 @@ class StreamingSession:
 
     def _run_bucket(self, buf_slice: np.ndarray, valid: int) -> np.ndarray:
         pipe = self._pipe
-        s = pipe.settings
-        int16_in = self._dtype == np.int16
-        featurize, chunk_probs, wave_len = pipe._graphs(int16_in)
+        wave_len = pipe._graphs(self._dtype == np.int16)[2]
         buf = np.zeros(wave_len, dtype=self._dtype)
         buf[: len(buf_slice)] = buf_slice[:wave_len]
-        packed = pipe._maybe_pack(buf)
-        if packed is not None:
-            wire = packed.wire()
-            fpk = pipe._packed_featurize(len(wire), len(packed.widths), packed.delta)
-            feats = fpk(jnp.asarray(wire), jnp.asarray(valid, jnp.int32))
-        else:
-            feats = featurize(jnp.asarray(buf), jnp.asarray(valid, jnp.int32))
-        n_chunks = -(-s.bucket_frames // s.chunk)
-        outs = [
-            chunk_probs(feats, jnp.asarray(i * s.chunk, dtype=jnp.int32))
-            for i in range(n_chunks)
-        ]
-        return np.asarray(jnp.concatenate(outs))
+        return np.asarray(pipe._bucket_probs(buf, valid))
 
     def feed(self, pcm: np.ndarray) -> np.ndarray:
         """Add a PCM chunk; returns probabilities for every frame that

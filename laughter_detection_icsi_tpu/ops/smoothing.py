@@ -112,7 +112,6 @@ def _runs_from_mask(mask: jnp.ndarray, max_events: int):
     return starts.astype(jnp.int32), lasts.astype(jnp.int32), count
 
 
-@functools.partial(jax.jit, static_argnames=("max_events",))
 def laughter_runs(
     probs: jnp.ndarray,
     thresholds: jnp.ndarray,
@@ -122,13 +121,12 @@ def laughter_runs(
 
     probs: [T] float; thresholds: [K] float.
     Returns (starts [K, max_events], lasts [K, max_events], counts [K]).
+    Thin wrapper over the padded-buffer kernel with the whole buffer valid
+    (one jitted implementation to keep in sync).
     """
-    fixed = fix_over_underflow(probs)
-
-    def per_thr(thr):
-        return _runs_from_mask(fixed > thr, max_events)
-
-    return jax.vmap(per_thr)(thresholds)
+    return _padded_runs(
+        probs, thresholds, jnp.asarray(probs.shape[0], jnp.int32), max_events
+    )
 
 
 #: probs pad granularity for the jitted run scan: one compiled shape per

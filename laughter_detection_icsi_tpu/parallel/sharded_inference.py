@@ -416,13 +416,25 @@ class ShardedPipeline:
         return jnp.concatenate(pieces, axis=1)[:c], ts  # [C, t_max] on device
 
     def probs_for_meeting(
-        self, audio_paths: Sequence[str], channel: int = 0, device: bool = False
-    ):
+        self, audio_paths: Sequence[str], channel: int = 0
+    ) -> Tuple[List[np.ndarray], List[float]]:
         """All channels of one meeting in one batch.  Returns (probs per
-        channel, durations) — or, with ``device=True``, ((device probs
-        [C, t_max], frame counts), durations) for on-device smoothing.
-        Decode goes through the native C++ runtime's thread pool when
-        available (runtime/native.py)."""
+        channel, durations).  Decode goes through the native C++ runtime's
+        thread pool when available (runtime/native.py)."""
+        (probs_dev, ts), durations = self.probs_for_meeting_device(
+            audio_paths, channel=channel
+        )
+        if probs_dev is None:
+            return [np.zeros(0, dtype=np.float32) for _ in ts], durations
+        host = np.asarray(probs_dev)
+        return [host[i, : ts[i]] for i in range(len(ts))], durations
+
+    def probs_for_meeting_device(
+        self, audio_paths: Sequence[str], channel: int = 0
+    ):
+        """Like :meth:`probs_for_meeting` but probabilities stay on device:
+        returns ((probs [C, t_max] | None, frame counts), durations) for
+        per-channel on-device smoothing."""
         from laughter_detection_icsi_tpu.data import audio as audio_io
         from laughter_detection_icsi_tpu.runtime import native
 
@@ -439,6 +451,4 @@ class ShardedPipeline:
             )
         waves = [w for w, _sr in decoded]
         durations = [len(w) / sr for w, sr in decoded]
-        if device:
-            return self.probs_for_waveforms_device(waves), durations
-        return self.probs_for_waveforms(waves), durations
+        return self.probs_for_waveforms_device(waves), durations

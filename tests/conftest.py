@@ -41,6 +41,9 @@ def synthetic_corpus(tmp_path_factory):
     return write_synthetic_corpus(root)
 
 
-@pytest.fixture(scope="session")
+@pytest.fixture()
 def rng():
+    """Fresh seeded generator PER TEST: adding or reordering tests must
+    never shift the random stream another test consumes (a session-scoped
+    generator made borderline assertions flake when new tests landed)."""
     return np.random.default_rng(23)

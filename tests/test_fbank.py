@@ -70,8 +70,9 @@ def oracle_fbank(wave: np.ndarray, cfg: FeatConfig) -> np.ndarray:
 
 
 @pytest.fixture(scope="module")
-def wave(rng):
-    return (rng.standard_normal(16000 * 2) * 0.1).astype(np.float32)
+def wave():
+    gen = np.random.default_rng(23)  # module-local: independent of `rng`
+    return (gen.standard_normal(16000 * 2) * 0.1).astype(np.float32)
 
 
 def test_num_frames():

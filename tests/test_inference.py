@@ -35,10 +35,11 @@ def pipeline(small_model):
 
 
 @pytest.fixture(scope="module")
-def wave(rng):
+def wave():
     # 3.3 s of noise with a loud burst, not a multiple of the bucket
-    w = (rng.standard_normal(16000 * 3 + 5000) * 0.05).astype(np.float32)
-    w[20000:28000] += (rng.standard_normal(8000) * 0.4).astype(np.float32)
+    gen = np.random.default_rng(23)  # module-local: independent of `rng`
+    w = (gen.standard_normal(16000 * 3 + 5000) * 0.05).astype(np.float32)
+    w[20000:28000] += (gen.standard_normal(8000) * 0.4).astype(np.float32)
     return np.clip(w, -1, 1)
 
 

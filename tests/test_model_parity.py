@@ -79,8 +79,9 @@ def jax_model():
 
 
 @pytest.fixture(scope="module")
-def x_np(rng):
-    return rng.standard_normal((8, 1, 100, 44)).astype(np.float32)
+def x_np():
+    gen = np.random.default_rng(23)  # module-local: independent of `rng`
+    return gen.standard_normal((8, 1, 100, 44)).astype(np.float32)
 
 
 def test_param_names_match_torch(torch_model, jax_model):

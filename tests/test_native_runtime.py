@@ -13,9 +13,10 @@ pytestmark = pytest.mark.skipif(
 
 
 @pytest.fixture(scope="module")
-def sph_file(tmp_path_factory, rng):
+def sph_file(tmp_path_factory):
     p = tmp_path_factory.mktemp("native") / "a.sph"
-    w = (rng.standard_normal(16000 * 2) * 0.3).astype(np.float32)
+    gen = np.random.default_rng(23)  # module-local: independent of `rng`
+    w = (gen.standard_normal(16000 * 2) * 0.3).astype(np.float32)
     audio.write_sphere(str(p), w, 16000)
     return str(p)
 

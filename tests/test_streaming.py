@@ -138,3 +138,35 @@ def test_many_sessions_share_one_pipeline(pipeline, rng):
         np.testing.assert_array_equal(
             np.concatenate(o), pipeline.probs_for_waveform(w)
         )
+
+
+def test_streaming_with_packed_codec_matches_offline(rng):
+    """The streaming path shares the offline bucket executor, including the
+    packed-PCM wire branch: streaming with transfer_codec='packed' must be
+    bit-exact vs the offline packed pipeline."""
+    model = models.build(
+        "ResNetBigger", dropout_rate=0.0, linear_layer_size=24,
+        filter_sizes=(8, 8, 8, 8),
+    )
+    params, state = model.init(jax.random.PRNGKey(3))
+    pk = inference.LaughterPipeline(
+        model, params, state,
+        settings=inference.InferenceSettings(
+            chunk=256, bucket_frames=512, transfer_codec="packed"
+        ),
+    )
+    wave = (np.cumsum(rng.integers(-90, 91, 16000 * 5))
+            .clip(-32768, 32767).astype(np.int16))
+    want = pk.probs_for_waveform(wave)
+    got = _stream(pk, wave, [11000] * (-(-len(wave) // 11000)))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_streaming_rejects_unknown_dtype(pipeline):
+    sess = inference.StreamingSession(pipeline)
+    with pytest.raises(TypeError):
+        sess.feed(np.zeros(100, dtype=np.int32))
+    sess2 = inference.StreamingSession(pipeline)
+    sess2.feed(np.zeros(1000, dtype=np.float32))
+    with pytest.raises(TypeError):
+        sess2.feed(np.zeros(100, dtype=np.int64))
