@@ -107,7 +107,20 @@ class DataParallelTrainer:
         )
 
     def _prep(self, batch):
-        x = jnp.asarray(batch["inputs"], dtype=jnp.float32)[:, None, :, :]
+        inputs = batch["inputs"]
+        if isinstance(inputs, jax.Array):
+            # Device-resident batch (data.ResidentLadDataset.batches):
+            # reshard device->device onto the mesh — never bounce through
+            # host (np.asarray here would force a device sync + download).
+            x = jax.device_put(
+                inputs[:, None, :, :], mesh_lib.data_sharding(self.mesh)
+            )
+            y = jax.device_put(
+                jnp.asarray(batch["is_laugh"], jnp.float32),
+                mesh_lib.data_sharding(self.mesh),
+            )
+            return {"x": x, "y": y}
+        x = jnp.asarray(inputs, dtype=jnp.float32)[:, None, :, :]
         y = jnp.asarray(batch["is_laugh"], dtype=jnp.float32)
         return mesh_lib.shard_batch({"x": x, "y": y}, self.mesh)
 

@@ -187,3 +187,41 @@ def test_dp_resident_matches_dp_streamed(tmp_path, rng):
         lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
         params_s, params_r,
     )
+
+
+def test_dp_eval_accepts_resident_batches(tmp_path, rng):
+    """Device-resident eval batches reshard device->device into the DP
+    eval step (no host bounce) and give the streamed batches' metrics."""
+    import pandas as pd
+
+    from laughter_detection_icsi_tpu.data.dataset import (
+        LadDataset,
+        ResidentLadDataset,
+    )
+    from laughter_detection_icsi_tpu.data.feature_cache import FeatureCache
+
+    cache = FeatureCache(cache_dir=str(tmp_path / "fc"))
+    cache.add_track(
+        "M0", "chan0", (rng.standard_normal(16000 * 2) * 0.1).astype(np.float32)
+    )
+    rows = [
+        dict(meeting_id="M0", chan_id="chan0", sub_start=0.05 * i,
+             sub_duration=1.0, label=i % 2, start=0.0, duration=1.0)
+        for i in range(16)
+    ]
+    ds = LadDataset(pd.DataFrame(rows), cache)
+    model = models.build(
+        "ResNetBigger", dropout_rate=0.0, linear_layer_size=24,
+        filter_sizes=(8, 8, 8, 8),
+    )
+    dp = DataParallelTrainer(model=model, mesh=make_mesh(8))
+    params, state, _ = dp.init(jax.random.PRNGKey(0))
+
+    streamed = dp.eval_batches(
+        params, state, ds.batches(8, shuffle=False, prefetch=0)
+    )
+    resident = dp.eval_batches(
+        params, state, ResidentLadDataset(ds).batches(8, shuffle=False)
+    )
+    for k in streamed:
+        assert streamed[k] == pytest.approx(resident[k], abs=1e-6), k
