@@ -20,5 +20,6 @@ from laughter_detection_icsi_tpu.parallel.data_parallel import (  # noqa: F401
 )
 from laughter_detection_icsi_tpu.parallel.sharded_inference import (  # noqa: F401
     ShardedPipeline,
+    ShardedStreamingSession,
 )
 from laughter_detection_icsi_tpu.parallel import distributed  # noqa: F401

@@ -380,12 +380,9 @@ class ShardedPipeline:
             sharded = mesh_lib.shard_batch({"w": batch, "v": valid}, self.mesh)
             return graph(sharded["w"], sharded["v"])[:c], ts
         c_local = c_pad // self.n_shards
-        # The effective per-channel chunk comes back from _graphs so the
-        # host loop's offsets can never drift from the compiled graph.
-        featurize, chunk_probs, wave_len, chunk = self._graphs(int16_in, c_local)
+        wave_len = self._graphs(int16_in, c_local)[2]
         bucket = self.settings.bucket_frames
         window = self.settings.window
-        n_chunks = -(-bucket // chunk)
         shift = dataclasses.replace(self.feat_cfg, snip_edges=True).frame_shift_samples
 
         pieces = []
@@ -397,23 +394,34 @@ class ShardedPipeline:
                 src = p[lo : lo + wave_len]
                 batch[i, : len(src)] = src
                 valid[i] = int(np.clip(t - k * bucket, 0, bucket + window - 1))
-            packed = self._maybe_pack_batch(batch)  # windows-mode only path
-            if packed is not None:
-                wires, delta = packed
-                featurize_pk = self._packed_featurize(
-                    wires.shape[1], c_local, delta
-                )
-                sharded = mesh_lib.shard_batch({"w": wires, "v": valid}, self.mesh)
-                feats = featurize_pk(sharded["w"], sharded["v"])
-            else:
-                sharded = mesh_lib.shard_batch({"w": batch, "v": valid}, self.mesh)
-                feats = featurize(sharded["w"], sharded["v"])
-            outs = [
-                chunk_probs(feats, jnp.asarray(i * chunk, dtype=jnp.int32))
-                for i in range(n_chunks)
-            ]
-            pieces.append(jnp.concatenate(outs, axis=1)[:, : min(bucket, t_max - k * bucket)])
+            probs = self._bucket_probs_batch(batch, valid, c_local)
+            pieces.append(probs[:, : min(bucket, t_max - k * bucket)])
         return jnp.concatenate(pieces, axis=1)[:c], ts  # [C, t_max] on device
+
+    def _bucket_probs_batch(
+        self, batch: np.ndarray, valid: np.ndarray, c_local: int
+    ) -> jnp.ndarray:
+        """ONE bucket batch ([c_pad, wave_len] buffers + per-channel valid
+        frames) -> [c_pad, bucket+extra] device probabilities.  The single
+        bucket execution body — the offline loop and the sharded streaming
+        session both run through it."""
+        int16_in = batch.dtype == np.int16
+        featurize, chunk_probs, _wave_len, chunk = self._graphs(int16_in, c_local)
+        packed = self._maybe_pack_batch(batch)  # windows-mode only path
+        if packed is not None:
+            wires, delta = packed
+            featurize_pk = self._packed_featurize(wires.shape[1], c_local, delta)
+            sharded = mesh_lib.shard_batch({"w": wires, "v": valid}, self.mesh)
+            feats = featurize_pk(sharded["w"], sharded["v"])
+        else:
+            sharded = mesh_lib.shard_batch({"w": batch, "v": valid}, self.mesh)
+            feats = featurize(sharded["w"], sharded["v"])
+        n_chunks = -(-self.settings.bucket_frames // chunk)
+        outs = [
+            chunk_probs(feats, jnp.asarray(i * chunk, dtype=jnp.int32))
+            for i in range(n_chunks)
+        ]
+        return jnp.concatenate(outs, axis=1)
 
     def probs_for_meeting(
         self, audio_paths: Sequence[str], channel: int = 0
@@ -452,3 +460,191 @@ class ShardedPipeline:
         waves = [w for w, _sr in decoded]
         durations = [len(w) / sr for w, sr in decoded]
         return self.probs_for_waveforms_device(waves), durations
+
+
+class ShardedStreamingSession:
+    """Online (streaming) inference for a LIVE multi-channel meeting over
+    the mesh.
+
+    Feed synchronized PCM chunks — one array per channel, equal lengths,
+    like a meeting's microphones capture — and per-channel probabilities
+    come back as each shape bucket completes, computed as ONE channel-
+    sharded bucket batch (the same graphs as offline
+    :meth:`ShardedPipeline.probs_for_waveforms`; zero extra compilations).
+    Emitted sequences are bit-identical to the offline batch on the
+    concatenated audio (pinned by tests).  The single-channel counterpart
+    is ``inference.StreamingSession``; no reference analogue exists
+    (reference is offline per-process, cluster_scripts/gen_eval_exp.py).
+    """
+
+    def __init__(self, pipeline: ShardedPipeline, n_channels: int):
+        from laughter_detection_icsi_tpu.inference import _snip_cfg
+
+        if pipeline.settings.mode != "windows":
+            raise ValueError("ShardedStreamingSession requires mode='windows'")
+        if n_channels < 1:
+            raise ValueError("need at least one channel")
+        self._pipe = pipeline
+        self._cfg = _snip_cfg(pipeline.feat_cfg)
+        self.n_channels = n_channels
+        self._raw_head: "List[List[np.ndarray]] | None" = [
+            [] for _ in range(n_channels)
+        ]
+        self._bufs: List[np.ndarray] = []
+        self._consumed = 0
+        self._n = 0  # raw samples per channel
+        self._bucket_idx = 0
+        self._dtype = None
+        self._finished = False
+
+    @property
+    def _left_pad(self) -> int:
+        return (self._cfg.frame_length_samples - self._cfg.frame_shift_samples) // 2
+
+    def _append(self, chunks: Sequence[np.ndarray]) -> None:
+        if len(chunks) != self.n_channels:
+            raise ValueError(
+                f"expected {self.n_channels} channel chunks, got {len(chunks)}"
+            )
+        chunks = [np.asarray(c) for c in chunks]
+        n = len(chunks[0])
+        if any(len(c) != n for c in chunks):
+            raise ValueError("channel chunks must have equal lengths")
+        for c in chunks:
+            if len(c) and c.dtype not in (np.int16, np.float32, np.float64):
+                raise TypeError(f"unsupported PCM dtype {c.dtype}")
+        if self._dtype is None and n:
+            self._dtype = np.dtype(
+                np.int16
+                if all(c.dtype == np.int16 for c in chunks)
+                else np.float32
+            )
+        if n and self._dtype is not None:
+            conv = []
+            for c in chunks:
+                if c.dtype == self._dtype:
+                    conv.append(c)
+                elif self._dtype == np.float32 and c.dtype == np.int16:
+                    conv.append(c.astype(np.float32) / 32768.0)
+                elif self._dtype == np.float32:
+                    conv.append(c.astype(np.float32))
+                else:
+                    raise TypeError(
+                        "cannot mix float chunks into an int16 stream"
+                    )
+            chunks = conv
+        self._n += n
+        if self._raw_head is not None:
+            for i, c in enumerate(chunks):
+                if len(c):
+                    self._raw_head[i].append(c)
+            heads = [
+                np.concatenate(h)
+                if h
+                else np.zeros(0, dtype=self._dtype or np.float32)
+                for h in self._raw_head
+            ]
+            if len(heads[0]) < self._cfg.frame_length_samples:
+                return
+            self._raw_head = None
+            self._bufs = [
+                np.concatenate([h[: self._left_pad][::-1], h]) for h in heads
+            ]
+            return
+        self._bufs = [
+            np.concatenate([b, c]) if len(c) else b
+            for b, c in zip(self._bufs, chunks)
+        ]
+
+    def _run(self, los: int, wave_len: int, valids: np.ndarray) -> np.ndarray:
+        c_pad = -(-self.n_channels // self._pipe.n_shards) * self._pipe.n_shards
+        c_local = c_pad // self._pipe.n_shards
+        batch = np.zeros((c_pad, wave_len), dtype=self._dtype)
+        valid = np.zeros(c_pad, dtype=np.int32)
+        for i, b in enumerate(self._bufs):
+            src = b[los - self._consumed : los - self._consumed + wave_len]
+            batch[i, : len(src)] = src
+            valid[i] = valids[i]
+        probs = self._pipe._bucket_probs_batch(batch, valid, c_local)
+        return np.asarray(probs[: self.n_channels])
+
+    def feed(self, chunks: Sequence[np.ndarray]) -> np.ndarray:
+        """Add one synchronized chunk per channel; returns a
+        [n_channels, k] array of newly-final frame probabilities (k may be
+        0)."""
+        if self._finished:
+            raise RuntimeError("stream already finished")
+        self._append(chunks)
+        if self._raw_head is not None:
+            return np.zeros((self.n_channels, 0), dtype=np.float32)
+        s = self._pipe.settings
+        cfg = self._cfg
+        shift = cfg.frame_shift_samples
+        bucket = s.bucket_frames
+        wave_len = (bucket + s.window - 2) * shift + cfg.frame_length_samples
+        pieces = []
+        while True:
+            lo = self._bucket_idx * bucket * shift
+            if self._consumed + len(self._bufs[0]) < lo + wave_len:
+                break
+            full = np.full(
+                self.n_channels, bucket + s.window - 1, dtype=np.int32
+            )
+            pieces.append(self._run(lo, wave_len, full)[:, :bucket])
+            self._bucket_idx += 1
+            new_lo = self._bucket_idx * bucket * shift
+            drop = new_lo - self._consumed
+            if drop > 0:
+                self._bufs = [b[drop:] for b in self._bufs]
+                self._consumed = new_lo
+        if not pieces:
+            return np.zeros((self.n_channels, 0), dtype=np.float32)
+        return np.concatenate(pieces, axis=1)
+
+    def finish(self) -> np.ndarray:
+        """End of stream: apply the final reflection padding and flush."""
+        from laughter_detection_icsi_tpu.ops import fbank as fbank_ops
+
+        if self._finished:
+            raise RuntimeError("stream already finished")
+        self._finished = True
+        if self._raw_head is not None:
+            heads = [
+                np.concatenate(h)
+                if h
+                else np.zeros(0, dtype=np.float32)
+                for h in self._raw_head
+            ]
+            out = self._pipe.probs_for_waveforms(heads)
+            t = max((len(o) for o in out), default=0)
+            res = np.zeros((self.n_channels, t), dtype=np.float32)
+            for i, o in enumerate(out):
+                res[i, : len(o)] = o
+            return res
+        cfg = self._cfg
+        shift = cfg.frame_shift_samples
+        t = fbank_ops.num_frames(self._n, self._pipe.feat_cfg)
+        _left, right = fbank_ops.pad_amounts(self._n, self._pipe.feat_cfg)
+        if right > 0:
+            self._bufs = [
+                np.concatenate([b, b[len(b) - right :][::-1]]) for b in self._bufs
+            ]
+        s = self._pipe.settings
+        bucket = s.bucket_frames
+        wave_len = (bucket + s.window - 2) * shift + cfg.frame_length_samples
+        pieces = []
+        emitted = self._bucket_idx * bucket
+        while emitted < t:
+            lo = self._bucket_idx * bucket * shift
+            valid = np.full(
+                self.n_channels,
+                int(np.clip(t - self._bucket_idx * bucket, 0, bucket + s.window - 1)),
+                dtype=np.int32,
+            )
+            probs = self._run(lo, wave_len, valid)
+            pieces.append(probs[:, : min(bucket, t - emitted)])
+            emitted += bucket
+            self._bucket_idx += 1
+        if not pieces:
+            return np.zeros((self.n_channels, 0), dtype=np.float32)
+        return np.concatenate(pieces, axis=1)

@@ -170,3 +170,67 @@ def test_streaming_rejects_unknown_dtype(pipeline):
     sess2.feed(np.zeros(1000, dtype=np.float32))
     with pytest.raises(TypeError):
         sess2.feed(np.zeros(100, dtype=np.int64))
+
+
+def test_sharded_streaming_matches_offline_batch(rng):
+    """ShardedStreamingSession over a virtual mesh: synchronized chunked
+    feeding of N channels must be bit-identical to the offline sharded
+    batch on the concatenated audio."""
+    from laughter_detection_icsi_tpu.parallel import (
+        ShardedPipeline,
+        ShardedStreamingSession,
+        make_mesh,
+    )
+
+    model = models.build(
+        "ResNetBigger", dropout_rate=0.0, linear_layer_size=24,
+        filter_sizes=(8, 8, 8, 8),
+    )
+    params, state = model.init(jax.random.PRNGKey(7))
+    pipe = ShardedPipeline(
+        model=model, params=params, state=state, mesh=make_mesh(8),
+        settings=inference.InferenceSettings(chunk=256, bucket_frames=512),
+    )
+    n = 16000 * 7 + 900
+    waves = [
+        (rng.standard_normal(n) * 0.1).astype(np.float32) for _ in range(3)
+    ]
+    want = pipe.probs_for_waveforms(waves)
+
+    sess = ShardedStreamingSession(pipe, n_channels=3)
+    got = []
+    for lo in range(0, n, 20000):
+        out = sess.feed([w[lo : lo + 20000] for w in waves])
+        if out.shape[1]:
+            got.append(out)
+    got.append(sess.finish())
+    full = np.concatenate(got, axis=1)
+    assert full.shape == (3, len(want[0]))
+    for i, w in enumerate(want):
+        np.testing.assert_array_equal(full[i], w)
+
+
+def test_sharded_streaming_validation(rng):
+    from laughter_detection_icsi_tpu.parallel import (
+        ShardedPipeline,
+        ShardedStreamingSession,
+        make_mesh,
+    )
+
+    model = models.build(
+        "ResNetBigger", dropout_rate=0.0, linear_layer_size=24,
+        filter_sizes=(8, 8, 8, 8),
+    )
+    params, state = model.init(jax.random.PRNGKey(7))
+    pipe = ShardedPipeline(
+        model=model, params=params, state=state, mesh=make_mesh(8),
+        settings=inference.InferenceSettings(chunk=256, bucket_frames=512),
+    )
+    sess = ShardedStreamingSession(pipe, n_channels=2)
+    with pytest.raises(ValueError):
+        sess.feed([np.zeros(100, np.float32)])  # wrong channel count
+    with pytest.raises(ValueError):
+        sess.feed([np.zeros(100, np.float32), np.zeros(99, np.float32)])
+    sess.finish()
+    with pytest.raises(RuntimeError):
+        sess.feed([np.zeros(4, np.float32), np.zeros(4, np.float32)])
