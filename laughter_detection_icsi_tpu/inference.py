@@ -482,7 +482,192 @@ class LaughterPipeline:
         return instances, time.perf_counter() - t0
 
 
-class StreamingSession:
+class _StreamingBase:
+    """Shared state machine for online (streaming) inference sessions.
+
+    Owns everything both the single-stream and the mesh-sharded session
+    need to agree on for the documented streaming==offline bit-exactness:
+    per-chunk dtype validation/normalization (int16 into a float stream
+    scales exactly like the offline mixed path), the constant left
+    reflection pad applied once a full frame exists (shorter streams have
+    truncated-reflection padding only the offline path reproduces, so
+    :meth:`finish` delegates them), the eager full-validity bucket loop
+    (a bucket runs only once every sample its windows + halo read is
+    final), memory bounding, and the end-of-stream reflection + flush.
+    Subclasses provide only the bucket executor, the short-stream
+    delegate, and output shaping.
+    """
+
+    def __init__(self, pipeline, n_streams: int):
+        if pipeline.settings.mode != "windows":
+            raise ValueError(f"{type(self).__name__} requires mode='windows'")
+        if n_streams < 1:
+            raise ValueError("need at least one stream")
+        self._pipe = pipeline
+        self._cfg = _snip_cfg(pipeline.feat_cfg)
+        self.n_streams = n_streams
+        self._raw_head: "Optional[List[List[np.ndarray]]]" = [
+            [] for _ in range(n_streams)
+        ]
+        self._bufs: List[np.ndarray] = []
+        self._consumed = 0  # padded samples dropped from the buffers' front
+        self._n = 0  # raw samples seen per stream
+        self._bucket_idx = 0
+        self._dtype: Optional[np.dtype] = None
+        self._finished = False
+
+    # ---- subclass hooks ---------------------------------------------- #
+
+    def _execute(self, buf_slices: List[np.ndarray], valid: int) -> np.ndarray:
+        """[n_streams] bucket buffers -> [n_streams, bucket+extra] probs."""
+        raise NotImplementedError
+
+    def _delegate_short(self, heads: List[np.ndarray]):
+        """Whole-stream fallback for streams shorter than one frame."""
+        raise NotImplementedError
+
+    def _empty(self) -> np.ndarray:
+        return np.zeros((self.n_streams, 0), dtype=np.float32)
+
+    # ---- shared machinery -------------------------------------------- #
+
+    @property
+    def _left_pad(self) -> int:
+        cfg = self._cfg
+        return (cfg.frame_length_samples - cfg.frame_shift_samples) // 2
+
+    def _wave_len(self) -> int:
+        s = self._pipe.settings
+        cfg = self._cfg
+        return (
+            (s.bucket_frames + s.window - 2) * cfg.frame_shift_samples
+            + cfg.frame_length_samples
+        )
+
+    def _append(self, chunks: Sequence[np.ndarray]) -> None:
+        if len(chunks) != self.n_streams:
+            raise ValueError(
+                f"expected {self.n_streams} channel chunks, got {len(chunks)}"
+            )
+        chunks = [np.asarray(c) for c in chunks]
+        for c in chunks:
+            if c.ndim != 1:
+                raise ValueError("feed() wants 1-D PCM chunks")
+            if len(c) and c.dtype not in (np.int16, np.float32, np.float64):
+                raise TypeError(f"unsupported PCM dtype {c.dtype}")
+        n = len(chunks[0])
+        if any(len(c) != n for c in chunks):
+            raise ValueError("channel chunks must have equal lengths")
+        if self._dtype is None and n:
+            self._dtype = np.dtype(
+                np.int16 if all(c.dtype == np.int16 for c in chunks) else np.float32
+            )
+        if n:
+            conv = []
+            for c in chunks:
+                if c.dtype == self._dtype:
+                    conv.append(c)
+                elif self._dtype == np.float32 and c.dtype == np.int16:
+                    # Int16 into a float stream: scale like the offline
+                    # mixed path (parallel/sharded_inference.py) — exact.
+                    conv.append(c.astype(np.float32) / 32768.0)
+                elif self._dtype == np.float32:
+                    conv.append(c.astype(np.float32))
+                else:
+                    raise TypeError(
+                        "cannot mix float chunks into an int16 stream "
+                        "(floats are not exactly representable as int16)"
+                    )
+            chunks = conv
+        self._n += n
+        if self._raw_head is not None:
+            for i, c in enumerate(chunks):
+                if len(c):
+                    self._raw_head[i].append(c)
+            heads = self._heads()
+            if len(heads[0]) < self._cfg.frame_length_samples:
+                return
+            self._raw_head = None
+            self._bufs = [
+                np.concatenate([h[: self._left_pad][::-1], h]) for h in heads
+            ]
+            return
+        if n:
+            self._bufs = [np.concatenate([b, c]) for b, c in zip(self._bufs, chunks)]
+
+    def _heads(self) -> List[np.ndarray]:
+        dtype = self._dtype or np.float32
+        return [
+            np.concatenate(parts) if (parts := [p for p in h if len(p)])
+            else np.zeros(0, dtype=dtype)
+            for h in self._raw_head
+        ]
+
+    def _slices(self, lo: int, wave_len: int) -> List[np.ndarray]:
+        o = lo - self._consumed
+        return [b[o : o + wave_len] for b in self._bufs]
+
+    def _feed_impl(self, chunks: Sequence[np.ndarray]) -> np.ndarray:
+        if self._finished:
+            raise RuntimeError("stream already finished")
+        self._append(chunks)
+        if self._raw_head is not None:
+            return self._empty()
+        s = self._pipe.settings
+        shift = self._cfg.frame_shift_samples
+        bucket = s.bucket_frames
+        wave_len = self._wave_len()
+        pieces = []
+        while True:
+            lo = self._bucket_idx * bucket * shift
+            if self._consumed + len(self._bufs[0]) < lo + wave_len:
+                break
+            # Every halo sample is final -> full-validity bucket, exactly
+            # the offline path's non-final buckets.
+            probs = self._execute(
+                self._slices(lo, wave_len), bucket + s.window - 1
+            )
+            pieces.append(probs[:, :bucket])
+            self._bucket_idx += 1
+            # Bound memory: drop consumed samples, keeping what later
+            # buckets and the final reflection pad still need.
+            new_lo = self._bucket_idx * bucket * shift
+            drop = new_lo - self._consumed
+            if drop > 0:
+                self._bufs = [b[drop:] for b in self._bufs]
+                self._consumed = new_lo
+        return np.concatenate(pieces, axis=1) if pieces else self._empty()
+
+    def _finish_impl(self):
+        if self._finished:
+            raise RuntimeError("stream already finished")
+        self._finished = True
+        if self._raw_head is not None:
+            # Too short to ever initialize: delegate whole-stream.
+            return self._delegate_short(self._heads())
+        s = self._pipe.settings
+        shift = self._cfg.frame_shift_samples
+        t = fbank_ops.num_frames(self._n, self._pipe.feat_cfg)
+        _left, right = fbank_ops.pad_amounts(self._n, self._pipe.feat_cfg)
+        if right > 0:
+            self._bufs = [
+                np.concatenate([b, b[len(b) - right :][::-1]]) for b in self._bufs
+            ]
+        bucket = s.bucket_frames
+        wave_len = self._wave_len()
+        pieces = []
+        emitted = self._bucket_idx * bucket
+        while emitted < t:
+            lo = self._bucket_idx * bucket * shift
+            valid = min(t - self._bucket_idx * bucket, bucket + s.window - 1)
+            probs = self._execute(self._slices(lo, wave_len), valid)
+            pieces.append(probs[:, : min(bucket, t - emitted)])
+            emitted += bucket
+            self._bucket_idx += 1
+        return np.concatenate(pieces, axis=1) if pieces else self._empty()
+
+
+class StreamingSession(_StreamingBase):
     """Online (streaming) inference over one audio stream.
 
     Feed PCM in arbitrary-size chunks; probabilities come back as soon as
@@ -497,7 +682,8 @@ class StreamingSession:
     No reference analogue — the reference is strictly offline, one whole
     file at a time (reference segment_laughter.py:79-122).  This is the
     serving-path counterpart of the batch pipeline, sharing its compiled
-    graphs (same shape buckets -> zero extra compilations).
+    graphs (same shape buckets -> zero extra compilations).  The
+    multi-channel mesh version is ``parallel.ShardedStreamingSession``.
 
     Usage::
 
@@ -508,146 +694,29 @@ class StreamingSession:
     """
 
     def __init__(self, pipeline: LaughterPipeline):
-        if pipeline.settings.mode != "windows":
-            raise ValueError("StreamingSession requires mode='windows'")
-        self._pipe = pipeline
-        self._cfg = _snip_cfg(pipeline.feat_cfg)
-        self._raw_head: List[np.ndarray] = []  # pre-init samples
-        self._buf = np.zeros(0, dtype=np.float32)  # padded stream tail
-        self._consumed = 0  # padded samples dropped from _buf's front
-        self._n = 0  # raw samples seen
-        self._bucket_idx = 0
-        self._dtype: Optional[np.dtype] = None
-        self._finished = False
+        super().__init__(pipeline, n_streams=1)
 
-    # ------------------------------------------------------------------ #
-
-    @property
-    def _left_pad(self) -> int:
-        cfg = self._cfg
-        return (cfg.frame_length_samples - cfg.frame_shift_samples) // 2
-
-    def _append(self, pcm: np.ndarray) -> None:
-        pcm = np.asarray(pcm)
-        if pcm.ndim != 1:
-            raise ValueError("feed() wants a 1-D PCM chunk")
-        if len(pcm) and pcm.dtype not in (np.int16, np.float32, np.float64):
-            raise TypeError(f"unsupported PCM dtype {pcm.dtype}")
-        if self._dtype is None and len(pcm):
-            self._dtype = np.dtype(np.int16 if pcm.dtype == np.int16 else np.float32)
-        if len(pcm) and pcm.dtype != self._dtype:
-            if self._dtype == np.float32 and pcm.dtype == np.int16:
-                # Int16 into a float stream: scale like the offline mixed
-                # path (parallel/sharded_inference.py) — exact.
-                pcm = pcm.astype(np.float32) / 32768.0
-            elif self._dtype == np.float32:
-                pcm = pcm.astype(np.float32)
-            else:
-                raise TypeError(
-                    "cannot mix float chunks into an int16 stream (floats "
-                    "are not exactly representable as int16)"
-                )
-        self._n += len(pcm)
-        # Initialize with the constant left reflection pad once enough
-        # samples exist (host_pad_waveform semantics).
-        if self._raw_head is not None:
-            if len(pcm):
-                self._raw_head.append(pcm)
-            parts = [p for p in self._raw_head if len(p)]
-            head = (
-                np.concatenate(parts)
-                if parts
-                else np.zeros(0, dtype=self._dtype or np.float32)
-            )
-            # Initialize only once a full frame exists: shorter streams
-            # have truncated-reflection padding (right pad can exceed the
-            # signal) that only the offline whole-stream path reproduces —
-            # finish() delegates those.
-            if len(head) < self._cfg.frame_length_samples:
-                return
-            self._raw_head = None
-            self._buf = np.concatenate([head[: self._left_pad][::-1], head])
-            return
-        self._buf = np.concatenate([self._buf, pcm]) if len(pcm) else self._buf
-
-    def _run_bucket(self, buf_slice: np.ndarray, valid: int) -> np.ndarray:
+    def _execute(self, buf_slices: List[np.ndarray], valid: int) -> np.ndarray:
         pipe = self._pipe
         wave_len = pipe._graphs(self._dtype == np.int16)[2]
         buf = np.zeros(wave_len, dtype=self._dtype)
-        buf[: len(buf_slice)] = buf_slice[:wave_len]
-        return np.asarray(pipe._bucket_probs(buf, valid))
+        src = buf_slices[0][:wave_len]
+        buf[: len(src)] = src
+        return np.asarray(pipe._bucket_probs(buf, valid))[None, :]
+
+    def _delegate_short(self, heads: List[np.ndarray]) -> np.ndarray:
+        return self._pipe.probs_for_waveform(heads[0])
 
     def feed(self, pcm: np.ndarray) -> np.ndarray:
         """Add a PCM chunk; returns probabilities for every frame that
         became final (possibly empty)."""
-        if self._finished:
-            raise RuntimeError("stream already finished")
-        self._append(pcm)
-        if self._raw_head is not None:
-            return np.zeros(0, dtype=np.float32)
-        cfg = self._cfg
-        shift = cfg.frame_shift_samples
-        s = self._pipe.settings
-        bucket = s.bucket_frames
-        wave_len = (bucket + s.window - 2) * shift + cfg.frame_length_samples
-        pieces = []
-        while True:
-            lo = self._bucket_idx * bucket * shift
-            if self._consumed + len(self._buf) < lo + wave_len:
-                break
-            sl = self._buf[lo - self._consumed : lo - self._consumed + wave_len]
-            # Every halo sample is final -> full-validity bucket, exactly
-            # the offline path's non-final buckets.
-            pieces.append(self._run_bucket(sl, bucket + s.window - 1)[:bucket])
-            self._bucket_idx += 1
-            # Bound memory: drop consumed samples, keeping what later
-            # buckets and the final reflection pad still need.
-            new_lo = self._bucket_idx * bucket * shift
-            drop = new_lo - self._consumed
-            if drop > 0:
-                self._buf = self._buf[drop:]
-                self._consumed = new_lo
-        if not pieces:
-            return np.zeros(0, dtype=np.float32)
-        return np.concatenate(pieces)
+        return self._feed_impl([pcm])[0]
 
     def finish(self) -> np.ndarray:
         """End of stream: apply the final reflection padding and flush the
         remaining frames."""
-        if self._finished:
-            raise RuntimeError("stream already finished")
-        self._finished = True
-        if self._raw_head is not None:
-            # Too short to ever initialize: delegate whole-stream.
-            head = (
-                np.concatenate(self._raw_head)
-                if self._raw_head
-                else np.zeros(0, dtype=np.float32)
-            )
-            return self._pipe.probs_for_waveform(head)
-        cfg = self._cfg
-        shift = cfg.frame_shift_samples
-        t = fbank_ops.num_frames(self._n, self._pipe.feat_cfg)
-        left, right = fbank_ops.pad_amounts(self._n, self._pipe.feat_cfg)
-        if right > 0:
-            tail = self._buf[len(self._buf) - right :][::-1]
-            self._buf = np.concatenate([self._buf, tail])
-        s = self._pipe.settings
-        bucket = s.bucket_frames
-        wave_len = (bucket + s.window - 2) * shift + cfg.frame_length_samples
-        pieces = []
-        emitted = self._bucket_idx * bucket
-        while emitted < t:
-            lo = self._bucket_idx * bucket * shift
-            sl = self._buf[lo - self._consumed : lo - self._consumed + wave_len]
-            valid = min(t - self._bucket_idx * bucket, bucket + s.window - 1)
-            probs = self._run_bucket(sl, valid)
-            pieces.append(probs[: min(bucket, t - emitted)])
-            emitted += bucket
-            self._bucket_idx += 1
-        if not pieces:
-            return np.zeros(0, dtype=np.float32)
-        return np.concatenate(pieces)
+        out = self._finish_impl()
+        return out if out.ndim == 1 else out[0]
 
 
 def calc_real_time_factor(

@@ -178,7 +178,9 @@ def instances_from_device_probs(
     out: Dict[Tuple[float, float], List[Tuple[float, float]]] = {}
     host_probs: "np.ndarray | None" = None
     for k, thr in enumerate(thresholds):
-        if counts[k] >= max_events:
+        # counts holds TRUE (unclipped) run counts; the tables are complete
+        # up to and including exactly max_events runs.
+        if counts[k] > max_events:
             if host_probs is None:
                 host_probs = np.asarray(probs_dev)
             out.update(

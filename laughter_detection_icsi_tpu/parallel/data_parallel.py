@@ -113,7 +113,8 @@ class DataParallelTrainer:
             # reshard device->device onto the mesh — never bounce through
             # host (np.asarray here would force a device sync + download).
             x = jax.device_put(
-                inputs[:, None, :, :], mesh_lib.data_sharding(self.mesh)
+                inputs.astype(jnp.float32)[:, None, :, :],
+                mesh_lib.data_sharding(self.mesh),
             )
             y = jax.device_put(
                 jnp.asarray(batch["is_laugh"], jnp.float32),

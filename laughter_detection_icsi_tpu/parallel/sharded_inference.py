@@ -26,7 +26,11 @@ import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
 from laughter_detection_icsi_tpu.config import FEAT, FeatConfig
-from laughter_detection_icsi_tpu.inference import InferenceSettings, host_pad_waveform
+from laughter_detection_icsi_tpu.inference import (
+    InferenceSettings,
+    _StreamingBase,
+    host_pad_waveform,
+)
 from laughter_detection_icsi_tpu.models.zoo import Model
 from laughter_detection_icsi_tpu.ops import fbank as fbank_ops
 from laughter_detection_icsi_tpu.ops import windows
@@ -462,7 +466,7 @@ class ShardedPipeline:
         return self.probs_for_waveforms_device(waves), durations
 
 
-class ShardedStreamingSession:
+class ShardedStreamingSession(_StreamingBase):
     """Online (streaming) inference for a LIVE multi-channel meeting over
     the mesh.
 
@@ -472,179 +476,49 @@ class ShardedStreamingSession:
     sharded bucket batch (the same graphs as offline
     :meth:`ShardedPipeline.probs_for_waveforms`; zero extra compilations).
     Emitted sequences are bit-identical to the offline batch on the
-    concatenated audio (pinned by tests).  The single-channel counterpart
-    is ``inference.StreamingSession``; no reference analogue exists
-    (reference is offline per-process, cluster_scripts/gen_eval_exp.py).
+    concatenated audio (pinned by tests).  All stream semantics (dtype
+    mixing, left/right reflection pads, eager full-validity buckets,
+    short-stream delegation) are the single-channel
+    ``inference.StreamingSession``'s — one shared state machine
+    (inference._StreamingBase), so the two can never drift.
     """
 
     def __init__(self, pipeline: ShardedPipeline, n_channels: int):
-        from laughter_detection_icsi_tpu.inference import _snip_cfg
-
-        if pipeline.settings.mode != "windows":
-            raise ValueError("ShardedStreamingSession requires mode='windows'")
-        if n_channels < 1:
-            raise ValueError("need at least one channel")
-        self._pipe = pipeline
-        self._cfg = _snip_cfg(pipeline.feat_cfg)
-        self.n_channels = n_channels
-        self._raw_head: "List[List[np.ndarray]] | None" = [
-            [] for _ in range(n_channels)
-        ]
-        self._bufs: List[np.ndarray] = []
-        self._consumed = 0
-        self._n = 0  # raw samples per channel
-        self._bucket_idx = 0
-        self._dtype = None
-        self._finished = False
+        super().__init__(pipeline, n_streams=n_channels)
 
     @property
-    def _left_pad(self) -> int:
-        return (self._cfg.frame_length_samples - self._cfg.frame_shift_samples) // 2
+    def n_channels(self) -> int:
+        return self.n_streams
 
-    def _append(self, chunks: Sequence[np.ndarray]) -> None:
-        if len(chunks) != self.n_channels:
-            raise ValueError(
-                f"expected {self.n_channels} channel chunks, got {len(chunks)}"
-            )
-        chunks = [np.asarray(c) for c in chunks]
-        n = len(chunks[0])
-        if any(len(c) != n for c in chunks):
-            raise ValueError("channel chunks must have equal lengths")
-        for c in chunks:
-            if len(c) and c.dtype not in (np.int16, np.float32, np.float64):
-                raise TypeError(f"unsupported PCM dtype {c.dtype}")
-        if self._dtype is None and n:
-            self._dtype = np.dtype(
-                np.int16
-                if all(c.dtype == np.int16 for c in chunks)
-                else np.float32
-            )
-        if n and self._dtype is not None:
-            conv = []
-            for c in chunks:
-                if c.dtype == self._dtype:
-                    conv.append(c)
-                elif self._dtype == np.float32 and c.dtype == np.int16:
-                    conv.append(c.astype(np.float32) / 32768.0)
-                elif self._dtype == np.float32:
-                    conv.append(c.astype(np.float32))
-                else:
-                    raise TypeError(
-                        "cannot mix float chunks into an int16 stream"
-                    )
-            chunks = conv
-        self._n += n
-        if self._raw_head is not None:
-            for i, c in enumerate(chunks):
-                if len(c):
-                    self._raw_head[i].append(c)
-            heads = [
-                np.concatenate(h)
-                if h
-                else np.zeros(0, dtype=self._dtype or np.float32)
-                for h in self._raw_head
-            ]
-            if len(heads[0]) < self._cfg.frame_length_samples:
-                return
-            self._raw_head = None
-            self._bufs = [
-                np.concatenate([h[: self._left_pad][::-1], h]) for h in heads
-            ]
-            return
-        self._bufs = [
-            np.concatenate([b, c]) if len(c) else b
-            for b, c in zip(self._bufs, chunks)
-        ]
-
-    def _run(self, los: int, wave_len: int, valids: np.ndarray) -> np.ndarray:
-        c_pad = -(-self.n_channels // self._pipe.n_shards) * self._pipe.n_shards
-        c_local = c_pad // self._pipe.n_shards
+    def _execute(self, buf_slices: List[np.ndarray], valid: int) -> np.ndarray:
+        pipe = self._pipe
+        c_pad = -(-self.n_streams // pipe.n_shards) * pipe.n_shards
+        c_local = c_pad // pipe.n_shards
+        int16_in = self._dtype == np.int16
+        wave_len = pipe._graphs(int16_in, c_local)[2]
         batch = np.zeros((c_pad, wave_len), dtype=self._dtype)
-        valid = np.zeros(c_pad, dtype=np.int32)
-        for i, b in enumerate(self._bufs):
-            src = b[los - self._consumed : los - self._consumed + wave_len]
+        valids = np.zeros(c_pad, dtype=np.int32)
+        for i, sl in enumerate(buf_slices):
+            src = sl[:wave_len]
             batch[i, : len(src)] = src
-            valid[i] = valids[i]
-        probs = self._pipe._bucket_probs_batch(batch, valid, c_local)
-        return np.asarray(probs[: self.n_channels])
+            valids[i] = valid
+        probs = pipe._bucket_probs_batch(batch, valids, c_local)
+        return np.asarray(probs[: self.n_streams])
+
+    def _delegate_short(self, heads: List[np.ndarray]) -> np.ndarray:
+        out = self._pipe.probs_for_waveforms(heads)
+        t = max((len(o) for o in out), default=0)
+        res = np.zeros((self.n_streams, t), dtype=np.float32)
+        for i, o in enumerate(out):
+            res[i, : len(o)] = o
+        return res
 
     def feed(self, chunks: Sequence[np.ndarray]) -> np.ndarray:
         """Add one synchronized chunk per channel; returns a
         [n_channels, k] array of newly-final frame probabilities (k may be
         0)."""
-        if self._finished:
-            raise RuntimeError("stream already finished")
-        self._append(chunks)
-        if self._raw_head is not None:
-            return np.zeros((self.n_channels, 0), dtype=np.float32)
-        s = self._pipe.settings
-        cfg = self._cfg
-        shift = cfg.frame_shift_samples
-        bucket = s.bucket_frames
-        wave_len = (bucket + s.window - 2) * shift + cfg.frame_length_samples
-        pieces = []
-        while True:
-            lo = self._bucket_idx * bucket * shift
-            if self._consumed + len(self._bufs[0]) < lo + wave_len:
-                break
-            full = np.full(
-                self.n_channels, bucket + s.window - 1, dtype=np.int32
-            )
-            pieces.append(self._run(lo, wave_len, full)[:, :bucket])
-            self._bucket_idx += 1
-            new_lo = self._bucket_idx * bucket * shift
-            drop = new_lo - self._consumed
-            if drop > 0:
-                self._bufs = [b[drop:] for b in self._bufs]
-                self._consumed = new_lo
-        if not pieces:
-            return np.zeros((self.n_channels, 0), dtype=np.float32)
-        return np.concatenate(pieces, axis=1)
+        return self._feed_impl(chunks)
 
     def finish(self) -> np.ndarray:
         """End of stream: apply the final reflection padding and flush."""
-        from laughter_detection_icsi_tpu.ops import fbank as fbank_ops
-
-        if self._finished:
-            raise RuntimeError("stream already finished")
-        self._finished = True
-        if self._raw_head is not None:
-            heads = [
-                np.concatenate(h)
-                if h
-                else np.zeros(0, dtype=np.float32)
-                for h in self._raw_head
-            ]
-            out = self._pipe.probs_for_waveforms(heads)
-            t = max((len(o) for o in out), default=0)
-            res = np.zeros((self.n_channels, t), dtype=np.float32)
-            for i, o in enumerate(out):
-                res[i, : len(o)] = o
-            return res
-        cfg = self._cfg
-        shift = cfg.frame_shift_samples
-        t = fbank_ops.num_frames(self._n, self._pipe.feat_cfg)
-        _left, right = fbank_ops.pad_amounts(self._n, self._pipe.feat_cfg)
-        if right > 0:
-            self._bufs = [
-                np.concatenate([b, b[len(b) - right :][::-1]]) for b in self._bufs
-            ]
-        s = self._pipe.settings
-        bucket = s.bucket_frames
-        wave_len = (bucket + s.window - 2) * shift + cfg.frame_length_samples
-        pieces = []
-        emitted = self._bucket_idx * bucket
-        while emitted < t:
-            lo = self._bucket_idx * bucket * shift
-            valid = np.full(
-                self.n_channels,
-                int(np.clip(t - self._bucket_idx * bucket, 0, bucket + s.window - 1)),
-                dtype=np.int32,
-            )
-            probs = self._run(lo, wave_len, valid)
-            pieces.append(probs[:, : min(bucket, t - emitted)])
-            emitted += bucket
-            self._bucket_idx += 1
-        if not pieces:
-            return np.zeros((self.n_channels, 0), dtype=np.float32)
-        return np.concatenate(pieces, axis=1)
+        return self._finish_impl()

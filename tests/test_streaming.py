@@ -231,6 +231,8 @@ def test_sharded_streaming_validation(rng):
         sess.feed([np.zeros(100, np.float32)])  # wrong channel count
     with pytest.raises(ValueError):
         sess.feed([np.zeros(100, np.float32), np.zeros(99, np.float32)])
+    with pytest.raises(ValueError):  # 2-D (stereo) chunks rejected up front
+        sess.feed([np.zeros((100, 2), np.float32), np.zeros((100, 2), np.float32)])
     sess.finish()
     with pytest.raises(RuntimeError):
         sess.feed([np.zeros(4, np.float32), np.zeros(4, np.float32)])
