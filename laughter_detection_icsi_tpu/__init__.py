@@ -13,8 +13,16 @@ LasseWolter/laughter-detection-icsi (reference mounted at /root/reference):
 - ``eval``     — ICSI transcript parsing, interval indices, time-weighted
                  precision/recall evaluation, TextGrid IO.
 - ``parallel`` — device-mesh sharding helpers (pjit/shard_map) for
-                 data-parallel training and corpus-scale inference.
-- ``runtime``  — native (C++) host-side runtime: audio decode + prefetch.
+                 data-parallel training, corpus-scale inference, and
+                 live multi-channel streaming.
+- ``runtime``  — native (C++) host-side runtime: audio decode + prefetch,
+                 PCM wire packer.
+
+Serving: ``inference.LaughterPipeline`` (offline) /
+``inference.StreamingSession`` + ``parallel.ShardedStreamingSession``
+(online, bit-exact vs offline); training keeps whole splits resident in
+device HBM (``data.ResidentLadDataset``) and survives eviction with
+exact mid-epoch resume (``train.loop.TrainLoop``).
 """
 
 __version__ = "0.1.0"
