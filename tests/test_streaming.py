@@ -236,3 +236,21 @@ def test_sharded_streaming_validation(rng):
     sess.finish()
     with pytest.raises(RuntimeError):
         sess.feed([np.zeros(4, np.float32), np.zeros(4, np.float32)])
+
+
+def test_streaming_memory_stays_bounded(pipeline, rng):
+    """The session drops consumed samples after each bucket: over a long
+    stream the buffer must stay ~one bucket span, never grow with the
+    stream (a leak here would OOM live deployments)."""
+    sess = inference.StreamingSession(pipeline)
+    frames = 0
+    max_buf = 0
+    for _ in range(60):  # 1 minute of audio through 5.12 s buckets
+        out = sess.feed((rng.standard_normal(16000) * 0.1).astype(np.float32))
+        frames += len(out)
+        max_buf = max(max_buf, sess._bufs[0].nbytes if sess._bufs else 0)
+    frames += len(sess.finish())
+    assert frames == 6000
+    # bucket span (512 frames) is ~82k samples + chunk slack; 2 MB is far
+    # below the 3.8 MB a minute of unbounded float32 audio would reach.
+    assert max_buf < 2_000_000, max_buf
