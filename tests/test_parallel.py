@@ -128,6 +128,46 @@ def test_graft_entry_and_dryrun():
     ge.dryrun_multichip(8)
 
 
+def test_dryrun_fallback_from_single_device_platform():
+    """Regression for the round-1 driver failure (MULTICHIP_r01.json rc=1):
+    the driver calls ``dryrun_multichip(8)`` in a FRESH interpreter whose
+    active platform has ONE device (the axon TPU tunnel).  Simulate that
+    exactly — fresh subprocess, 1-device CPU platform — so the fallback
+    branch (subprocess re-exec with 8 forced host devices) is the code under
+    test, not the in-suite 8-device shortcut."""
+    import os
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parent.parent
+    env = {
+        k: v
+        for k, v in os.environ.items()
+        if k not in ("XLA_FLAGS", "JAX_PLATFORMS")
+    }
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
+    code = (
+        "import sys\n"
+        f"sys.path.insert(0, {str(repo)!r})\n"
+        "import jax\n"
+        "assert len(jax.devices()) == 1, jax.devices()\n"
+        "from __graft_entry__ import dryrun_multichip\n"
+        "dryrun_multichip(8)\n"
+    )
+    proc = subprocess.run(
+        [sys.executable, "-c", code],
+        env=env,
+        cwd=repo,
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    assert proc.returncode == 0, f"stdout={proc.stdout}\nstderr={proc.stderr}"
+    assert "dryrun_multichip(8): ok" in proc.stdout
+
+
 def test_dp_resident_matches_dp_streamed(tmp_path, rng):
     """The mesh-sharded resident path (rows sharded over 'data', batch
     gather over the mesh, fused step) must reproduce the host-streamed
