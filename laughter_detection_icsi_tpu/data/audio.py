@@ -7,11 +7,12 @@ decode, segment cutting, and WAV writing.  A C++ fast path for bulk decode
 lives in runtime/ (same formats); this module is the always-available
 reference implementation and the single source of header-parsing truth.
 
-Supported encodings: 16-bit/8-bit linear PCM (either endianness) and mu-law.
-ICSI close-talking channels are 16 kHz 16-bit PCM SPHERE files.  Files using
-embedded-shorten compression are detected and rejected with a clear error
-(decode them once with sph2pipe to plain PCM; tracked as a future C++
-decoder feature).
+Supported encodings: 16-bit/8-bit linear PCM (either endianness), mu-law,
+and embedded-shorten v2 (the compression the ICSI corpus actually ships —
+decoded in-framework by data/shorten.py or the C++ twin in
+runtime/csrc/audio_decoder.cpp, replacing the reference's sph2pipe
+dependency).  Shorten is a sequential codec, so ranged reads decode the
+whole file once and serve slices from a small in-process cache.
 """
 
 from __future__ import annotations
@@ -29,7 +30,7 @@ class AudioInfo:
     num_samples: int
     num_channels: int
     sample_bytes: int
-    encoding: str  # 'pcm' | 'ulaw'
+    encoding: str  # 'pcm' | 'ulaw' | 'float' | 'shorten'
     big_endian: bool
     data_offset: int
     container: str  # 'sphere' | 'wav'
@@ -71,11 +72,8 @@ def _parse_sphere_header(path: str) -> AudioInfo:
 
     coding = str(fields.get("sample_coding", "pcm"))
     if "shorten" in coding:
-        raise NotImplementedError(
-            f"{path}: embedded-shorten SPHERE compression is not supported; "
-            "convert once to PCM (e.g. `sph2pipe -p`) first"
-        )
-    if "ulaw" in coding:
+        encoding = "shorten"
+    elif "ulaw" in coding:
         encoding = "ulaw"
     elif coding.startswith("pcm") or coding == "raw":
         encoding = "pcm"
@@ -176,6 +174,40 @@ def _ulaw_table() -> np.ndarray:
     return _ULAW_TABLE
 
 
+# Shorten is sequential (no ranged decode), so whole-file decodes are cached:
+# key -> (frames, nchan) int16.  Two entries cover the common access pattern
+# (a meeting channel being windowed, plus one neighbour).
+_SHORTEN_CACHE: "dict[tuple, np.ndarray]" = {}
+_SHORTEN_CACHE_MAX = 2
+
+
+def _decode_shorten_cached(path: str, meta: AudioInfo) -> np.ndarray:
+    import os
+
+    st = os.stat(path)
+    key = (os.path.abspath(path), st.st_mtime_ns, st.st_size)
+    hit = _SHORTEN_CACHE.get(key)
+    if hit is not None:
+        return hit
+    pcm: Optional[np.ndarray] = None
+    try:  # native fast path (runtime/csrc/audio_decoder.cpp)
+        from laughter_detection_icsi_tpu.runtime import native
+
+        pcm = native.decode_shorten(path, meta.num_samples, meta.num_channels)
+    except Exception:
+        pcm = None
+    if pcm is None:
+        from laughter_detection_icsi_tpu.data import shorten as _shorten
+
+        pcm = _shorten.decode_file(
+            path, meta.data_offset, max_frames=meta.num_samples
+        )
+    if len(_SHORTEN_CACHE) >= _SHORTEN_CACHE_MAX:
+        _SHORTEN_CACHE.pop(next(iter(_SHORTEN_CACHE)))
+    _SHORTEN_CACHE[key] = pcm
+    return pcm
+
+
 def info(path: str) -> AudioInfo:
     """Parse the header of a .sph or .wav file."""
     with open(path, "rb") as f:
@@ -214,6 +246,10 @@ def read(
         else min(int(round(duration * sr)), meta.num_samples - start)
     )
     count = max(count, 0)
+    if meta.encoding == "shorten":
+        pcm = _decode_shorten_cached(path, meta)
+        sl = pcm[start : start + count, channel]
+        return (sl.astype(dtype) / 32768.0).astype(dtype), sr
     frame_bytes = meta.sample_bytes * meta.num_channels
     with open(path, "rb") as f:
         f.seek(meta.data_offset + start * frame_bytes)
@@ -259,7 +295,7 @@ def read_int16(
     path: scale-by-1/32768 happens on device and matches :func:`read`
     bit-for-bit.  Only valid for 16-bit PCM sources."""
     meta = info(path)
-    if meta.encoding != "pcm" or meta.sample_bytes != 2:
+    if meta.encoding not in ("pcm", "shorten") or meta.sample_bytes != 2:
         raise ValueError(
             f"{path}: read_int16 requires 16-bit PCM "
             f"(got {meta.encoding}/{meta.sample_bytes * 8}-bit)"
@@ -272,6 +308,9 @@ def read_int16(
         else min(int(round(duration * sr)), meta.num_samples - start)
     )
     count = max(count, 0)
+    if meta.encoding == "shorten":
+        pcm = _decode_shorten_cached(path, meta)
+        return np.ascontiguousarray(pcm[start : start + count, channel]), sr
     frame_bytes = 2 * meta.num_channels
     with open(path, "rb") as f:
         f.seek(meta.data_offset + start * frame_bytes)
@@ -335,6 +374,53 @@ def write_sphere(
     with open(path, "wb") as f:
         f.write(header)
         f.write(data)
+
+
+def write_sphere_shorten(
+    path: str,
+    samples: np.ndarray,
+    sample_rate: int,
+    blocksize: int = 256,
+    big_endian: bool = True,
+) -> None:
+    """Write an embedded-shorten-v2.00 SPHERE file (the format LDC ships the
+    ICSI corpus in; replaces the reference's reliance on pre-decompressed
+    inputs).  The original PCM-style header travels inside the stream as
+    FN_VERBATIM chunks, exactly like files produced by `shorten` itself."""
+    from laughter_detection_icsi_tpu.data import shorten as _shorten
+
+    samples = np.asarray(samples)
+    if samples.dtype != np.int16:
+        samples = (np.clip(samples, -1.0, 1.0) * 32767.0).astype(np.int16)
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    n, nchan = samples.shape
+    header_size = 1024
+    ftype = _shorten.TYPE_S16HL if big_endian else _shorten.TYPE_S16LH
+    byte_format = "10" if big_endian else "01"
+
+    def _header(coding: str, ckstr: str) -> bytes:
+        lines = ["NIST_1A", f"{header_size:7d}"]
+        lines += [
+            f"channel_count -i {nchan}",
+            f"sample_count -i {n}",
+            f"sample_rate -i {sample_rate}",
+            "sample_n_bytes -i 2",
+            f"sample_byte_format -s2 {byte_format}",
+            f"sample_coding -s{len(coding)} {coding}",
+        ]
+        if ckstr:
+            lines.append(ckstr)
+        lines.append("end_head")
+        head = ("\n".join(lines) + "\n").encode("ascii")
+        return head + b" " * (header_size - len(head))
+
+    payload = _shorten.encode(
+        samples, blocksize=blocksize, ftype=ftype, verbatim=_header("pcm", "")
+    )
+    with open(path, "wb") as f:
+        f.write(_header("pcm,embedded-shorten-v2.00", ""))
+        f.write(payload)
 
 
 def cut_segments(

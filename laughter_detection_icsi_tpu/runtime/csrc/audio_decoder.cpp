@@ -27,7 +27,7 @@
 
 extern "C" {
 
-enum AudioEncoding { ENC_PCM = 0, ENC_ULAW = 1, ENC_FLOAT = 2 };
+enum AudioEncoding { ENC_PCM = 0, ENC_ULAW = 1, ENC_FLOAT = 2, ENC_SHORTEN = 3 };
 
 enum AudioError {
   AERR_OPEN = -1,
@@ -35,7 +35,8 @@ enum AudioError {
   AERR_HEADER = -3,
   AERR_UNSUPPORTED = -4,
   AERR_IO = -5,
-  AERR_SHORTEN = -6,
+  AERR_SHORTEN = -6,   // malformed/unsupported shorten bitstream
+  AERR_BITSTREAM = -7,
 };
 
 typedef struct {
@@ -87,7 +88,7 @@ static int parse_sphere(int fd, audio_info_t* info) {
     else if (!strcmp(name, "sample_byte_format"))
       info->big_endian = (strcmp(value, "10") == 0);
     else if (!strcmp(name, "sample_coding")) {
-      if (strstr(value, "shorten")) rc = AERR_SHORTEN;
+      if (strstr(value, "shorten")) info->encoding = ENC_SHORTEN;
       else if (strstr(value, "ulaw")) info->encoding = ENC_ULAW;
       else if (strncmp(value, "pcm", 3) && strcmp(value, "raw"))
         rc = AERR_UNSUPPORTED;
@@ -180,6 +181,249 @@ static void init_ulaw() {
 static inline uint16_t bswap16(uint16_t v) { return __builtin_bswap16(v); }
 static inline uint32_t bswap32(uint32_t v) { return __builtin_bswap32(v); }
 
+// ---------------------------------------------------------------------- //
+// Shorten v2 decode (the ICSI corpus's "embedded-shorten" SPHERE payload).
+// Spec of record: data/shorten.py (pure-Python twin; tests pin the two
+// bit-exact).  Linear 16-bit profile only (TYPE_S16HL/S16LH).
+// ---------------------------------------------------------------------- //
+
+namespace shorten {
+
+constexpr int FNSIZE = 2, ULONGSIZE = 2, ENERGYSIZE = 3, BITSHIFTSIZE = 2;
+constexpr int LPCQSIZE = 2, LPCQUANT = 5, XBYTESIZE = 7;
+constexpr int VERBATIM_CKSIZE_SIZE = 5, VERBATIM_BYTE_SIZE = 8, NWRAP = 3;
+constexpr int FN_DIFF0 = 0, FN_DIFF1 = 1, FN_DIFF2 = 2, FN_DIFF3 = 3,
+              FN_QUIT = 4, FN_BLOCKSIZE = 5, FN_BITSHIFT = 6, FN_QLPC = 7,
+              FN_ZERO = 8, FN_VERBATIM = 9;
+constexpr int TYPE_S16HL = 3, TYPE_S16LH = 5;
+constexpr int MAX_CHANNELS = 64;
+constexpr long MAX_BLOCKSIZE = 65535, MAX_NLPC = 1024, MAX_NMEAN = 65536;
+
+struct BitReader {
+  const uint8_t* d;
+  size_t len, pos;   // byte position
+  uint64_t acc;      // pending bits in the low `nacc` bits
+  int nacc;
+  bool overrun;
+
+  explicit BitReader(const uint8_t* data, size_t n)
+      : d(data), len(n), pos(0), acc(0), nacc(0), overrun(false) {}
+
+  inline void fill() {
+    while (nacc <= 56) {
+      uint8_t b = 0;
+      if (pos < len) b = d[pos];
+      else overrun = true;
+      pos++;
+      acc = (acc << 8) | b;
+      nacc += 8;
+    }
+  }
+  inline uint32_t bits(int n) {  // n <= 32
+    if (nacc < n) fill();
+    nacc -= n;
+    return n ? (uint32_t)((acc >> nacc) & ((1ull << n) - 1)) : 0;
+  }
+  inline uint32_t uvar(int k) {
+    uint32_t unary = 0;
+    for (;;) {
+      if (nacc == 0) fill();
+      if (overrun && pos > len + 8) return 0;  // zero tail: caller checks
+      // Count leading zeros in the pending bits in one step.
+      uint64_t pending = acc & ((nacc == 64) ? ~0ull : ((1ull << nacc) - 1));
+      if (pending == 0) { unary += nacc; nacc = 0; continue; }
+      int top = 63 - __builtin_clzll(pending);  // highest set bit position
+      int zeros = nacc - 1 - top;
+      unary += zeros;
+      nacc = top;  // consume the zeros AND the terminating 1
+      break;
+    }
+    return (unary << k) | bits(k);
+  }
+  inline uint32_t ulong_get() { return uvar(uvar(ULONGSIZE)); }
+  inline int32_t var(int k) {
+    uint32_t u = uvar(k + 1);
+    return (int32_t)((u >> 1) ^ (~(u & 1) + 1));
+  }
+};
+
+static inline long c_div(long a, long b) { return a / b; }  // C trunc division
+static inline long rounded_shift_down(long x, int n) {
+  return n == 0 ? x : ((x >> (n - 1)) + 1) >> 1;
+}
+
+// Decode a complete shorten stream into interleaved int16.
+// Returns frames decoded, or a negative AudioError.
+static int64_t decode_stream(const uint8_t* data, size_t len, int16_t* out,
+                             int64_t max_frames, int32_t* out_nchan) {
+  if (len < 5 || memcmp(data, "ajkg", 4) != 0) return AERR_SHORTEN;
+  if (data[4] != 2) return AERR_SHORTEN;  // v2 only (what LDC/ICSI ships)
+  BitReader br(data + 5, len - 5);
+
+  long ftype = br.ulong_get();
+  if (ftype != TYPE_S16HL && ftype != TYPE_S16LH) return AERR_UNSUPPORTED;
+  long nchan = br.ulong_get();
+  if (nchan <= 0 || nchan > MAX_CHANNELS) return AERR_SHORTEN;
+  long blocksize = br.ulong_get();
+  if (blocksize <= 0 || blocksize > MAX_BLOCKSIZE) return AERR_SHORTEN;
+  long maxnlpc = br.ulong_get();
+  if (maxnlpc < 0 || maxnlpc > MAX_NLPC) return AERR_SHORTEN;
+  long nmean = br.ulong_get();
+  if (nmean < 0 || nmean > MAX_NMEAN) return AERR_SHORTEN;
+  long nskip = br.ulong_get();
+  if (nskip < 0 || (size_t)nskip > len) return AERR_SHORTEN;
+  for (long i = 0; i < nskip; i++) br.uvar(XBYTESIZE);
+
+  const long nwrap = maxnlpc > NWRAP ? maxnlpc : NWRAP;
+  // Per-channel sample buffer with nwrap history slots in front.
+  long* bufs = (long*)calloc(nchan * (nwrap + MAX_BLOCKSIZE), sizeof(long));
+  long* offs = (long*)calloc(nchan * (nmean > 0 ? nmean : 1), sizeof(long));
+  long* qlpc = (long*)calloc(maxnlpc > 0 ? maxnlpc : 1, sizeof(long));
+  if (!bufs || !offs || !qlpc) { free(bufs); free(offs); free(qlpc); return AERR_IO; }
+  const long noff = nmean > 0 ? nmean : 1;
+
+  int bitshift = 0;
+  long chan = 0;
+  int64_t frames = 0;
+  int64_t rc = AERR_SHORTEN;  // result if we exit abnormally
+
+  for (;;) {
+    long fn;
+    if (br.overrun && br.pos > br.len + 16) goto done_err;
+    fn = br.uvar(FNSIZE);
+    if (fn == FN_QUIT) { rc = frames; break; }
+    if (fn == FN_BLOCKSIZE) {
+      blocksize = br.ulong_get();
+      if (blocksize <= 0 || blocksize > MAX_BLOCKSIZE) goto done_err;
+      continue;
+    }
+    if (fn == FN_BITSHIFT) { bitshift = br.uvar(BITSHIFTSIZE); continue; }
+    if (fn == FN_VERBATIM) {
+      long n = br.uvar(VERBATIM_CKSIZE_SIZE);
+      for (long i = 0; i < n; i++) br.uvar(VERBATIM_BYTE_SIZE);
+      continue;
+    }
+    if (fn != FN_ZERO && fn != FN_DIFF0 && fn != FN_DIFF1 && fn != FN_DIFF2 &&
+        fn != FN_DIFF3 && fn != FN_QLPC)
+      goto done_err;
+
+    {
+      long* cbuf = bufs + chan * (nwrap + MAX_BLOCKSIZE) + nwrap;
+      long* coff = offs + chan * noff;
+      long i;
+      if (fn == FN_ZERO) {
+        for (i = 0; i < blocksize; i++) cbuf[i] = 0;
+      } else {
+        int resn = (int)br.uvar(ENERGYSIZE) - 1;  // version > 0 decrement
+        if (resn < 0) goto done_err;
+        long coffset;
+        if (nmean == 0) {
+          coffset = coff[0];
+        } else {
+          long sum = nmean / 2;
+          for (i = 0; i < nmean; i++) sum += coff[i];
+          coffset = rounded_shift_down(c_div(sum, nmean), bitshift);
+        }
+        switch (fn) {
+          case FN_DIFF0:
+            for (i = 0; i < blocksize; i++) cbuf[i] = br.var(resn) + coffset;
+            break;
+          case FN_DIFF1:
+            for (i = 0; i < blocksize; i++) cbuf[i] = br.var(resn) + cbuf[i - 1];
+            break;
+          case FN_DIFF2:
+            for (i = 0; i < blocksize; i++)
+              cbuf[i] = br.var(resn) + 2 * cbuf[i - 1] - cbuf[i - 2];
+            break;
+          case FN_DIFF3:
+            for (i = 0; i < blocksize; i++)
+              cbuf[i] = br.var(resn) + 3 * (cbuf[i - 1] - cbuf[i - 2]) + cbuf[i - 3];
+            break;
+          case FN_QLPC: {
+            long nlpc = br.uvar(LPCQSIZE);
+            if (nlpc > nwrap) goto done_err;
+            long j;
+            for (j = 0; j < nlpc; j++) qlpc[j] = br.var(LPCQUANT);
+            for (j = 0; j < nlpc; j++) cbuf[j - nlpc] -= coffset;
+            for (i = 0; i < blocksize; i++) {
+              long sum = 1 << (LPCQUANT - 1);  // v2 lpcqoffset
+              for (j = 0; j < nlpc; j++) sum += qlpc[j] * cbuf[i - j - 1];
+              cbuf[i] = br.var(resn) + (sum >> LPCQUANT);
+            }
+            if (coffset != 0)
+              for (i = 0; i < blocksize; i++) cbuf[i] += coffset;
+            break;
+          }
+        }
+      }
+      if (br.overrun && br.pos > br.len + 16) goto done_err;
+
+      if (nmean > 0) {
+        long sum = blocksize / 2;
+        for (i = 0; i < blocksize; i++) sum += cbuf[i];
+        for (i = 1; i < nmean; i++) coff[i - 1] = coff[i];
+        coff[nmean - 1] = c_div(sum, blocksize) << bitshift;
+      }
+      for (i = -nwrap; i < 0; i++) cbuf[i] = cbuf[i + blocksize];
+      if (bitshift != 0)
+        for (i = 0; i < blocksize; i++) cbuf[i] <<= bitshift;
+
+      chan++;
+      if (chan == nchan) {
+        chan = 0;
+        long take = blocksize;
+        if (frames + take > max_frames) take = max_frames - frames;
+        for (long f = 0; f < take; f++)
+          for (long c = 0; c < nchan; c++)
+            out[(frames + f) * nchan + c] =
+                (int16_t)bufs[c * (nwrap + MAX_BLOCKSIZE) + nwrap + f];
+        frames += take;
+        if (frames >= max_frames) { rc = frames; break; }
+      }
+    }
+    continue;
+  done_err:
+    rc = AERR_SHORTEN;
+    break;
+  }
+
+  free(bufs); free(offs); free(qlpc);
+  if (rc >= 0 && out_nchan) *out_nchan = (int32_t)nchan;
+  return rc;
+}
+
+// Read the whole shorten payload of `path` (SPHERE data fork) and decode.
+static int64_t decode_file(const char* path, int16_t* out, int64_t max_frames,
+                           int32_t* out_nchan) {
+  audio_info_t info;
+  int hrc = audio_info(path, &info);
+  if (hrc) return hrc;
+  if (info.encoding != ENC_SHORTEN) return AERR_UNSUPPORTED;
+  int fd = open(path, O_RDONLY);
+  if (fd < 0) return AERR_OPEN;
+  off_t end = lseek(fd, 0, SEEK_END);
+  if (end < info.data_offset) { close(fd); return AERR_HEADER; }
+  size_t len = end - info.data_offset;
+  uint8_t* raw = (uint8_t*)malloc(len ? len : 1);
+  ssize_t got = pread(fd, raw, len, info.data_offset);
+  close(fd);
+  if (got < 0 || (size_t)got != len) { free(raw); return AERR_IO; }
+  if (max_frames > info.num_samples) max_frames = info.num_samples;
+  int64_t rc = decode_stream(raw, len, out, max_frames, out_nchan);
+  free(raw);
+  return rc;
+}
+
+}  // namespace shorten
+
+// Decode a shorten SPHERE file to interleaved int16 (whole stream; the codec
+// is sequential so there is no ranged fast path).  `out` must hold
+// header_sample_count * header_channel_count values.  Returns frames.
+int64_t audio_decode_shorten_i16(const char* path, int16_t* out,
+                                 int64_t max_frames) {
+  return shorten::decode_file(path, out, max_frames, nullptr);
+}
+
 // Decode `count` mono samples of `channel` starting at sample `start`.
 // Returns samples written into out[], or a negative AudioError.
 int64_t audio_read_f32(const char* path, int64_t start, int64_t count,
@@ -192,6 +436,22 @@ int64_t audio_read_f32(const char* path, int64_t start, int64_t count,
   if (count < 0 || start + count > info.num_samples)
     count = info.num_samples - start;
   if (channel < 0 || channel >= info.num_channels) return AERR_UNSUPPORTED;
+
+  if (info.encoding == ENC_SHORTEN) {
+    // Sequential codec: decode the whole stream, then slice the range.
+    int64_t total = info.num_samples * info.num_channels;
+    int16_t* pcm = (int16_t*)malloc((total ? total : 1) * sizeof(int16_t));
+    if (!pcm) return AERR_IO;
+    int64_t frames = shorten::decode_file(path, pcm, info.num_samples, nullptr);
+    if (frames < 0) { free(pcm); return frames; }
+    if (start >= frames) { free(pcm); return 0; }
+    if (start + count > frames) count = frames - start;
+    const int nch = info.num_channels;
+    for (int64_t i = 0; i < count; i++)
+      out[i] = pcm[(start + i) * nch + channel] * (1.0f / 32768.0f);
+    free(pcm);
+    return count;
+  }
 
   const int frame_bytes = info.sample_bytes * info.num_channels;
   int fd = open(path, O_RDONLY);

@@ -37,7 +37,8 @@ _ERRORS = {
     -3: "malformed header",
     -4: "unsupported encoding/channel",
     -5: "IO error",
-    -6: "embedded-shorten SPHERE compression unsupported",
+    -6: "malformed or unsupported shorten bitstream",
+    -7: "malformed bitstream",
 }
 
 
@@ -97,6 +98,12 @@ def _get_lib() -> Optional[ctypes.CDLL]:
                     ctypes.POINTER(ctypes.c_int64),
                     ctypes.c_int,
                     ctypes.c_int,
+                ]
+                lib.audio_decode_shorten_i16.restype = ctypes.c_int64
+                lib.audio_decode_shorten_i16.argtypes = [
+                    ctypes.c_char_p,
+                    ctypes.POINTER(ctypes.c_int16),
+                    ctypes.c_int64,
                 ]
             _lib = lib
     return _lib
@@ -194,11 +201,31 @@ def info(path: str):
         num_samples=out.num_samples,
         num_channels=out.num_channels,
         sample_bytes=out.sample_bytes,
-        encoding={0: "pcm", 1: "ulaw", 2: "float"}[out.encoding],
+        encoding={0: "pcm", 1: "ulaw", 2: "float", 3: "shorten"}[out.encoding],
         big_endian=bool(out.big_endian),
         data_offset=out.data_offset,
         container="sphere" if out.encoding != 2 and out.data_offset == 1024 else "wav",
     )
+
+
+def decode_shorten(
+    path: str, num_frames: int, num_channels: int
+) -> Optional[np.ndarray]:
+    """Native whole-stream shorten decode to (frames, nchan) int16, or None
+    when the native library is unavailable (callers fall back to
+    data/shorten.py)."""
+    lib = _get_lib()
+    if lib is None:
+        return None
+    out = np.empty((num_frames, num_channels), dtype=np.int16)
+    got = lib.audio_decode_shorten_i16(
+        path.encode(),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+        num_frames,
+    )
+    if got < 0:
+        raise ValueError(f"{path}: {_ERRORS.get(int(got), f'error {got}')}")
+    return out[: int(got)]
 
 
 def read(

@@ -66,7 +66,9 @@ def test_cut_segments(tmp_path, samples):
     np.testing.assert_allclose(cut[1600:], ref[8000:9600], atol=1e-6)
 
 
-def test_shorten_rejected(tmp_path):
+def test_shorten_garbage_payload_rejected(tmp_path):
+    """A header claiming embedded-shorten over a garbage payload must fail
+    loudly (bad magic), not decode noise."""
     header = (
         b"NIST_1A\n   1024\nsample_rate -i 16000\nsample_count -i 10\n"
         b"sample_n_bytes -i 2\nsample_coding -s24 pcm,embedded-shorten-v2.00\n"
@@ -74,7 +76,7 @@ def test_shorten_rejected(tmp_path):
     )
     path = tmp_path / "s.sph"
     path.write_bytes(header + b" " * (1024 - len(header)) + b"\0" * 20)
-    with pytest.raises(NotImplementedError, match="shorten"):
+    with pytest.raises(ValueError, match="magic|shorten"):
         audio.read(str(path))
 
 

@@ -1,0 +1,239 @@
+"""Shorten v2 codec: Python round-trips, C++/Python differentials, and the
+SPHERE-level integration the ICSI corpus needs (the reference shells out to
+sph2pipe for this decode — reference
+analysis/output_processing/laughs_to_wav.py:42-60; here it is in-framework).
+"""
+
+import numpy as np
+import pytest
+
+from laughter_detection_icsi_tpu.data import audio, shorten
+from laughter_detection_icsi_tpu.runtime import native
+
+
+def _speechlike(rng, n, scale=400):
+    x = np.cumsum(rng.standard_normal(n) * scale)
+    x -= np.linspace(0, x[-1], n)
+    return np.clip(x, -32000, 32000).astype(np.int16)
+
+
+@pytest.fixture(scope="module")
+def wave():
+    rng = np.random.default_rng(23)
+    return _speechlike(rng, 40000)
+
+
+# --------------------------------------------------------------------------- #
+# Pure-Python round-trips (one per decode path)
+# --------------------------------------------------------------------------- #
+
+
+def _roundtrip(x, **kwargs):
+    dec = shorten.decode(shorten.encode(x, **kwargs))
+    got = dec.samples.astype(np.int16)
+    want = x if x.ndim == 2 else x[:, None]
+    np.testing.assert_array_equal(got, want)
+    return dec
+
+
+def test_roundtrip_default(wave):
+    _roundtrip(wave)
+
+
+def test_roundtrip_forced_predictors(wave):
+    # Each fixed predictor decode path, pinned via force_fn.
+    for fn in (shorten.FN_DIFF0, shorten.FN_DIFF1, shorten.FN_DIFF2,
+               shorten.FN_DIFF3):
+        _roundtrip(wave[:5000], force_fn=fn)
+
+
+def test_roundtrip_qlpc_forced(wave):
+    _roundtrip(wave[:5000], use_qlpc=True, force_fn=shorten.FN_QLPC)
+
+
+def test_roundtrip_diff0_with_mean_tracking():
+    # DC-offset signal + nmean makes coffset non-trivial: the decoder's
+    # rolling block-mean (C-truncated division, rounded shift) is exercised
+    # for real, not with coffset == 0.
+    rng = np.random.default_rng(7)
+    x = (8000 + rng.integers(-300, 300, size=4000)).astype(np.int16)
+    _roundtrip(x, nmean=4, force_fn=shorten.FN_DIFF0)
+    _roundtrip(x, nmean=4)  # free predictor choice, same state tracking
+
+
+def test_roundtrip_bitshift(wave):
+    x = (wave.astype(np.int32) & ~7).astype(np.int16)
+    _roundtrip(x, bitshift=3)
+
+
+def test_roundtrip_bitshift_with_mean():
+    rng = np.random.default_rng(11)
+    x = ((2000 + rng.integers(-100, 100, size=3000)) << 2).astype(np.int16)
+    _roundtrip(x, bitshift=2, nmean=4)
+
+
+def test_roundtrip_partial_last_block(wave):
+    # n not divisible by blocksize -> FN_BLOCKSIZE before the tail block.
+    x = wave[: 256 * 7 + 77]
+    _roundtrip(x, blocksize=256)
+
+
+def test_roundtrip_zero_blocks():
+    x = np.zeros(2000, dtype=np.int16)
+    x[1200:1300] = 5000  # some non-zero so not all blocks are FN_ZERO
+    _roundtrip(x)
+
+
+def test_roundtrip_multichannel(wave):
+    st = np.stack([wave[:8000], np.roll(wave[:8000], 9)], axis=1)
+    _roundtrip(np.ascontiguousarray(st, dtype=np.int16), nmean=2)
+
+
+def test_verbatim_payload_preserved(wave):
+    hdr = b"NIST_1A fake embedded header " * 40  # > one 256-byte chunk
+    dec = _roundtrip(wave[:2000], verbatim=hdr)
+    assert dec.verbatim == hdr
+
+
+def test_max_frames_truncation(wave):
+    enc = shorten.encode(wave[:4000])
+    dec = shorten.decode(enc, max_frames=1000)
+    np.testing.assert_array_equal(
+        dec.samples[:, 0].astype(np.int16), wave[:1000]
+    )
+
+
+def test_bad_magic_rejected():
+    with pytest.raises(ValueError, match="magic"):
+        shorten.decode(b"nope" + b"\0" * 32)
+
+
+def test_bad_version_rejected(wave):
+    enc = bytearray(shorten.encode(wave[:256]))
+    enc[4] = 1
+    with pytest.raises(NotImplementedError, match="version"):
+        shorten.decode(bytes(enc))
+
+
+def test_truncated_stream_rejected(wave):
+    enc = shorten.encode(wave[:4000])
+    with pytest.raises(ValueError, match="truncated|shorten"):
+        shorten.decode(enc[: len(enc) // 3])
+
+
+# --------------------------------------------------------------------------- #
+# C++ decoder differential (independent implementation, same bitstreams)
+# --------------------------------------------------------------------------- #
+
+
+@pytest.mark.skipif(not native.available(), reason="no native toolchain")
+@pytest.mark.parametrize(
+    "kwargs",
+    [
+        {},
+        {"nmean": 4},
+        {"use_qlpc": True, "force_fn": shorten.FN_QLPC},
+        {"bitshift": 2},
+        {"blocksize": 100},
+    ],
+    ids=["default", "nmean", "qlpc", "bitshift", "blocksize"],
+)
+def test_native_matches_python(tmp_path, wave, kwargs):
+    x = wave[:12000]
+    if kwargs.get("bitshift"):
+        x = (x.astype(np.int32) & ~((1 << kwargs["bitshift"]) - 1)).astype(
+            np.int16
+        )
+    path = str(tmp_path / "t.sph")
+    _write_shorten_sphere(path, x, **kwargs)
+    got = native.decode_shorten(path, len(x), 1)
+    np.testing.assert_array_equal(got[:, 0], x)
+
+
+def _write_shorten_sphere(path, x, **enc_kwargs):
+    payload = shorten.encode(x, **enc_kwargs)
+    n = len(x)
+    head = (
+        f"NIST_1A\n{1024:7d}\nchannel_count -i 1\nsample_count -i {n}\n"
+        "sample_rate -i 16000\nsample_n_bytes -i 2\n"
+        "sample_byte_format -s2 10\n"
+        "sample_coding -s26 pcm,embedded-shorten-v2.00\nend_head\n"
+    ).encode()
+    with open(path, "wb") as f:
+        f.write(head + b" " * (1024 - len(head)))
+        f.write(payload)
+
+
+# --------------------------------------------------------------------------- #
+# SPHERE-level integration: shorten file behaves exactly like its PCM twin
+# --------------------------------------------------------------------------- #
+
+
+def test_write_sphere_shorten_reads_like_pcm_twin(tmp_path, wave):
+    x = wave[:16000]
+    shn, pcm = str(tmp_path / "a.shn.sph"), str(tmp_path / "a.pcm.sph")
+    audio.write_sphere_shorten(shn, x, 16000)
+    audio.write_sphere(pcm, x, 16000, big_endian=True)
+
+    meta = audio.info(shn)
+    assert meta.encoding == "shorten"
+    assert meta.num_samples == len(x)
+    assert audio.get_audio_length(shn) == audio.get_audio_length(pcm)
+
+    a, sr_a = audio.read(shn)
+    b, sr_b = audio.read(pcm)
+    assert sr_a == sr_b == 16000
+    np.testing.assert_array_equal(a, b)
+
+
+def test_ranged_read_matches_pcm_twin(tmp_path, wave):
+    x = wave[:16000]
+    shn, pcm = str(tmp_path / "a.shn.sph"), str(tmp_path / "a.pcm.sph")
+    audio.write_sphere_shorten(shn, x, 16000)
+    audio.write_sphere(pcm, x, 16000)
+    a, _ = audio.read(shn, offset=0.25, duration=0.5)
+    b, _ = audio.read(pcm, offset=0.25, duration=0.5)
+    assert len(a) == 8000
+    np.testing.assert_array_equal(a, b)
+
+
+def test_read_int16_on_shorten(tmp_path, wave):
+    x = wave[:9000]
+    shn = str(tmp_path / "a.sph")
+    audio.write_sphere_shorten(shn, x, 16000)
+    got, sr = audio.read_int16(shn, offset=0.1, duration=0.3)
+    np.testing.assert_array_equal(got, x[1600 : 1600 + 4800])
+    assert got.dtype == np.int16 and sr == 16000
+
+
+@pytest.mark.skipif(not native.available(), reason="no native toolchain")
+def test_native_read_and_batch_mixed(tmp_path, wave):
+    """native.read / read_batch serve shorten files transparently, mixed
+    with plain-PCM files in one batch call."""
+    x, y = wave[:8000], np.roll(wave[:8000], 31)
+    shn, pcm = str(tmp_path / "a.sph"), str(tmp_path / "b.sph")
+    audio.write_sphere_shorten(shn, x, 16000)
+    audio.write_sphere(pcm, y, 16000)
+
+    a, _ = native.read(shn, offset=0.1, duration=0.2)
+    np.testing.assert_allclose(
+        a, x[1600:4800].astype(np.float32) / 32768.0, atol=0
+    )
+    got = native.read_batch([shn, pcm])
+    np.testing.assert_array_equal(got[0][0], x.astype(np.float32) / 32768.0)
+    np.testing.assert_array_equal(got[1][0], y.astype(np.float32) / 32768.0)
+
+
+def test_feature_windows_identical_on_shorten_and_pcm(tmp_path, wave):
+    """End-to-end guard: the inference featurizer sees identical audio from
+    a shorten meeting channel and its PCM twin (SURVEY §2.3 audio decode)."""
+    x = wave[:16000]
+    shn, pcm = str(tmp_path / "a.shn.sph"), str(tmp_path / "a.pcm.sph")
+    audio.write_sphere_shorten(shn, x, 16000)
+    audio.write_sphere(pcm, x, 16000)
+    a, _ = audio.read(shn)
+    b, _ = audio.read(pcm)
+    np.testing.assert_array_equal(a, b)
+    # And the int16 device-transfer path agrees with the float path.
+    ia, _ = audio.read_int16(shn)
+    np.testing.assert_array_equal(ia.astype(np.float32) / 32768.0, a)
