@@ -228,37 +228,38 @@ def main(argv: Optional[List[str]] = None) -> int:
     from laughter_detection_icsi_tpu.utils.profiling import trace
 
     t_start = time.perf_counter()
-    profile_ctx = trace(args.trace_dir)
-    profile_ctx.__enter__()
-    for epoch in range(args.num_epochs):
-        if use_cache:
-            # Fused resident steps: one device dispatch per batch.
-            epoch_batches = train_ds.index_batches(
-                batch_size,
-                shuffle=True,
-                seed=args.seed + loop.epoch,
-                drop_remainder=args.data_parallel,
+    # `with` (not manual __enter__/__exit__) so any exception — including
+    # the escalated second-SIGINT KeyboardInterrupt — still finalizes the
+    # profiler trace instead of leaving it corrupt.
+    with trace(args.trace_dir):
+        for epoch in range(args.num_epochs):
+            if use_cache:
+                # Fused resident steps: one device dispatch per batch.
+                epoch_batches = train_ds.index_batches(
+                    batch_size,
+                    shuffle=True,
+                    seed=args.seed + loop.epoch,
+                    drop_remainder=args.data_parallel,
+                )
+            else:
+                epoch_batches = train_ds.batches(
+                    batch_size,
+                    shuffle=True,
+                    seed=args.seed + loop.epoch,
+                    drop_remainder=args.data_parallel,
+                )
+            params, state, opt_state, mean_loss = loop.run_epoch(
+                params,
+                state,
+                opt_state,
+                epoch_batches,
+                val_batches_fn=val_batches,
+                rng=jax.random.PRNGKey(args.seed * 1000 + loop.epoch),
             )
-        else:
-            epoch_batches = train_ds.batches(
-                batch_size,
-                shuffle=True,
-                seed=args.seed + loop.epoch,
-                drop_remainder=args.data_parallel,
-            )
-        params, state, opt_state, mean_loss = loop.run_epoch(
-            params,
-            state,
-            opt_state,
-            epoch_batches,
-            val_batches_fn=val_batches,
-            rng=jax.random.PRNGKey(args.seed * 1000 + loop.epoch),
-        )
-        if loop.preempted:
-            print("preemption requested: checkpoint saved, exiting cleanly")
-            break
-        print(f"epoch {loop.epoch} done: mean train loss {mean_loss:.4f}")
-    profile_ctx.__exit__(None, None, None)
+            if loop.preempted:
+                print("preemption requested: checkpoint saved, exiting cleanly")
+                break
+            print(f"epoch {loop.epoch} done: mean train loss {mean_loss:.4f}")
     if args.trace_dir:
         print(f"profiler trace written to {args.trace_dir}")
     total = time.perf_counter() - t_start

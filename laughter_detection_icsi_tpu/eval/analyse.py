@@ -258,8 +258,20 @@ def create_evaluation_df(
             continue
         for thr_name in sorted(os.listdir(meeting_path)):
             thr_dir = os.path.join(meeting_path, thr_name)
+            # Stray files (.DS_Store, logs) or foreign directories must not
+            # abort a whole evaluation — the reference crashed on these
+            # (reference analyse.py:239-252); skip anything that is not a
+            # t_<thr>/l_<min_len> directory.
+            if not (os.path.isdir(thr_dir) and thr_name.startswith("t_")):
+                if verbose:
+                    print(f"skipping non-threshold entry {thr_dir}", flush=True)
+                continue
             for min_len_name in sorted(os.listdir(thr_dir)):
                 tg_dir = os.path.join(thr_dir, min_len_name)
+                if not (os.path.isdir(tg_dir) and min_len_name.startswith("l_")):
+                    if verbose:
+                        print(f"skipping non-min-length entry {tg_dir}", flush=True)
+                    continue
                 if verbose:
                     print(
                         f"meeting={meeting} thr={thr_name} min_len={min_len_name}",

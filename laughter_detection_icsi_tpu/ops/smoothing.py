@@ -99,7 +99,10 @@ def _runs_from_mask(mask: jnp.ndarray, max_events: int):
     """Run starts/last-indices of True runs in a boolean [T] mask.
 
     Returns (starts, lasts, count): int32 [max_events] arrays padded with -1,
-    and the number of valid runs (clipped to max_events).
+    and the TRUE (unclipped) run count — the tables hold at most max_events
+    runs, but ``count`` deliberately reports the full total so callers
+    (instances_from_device_probs' ``counts[k] > max_events`` fallback) can
+    detect table overflow.  Do not clip it here.
     """
     t = mask.shape[0]
     prev = jnp.concatenate([jnp.zeros(1, dtype=mask.dtype), mask[:-1]])

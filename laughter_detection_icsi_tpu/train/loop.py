@@ -392,6 +392,12 @@ class TrainLoop:
         device_losses: List[jnp.ndarray] = []
         num_batches = 0
         skip = self.epoch_step  # mid-epoch resume: already-trained batches
+        # Model state (BN running stats) at the last optimizer-apply
+        # boundary: grad_step updates state on every micro-batch, so a
+        # preemption mid-accumulation-group must also roll state back or the
+        # replayed micro-batches would be absorbed twice (exact resume would
+        # hold for params but not BN stats).
+        state_at_boundary = state
         t0 = time.perf_counter()
         for batch in train_batches:
             if skip > 0:
@@ -416,6 +422,8 @@ class TrainLoop:
             num_batches += 1
             self.global_step += 1
             self.epoch_step += 1
+            if getattr(self.trainer, "_accum_count", 0) == 0:
+                state_at_boundary = state
             if self.log_frequency and self.global_step % self.log_frequency == 0:
                 row = {
                     "global_step": self.global_step,
@@ -452,6 +460,10 @@ class TrainLoop:
                     self.epoch_step -= pending
                     self.trainer._acc_grads = None
                     self.trainer._accum_count = 0
+                    # Roll BN running stats back to the apply boundary too,
+                    # so interrupted+resumed ≡ uninterrupted holds for the
+                    # full train state, not just params/opt.
+                    state = state_at_boundary
                 self._save(params, state, opt_state, is_best=False)
                 if verbose:
                     print(

@@ -130,6 +130,21 @@ def test_create_evaluation_df_and_sum_stats(preds_dir, store, idx, tmp_path):
     assert s["min_len"] == 0.2
 
 
+def test_create_evaluation_df_ignores_stray_entries(preds_dir, store, idx):
+    """A polluted preds tree (.DS_Store, logs, foreign dirs) must evaluate
+    exactly like a clean one — the reference crashed on any stray entry in
+    its os.listdir walk (reference analyse.py:239-252)."""
+    (preds_dir / ".DS_Store").write_bytes(b"\x00\x01")
+    (preds_dir / "Bmr021" / "run.log").write_text("noise\n")
+    (preds_dir / "Bmr021" / "notes").mkdir()
+    (preds_dir / "Bmr021" / "t_0.5" / "summary.txt").write_text("x\n")
+    (preds_dir / "Bmr021" / "t_0.5" / "extra_dir").mkdir()
+    eval_df = an.create_evaluation_df(str(preds_dir), store, idx, verbose=False)
+    assert len(eval_df) == 2
+    s = an.calc_sum_stats(eval_df).iloc[0]
+    assert s["precision"] == pytest.approx(0.7)
+
+
 def test_analyse_end_to_end(preds_dir, synthetic_corpus):
     stats = an.analyse(
         str(preds_dir), transcript_dir=str(synthetic_corpus.transcript_dir), force=True

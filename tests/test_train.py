@@ -296,6 +296,74 @@ def test_preemption_checkpoint_and_resume(tiny_model, rng, tmp_path):
         signal.signal(signal.SIGINT, signal.default_int_handler)
 
 
+def test_preemption_mid_accum_group_exact_incl_bn_state(tiny_model, tmp_path):
+    """Preemption in the MIDDLE of a grad-accumulation group: the pending
+    micro-batches are rolled back (counters AND BN running stats — grad_step
+    updates state per micro-batch, so without the state rollback the
+    replayed micro-batches would be absorbed twice) and the resumed run is
+    bit-identical to an uninterrupted one, state included."""
+    import os
+    import signal
+
+    def fixed_batches(n):
+        r = np.random.default_rng(88)
+        return _toy_batches(r, n)
+
+    try:
+        trainer_c = Trainer(model=tiny_model, grad_accum=2)
+        pc, sc, oc = trainer_c.init(jax.random.PRNGKey(0))
+        loop_c = TrainLoop(
+            trainer=trainer_c, checkpoint_dir=str(tmp_path / "c"), log_frequency=0
+        )
+        pc, sc, oc, _ = loop_c.run_epoch(
+            pc, sc, oc, fixed_batches(8), rng=jax.random.PRNGKey(5), verbose=False
+        )
+
+        trainer = Trainer(model=tiny_model, grad_accum=2)
+        params, state, opt_state = trainer.init(jax.random.PRNGKey(0))
+        loop = TrainLoop(
+            trainer=trainer, checkpoint_dir=str(tmp_path / "i"), log_frequency=0
+        )
+        loop.install_preemption_handler()
+
+        def batches_with_signal(n, kill_after):
+            for i, b in enumerate(fixed_batches(n)):
+                if i == kill_after:
+                    os.kill(os.getpid(), signal.SIGTERM)
+                yield b
+
+        # kill at i=2 -> 3 micro-steps done, 1 pending past the boundary
+        params, state, opt_state, _ = loop.run_epoch(
+            params, state, opt_state, batches_with_signal(8, kill_after=2),
+            rng=jax.random.PRNGKey(5), verbose=False,
+        )
+        assert loop.preempted
+        assert loop.global_step == 2  # rolled back to the apply boundary
+        assert trainer._accum_count == 0
+
+        loop2 = TrainLoop(
+            trainer=trainer, checkpoint_dir=str(tmp_path / "i"), log_frequency=0
+        )
+        p2, s2, o2 = trainer.init(jax.random.PRNGKey(9))
+        p2, s2, o2 = loop2.resume_if_possible(p2, s2, o2)
+        assert loop2.epoch_step == 2
+        p2, s2, o2, _ = loop2.run_epoch(
+            p2, s2, o2, fixed_batches(8), rng=jax.random.PRNGKey(5), verbose=False
+        )
+
+        for tree_got, tree_want, label in ((p2, pc, "params"), (s2, sc, "state")):
+            jax.tree_util.tree_map(
+                lambda a, b: np.testing.assert_array_equal(
+                    np.asarray(a), np.asarray(b)
+                ),
+                tree_got, tree_want,
+            )
+        assert int(o2.step) == int(oc.step)
+    finally:
+        signal.signal(signal.SIGTERM, signal.SIG_DFL)
+        signal.signal(signal.SIGINT, signal.default_int_handler)
+
+
 def test_checkpoint_portable_across_device_counts(tiny_model, rng, tmp_path):
     """Elastic resume: a single-device checkpoint must load into the
     8-device data-parallel trainer and keep training (and vice versa) —
