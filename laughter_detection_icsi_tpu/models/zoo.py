@@ -93,8 +93,10 @@ def _stage_init(rng, in_ch, out_ch, stride, with_bn):
 
 
 def _stage_apply(x, params, state, stride, train, with_bn):
-    x, s0 = _block_apply(x, params["0"], state["0"], stride, train, with_bn)
-    x, s1 = _block_apply(x, params["1"], state["1"], 1, train, with_bn)
+    # state.get: a torch-imported NoBN state tree is empty (no buffers), so
+    # the block skeleton may be absent entirely.
+    x, s0 = _block_apply(x, params["0"], state.get("0", {}), stride, train, with_bn)
+    x, s1 = _block_apply(x, params["1"], state.get("1", {}), 1, train, with_bn)
     return x, {"0": s0, "1": s1}
 
 
@@ -176,7 +178,7 @@ def _resnet_family(
         for i in range(4):
             key = f"block{i + 1}"
             out, new_state[key] = _stage_apply(
-                out, params[key], state[key], strides[i], train, with_bn
+                out, params[key], state.get(key, {}), strides[i], train, with_bn
             )
         out = L.avg_pool2d(out, 4)
         out = out.reshape(out.shape[0], -1)  # NCHW flatten, torch .view order
