@@ -127,45 +127,44 @@ def main(argv: Optional[List[str]] = None) -> int:
     meter = ThroughputMeter(n_chips=len(jax.devices()))
     total_audio_s = 0.0
     t0 = time.perf_counter()
-    profile_ctx = trace(args.trace_dir)
-    profile_ctx.__enter__()
-    for meeting_id in meetings:
-        info = store.info_df[store.info_df.meeting_id == meeting_id]
-        chans, paths = [], []
-        for _, row in info.iterrows():
-            path = os.path.join(args.audio_dir, meeting_id, f"{row.chan_id}.sph")
-            if not os.path.isfile(path):
-                alt = os.path.join(args.audio_dir, meeting_id, f"{row.chan_id}.wav")
-                if not os.path.isfile(alt):
-                    print(f"missing audio: {path}")
-                    continue
-                path = alt
-            chans.append(row.chan_id)
-            paths.append(path)
-        if not paths:
-            continue
-        print(f"{meeting_id}: {len(paths)} channels ...", flush=True)
-        meter.start()
-        (probs_dev, ts), durations = pipe.probs_for_meeting_device(paths)
-        rtf = meter.stop(float(np.sum(durations)))
-        print(f"  {rtf:.1f}x realtime", flush=True)
-        total_audio_s += float(np.sum(durations))
-        for i, (chan_id, duration) in enumerate(zip(chans, durations)):
-            # On-device threshold x min-length sweep per channel row —
-            # probabilities never leave HBM, only run tables do.
-            t_i = ts[i]
-            fps = t_i / duration if duration > 0 else 100.0
-            instances = smoothing.instances_from_device_probs(
-                probs_dev[i, :t_i] if probs_dev is not None else np.zeros(0),
-                thresholds=thresholds, min_lengths=min_lengths, fps=fps,
-            )
-            for (thr, min_len), insts in instances.items():
-                d = out_root / meeting_id / f"t_{thr}" / f"l_{min_len}"
-                d.mkdir(parents=True, exist_ok=True)
-                tg.write_textgrid(
-                    str(d / f"{chan_id}.TextGrid"), insts, xmax=duration
+    # `with` so any exception still finalizes the profiler trace.
+    with trace(args.trace_dir):
+        for meeting_id in meetings:
+            info = store.info_df[store.info_df.meeting_id == meeting_id]
+            chans, paths = [], []
+            for _, row in info.iterrows():
+                path = os.path.join(args.audio_dir, meeting_id, f"{row.chan_id}.sph")
+                if not os.path.isfile(path):
+                    alt = os.path.join(args.audio_dir, meeting_id, f"{row.chan_id}.wav")
+                    if not os.path.isfile(alt):
+                        print(f"missing audio: {path}")
+                        continue
+                    path = alt
+                chans.append(row.chan_id)
+                paths.append(path)
+            if not paths:
+                continue
+            print(f"{meeting_id}: {len(paths)} channels ...", flush=True)
+            meter.start()
+            (probs_dev, ts), durations = pipe.probs_for_meeting_device(paths)
+            rtf = meter.stop(float(np.sum(durations)))
+            print(f"  {rtf:.1f}x realtime", flush=True)
+            total_audio_s += float(np.sum(durations))
+            for i, (chan_id, duration) in enumerate(zip(chans, durations)):
+                # On-device threshold x min-length sweep per channel row —
+                # probabilities never leave HBM, only run tables do.
+                t_i = ts[i]
+                fps = t_i / duration if duration > 0 else 100.0
+                instances = smoothing.instances_from_device_probs(
+                    probs_dev[i, :t_i] if probs_dev is not None else np.zeros(0),
+                    thresholds=thresholds, min_lengths=min_lengths, fps=fps,
                 )
-    profile_ctx.__exit__(None, None, None)
+                for (thr, min_len), insts in instances.items():
+                    d = out_root / meeting_id / f"t_{thr}" / f"l_{min_len}"
+                    d.mkdir(parents=True, exist_ok=True)
+                    tg.write_textgrid(
+                        str(d / f"{chan_id}.TextGrid"), insts, xmax=duration
+                    )
     dt = time.perf_counter() - t0
     if total_audio_s:
         print(

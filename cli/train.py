@@ -60,6 +60,15 @@ def build_parser() -> argparse.ArgumentParser:
                    help="max HBM the 'auto' device cache may claim")
     p.add_argument("--val_batches_per_log", type=int, default=10)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--coordinator_address", type=str, default=None,
+                   help="multi-host: coordinator host:port for "
+                        "jax.distributed.initialize (with --data_parallel, "
+                        "the mesh then spans the pod; SURVEY §5.8)")
+    p.add_argument("--num_processes", type=int, default=None,
+                   help="multi-host: world size (omit on TPU pods with "
+                        "metadata autodetection)")
+    p.add_argument("--process_id", type=int, default=None,
+                   help="multi-host: this process's rank")
     p.add_argument("--trace_dir", type=str, default=None,
                    help="capture a jax.profiler trace of the training run")
     return p
@@ -96,6 +105,18 @@ def main(argv: Optional[List[str]] = None) -> int:
     for flag in ("torch_device", "include_words", "train_on_noisy_audioset"):
         if getattr(args, flag):
             print(f"note: --{flag} is accepted for compatibility and ignored")
+
+    # Multi-host: join the pod runtime BEFORE the first backend touch so
+    # jax.devices() spans all hosts (parallel/distributed.py; SURVEY §5.8).
+    if args.coordinator_address is not None or args.process_id is not None:
+        from laughter_detection_icsi_tpu.parallel import distributed
+
+        distributed.initialize(
+            coordinator_address=args.coordinator_address,
+            num_processes=args.num_processes,
+            process_id=args.process_id,
+        )
+        print(distributed.process_info(), flush=True)
 
     import jax
 

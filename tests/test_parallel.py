@@ -168,6 +168,63 @@ def test_dryrun_fallback_from_single_device_platform():
     assert "dryrun_multichip(8): ok" in proc.stdout
 
 
+def test_distributed_initialize_forwards_args(monkeypatch):
+    """parallel/distributed.py is the multi-host entry hook (SURVEY §5.8);
+    a real pod cannot exist here, so pin the contract: argument forwarding
+    to jax.distributed.initialize (omitting unset kwargs so TPU-pod
+    autodetection still applies) and the process_info summary."""
+    from laughter_detection_icsi_tpu.parallel import distributed
+
+    calls = []
+    monkeypatch.setattr(
+        jax.distributed, "initialize", lambda **kw: calls.append(kw)
+    )
+    distributed.initialize()
+    distributed.initialize(coordinator_address="10.0.0.1:1234")
+    distributed.initialize(
+        coordinator_address="c:1", num_processes=4, process_id=2
+    )
+    assert calls == [
+        {},
+        {"coordinator_address": "10.0.0.1:1234"},
+        {"coordinator_address": "c:1", "num_processes": 4, "process_id": 2},
+    ]
+    assert not distributed.is_multi_process()  # single-process test env
+    info = distributed.process_info()
+    assert "process 0/1" in info and "8 local of 8 global" in info
+
+
+def test_train_cli_wires_distributed_init(monkeypatch):
+    """--coordinator_address on the train CLI must call
+    distributed.initialize before training starts (the call site VERDICT
+    round 1 found missing).  The stub raises after recording the call so
+    the test stays cheap — reaching it IS the assertion."""
+    from cli import train as train_cli
+    from laughter_detection_icsi_tpu.parallel import distributed
+
+    calls = []
+
+    def stub(**kw):
+        calls.append(kw)
+        raise SystemExit(42)  # stop before any real training
+
+    monkeypatch.setattr(jax.distributed, "initialize", stub)
+    with pytest.raises(SystemExit):
+        train_cli.main(
+            [
+                "--config", "resnet_base",
+                "--checkpoint_dir", "/tmp/nope",
+                "--data_root", "/tmp/nope",
+                "--coordinator_address", "h:9999",
+                "--num_processes", "2",
+                "--process_id", "1",
+            ]
+        )
+    assert calls == [
+        {"coordinator_address": "h:9999", "num_processes": 2, "process_id": 1}
+    ]
+
+
 def test_dp_resident_matches_dp_streamed(tmp_path, rng):
     """The mesh-sharded resident path (rows sharded over 'data', batch
     gather over the mesh, fused step) must reproduce the host-streamed
