@@ -152,9 +152,9 @@ def test_native_matches_python(tmp_path, wave, kwargs):
 
 def _write_shorten_sphere(path, x, **enc_kwargs):
     payload = shorten.encode(x, **enc_kwargs)
-    n = len(x)
+    n, nchan = (len(x), 1) if x.ndim == 1 else x.shape
     head = (
-        f"NIST_1A\n{1024:7d}\nchannel_count -i 1\nsample_count -i {n}\n"
+        f"NIST_1A\n{1024:7d}\nchannel_count -i {nchan}\nsample_count -i {n}\n"
         "sample_rate -i 16000\nsample_n_bytes -i 2\n"
         "sample_byte_format -s2 10\n"
         "sample_coding -s26 pcm,embedded-shorten-v2.00\nend_head\n"
@@ -162,6 +162,25 @@ def _write_shorten_sphere(path, x, **enc_kwargs):
     with open(path, "wb") as f:
         f.write(head + b" " * (1024 - len(head)))
         f.write(payload)
+
+
+@pytest.mark.skipif(not native.available(), reason="no native toolchain")
+def test_native_multichannel(tmp_path, wave):
+    """C++ decode of a stereo shorten SPHERE: per-channel predictor state
+    and interleaved output (the far-field ICSI mixes are multi-channel)."""
+    st = np.ascontiguousarray(
+        np.stack([wave[:6000], np.roll(wave[:6000], 17)], axis=1),
+        dtype=np.int16,
+    )
+    path = str(tmp_path / "st.sph")
+    _write_shorten_sphere(path, st, nmean=2)
+    got = native.decode_shorten(path, 6000, 2)
+    np.testing.assert_array_equal(got, st)
+    # channel selection through the generic reader
+    a, _ = audio.read(path, channel=1)
+    np.testing.assert_array_equal(
+        a, st[:, 1].astype(np.float32) / 32768.0
+    )
 
 
 # --------------------------------------------------------------------------- #
