@@ -288,8 +288,10 @@ def decode(data: bytes, max_frames: Optional[int] = None) -> ShortenStream:
 
             if fn == FN_QLPC:
                 nlpc = br.uvar(_LPCQSIZE)
-                if nlpc > nwrap:
-                    raise ValueError(f"shorten: nlpc {nlpc} > nwrap {nwrap}")
+                if nlpc > maxnlpc:
+                    # Real encoders never exceed the declared maxnlpc; the
+                    # C++ twin sizes its coefficient buffer by it.
+                    raise ValueError(f"shorten: nlpc {nlpc} > maxnlpc {maxnlpc}")
                 qlpc = [br.var(_LPCQUANT) for _ in range(nlpc)]
                 res = br.block_var(blocksize, resn)
                 # History enters the predictor coffset-subtracted.

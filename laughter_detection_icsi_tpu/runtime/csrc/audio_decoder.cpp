@@ -341,7 +341,9 @@ static int64_t decode_stream(const uint8_t* data, size_t len, int16_t* out,
             break;
           case FN_QLPC: {
             long nlpc = br.uvar(LPCQSIZE);
-            if (nlpc > nwrap) goto done_err;
+            // nlpc must fit the qlpc allocation (maxnlpc); a corrupt stream
+            // claiming more would overflow it (nwrap >= maxnlpc >= nlpc).
+            if (nlpc > maxnlpc) goto done_err;
             long j;
             for (j = 0; j < nlpc; j++) qlpc[j] = br.var(LPCQUANT);
             for (j = 0; j < nlpc; j++) cbuf[j - nlpc] -= coffset;

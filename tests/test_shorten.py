@@ -121,6 +121,62 @@ def test_truncated_stream_rejected(wave):
         shorten.decode(enc[: len(enc) // 3])
 
 
+def test_fuzz_decoder_never_hangs_or_crashes(wave):
+    """Malformed streams (random bytes, bit-flips in valid streams, random
+    suffixes after a valid magic) must raise cleanly — never hang, never
+    return silently wrong data without an exception, never segfault the
+    C++ twin."""
+    rng = np.random.default_rng(99)
+    enc = shorten.encode(wave[:2000])
+    cases = []
+    for _ in range(8):  # random garbage with valid magic+version
+        cases.append(
+            enc[:5] + rng.integers(0, 256, size=200, dtype=np.uint8).tobytes()
+        )
+    for _ in range(12):  # bit flips inside an otherwise valid stream
+        b = bytearray(enc)
+        for _ in range(3):
+            pos = int(rng.integers(5, len(b)))
+            b[pos] ^= 1 << int(rng.integers(0, 8))
+        cases.append(bytes(b))
+    for payload in cases:
+        try:
+            out = shorten.decode(payload, max_frames=2000)
+            assert out.samples.shape[0] <= 2000  # bounded if it "succeeds"
+        except (ValueError, NotImplementedError):
+            pass
+
+
+@pytest.mark.skipif(not native.available(), reason="no native toolchain")
+def test_fuzz_native_decoder(tmp_path, wave):
+    """Same fuzz corpus through the C++ decoder: negative rc or bounded
+    output, in-process (a crash would kill the test runner — that IS the
+    assertion)."""
+    rng = np.random.default_rng(101)
+    enc = shorten.encode(wave[:2000])
+    for i in range(12):
+        b = bytearray(enc)
+        for _ in range(4):
+            pos = int(rng.integers(5, len(b)))
+            b[pos] ^= 1 << int(rng.integers(0, 8))
+        path = str(tmp_path / f"fz{i}.sph")
+        x = np.zeros(2000, dtype=np.int16)  # dummy; header written below
+        head = (
+            f"NIST_1A\n{1024:7d}\nchannel_count -i 1\nsample_count -i 2000\n"
+            "sample_rate -i 16000\nsample_n_bytes -i 2\n"
+            "sample_byte_format -s2 10\n"
+            "sample_coding -s26 pcm,embedded-shorten-v2.00\nend_head\n"
+        ).encode()
+        with open(path, "wb") as f:
+            f.write(head + b" " * (1024 - len(head)))
+            f.write(bytes(b))
+        try:
+            got = native.decode_shorten(path, 2000, 1)
+            assert got.shape[0] <= 2000
+        except ValueError:
+            pass
+
+
 # --------------------------------------------------------------------------- #
 # C++ decoder differential (independent implementation, same bitstreams)
 # --------------------------------------------------------------------------- #
