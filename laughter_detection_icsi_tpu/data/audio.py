@@ -310,7 +310,10 @@ def read_int16(
     count = max(count, 0)
     if meta.encoding == "shorten":
         pcm = _decode_shorten_cached(path, meta)
-        return np.ascontiguousarray(pcm[start : start + count, channel]), sr
+        # .copy(), not ascontiguousarray: a mono slice is already contiguous
+        # and would alias the module-level cache — a caller mutating its
+        # buffer would poison every later read of this file.
+        return pcm[start : start + count, channel].copy(), sr
     frame_bytes = 2 * meta.num_channels
     with open(path, "rb") as f:
         f.seek(meta.data_offset + start * frame_bytes)

@@ -124,15 +124,16 @@ class _BitReader:
     zero bits to a 32-bit word boundary, so a clean stream always ends with
     FN_QUIT before the data runs out)."""
 
-    __slots__ = ("bits", "ones", "csum", "pos", "n")
+    __slots__ = ("bits", "ones", "pos", "n")
 
     def __init__(self, data: bytes):
         arr = np.frombuffer(data, dtype=np.uint8)
         self.bits = np.unpackbits(arr)
-        self.ones = np.flatnonzero(self.bits)
-        # csum[p] = number of 1-bits strictly before bit p
-        self.csum = np.zeros(len(self.bits) + 1, dtype=np.int64)
-        np.cumsum(self.bits, out=self.csum[1:])
+        # int32 positions: shorten payloads are far below 2^31 bits, and the
+        # index must stay memory-proportional to the payload (a full int64
+        # prefix-sum over every bit cost ~64x the payload and OOM'd on
+        # hour-long meeting channels).
+        self.ones = np.flatnonzero(self.bits).astype(np.int32)
         self.pos = 0
         self.n = len(self.bits)
 
@@ -168,13 +169,13 @@ class _BitReader:
         """Decode `count` consecutive uvar(k) values, vectorised.
 
         The unary-terminator chain is sequential, but with the global 1-bit
-        index (`ones`) and prefix-sum (`csum`) each step is O(1):
-        ``next_terminator_index = this_index + 1 + ones_in_low_bits``.
+        index (`ones`) each step is one binary search:
+        ``next_terminator = first one-position >= previous_end``.
         The low bits are then gathered in one fancy-index.
         """
         if count == 0:
             return np.zeros(0, dtype=np.int64)
-        ones, csum = self.ones, self.csum
+        ones = self.ones
         i = int(np.searchsorted(ones, self.pos))
         terms = np.empty(count, dtype=np.int64)
         starts = np.empty(count, dtype=np.int64)
@@ -188,7 +189,7 @@ class _BitReader:
             terms[j] = t
             starts[j] = pos
             pos = t + step
-            i = i + 1 + int(csum[min(pos, self.n)] - csum[t + 1])
+            i = int(np.searchsorted(ones, pos, side="left"))
         if pos > self.n:
             raise ValueError("shorten: bitstream truncated (block tail)")
         self.pos = pos
@@ -211,9 +212,9 @@ def decode(data: bytes, max_frames: Optional[int] = None) -> ShortenStream:
     output (decode stops once reached); the SPHERE header's sample_count is
     the natural bound.
     """
-    if data[:4] != MAGIC:
+    if len(data) < 5 or data[:4] != MAGIC:
         raise ValueError(
-            f"shorten: bad magic {data[:4]!r} (expected {MAGIC!r})"
+            f"shorten: bad magic {data[:5]!r} (expected {MAGIC!r} + version)"
         )
     version = data[4]
     if version != VERSION:
@@ -294,10 +295,16 @@ def decode(data: bytes, max_frames: Optional[int] = None) -> ShortenStream:
                     raise ValueError(f"shorten: nlpc {nlpc} > maxnlpc {maxnlpc}")
                 qlpc = [br.var(_LPCQUANT) for _ in range(nlpc)]
                 res = br.block_var(blocksize, resn)
-                # History enters the predictor coffset-subtracted.
+                # History enters the predictor coffset-subtracted — and the
+                # subtraction is IN PLACE, exactly as in shorten.c: if a
+                # following wrap copies from these history slots (blocksize
+                # < nwrap), it sees the subtracted values.  The C++ twin
+                # mirrors this; diverging here would desync the decoders.
+                hist = hist.copy()
+                if nlpc:
+                    hist[nwrap - nlpc :] -= coffset
                 work = np.empty(nwrap + blocksize, dtype=np.int64)
                 work[:nwrap] = hist
-                work[nwrap - nlpc : nwrap] -= coffset
                 lpcqoffset = 1 << (_LPCQUANT - 1)
                 for i in range(blocksize):
                     acc = lpcqoffset
@@ -543,6 +550,11 @@ def encode(
                 if best is None:
                     raise ValueError(f"force_fn {force_fn} has no candidate")
                 fn, res, k, _, extra = best
+                if fn == FN_QLPC:
+                    # Mirror the decoder's in-place history subtraction so a
+                    # following short-block wrap sees identical state.
+                    hist = hist.copy()
+                    hist[nwrap - len(extra) :] -= coffset
                 w.uvar(fn, _FNSIZE)
                 w.uvar(k + 1, _ENERGYSIZE)  # decoder subtracts 1
                 if fn == FN_QLPC:

@@ -446,7 +446,7 @@ class LaughterPipeline:
         meta = audio_io.info(audio_path)
         if (
             self.settings.transfer_int16
-            and meta.encoding == "pcm"
+            and meta.encoding in ("pcm", "shorten")
             and meta.sample_bytes == 2
         ):
             wave, _sr = audio_io.read_int16(audio_path, channel=channel)

@@ -451,9 +451,12 @@ class ShardedPipeline:
         from laughter_detection_icsi_tpu.runtime import native
 
         metas = [audio_io.info(p) for p in audio_paths]
-        if all(m.encoding == "pcm" and m.sample_bytes == 2 for m in metas):
-            # 16-bit PCM ships to the device raw (half the transfer bytes,
-            # scaled on device — identical numerics).
+        if all(
+            m.encoding in ("pcm", "shorten") and m.sample_bytes == 2
+            for m in metas
+        ):
+            # 16-bit sources (incl. decoded shorten) ship to the device raw
+            # (half the transfer bytes, scaled on device — same numerics).
             decoded = [
                 audio_io.read_int16(p, channel=channel) for p in audio_paths
             ]

@@ -253,9 +253,13 @@ static inline long rounded_shift_down(long x, int n) {
 }
 
 // Decode a complete shorten stream into interleaved int16.
-// Returns frames decoded, or a negative AudioError.
+// `expect_nchan`: the caller's output buffer is sized for this many
+// channels (from the SPHERE header); a stream claiming a different count
+// is rejected (writing with the stream's own nchan would overflow the
+// buffer).  Returns frames decoded, or a negative AudioError.
 static int64_t decode_stream(const uint8_t* data, size_t len, int16_t* out,
-                             int64_t max_frames, int32_t* out_nchan) {
+                             int64_t max_frames, long expect_nchan,
+                             int32_t* out_nchan) {
   if (len < 5 || memcmp(data, "ajkg", 4) != 0) return AERR_SHORTEN;
   if (data[4] != 2) return AERR_SHORTEN;  // v2 only (what LDC/ICSI ships)
   BitReader br(data + 5, len - 5);
@@ -264,6 +268,7 @@ static int64_t decode_stream(const uint8_t* data, size_t len, int16_t* out,
   if (ftype != TYPE_S16HL && ftype != TYPE_S16LH) return AERR_UNSUPPORTED;
   long nchan = br.ulong_get();
   if (nchan <= 0 || nchan > MAX_CHANNELS) return AERR_SHORTEN;
+  if (expect_nchan > 0 && nchan != expect_nchan) return AERR_SHORTEN;
   long blocksize = br.ulong_get();
   if (blocksize <= 0 || blocksize > MAX_BLOCKSIZE) return AERR_SHORTEN;
   long maxnlpc = br.ulong_get();
@@ -297,7 +302,13 @@ static int64_t decode_stream(const uint8_t* data, size_t len, int16_t* out,
       if (blocksize <= 0 || blocksize > MAX_BLOCKSIZE) goto done_err;
       continue;
     }
-    if (fn == FN_BITSHIFT) { bitshift = br.uvar(BITSHIFTSIZE); continue; }
+    if (fn == FN_BITSHIFT) {
+      bitshift = br.uvar(BITSHIFTSIZE);
+      // Sample-width bound: larger shifts are corrupt and would be
+      // shift-width UB on `long` below.
+      if (bitshift < 0 || bitshift > 31) goto done_err;
+      continue;
+    }
     if (fn == FN_VERBATIM) {
       long n = br.uvar(VERBATIM_CKSIZE_SIZE);
       for (long i = 0; i < n; i++) br.uvar(VERBATIM_BYTE_SIZE);
@@ -411,7 +422,8 @@ static int64_t decode_file(const char* path, int16_t* out, int64_t max_frames,
   close(fd);
   if (got < 0 || (size_t)got != len) { free(raw); return AERR_IO; }
   if (max_frames > info.num_samples) max_frames = info.num_samples;
-  int64_t rc = decode_stream(raw, len, out, max_frames, out_nchan);
+  int64_t rc = decode_stream(raw, len, out, max_frames,
+                             info.num_channels, out_nchan);
   free(raw);
   return rc;
 }

@@ -444,7 +444,22 @@ class TrainLoop:
                 else:
                     is_best = False
                 self.metrics_rows.append(row)
-                self._save(params, state, opt_state, is_best)
+                # Checkpoints must sit at optimizer-apply boundaries: with
+                # grad_accum > 1 a log point can fall mid-group, where the
+                # pending micro-batches' gradients are not yet in params
+                # (and BN already absorbed them).  Save the boundary
+                # snapshot — a resume then replays the pending micro-batches
+                # and reproduces the uninterrupted run exactly, same as the
+                # preemption path below.
+                pending = getattr(self.trainer, "_accum_count", 0)
+                if pending:
+                    self.global_step -= pending
+                    self.epoch_step -= pending
+                    self._save(params, state_at_boundary, opt_state, is_best)
+                    self.global_step += pending
+                    self.epoch_step += pending
+                else:
+                    self._save(params, state, opt_state, is_best)
                 if verbose:
                     msg = " ".join(f"{k}={v:.4f}" for k, v in row.items() if k != "global_step")
                     print(f"step {self.global_step}: {msg}", flush=True)

@@ -168,6 +168,40 @@ def test_dryrun_fallback_from_single_device_platform():
     assert "dryrun_multichip(8): ok" in proc.stdout
 
 
+def test_dryrun_fallback_recursion_guard():
+    """If the forced-CPU child STILL sees too few devices (structurally
+    broken environment), it must fail loudly instead of re-execing itself
+    forever."""
+    import os
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parent.parent
+    env = {
+        k: v
+        for k, v in os.environ.items()
+        if k not in ("XLA_FLAGS", "JAX_PLATFORMS")
+    }
+    env.update(
+        JAX_PLATFORMS="cpu",
+        XLA_FLAGS="--xla_force_host_platform_device_count=1",
+        _GRAFT_DRYRUN_CHILD="1",
+    )
+    code = (
+        "import sys\n"
+        f"sys.path.insert(0, {str(repo)!r})\n"
+        "from __graft_entry__ import dryrun_multichip\n"
+        "dryrun_multichip(8)\n"
+    )
+    proc = subprocess.run(
+        [sys.executable, "-c", code],
+        env=env, cwd=repo, capture_output=True, text=True, timeout=300,
+    )
+    assert proc.returncode != 0
+    assert "still sees" in proc.stderr
+
+
 def test_distributed_initialize_forwards_args(monkeypatch):
     """parallel/distributed.py is the multi-host entry hook (SURVEY §5.8);
     a real pod cannot exist here, so pin the contract: argument forwarding

@@ -220,6 +220,65 @@ def _write_shorten_sphere(path, x, **enc_kwargs):
         f.write(payload)
 
 
+def test_qlpc_short_tail_block_with_mean_tracking(tmp_path, wave):
+    """The nastiest state corner: QLPC (in-place coffset-subtracted history,
+    exactly as shorten.c does it) + a final FN_BLOCKSIZE block SHORTER than
+    nwrap (wrap copies from old history slots) + nmean>0 (coffset != 0).
+    Python round-trip AND the C++ twin must agree sample-for-sample."""
+    x = (6000 + wave[: 256 * 3 + 2].astype(np.int32) // 8).astype(np.int16)
+    enc = shorten.encode(
+        x, use_qlpc=True, nmean=2, force_fn=shorten.FN_QLPC, blocksize=256
+    )
+    dec = shorten.decode(enc)
+    np.testing.assert_array_equal(dec.samples[:, 0].astype(np.int16), x)
+    if native.available():
+        path = str(tmp_path / "q.sph")
+        _write_shorten_sphere(
+            path, x, use_qlpc=True, nmean=2,
+            force_fn=shorten.FN_QLPC, blocksize=256,
+        )
+        got = native.decode_shorten(path, len(x), 1)
+        np.testing.assert_array_equal(got[:, 0], x)
+
+
+def test_tiny_payload_rejected():
+    for payload in (b"", b"aj", b"ajkg"):
+        with pytest.raises(ValueError, match="magic"):
+            shorten.decode(payload)
+
+
+@pytest.mark.skipif(not native.available(), reason="no native toolchain")
+def test_native_rejects_channel_count_mismatch(tmp_path, wave):
+    """The SPHERE header sizes the output buffer; a payload claiming a
+    different channel count must be rejected, not written through (it
+    would overflow the caller's buffer)."""
+    x = wave[:4000]
+    payload = shorten.encode(np.stack([x, x], axis=1).astype(np.int16))
+    head = (
+        f"NIST_1A\n{1024:7d}\nchannel_count -i 1\nsample_count -i 4000\n"
+        "sample_rate -i 16000\nsample_n_bytes -i 2\n"
+        "sample_byte_format -s2 10\n"
+        "sample_coding -s26 pcm,embedded-shorten-v2.00\nend_head\n"
+    ).encode()
+    path = str(tmp_path / "mm.sph")
+    with open(path, "wb") as f:
+        f.write(head + b" " * (1024 - len(head)))
+        f.write(payload)
+    with pytest.raises(ValueError):
+        native.decode_shorten(path, 4000, 1)
+
+
+def test_read_int16_returns_independent_buffer(tmp_path, wave):
+    """Mutating a returned buffer must not poison the shorten decode cache."""
+    x = wave[:3000]
+    path = str(tmp_path / "c.sph")
+    audio.write_sphere_shorten(path, x, 16000)
+    a, _ = audio.read_int16(path)
+    a[:] = 0  # caller scribbles on its buffer
+    b, _ = audio.read_int16(path)
+    np.testing.assert_array_equal(b, x)
+
+
 @pytest.mark.skipif(not native.available(), reason="no native toolchain")
 def test_native_multichannel(tmp_path, wave):
     """C++ decode of a stereo shorten SPHERE: per-channel predictor state

@@ -364,6 +364,58 @@ def test_preemption_mid_accum_group_exact_incl_bn_state(tiny_model, tmp_path):
         signal.signal(signal.SIGINT, signal.default_int_handler)
 
 
+def test_periodic_save_mid_accum_group_resumes_exactly(tiny_model, tmp_path):
+    """A log-frequency checkpoint can fall mid-gradient-accumulation-group;
+    it must record the APPLY-BOUNDARY snapshot (counters, params, BN state)
+    so a hard kill right after the save resumes bit-identically — the same
+    invariant the preemption path guarantees."""
+
+    def fixed_batches(n):
+        r = np.random.default_rng(91)
+        return _toy_batches(r, n)
+
+    # continuous oracle over 4 batches
+    trainer_c = Trainer(model=tiny_model, grad_accum=2)
+    pc, sc, oc = trainer_c.init(jax.random.PRNGKey(0))
+    loop_c = TrainLoop(
+        trainer=trainer_c, checkpoint_dir=str(tmp_path / "c"), log_frequency=0
+    )
+    pc, sc, oc, _ = loop_c.run_epoch(
+        pc, sc, oc, fixed_batches(4), rng=jax.random.PRNGKey(5), verbose=False
+    )
+
+    # interrupted run: periodic save lands at step 3 (mid-group; accum=2)
+    trainer = Trainer(model=tiny_model, grad_accum=2)
+    params, state, opt_state = trainer.init(jax.random.PRNGKey(0))
+    loop = TrainLoop(
+        trainer=trainer, checkpoint_dir=str(tmp_path / "i"), log_frequency=3
+    )
+    loop.run_epoch(
+        params, state, opt_state, fixed_batches(3),  # hard kill after step 3
+        rng=jax.random.PRNGKey(5), verbose=False,
+    )
+
+    trainer2 = Trainer(model=tiny_model, grad_accum=2)
+    loop2 = TrainLoop(
+        trainer=trainer2, checkpoint_dir=str(tmp_path / "i"), log_frequency=0
+    )
+    p2, s2, o2 = trainer2.init(jax.random.PRNGKey(9))
+    p2, s2, o2 = loop2.resume_if_possible(p2, s2, o2)
+    # the mid-group save rolled back to the apply boundary (step 2)
+    assert loop2.global_step == 2 and loop2.epoch_step == 2
+    p2, s2, o2, _ = loop2.run_epoch(
+        p2, s2, o2, fixed_batches(4), rng=jax.random.PRNGKey(5), verbose=False
+    )
+    for tree_got, tree_want in ((p2, pc), (s2, sc)):
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_array_equal(
+                np.asarray(a), np.asarray(b)
+            ),
+            tree_got, tree_want,
+        )
+    assert int(o2.step) == int(oc.step)
+
+
 def test_checkpoint_portable_across_device_counts(tiny_model, rng, tmp_path):
     """Elastic resume: a single-device checkpoint must load into the
     8-device data-parallel trainer and keep training (and vice versa) —
