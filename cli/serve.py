@@ -1,0 +1,211 @@
+"""Streaming laughter-detection server: PCM in, NDJSON events out.
+
+The serving-path front end over ``inference.StreamingSession`` (one
+stream) / ``parallel.ShardedStreamingSession`` (a live meeting's channels
+sharded over the device mesh): feed 16 kHz PCM in arbitrary chunks, get a
+newline-delimited JSON event the moment a laughter run closes, with the
+documented streaming==offline bit-exactness (the emitted events equal
+``segment_laughter`` on the concatenated audio).
+
+No reference analogue — the reference is strictly offline, one file at a
+time (reference segment_laughter.py:79-122); this is the online serving
+counterpart sharing the same compiled graphs.
+
+Input modes:
+  --input -                raw interleaved s16le PCM @ 16 kHz on stdin
+                           (``--channels N`` for N interleaved channels)
+  --input file.wav|.sph    decode the file and replay it through the
+                           streaming path in ``--chunk_ms`` slices (drill /
+                           soak mode; output still arrives incrementally)
+
+Output (stdout, one JSON object per line):
+  {"type": "ready", ...}                          after compile/warmup
+  {"type": "event", "channel": c, "start": s, "end": e}   run closed
+  {"type": "done", "seconds": n, "events": k}     at end of stream
+
+Example:
+  arecord -f S16_LE -r 16000 -t raw | python cli/serve.py --model_path ck/
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+from pathlib import Path
+from typing import List, Optional
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    p.add_argument("--model_path", type=str, required=True)
+    p.add_argument("--config", type=str, default="resnet_base")
+    p.add_argument("--input", type=str, default="-",
+                   help="'-' for raw s16le PCM on stdin, or an audio file "
+                        "to replay through the streaming path")
+    p.add_argument("--channels", type=int, default=1,
+                   help="interleaved channel count of the stdin stream "
+                        "(>1 uses the mesh-sharded session)")
+    p.add_argument("--threshold", type=float, default=0.5)
+    p.add_argument("--min_length", type=float, default=0.2)
+    p.add_argument("--chunk_ms", type=int, default=250,
+                   help="feed granularity in milliseconds")
+    p.add_argument("--chunk", type=int, default=None)
+    p.add_argument("--bucket_frames", type=int, default=None,
+                   help="probability latency bound: a bucket finalizes "
+                        "every bucket_frames x 10 ms of audio")
+    p.add_argument("--precision", type=str, default=None)
+    p.add_argument("--save_probs", type=str, default=None,
+                   help="write the full [channels, T] probability array "
+                        "(.npy) at end of stream")
+    return p
+
+
+def _emit(obj: dict) -> None:
+    sys.stdout.write(json.dumps(obj) + "\n")
+    sys.stdout.flush()
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    from laughter_detection_icsi_tpu.utils.compile_cache import (
+        enable_compilation_cache,
+    )
+
+    enable_compilation_cache()
+    args = build_parser().parse_args(argv)
+
+    import jax
+    import numpy as np
+
+    from laughter_detection_icsi_tpu import inference, models
+    from laughter_detection_icsi_tpu.config import MODEL_MAP
+    from laughter_detection_icsi_tpu.ops.smoothing import StreamingEventDetector
+    from laughter_detection_icsi_tpu.train import checkpoint as ckpt_lib
+
+    preset = MODEL_MAP[args.config]
+    model = models.build(
+        preset.model,
+        dropout_rate=0.0,
+        linear_layer_size=preset.linear_layer_size,
+        filter_sizes=preset.filter_sizes,
+    )
+    best = (
+        args.model_path
+        if os.path.isfile(args.model_path)
+        else ckpt_lib.find_best_checkpoint(args.model_path)
+    )
+    if best is None:
+        raise SystemExit(f"Model checkpoint not found at {args.model_path}")
+    loaded = ckpt_lib.load_checkpoint(best)
+
+    on_accel = jax.devices()[0].platform != "cpu"
+    settings = inference.InferenceSettings(
+        chunk=args.chunk or (6144 if on_accel else 512),
+        bucket_frames=args.bucket_frames or (6144 if on_accel else 1024),
+        precision=args.precision or ("bfloat16" if on_accel else "float32"),
+    )
+    n_ch = args.channels
+    if args.input != "-":
+        from laughter_detection_icsi_tpu.data import audio as audio_io
+
+        n_ch = 1  # file replay is single-channel (pick with --channels later)
+    if n_ch == 1:
+        pipe = inference.LaughterPipeline(
+            model, loaded["params"], loaded["state"], settings=settings
+        )
+        sess = inference.StreamingSession(pipe)
+        feed = lambda chunks: sess.feed(chunks[0])
+        finish = sess.finish
+    else:
+        from laughter_detection_icsi_tpu.parallel import (
+            ShardedPipeline,
+            ShardedStreamingSession,
+            make_mesh,
+        )
+
+        spipe = ShardedPipeline(
+            model=model,
+            params=loaded["params"],
+            state=loaded["state"],
+            mesh=make_mesh(),
+            settings=settings,
+        )
+        sharded = ShardedStreamingSession(spipe, n_channels=n_ch)
+        feed = sharded.feed
+        finish = sharded.finish
+
+    detectors = [
+        StreamingEventDetector(args.threshold, args.min_length)
+        for _ in range(n_ch)
+    ]
+    probs_out: List[List[np.ndarray]] = [[] for _ in range(n_ch)]
+    n_events = 0
+    n_samples = 0
+
+    def handle(probs: np.ndarray) -> None:
+        nonlocal n_events
+        probs = np.atleast_2d(probs)
+        for c in range(n_ch):
+            if args.save_probs:
+                probs_out[c].append(probs[c])
+            for start, end in detectors[c].feed(probs[c]):
+                n_events += 1
+                _emit(
+                    {"type": "event", "channel": c,
+                     "start": round(start, 3), "end": round(end, 3),
+                     "threshold": args.threshold}
+                )
+
+    _emit(
+        {"type": "ready", "channels": n_ch,
+         "bucket_latency_s": settings.bucket_frames / 100.0,
+         "device": jax.devices()[0].platform}
+    )
+
+    chunk_samples = max(1, args.chunk_ms * 16)
+    if args.input == "-":
+        stdin = sys.stdin.buffer
+        frame_bytes = 2 * n_ch
+        while True:
+            raw = stdin.read(chunk_samples * frame_bytes)
+            if not raw:
+                break
+            usable = len(raw) - len(raw) % frame_bytes
+            data = np.frombuffer(raw[:usable], dtype="<i2")
+            deint = data.reshape(-1, n_ch)
+            n_samples += deint.shape[0]
+            handle(feed([np.ascontiguousarray(deint[:, c]) for c in range(n_ch)]))
+    else:
+        wave, sr = audio_io.read_int16(args.input)
+        if sr != 16000:
+            raise SystemExit(f"{args.input}: expected 16 kHz audio, got {sr}")
+        for lo in range(0, len(wave), chunk_samples):
+            piece = wave[lo : lo + chunk_samples]
+            n_samples += len(piece)
+            handle(feed([piece]))
+
+    handle(finish())
+    for c in range(n_ch):
+        for start, end in detectors[c].finish():
+            n_events += 1
+            _emit(
+                {"type": "event", "channel": c,
+                 "start": round(start, 3), "end": round(end, 3),
+                 "threshold": args.threshold}
+            )
+    if args.save_probs:
+        np.save(
+            args.save_probs,
+            np.stack([np.concatenate(p) if p else np.zeros(0, np.float32)
+                      for p in probs_out]),
+        )
+    _emit({"type": "done", "seconds": round(n_samples / 16000.0, 3),
+           "events": n_events})
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

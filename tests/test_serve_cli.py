@@ -1,0 +1,128 @@
+"""Streaming serving CLI (cli/serve.py): NDJSON events out of PCM in, with
+the streaming==offline exactness guarantee checked at the CLI boundary
+(events equal segment_laughter's on the same audio)."""
+
+import json
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+import jax
+import numpy as np
+import pytest
+
+from laughter_detection_icsi_tpu import inference, models
+from laughter_detection_icsi_tpu.config import MODEL_MAP
+from laughter_detection_icsi_tpu.data import audio
+from laughter_detection_icsi_tpu.train import checkpoint as ckpt_lib
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+@pytest.fixture(scope="module")
+def served(tmp_path_factory):
+    root = tmp_path_factory.mktemp("serve")
+    rng = np.random.default_rng(3)
+    wave = (rng.standard_normal(16000 * 8) * 0.1).astype(np.float32)
+    wav_path = root / "in.wav"
+    audio.write_wav(str(wav_path), wave, 16000)
+
+    preset = MODEL_MAP["resnet_base"]
+    model = models.build(
+        preset.model,
+        dropout_rate=0.0,
+        linear_layer_size=preset.linear_layer_size,
+        filter_sizes=preset.filter_sizes,
+    )
+    params, state = model.init(jax.random.PRNGKey(7))
+    ckpt_lib.save_checkpoint(str(root / "ck"), params, state, is_best=True)
+
+    pipe = inference.LaughterPipeline(
+        model, params, state,
+        settings=inference.InferenceSettings(chunk=512, bucket_frames=1024),
+    )
+    probs, _dur = pipe.probs_for_file(str(wav_path))
+    thr = float(np.quantile(probs, 0.7))  # guarantees events exist
+    inst, _ = pipe.segment_file(
+        str(wav_path), thresholds=[thr], min_lengths=[0.1]
+    )
+    return {
+        "root": root,
+        "wav": wav_path,
+        "ckpt": root / "ck" / "best.ckpt.npz",
+        "threshold": thr,
+        "offline_events": inst[(thr, 0.1)],
+        "probs": np.asarray(probs),
+    }
+
+
+def test_file_replay_events_match_offline(served, tmp_path, capsys):
+    from cli import serve as serve_cli
+
+    probs_path = tmp_path / "probs.npy"
+    rc = serve_cli.main(
+        [
+            "--model_path", str(served["ckpt"]),
+            "--input", str(served["wav"]),
+            "--threshold", str(served["threshold"]),
+            "--min_length", "0.1",
+            "--chunk", "512",
+            "--bucket_frames", "1024",
+            "--chunk_ms", "173",  # odd size: exercises re-chunking
+            "--save_probs", str(probs_path),
+        ]
+    )
+    assert rc == 0
+    lines = [json.loads(l) for l in capsys.readouterr().out.splitlines()]
+    kinds = [l["type"] for l in lines]
+    assert kinds[0] == "ready" and kinds[-1] == "done"
+    events = [(l["start"], l["end"]) for l in lines if l["type"] == "event"]
+    want = [(round(s, 3), round(e, 3)) for s, e in served["offline_events"]]
+    assert events == want and events  # non-empty and identical
+    assert lines[-1]["seconds"] == 8.0
+    # full probability stream matches offline bit-for-bit
+    got = np.load(probs_path)
+    np.testing.assert_array_equal(got[0], served["probs"])
+
+
+def test_stdin_multichannel_subprocess(served):
+    """Raw interleaved s16le on stdin with --channels 2: the mesh-sharded
+    streaming path, end-to-end through the process boundary."""
+    wave16, _sr = audio.read_int16(str(served["wav"]))
+    ch0, ch1 = wave16, np.roll(wave16, 160)
+    interleaved = np.stack([ch0, ch1], axis=1).astype("<i2").tobytes()
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("PYTHONPATH", None)
+    env["XLA_FLAGS"] = (
+        env.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+    ).strip()
+    res = subprocess.run(
+        [
+            sys.executable, str(REPO / "cli" / "serve.py"),
+            "--model_path", str(served["ckpt"]),
+            "--channels", "2",
+            "--threshold", str(served["threshold"]),
+            "--min_length", "0.1",
+            "--chunk", "512",
+            "--bucket_frames", "1024",
+        ],
+        input=interleaved,
+        env=env,
+        cwd=REPO,
+        stdout=subprocess.PIPE,
+        stderr=subprocess.PIPE,
+        timeout=560,
+    )
+    assert res.returncode == 0, res.stderr[-2000:].decode()
+    lines = [json.loads(l) for l in res.stdout.decode().splitlines()]
+    assert lines[0]["type"] == "ready" and lines[0]["channels"] == 2
+    ch0_events = [
+        (l["start"], l["end"]) for l in lines
+        if l["type"] == "event" and l["channel"] == 0
+    ]
+    want = [(round(s, 3), round(e, 3)) for s, e in served["offline_events"]]
+    assert ch0_events == want
+    assert lines[-1]["type"] == "done" and lines[-1]["events"] >= len(want)
