@@ -154,13 +154,13 @@ def main(argv: Optional[List[str]] = None) -> int:
     want_cache = args.device_cache
     use_cache = False
     if want_cache != "off":
-        # Budget what actually becomes resident: under --data_parallel only
-        # the train split (rows sharded across the mesh, so per-device HBM
-        # is 1/n of it); single-device also keeps the dev split resident.
+        # Budget what becomes resident: both splits.  Under --data_parallel
+        # the rows shard across the mesh, so per-device HBM is 1/n of each.
         n_dev = len(jax.devices()) if args.data_parallel else 1
-        est = ResidentLadDataset.estimated_nbytes(train_ds, args.transfer_dtype) // n_dev
-        if not args.data_parallel:
-            est += ResidentLadDataset.estimated_nbytes(dev_ds, args.transfer_dtype)
+        est = (
+            ResidentLadDataset.estimated_nbytes(train_ds, args.transfer_dtype)
+            + ResidentLadDataset.estimated_nbytes(dev_ds, args.transfer_dtype)
+        ) // n_dev
         on_accel = jax.devices()[0].platform != "cpu"
         fits = est <= args.device_cache_budget_gb * 1e9
         use_cache = want_cache == "on" or (on_accel and fits)
@@ -203,8 +203,12 @@ def main(argv: Optional[List[str]] = None) -> int:
                 sharding=row_sharding,
                 pad_rows_to=int(mesh.devices.size),
             )
-            # dev stays streamed: eval batches go through the host-sharded
-            # path, and validation is a tiny fraction of the step count.
+            dev_ds = ResidentLadDataset(
+                dev_ds,
+                args.transfer_dtype,
+                sharding=row_sharding,
+                pad_rows_to=int(mesh.devices.size),
+            )
         else:
             train_ds = ResidentLadDataset(train_ds, args.transfer_dtype)
             dev_ds = ResidentLadDataset(dev_ds, args.transfer_dtype)
@@ -233,7 +237,14 @@ def main(argv: Optional[List[str]] = None) -> int:
 
     def val_batches(n: int):
         out = []
-        it = dev_ds.batches(
+        # Resident dev split: index batches become ONE fused gather+eval
+        # dispatch each (trainer.eval_batch resident path).
+        batches_fn = (
+            dev_ds.index_batches
+            if isinstance(dev_ds, ResidentLadDataset)
+            else dev_ds.batches
+        )
+        it = batches_fn(
             batch_size,
             shuffle=True,
             seed=loop.global_step,

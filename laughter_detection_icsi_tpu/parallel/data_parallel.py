@@ -94,6 +94,22 @@ class DataParallelTrainer:
             ev, in_shardings=(repl, repl, dp, dp), out_shardings=repl
         )
 
+        def ev_resident(params, state, data, labels, idx):
+            """Fused resident eval over the mesh: dev-split rows live
+            sharded on the 'data' axis, the gather crosses shards over ICI
+            and lands batch-sharded — validation's twin of
+            step_resident."""
+            x = data[idx].astype(jnp.float32)[:, None, :, :]
+            x = jax.lax.with_sharding_constraint(x, dp)
+            y = jax.lax.with_sharding_constraint(labels[idx], dp)
+            return ev(params, state, x, y)
+
+        self._eval_step_resident = jax.jit(
+            ev_resident,
+            in_shardings=(repl, repl, dp, dp, dp),
+            out_shardings=repl,
+        )
+
     # ------------------------------------------------------------------ #
 
     def init(self, rng: jax.Array) -> Tuple[PyTree, PyTree, AdamState]:
@@ -156,6 +172,15 @@ class DataParallelTrainer:
         )
 
     def eval_batch(self, params, state, batch):
+        if isinstance(batch, dict) and batch.get("resident") is not None:
+            import numpy as np
+
+            resident = batch["resident"]
+            idx = np.asarray(batch["idx"], dtype=np.int32)
+            sharded_idx = mesh_lib.shard_batch({"i": idx}, self.mesh)["i"]
+            return self._eval_step_resident(
+                params, state, resident.feats, resident.labels, sharded_idx
+            )
         sharded = self._prep(batch)
         return self._eval_step(params, state, sharded["x"], sharded["y"])
 

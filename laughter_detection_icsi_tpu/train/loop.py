@@ -158,6 +158,19 @@ class Trainer:
             metrics["loss"] = bce_loss(probs, y)
             return metrics
 
+        @jax.jit
+        def eval_step_resident(params, state, data, labels, idx):
+            """Fused HBM gather + eval (one dispatch), the validation twin
+            of train_step_resident — online eval during --device_cache
+            training never streams feature batches from host."""
+            x = data[idx].astype(jnp.float32)[:, None, :, :]
+            probs, _ = model.apply(params, state, x, train=False)
+            y = labels[idx]
+            metrics = batch_metrics(probs, y)
+            metrics["loss"] = bce_loss(probs, y)
+            return metrics
+
+        self._eval_step_resident = eval_step_resident
         self._train_step = train_step
         self._train_step_resident = train_step_resident
         self._grad_step = grad_step
@@ -232,6 +245,15 @@ class Trainer:
         )
 
     def eval_batch(self, params, state, batch):
+        if isinstance(batch, dict) and batch.get("resident") is not None:
+            resident = batch["resident"]
+            return self._eval_step_resident(
+                params,
+                state,
+                resident.feats,
+                resident.labels,
+                np.asarray(batch["idx"], dtype=np.int32),
+            )
         x, y = self._prep(batch)
         return self._eval_step(params, state, x, y)
 

@@ -303,12 +303,25 @@ def test_trainer_accepts_resident_batches(tmp_path, rng):
     rng_step = jax.random.PRNGKey(1)
 
     sb = next(ds.batches(8, shuffle=False, prefetch=0))
-    db = next(ResidentLadDataset(ds).batches(8, shuffle=False))
+    resident = ResidentLadDataset(ds)
+    db = next(resident.batches(8, shuffle=False))
     _, _, _, m_stream = trainer.train_batch(params, state, opt_state, sb, rng_step)
     _, _, _, m_dev = trainer.train_batch(params, state, opt_state, db, rng_step)
     np.testing.assert_allclose(
         float(m_stream["loss"]), float(m_dev["loss"]), rtol=0, atol=0
     )
+
+    # Eval: the fused resident gather+eval dispatch (index_batches through
+    # eval_batches — the --device_cache online-validation path) must give
+    # the streamed batches' metrics exactly.
+    ev_stream = trainer.eval_batches(
+        params, state, ds.batches(8, shuffle=False, prefetch=0)
+    )
+    ev_fused = trainer.eval_batches(
+        params, state, resident.index_batches(8, shuffle=False)
+    )
+    for k in ev_stream:
+        assert ev_stream[k] == pytest.approx(ev_fused[k], abs=1e-6), k
 
 
 def test_trainloop_fused_resident_path(tmp_path, rng):

@@ -356,3 +356,16 @@ def test_dp_eval_accepts_resident_batches(tmp_path, rng):
     )
     for k in streamed:
         assert streamed[k] == pytest.approx(resident[k], abs=1e-6), k
+
+    # Fused path: mesh-sharded resident rows + index batches -> ONE
+    # gather+eval dispatch per batch through the same eval_batches driver.
+    from laughter_detection_icsi_tpu.parallel import mesh as mesh_lib
+
+    res_sharded = ResidentLadDataset(
+        ds, sharding=mesh_lib.data_sharding(dp.mesh), pad_rows_to=8
+    )
+    fused = dp.eval_batches(
+        params, state, res_sharded.index_batches(8, shuffle=False)
+    )
+    for k in streamed:
+        assert streamed[k] == pytest.approx(fused[k], abs=1e-6), k
