@@ -58,9 +58,9 @@ def compute_track_features(
     featurize = fbank_pallas_jit if resolve_use_pallas(use_pallas) else fbank_ops.fbank_jit
     snip = _dc.replace(cfg, snip_edges=True)
     left, right = fbank_ops.pad_amounts(n, cfg)
-    padded = np.concatenate(
-        [wave[:left][::-1], wave, wave[n - right:][::-1]]
-    ).astype(np.float32)
+    # symmetric == Kaldi edge mirroring; stays correct when a pad exceeds
+    # the wave length (see inference.host_pad_waveform).
+    padded = np.pad(wave, (left, right), mode="symmetric").astype(np.float32)
 
     shift = snip.frame_shift_samples
     flen = snip.frame_length_samples

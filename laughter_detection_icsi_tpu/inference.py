@@ -93,6 +93,33 @@ def _snip_cfg(cfg: FeatConfig) -> FeatConfig:
     return dataclasses.replace(cfg, snip_edges=True)
 
 
+def cast_tree_bf16(tree):
+    """Cast a params/state tree's float leaves to bfloat16.
+
+    Shared by LaughterPipeline and parallel.ShardedPipeline: both params
+    AND state (BN running stats) must drop to bf16 or the first BN
+    re-promotes activations to f32 and the next conv sees mixed dtypes.
+    """
+    cast = lambda x: (
+        x.astype(jnp.bfloat16)
+        if jnp.issubdtype(jnp.asarray(x).dtype, jnp.floating)
+        else x
+    )
+    return jax.tree_util.tree_map(cast, tree)
+
+
+def int16_transfer_eligible(meta, settings) -> bool:
+    """One predicate for 'may this source ship to the device as raw int16'
+    (16-bit PCM or decoded shorten; halves the bytes, scaled on device with
+    identical numerics).  Both pipelines consult it, so they can never
+    disagree on the transfer path for the same file."""
+    return (
+        settings.transfer_int16
+        and meta.encoding in ("pcm", "shorten")
+        and meta.sample_bytes == 2
+    )
+
+
 def host_pad_waveform(
     wave: np.ndarray, cfg: FeatConfig = FEAT
 ) -> Tuple[np.ndarray, int]:
@@ -102,12 +129,22 @@ def host_pad_waveform(
     strides reproduces the exact reference frames.  Dtype-preserving (int16
     PCM stays int16 for the cheap device transfer).
     """
+    if cfg.snip_edges:
+        raise ValueError(
+            "host_pad_waveform implements snip_edges=False reflection "
+            "padding; a snip_edges=True FeatConfig must not reach it"
+        )
     n = len(wave)
     t = fbank_ops.num_frames(n, cfg)
     if t == 0:
         return np.zeros(0, dtype=wave.dtype), 0
     left, right = fbank_ops.pad_amounts(n, cfg)
-    padded = np.concatenate([wave[:left][::-1], wave, wave[n - right :][::-1]])
+    # mode='symmetric' == Kaldi's edge mirroring (index -j-1 / 2n-1-j) for
+    # the normal case, and stays well-defined (repeated mirroring) when a
+    # pad exceeds the wave length — naive slicing (wave[:left][::-1]) would
+    # silently produce a SHORT pad for waves under ~frame_length and shift
+    # every frame.
+    padded = np.pad(wave, (left, right), mode="symmetric")
     return padded, t
 
 
@@ -126,16 +163,8 @@ class LaughterPipeline:
         self.feat_cfg = feat_cfg
         self.settings = settings
         if settings.precision == "bfloat16":
-            cast = lambda x: (
-                x.astype(jnp.bfloat16)
-                if jnp.issubdtype(jnp.asarray(x).dtype, jnp.floating)
-                else x
-            )
-            # Both params AND state (BN running stats) must drop to bf16 or
-            # the first BN re-promotes activations to f32 and the next conv
-            # sees mixed dtypes.
-            self.params = jax.tree_util.tree_map(cast, params)
-            self.state = jax.tree_util.tree_map(cast, state)
+            self.params = cast_tree_bf16(params)
+            self.state = cast_tree_bf16(state)
         else:
             self.params = params
             self.state = state
@@ -413,6 +442,14 @@ class LaughterPipeline:
         (ops/smoothing.instances_from_device_probs) so only tiny run tables
         ever cross back to host."""
         wave = np.asarray(wave)
+        if wave.dtype not in (np.int16, np.float32, np.float64):
+            # Same contract as the streaming path (_StreamingBase._append):
+            # silently casting e.g. int32 PCM would feed +-30000-range
+            # values to a featurizer expecting [-1, 1].
+            raise TypeError(
+                f"unsupported PCM dtype {wave.dtype}; pass int16 or "
+                "float32/float64 in [-1, 1]"
+            )
         int16_in = wave.dtype == np.int16
         if not int16_in:
             wave = wave.astype(np.float32)
@@ -444,11 +481,7 @@ class LaughterPipeline:
         ``device=True`` leaves the probabilities on device (for on-device
         smoothing)."""
         meta = audio_io.info(audio_path)
-        if (
-            self.settings.transfer_int16
-            and meta.encoding in ("pcm", "shorten")
-            and meta.sample_bytes == 2
-        ):
+        if int16_transfer_eligible(meta, self.settings):
             wave, _sr = audio_io.read_int16(audio_path, channel=channel)
         else:
             wave, _sr = audio_io.read(audio_path, channel=channel)

@@ -52,13 +52,10 @@ class ShardedPipeline:
 
     def __post_init__(self):
         if self.settings.precision == "bfloat16":
-            cast = lambda x: (
-                x.astype(jnp.bfloat16)
-                if jnp.issubdtype(jnp.asarray(x).dtype, jnp.floating)
-                else x
-            )
-            self.params = jax.tree_util.tree_map(cast, self.params)
-            self.state = jax.tree_util.tree_map(cast, self.state)
+            from laughter_detection_icsi_tpu.inference import cast_tree_bf16
+
+            self.params = cast_tree_bf16(self.params)
+            self.state = cast_tree_bf16(self.state)
         repl = mesh_lib.replicated(self.mesh)
         self.params = jax.device_put(self.params, repl)
         self.state = jax.device_put(self.state, repl)
@@ -450,16 +447,24 @@ class ShardedPipeline:
         from laughter_detection_icsi_tpu.data import audio as audio_io
         from laughter_detection_icsi_tpu.runtime import native
 
+        from laughter_detection_icsi_tpu.inference import int16_transfer_eligible
+
         metas = [audio_io.info(p) for p in audio_paths]
-        if all(
-            m.encoding in ("pcm", "shorten") and m.sample_bytes == 2
-            for m in metas
-        ):
+        if all(int16_transfer_eligible(m, self.settings) for m in metas):
             # 16-bit sources (incl. decoded shorten) ship to the device raw
             # (half the transfer bytes, scaled on device — same numerics).
-            decoded = [
-                audio_io.read_int16(p, channel=channel) for p in audio_paths
-            ]
+            # Channels decode concurrently: the native decoder releases the
+            # GIL inside the ctypes call, so a thread pool parallelizes a
+            # meeting's host decode like native.read_batch's pthread pool.
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=min(8, len(audio_paths))) as ex:
+                decoded = list(
+                    ex.map(
+                        lambda p: audio_io.read_int16(p, channel=channel),
+                        audio_paths,
+                    )
+                )
         else:
             decoded = native.read_batch(
                 audio_paths, channels=[channel] * len(audio_paths)

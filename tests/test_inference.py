@@ -86,6 +86,45 @@ def test_segment_file_produces_instances(pipeline, wave, tmp_path):
     assert took > 0
 
 
+def test_short_wave_padding_and_probs(pipeline):
+    """Waves shorter than the pad amounts: symmetric padding must stay
+    full-length (naive edge slicing silently produced a SHORT pad and
+    shifted every frame — round-2 review finding), and the pipeline must
+    classify them without error."""
+    gen = np.random.default_rng(3)
+    for n in (100, 250, 399):
+        w = (gen.standard_normal(n) * 0.1).astype(np.float32)
+        padded, t = inference.host_pad_waveform(w)
+        cfg = inference._snip_cfg(inference.FEAT)
+        assert len(padded) == (t - 1) * cfg.frame_shift_samples + cfg.frame_length_samples
+        np.testing.assert_array_equal(
+            padded, np.pad(w, (fb.pad_amounts(n, inference.FEAT)[0],
+                               fb.pad_amounts(n, inference.FEAT)[1]),
+                           mode="symmetric"),
+        )
+        probs = pipeline.probs_for_waveform(w)
+        assert probs.shape == (t,)
+        assert np.all((probs >= 0) & (probs <= 1))
+
+
+def test_snip_edges_config_rejected():
+    import dataclasses
+
+    with pytest.raises(ValueError, match="snip_edges"):
+        inference.host_pad_waveform(
+            np.zeros(16000, np.float32),
+            dataclasses.replace(inference.FEAT, snip_edges=True),
+        )
+
+
+def test_unsupported_pcm_dtype_rejected(pipeline):
+    """int32/int8 PCM must raise (same contract as the streaming path) —
+    silently casting fed +-30000-range values to the featurizer."""
+    for dtype in (np.int32, np.int8, np.uint8):
+        with pytest.raises(TypeError, match="dtype"):
+            pipeline.probs_for_waveform(np.zeros(16000, dtype=dtype))
+
+
 def test_bucket_reuse_consistency(pipeline, wave):
     # same input twice -> identical output (jit cache reuse)
     a = pipeline.probs_for_waveform(wave)

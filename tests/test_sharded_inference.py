@@ -88,6 +88,43 @@ def test_sharded_int16_matches_float(small_model, settings, rng):
     np.testing.assert_allclose(a, b, atol=1e-6)
 
 
+def test_sharded_respects_transfer_int16_setting(
+    small_model, rng, tmp_path, monkeypatch
+):
+    """transfer_int16=False must force the float decode path on the sharded
+    pipeline too (it was silently a no-op there — round-2 review finding);
+    results are identical either way."""
+    from laughter_detection_icsi_tpu.data import audio
+
+    model, params, state = small_model
+    w = (rng.standard_normal(16000) * 0.1).astype(np.float32)
+    p = str(tmp_path / "c.sph")
+    audio.write_sphere(p, w, 16000)
+
+    calls = []
+    real = audio.read_int16
+    monkeypatch.setattr(
+        audio, "read_int16", lambda *a, **k: calls.append(a) or real(*a, **k)
+    )
+
+    def run(transfer_int16):
+        sharded = ShardedPipeline(
+            model=model, params=params, state=state, mesh=make_mesh(8),
+            settings=inference.InferenceSettings(
+                chunk=128, bucket_frames=256, transfer_int16=transfer_int16
+            ),
+        )
+        (probs, ts), _dur = sharded.probs_for_meeting_device([p])
+        return np.asarray(probs[0, : ts[0]])
+
+    a = run(transfer_int16=True)
+    assert calls  # int16 path actually used
+    calls.clear()
+    b = run(transfer_int16=False)
+    assert not calls  # float path respected the setting
+    np.testing.assert_allclose(a, b, atol=1e-6)
+
+
 @pytest.mark.parametrize("mode", ["windows", "fused_conv"])
 def test_sharded_pallas_fbank_matches_xla(small_model, rng, mode):
     # The fused Pallas featurizer mapped over the mesh (shard_map, interpret
