@@ -105,6 +105,11 @@ class LadDataset:
         for t in np.unique(t_idx):
             track = plan["tracks"][t]
             rows = np.nonzero(t_idx == t)[0]
+            if track.shape[0] == 0:
+                # Zero-frame track (sub-frame-length audio): example()'s cut
+                # yields all-zero windows; the clamped gather below would
+                # index -1 into an empty array.
+                continue
             pos = first[rows][:, None] + cols[None, :]
             mask = (cols[None, :] < np.minimum(n[rows], w)[:, None]) & (
                 pos < track.shape[0]

@@ -85,6 +85,12 @@ class DataFrameSampler:
         diagnostic."""
         duration = max(duration, self.cfg.subsample_duration)
         info = self.store.info_df[self.store.info_df.meeting_id == meeting_id]
+        if info.empty:
+            # Without this, randint(0, 0) raises a context-free ValueError.
+            raise RuntimeError(
+                f"no channel info for meeting {meeting_id} "
+                "(meeting absent from the transcript info table)"
+            )
         for _attempt in range(1001):
             row = info.iloc[self.rng.randint(0, info.shape[0])]
             if row.length <= duration:
@@ -114,7 +120,12 @@ class DataFrameSampler:
 
     def random_from_df(self, duration: float, meeting_id: str, df: pd.DataFrame) -> List:
         """A random transcribed segment of the given kind (reference
-        create_data_df.py:65-81)."""
+        create_data_df.py:65-81).
+
+        Note the reference clamps ``duration`` and then never uses it —
+        speech/noise negatives are NOT duration-matched to their laugh; the
+        sampled row's own span is used.  Matched deliberately (PARITY #21).
+        """
         duration = max(duration, self.cfg.subsample_duration)
         rows = df[df.meeting_id == meeting_id]
         if rows.empty:

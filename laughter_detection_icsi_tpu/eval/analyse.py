@@ -24,6 +24,7 @@ Semantics mirrored:
 from __future__ import annotations
 
 import os
+import re
 from pathlib import Path
 from typing import Dict, List, Optional, Tuple
 
@@ -102,6 +103,14 @@ def textgrid_to_df(textgrid_dir: str, store: TranscriptStore) -> pd.DataFrame:
     rows: List[List[object]] = []
     for filename in sorted(os.listdir(textgrid_dir)):
         if not filename.endswith(".TextGrid"):
+            continue
+        # Only exact chanN.TextGrid names are predictions: a stray
+        # 'notes.TextGrid' must not NameError the whole evaluation, and a
+        # 'chan0_backup.TextGrid' must not silently double-count alongside
+        # chan0.TextGrid (get_params_from_path would parse it as chan0).
+        stem = filename[: -len(".TextGrid")]
+        if not re.fullmatch(r"chan\d+", stem):
+            print(f"WARNING: skipping non-prediction file {filename}")
             continue
         full_path = os.path.join(textgrid_dir, filename)
         params = get_params_from_path(full_path)

@@ -46,11 +46,36 @@ PyTree = Any
 # --------------------------------------------------------------------------- #
 
 
+@jax.custom_vjp
 def bce_loss(probs: jnp.ndarray, targets: jnp.ndarray) -> jnp.ndarray:
-    """torch.nn.BCELoss(mean): log terms clamped at -100."""
+    """torch.nn.BCELoss(mean): log terms clamped at -100 in the forward,
+    denominator clamped in the backward.
+
+    The custom VJP mirrors torch's backward, ``(p - y) / max(p(1-p), eps)``
+    — NOT the naive autodiff of the clamped forward, which is NaN the
+    moment a sigmoid saturates to exactly 0.0/1.0 in float32 (reverse mode
+    through ``maximum(log(p), -100)`` computes ``0 * inf``; |logit| >= ~17
+    reaches that, i.e. any confidently-classified example would poison the
+    whole batch's gradient permanently)."""
     log_p = jnp.maximum(jnp.log(probs), -100.0)
     log_1p = jnp.maximum(jnp.log(1.0 - probs), -100.0)
     return -jnp.mean(targets * log_p + (1.0 - targets) * log_1p)
+
+
+def _bce_fwd(probs, targets):
+    return bce_loss(probs, targets), (probs, targets)
+
+
+def _bce_bwd(res, g):
+    probs, targets = res
+    # torch BCELoss backward: (p - y) / clamp_min(p * (1 - p), eps), / N
+    # for the mean reduction (aten EPSILON = 1e-12).
+    denom = jnp.maximum(probs * (1.0 - probs), 1e-12)
+    grad_p = g * (probs - targets) / denom / probs.size
+    return grad_p, jnp.zeros_like(targets)
+
+
+bce_loss.defvjp(_bce_fwd, _bce_bwd)
 
 
 def batch_metrics(probs: jnp.ndarray, targets: jnp.ndarray) -> Dict[str, jnp.ndarray]:
@@ -411,7 +436,11 @@ class TrainLoop:
         # Losses stay ON DEVICE between log points: float(loss) every step
         # would force a device->host sync per batch and stall the dispatch
         # pipeline (the async-dispatch win of the jitted step).
-        device_losses: List[jnp.ndarray] = []
+        # Running loss sum stays ON DEVICE (one tiny async add per step):
+        # keeping a list of per-step loss buffers held O(steps) HBM blocks
+        # alive all epoch and cost one device->host sync per step at the
+        # end; the sum costs one sync total.
+        loss_sum: Optional[jnp.ndarray] = None
         num_batches = 0
         skip = self.epoch_step  # mid-epoch resume: already-trained batches
         # Model state (BN running stats) at the last optimizer-apply
@@ -440,7 +469,9 @@ class TrainLoop:
                 params, state, opt_state, metrics = self.trainer.train_batch(
                     params, state, opt_state, batch, step_rng
                 )
-            device_losses.append(metrics["loss"])
+            loss_sum = (
+                metrics["loss"] if loss_sum is None else loss_sum + metrics["loss"]
+            )
             num_batches += 1
             self.global_step += 1
             self.epoch_step += 1
@@ -460,7 +491,10 @@ class TrainLoop:
                         params, state, val_batches_fn(self.val_batches_per_log)
                     )
                     row.update({f"val_{k}": v for k, v in val.items()})
-                    is_best = val["loss"] < self.best_val_loss
+                    # val == {} when the fn yielded no batches (tiny dev
+                    # split + drop_remainder) — treat as no validation
+                    # rather than KeyError-ing the run at the log point.
+                    is_best = bool(val) and val["loss"] < self.best_val_loss
                     if is_best:
                         self.best_val_loss = val["loss"]
                 else:
@@ -509,9 +543,7 @@ class TrainLoop:
                         flush=True,
                     )
                 mean_loss = (
-                    float(np.mean([float(l) for l in device_losses]))
-                    if device_losses
-                    else 0.0
+                    float(loss_sum) / num_batches if num_batches else 0.0
                 )
                 return params, state, opt_state, mean_loss
         self.epoch += 1
@@ -523,9 +555,7 @@ class TrainLoop:
                 f"({num_batches / max(dt, 1e-9):.1f} it/s)",
                 flush=True,
             )
-        mean_loss = (
-            float(np.mean([float(l) for l in device_losses])) if device_losses else 0.0
-        )
+        mean_loss = float(loss_sum) / num_batches if num_batches else 0.0
         return params, state, opt_state, mean_loss
 
     def flush_metrics(self, path: str) -> None:

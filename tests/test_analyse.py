@@ -139,6 +139,13 @@ def test_create_evaluation_df_ignores_stray_entries(preds_dir, store, idx):
     (preds_dir / "Bmr021" / "notes").mkdir()
     (preds_dir / "Bmr021" / "t_0.5" / "summary.txt").write_text("x\n")
     (preds_dir / "Bmr021" / "t_0.5" / "extra_dir").mkdir()
+    # Stray .TextGrid files INSIDE an l_ dir: a non-chan name must not
+    # NameError the run, and a chanN_backup must not double-count chanN.
+    l_dir = preds_dir / "Bmr021" / "t_0.5" / "l_0.2"
+    tg.write_textgrid(str(l_dir / "notes.TextGrid"), [(1.0, 2.0)], xmax=100.0)
+    tg.write_textgrid(
+        str(l_dir / "chan0_backup.TextGrid"), [(10.0, 12.0)], xmax=100.0
+    )
     eval_df = an.create_evaluation_df(str(preds_dir), store, idx, verbose=False)
     assert len(eval_df) == 2
     s = an.calc_sum_stats(eval_df).iloc[0]

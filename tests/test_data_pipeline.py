@@ -324,6 +324,52 @@ def test_trainer_accepts_resident_batches(tmp_path, rng):
         assert ev_stream[k] == pytest.approx(ev_fused[k], abs=1e-6), k
 
 
+def test_zero_frame_track_assembles_as_zeros(tmp_path, rng):
+    """A sub-frame-length audio file caches as a (0, F) track; batches
+    containing its rows must be all-zero windows (example()'s contract),
+    not an IndexError, and ResidentLadDataset must build."""
+    from laughter_detection_icsi_tpu.data.dataset import (
+        LadDataset,
+        ResidentLadDataset,
+    )
+    from laughter_detection_icsi_tpu.data.feature_cache import FeatureCache
+
+    cache = FeatureCache(cache_dir=str(tmp_path / "fc"))
+    cache.add_track("M0", "tiny", np.zeros(50, dtype=np.float32))  # 0 frames
+    cache.add_track(
+        "M0", "chan0", (rng.standard_normal(16000) * 0.1).astype(np.float32)
+    )
+    rows = [
+        dict(meeting_id="M0", chan_id="tiny", sub_start=0.0,
+             sub_duration=1.0, label=1, start=0.0, duration=1.0),
+        dict(meeting_id="M0", chan_id="chan0", sub_start=0.0,
+             sub_duration=1.0, label=0, start=0.0, duration=1.0),
+    ]
+    ds = LadDataset(pd.DataFrame(rows), cache)
+    batch = next(ds.batches(2, shuffle=False, prefetch=0))
+    assert batch["inputs"].shape[0] == 2
+    np.testing.assert_array_equal(batch["inputs"][0], 0.0)
+    # contract: identical to the per-row example() path
+    ex = ds.example(0)
+    np.testing.assert_array_equal(batch["inputs"][0], ex["inputs"])
+    assert batch["input_lens"][0] == ex["input_lens"]
+    assert np.any(batch["inputs"][1] != 0.0)
+    res = ResidentLadDataset(ds)  # must build without IndexError
+    np.testing.assert_array_equal(np.asarray(res.feats[0]), 0.0)
+
+
+def test_sampler_missing_meeting_raises_clear_error(synthetic_corpus):
+    from laughter_detection_icsi_tpu.data.sampler import DataFrameSampler
+    from laughter_detection_icsi_tpu.eval import indices as indices_lib
+    from laughter_detection_icsi_tpu.eval import transcript as transcript_lib
+
+    store = transcript_lib.TranscriptStore(str(synthetic_corpus.transcript_dir))
+    idx = indices_lib.build_indices(store)
+    sampler = DataFrameSampler(store, idx)
+    with pytest.raises(RuntimeError, match="Zz9999"):
+        sampler.random_non_laugh(1.0, "Zz9999")
+
+
 def test_trainloop_fused_resident_path(tmp_path, rng):
     """index_batches -> TrainLoop.run_epoch uses the fused single-dispatch
     resident step: losses must be finite, params must move, and the step

@@ -364,6 +364,23 @@ def test_preemption_mid_accum_group_exact_incl_bn_state(tiny_model, tmp_path):
         signal.signal(signal.SIGINT, signal.default_int_handler)
 
 
+def test_empty_validation_iterator_does_not_crash(tiny_model, rng, tmp_path):
+    """A val_batches_fn that yields nothing (tiny dev split +
+    drop_remainder) must not KeyError the run at the log point."""
+    trainer = Trainer(model=tiny_model)
+    params, state, opt_state = trainer.init(jax.random.PRNGKey(0))
+    loop = TrainLoop(
+        trainer=trainer, checkpoint_dir=str(tmp_path), log_frequency=2
+    )
+    params, state, opt_state, loss = loop.run_epoch(
+        params, state, opt_state, _toy_batches(rng, 4),
+        val_batches_fn=lambda n: [],
+        rng=jax.random.PRNGKey(1), verbose=False,
+    )
+    assert np.isfinite(loss)
+    assert loop.global_step == 4
+
+
 def test_periodic_save_mid_accum_group_resumes_exactly(tiny_model, tmp_path):
     """A log-frequency checkpoint can fall mid-gradient-accumulation-group;
     it must record the APPLY-BOUNDARY snapshot (counters, params, BN state)

@@ -94,6 +94,33 @@ def test_loss_curve_matches_torch(steps):
         )
 
 
+def test_bce_gradient_finite_and_torch_exact_at_saturation():
+    """The autodiff of the clamped forward is NaN the moment sigmoid
+    saturates to exactly 0/1 in float32 (0*inf through maximum(log p,
+    -100)); bce_loss's custom VJP must instead mirror torch's backward —
+    (p-y)/clamp_min(p(1-p), 1e-12)/N — staying finite and torch-equal even
+    for fully saturated (incl. CORRECTLY classified) examples."""
+    import jax.numpy as jnp
+
+    from laughter_detection_icsi_tpu.train.loop import bce_loss
+
+    p_np = np.array([1.0, 0.0, 1.0, 0.0, 0.5, 0.999999], dtype=np.float32)
+    y_np = np.array([1.0, 0.0, 0.0, 1.0, 1.0, 0.0], dtype=np.float32)
+
+    grad = jax.grad(lambda p: bce_loss(p, jnp.asarray(y_np)))(jnp.asarray(p_np))
+    grad = np.asarray(grad)
+    assert np.isfinite(grad).all(), grad
+
+    tp = torch.tensor(p_np, requires_grad=True)
+    torch.nn.BCELoss()(tp, torch.tensor(y_np)).backward()
+    np.testing.assert_allclose(grad, tp.grad.numpy(), rtol=1e-5, atol=0)
+
+    # forward unchanged (clamped-log semantics)
+    want = torch.nn.BCELoss()(torch.tensor(p_np), torch.tensor(y_np)).item()
+    got = float(bce_loss(jnp.asarray(p_np), jnp.asarray(y_np)))
+    assert got == pytest.approx(want, rel=1e-6)
+
+
 def test_gradient_parity_vs_torch():
     rng = np.random.default_rng(102)
     """Backward-pass parity: gradients of BCE(model(x)) match torch to fp
