@@ -382,7 +382,9 @@ class LaughterPipeline:
                 feats = fbank_ops.fbank(wave, cfg)
             mask = jnp.arange(total_frames) < valid_frames
             feats = jnp.where(mask[:, None], feats, 0.0).astype(compute_dtype)
-            return fully_conv_probs_blocked(params, state, feats).astype(jnp.float32)
+            return fully_conv_probs_blocked(
+                params, state, feats, window=self.settings.window
+            ).astype(jnp.float32)
 
         graphs = (graph, wave_len)
         self._jitted[key] = graphs

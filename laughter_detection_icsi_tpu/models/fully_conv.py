@@ -168,7 +168,14 @@ def fully_conv_probs_blocked(
     for s in strides:
         radius += t_dil + 3 * (t_dil * s)
         t_dil *= s
-    head_extent = t_dil * (4 * 3 - 1)  # pool offsets 0..11 at stride t_dil
+    pool = 4
+    out_rows = ((window - 1) // t_dil + 1) // pool  # 3 for window 100
+    if out_rows < 1:
+        raise NotImplementedError(
+            f"fused_conv head needs window >= {pool * t_dil}; got {window}"
+        )
+    # pool offsets 0 .. pool*out_rows-1 at stride t_dil
+    head_extent = t_dil * (pool * out_rows - 1)
     halo_l, halo_r = radius, radius + head_extent
 
     t_in = feats.shape[0]
@@ -197,26 +204,29 @@ def fully_conv_probs_blocked(
 
     # x: [nb, C, block + head_extent, Wf]; freq-pool like fully_conv_probs.
     c, wf = x.shape[1], x.shape[3]
-    pool = 4
+    if wf // pool != 1:
+        raise NotImplementedError(
+            f"fused_conv head needs a single pooled frequency column "
+            f"(got Wf {wf}); use mode='windows' for other geometries"
+        )
     m = jnp.mean(
         x[:, :, :, : pool * (wf // pool)].reshape(
             x.shape[0], c, x.shape[2], wf // pool, pool
         ),
         axis=-1,
-    )
-    m = m[:, :, :, 0] if wf // pool == 1 else m.mean(axis=-1)  # [nb, C, H]
+    )[:, :, :, 0]  # [nb, C, H]
 
     pieces = []
-    for r in range(3):
+    for r in range(out_rows):
         acc = 0
         for q in range(pool):
             off = t_dil * (pool * r + q)
             acc = acc + jax.lax.dynamic_slice_in_dim(m, off, block, axis=2)
         pieces.append(acc / pool)
-    pooled = jnp.stack(pieces, axis=0)  # [3, nb, C, block]
+    pooled = jnp.stack(pieces, axis=0)  # [out_rows, nb, C, block]
 
-    # torch .view flatten order over [C, H=3, W=1]: index = c*3 + r.
-    flat = jnp.transpose(pooled, (1, 3, 2, 0)).reshape(nb * block, c * 3)
+    # torch .view flatten order over [C, H=out_rows, W=1]: c*out_rows + r.
+    flat = jnp.transpose(pooled, (1, 3, 2, 0)).reshape(nb * block, c * out_rows)
 
     scale, bias = _affine_bn(params["bn2"], state["bn2"])
     h = flat * scale + bias
@@ -278,8 +288,17 @@ def fully_conv_probs(
     # window-map rows 4r+q (q<4), cols 0..3 (floor; Wf=6 -> 1 col).
     n_rows = ((window - 1) // t_dil + 1)  # 13 for window 100, stride 8
     out_rows = n_rows // pool  # 3
+    if out_rows < 1 or wf // pool != 1:
+        # The head mirrors AvgPool2d(4)+.view for the ICSI geometry (one
+        # pooled frequency column); silently collapsing extra columns
+        # would feed the head something the reference never computes.
+        raise NotImplementedError(
+            f"fused_conv head needs window >= {pool * t_dil} and a single "
+            f"pooled frequency column (got window {window}, Wf {wf}); "
+            "use mode='windows' for other geometries"
+        )
     m = jnp.mean(x[0, :, :, : pool * (wf // pool)].reshape(c, x.shape[2], wf // pool, pool), axis=-1)
-    m = m[:, :, 0] if wf // pool == 1 else m.mean(axis=-1)  # [C, T] freq-pooled
+    m = m[:, :, 0]  # [C, T] freq-pooled
 
     # pooled[r, i] = mean_q m[:, i + t_dil*(pool*r + q)]
     total = x.shape[2]

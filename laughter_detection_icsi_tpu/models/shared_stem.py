@@ -112,7 +112,7 @@ def stem_track(params, state, feats: jnp.ndarray) -> jnp.ndarray:
     x = _bn_eval(x, params.get("bn1"), state.get("bn1"), with_bn)
     x = jax.nn.relu(x)
     x, _ = _stage_apply(
-        x, params["block1"], state["block1"], 1, False, with_bn
+        x, params["block1"], state.get("block1", {}), 1, False, with_bn
     )
     return jnp.transpose(x[0], (1, 0, 2))
 
@@ -139,7 +139,7 @@ def _band_stem(params, state, x: jnp.ndarray, top: bool) -> jnp.ndarray:
 
     for b in ("0", "1"):
         blk_p = params["block1"][b]
-        blk_s = state["block1"].get(b, {})
+        blk_s = state.get("block1", {}).get(b, {})
         inp = x
         out = _conv_rows(x, blk_p["conv1"], pad)
         out = _bn_eval(out, blk_p.get("bn1"), blk_s.get("bn1"), with_bn)
@@ -199,7 +199,7 @@ def stem_track2(params, state, track1: jnp.ndarray) -> jnp.ndarray:
     H2 - DEPTH2).  Same construction as models/fully_conv.py, but spliced
     with exact per-window edge bands instead of approximating them."""
     with_bn = "bn1" in params
-    p2, s2 = params["block2"], state["block2"]
+    p2, s2 = params["block2"], state.get("block2", {})
     b0, st0 = p2["0"], s2.get("0", {})
     x = track1[None]  # [1, T, C1, F] consumed as NHCW
 
@@ -237,7 +237,7 @@ def _band2(params, state, band1: jnp.ndarray, strip: jnp.ndarray, top: bool):
     only the window-edge side, reproducing the window's own zero pad and
     the stage's stride-2 phase.  Returns [B, C2, DEPTH2, F//2]."""
     with_bn = "bn1" in params
-    p2, s2 = params["block2"], state["block2"]
+    p2, s2 = params["block2"], state.get("block2", {})
     b0, st0 = p2["0"], s2.get("0", {})
     b1h = jnp.transpose(band1, (0, 2, 1, 3))  # [B, DEPTH, C1, F]
     x = jnp.concatenate([b1h, strip] if top else [strip, b1h], axis=1)
@@ -316,14 +316,14 @@ def tail_probs(
         key = f"block{i}"
         if nhcw and first:
             x = _block2_first_nhcw(
-                x, params[key]["0"], state[key].get("0", {}), with_bn
+                x, params[key]["0"], state.get(key, {}).get("0", {}), with_bn
             )
             x, _ = _block_apply(
-                x, params[key]["1"], state[key].get("1", {}), 1, False, with_bn
+                x, params[key]["1"], state.get(key, {}).get("1", {}), 1, False, with_bn
             )
         else:
             x, _ = _stage_apply(
-                x, params[key], state[key], 2, False, with_bn
+                x, params[key], state.get(key, {}), 2, False, with_bn
             )
         first = False
     x = L.avg_pool2d(x, 4)

@@ -189,26 +189,26 @@ def frame_waveform(waveform: jnp.ndarray, cfg: FeatConfig = FEAT) -> jnp.ndarray
     shift = cfg.frame_shift_samples
     flen = cfg.frame_length_samples
     t = num_frames(n, cfg)
-    if cfg.snip_edges:
-        padded = waveform
-    else:
-        left, right = pad_amounts(n, cfg)
-        pad_l = jnp.flip(waveform[..., :left], axis=-1)
-        pad_r = jnp.flip(waveform[..., n - right :], axis=-1)
-        padded = jnp.concatenate([pad_l, waveform, pad_r], axis=-1)
+    padded = _pad_for_framing(waveform, cfg)
     idx = jnp.arange(t)[:, None] * shift + jnp.arange(flen)[None, :]
     return padded[..., idx]
 
 
 def _pad_for_framing(waveform: jnp.ndarray, cfg: FeatConfig) -> jnp.ndarray:
-    """snip_edges=False symmetric padding (no-op when snip_edges)."""
+    """snip_edges=False symmetric padding (no-op when snip_edges).
+
+    mode='symmetric' == Kaldi's edge mirroring, and stays well-defined
+    (repeated mirroring) when a pad exceeds the wave length — naive edge
+    slicing silently produced a SHORT pad for waves under ~frame_length
+    and shifted every frame (see inference.host_pad_waveform).  The ONE
+    implementation of this padding on the jnp side; fbank_pallas and
+    frame_waveform both call it."""
     if cfg.snip_edges:
         return waveform
     n = waveform.shape[-1]
     left, right = pad_amounts(n, cfg)
-    pad_l = jnp.flip(waveform[..., :left], axis=-1)
-    pad_r = jnp.flip(waveform[..., n - right :], axis=-1)
-    return jnp.concatenate([pad_l, waveform, pad_r], axis=-1)
+    widths = [(0, 0)] * (waveform.ndim - 1) + [(left, right)]
+    return jnp.pad(waveform, widths, mode="symmetric")
 
 
 def _fbank_folded(
@@ -273,6 +273,13 @@ def fbank(
     keeps the sequential reference ops (used by differential tests and
     non-Kaldi frame geometries).
     """
+    if cfg.dither:
+        # A deterministic featurizer by design (the reference's effective
+        # Lhotse config has dither=0.0 too); dropping the knob silently
+        # would fake parity with a dithering extractor.
+        raise NotImplementedError(
+            "dither != 0 is not implemented (features are deterministic)"
+        )
     shift = cfg.frame_shift_samples
     flen = cfg.frame_length_samples
     if (

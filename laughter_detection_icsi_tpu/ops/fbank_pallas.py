@@ -154,15 +154,7 @@ def fbank_pallas(
         # delegate rather than replicate that edge case in the kernel.
         return fbank_ref.fbank(waveform, cfg)
     if not cfg.snip_edges:
-        left, right = fbank_ref.pad_amounts(n, cfg)
-        waveform = jnp.concatenate(
-            [
-                jnp.flip(waveform[..., :left], axis=-1),
-                waveform,
-                jnp.flip(waveform[..., n - right :], axis=-1),
-            ],
-            axis=-1,
-        )
+        waveform = fbank_ref._pad_for_framing(waveform, cfg)
 
     wf = waveform.reshape(-1, waveform.shape[-1])
     b = wf.shape[0]

@@ -319,7 +319,11 @@ class ShardedPipeline:
             feats = fbank_fn(waves)  # [C, total, F]
             mask = jnp.arange(total_frames)[None, :] < valid_frames[:, None]
             feats = jnp.where(mask[:, :, None], feats, 0.0).astype(compute_dtype)
-            probs = jax.vmap(lambda f: fully_conv_probs_blocked(params, state, f))(feats)
+            probs = jax.vmap(
+                lambda f: fully_conv_probs_blocked(
+                    params, state, f, window=self.settings.window
+                )
+            )(feats)
             return probs.astype(jnp.float32)
 
         graph = jax.jit(graph, in_shardings=(ch, ch), out_shardings=ch)

@@ -36,6 +36,12 @@ _BUFFER_LEAVES = ("running_mean", "running_var", "num_batches_tracked")
 
 
 def flatten_tree(tree: PyTree, prefix: str = "") -> Dict[str, np.ndarray]:
+    """Flatten a nested dict tree to torch-style dotted keys.
+
+    Empty-dict subtrees vanish (nothing to key): a NoBN model's state
+    skeleton ({'block1': {'0': {}}, ...}) round-trips through save/load as
+    {} — consumers must treat missing state sub-keys as empty, which
+    zoo.apply_fn and models/shared_stem.py do (state.get(key, {}))."""
     out: Dict[str, np.ndarray] = {}
     if isinstance(tree, dict):
         for k in sorted(tree):

@@ -158,3 +158,42 @@ def test_blocked_matches_whole_track(rng, small_model_fc=None):
         a = np.asarray(fully_conv_probs(params, state, feats))
         b = np.asarray(fully_conv_probs_blocked(params, state, feats, block=block))
         np.testing.assert_array_equal(a, b)
+
+
+def test_blocked_honors_window_parameter(rng):
+    """The blocked head must derive its pooled-row count from ``window``
+    (it hardcoded the window-100 geometry — round-2 review finding): for a
+    window with a DIFFERENT out_rows (64 -> 2 pooled rows vs 100 -> 3) the
+    blocked and unblocked paths must agree bit-for-bit; unsupported
+    geometries must be rejected loudly, not silently mis-shaped."""
+    import jax
+
+    from laughter_detection_icsi_tpu import models
+    from laughter_detection_icsi_tpu.models.fully_conv import (
+        fully_conv_probs,
+        fully_conv_probs_blocked,
+    )
+
+    # window=64: out_rows = ((64-1)//8+1)//4 = 2 -> linear head sized 8ch*2
+    model = models.build(
+        "ResNetBigger", dropout_rate=0.0, linear_layer_size=16,
+        filter_sizes=(8, 8, 8, 8),
+    )
+    params, state = model.init(jax.random.PRNGKey(4))
+    state = jax.tree_util.tree_map(
+        lambda x: x + 0.1 * jnp.asarray(rng.standard_normal(x.shape), x.dtype)
+        if x.ndim
+        else x,
+        state,
+    )
+    feats = jnp.asarray(rng.standard_normal((900, 44)), jnp.float32)
+    a = np.asarray(fully_conv_probs(params, state, feats, window=64))
+    b = np.asarray(
+        fully_conv_probs_blocked(params, state, feats, window=64, block=256)
+    )
+    np.testing.assert_array_equal(a, b)
+
+    with pytest.raises(NotImplementedError, match="window"):
+        fully_conv_probs_blocked(params, state, feats, window=16)
+    with pytest.raises(NotImplementedError, match="window|frequency"):
+        fully_conv_probs(params, state, feats, window=16)

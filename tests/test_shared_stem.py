@@ -95,6 +95,32 @@ def test_pipeline_shared_vs_naive(rng):
     np.testing.assert_array_equal(a, b)
 
 
+def test_nobn_empty_state_tree(rng):
+    """A torch-imported (or checkpoint-round-tripped) ResNetNoBN has state
+    == {} — no buffers, and flatten_tree drops empty skeletons.  The
+    shared-stem fast path (auto-enabled for ResNetNoBN) must handle it
+    like zoo.apply_fn does, not KeyError."""
+    # ResNetNoBN has the fixed reference filter plan -> 48 flat features
+    model = models.build("ResNetNoBN", dropout_rate=0.0, linear_layer_size=48)
+    params, _skel = model.init(jax.random.PRNGKey(0))
+    state = {}  # what from_torch_state_dict / load_checkpoint give for NoBN
+    T, count = 260, 12
+    feats = jnp.asarray(rng.standard_normal((T, 44)), jnp.float32)
+    track1 = shared_stem.stem_track(params, state, feats)
+    got = shared_stem.chunk_probs_from_track(
+        params, state, track1, feats, jnp.asarray(3), count
+    )
+    wins = windows.extract_windows(feats, jnp.asarray(3), count)[:, None]
+    want, _ = model.apply(params, state, wins, train=False)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+    # stage-2 sharing too
+    track2 = shared_stem.stem_track2(params, state, track1)
+    got2 = shared_stem.chunk_probs_from_track2(
+        params, state, track1, track2, feats, jnp.asarray(3), count
+    )
+    np.testing.assert_array_equal(np.asarray(got2), np.asarray(want))
+
+
 def test_forced_shared_stem_validates():
     # Explicit True on an unsupported configuration must raise clearly, not
     # crash mid-trace or compute garbage bands.
