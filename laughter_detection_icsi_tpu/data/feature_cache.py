@@ -18,12 +18,11 @@ import dataclasses
 import json
 import os
 from pathlib import Path
-from typing import Dict, Iterable, List, Optional, Tuple
+from typing import Dict, List, Optional
 
 import numpy as np
 
 from laughter_detection_icsi_tpu.config import FEAT, FeatConfig
-from laughter_detection_icsi_tpu.data import audio as audio_io
 from laughter_detection_icsi_tpu.ops import fbank as fbank_ops
 
 MANIFEST_NAME = "manifest.json"

@@ -28,12 +28,22 @@ Interval = Tuple[float, float, str]
 def _fill_gaps(
     intervals: Sequence[Tuple[float, float]], xmin: float, xmax: float, text: str
 ) -> List[Interval]:
+    """Disjoint, monotone tier intervals: overlapping/contained inputs are
+    merged into the running laugh interval (a Praat tier must be a
+    partition — emitting overlaps would double-count time when read back
+    into the evaluator)."""
     out: List[Interval] = []
     cursor = xmin
     for start, end in sorted(intervals):
+        start = max(start, cursor)
+        if end <= cursor:
+            continue  # fully contained in an already-emitted interval
         if start > cursor:
             out.append((cursor, start, ""))
-        out.append((start, end, text))
+        if out and out[-1][2] == text and out[-1][1] == start:
+            out[-1] = (out[-1][0], end, text)  # extend the open laugh run
+        else:
+            out.append((start, end, text))
         cursor = end
     if cursor < xmax:
         out.append((cursor, xmax, ""))
@@ -96,7 +106,11 @@ def read_textgrid(path: str) -> Dict[str, List[Interval]]:
         return {}
     if "ooTextFile" not in content.splitlines()[0]:
         raise ValueError(f"{path}: not a TextGrid file")
-    if "item" in content or "class =" in content:
+    # Dispatch on BODY shape: both formats share the two-line header
+    # ('Object class = "TextGrid"'), so keying on 'class =' would route
+    # every real short-format file to the long parser (which silently
+    # returns {}).  Only the long format has 'item [...]' block markers.
+    if re.search(r"^\s*item\s*\[", content, re.MULTILINE):
         return _read_long(content)
     return _read_short(content)
 

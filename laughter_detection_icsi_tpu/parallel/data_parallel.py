@@ -137,8 +137,14 @@ class DataParallelTrainer:
                 mesh_lib.data_sharding(self.mesh),
             )
             return {"x": x, "y": y}
-        x = jnp.asarray(inputs, dtype=jnp.float32)[:, None, :, :]
-        y = jnp.asarray(batch["is_laugh"], dtype=jnp.float32)
+        import numpy as np
+
+        # Host batches stay NUMPY until shard_batch's device_put: building
+        # device arrays here would make shard_batch's np.asarray a blocking
+        # D2H download + re-upload (the exact sync the resident branch's
+        # comment warns about).
+        x = np.asarray(inputs, dtype=np.float32)[:, None, :, :]
+        y = np.asarray(batch["is_laugh"], dtype=np.float32)
         return mesh_lib.shard_batch({"x": x, "y": y}, self.mesh)
 
     def train_batch(self, params, state, opt_state, batch, rng: Optional[jax.Array] = None):
@@ -186,12 +192,7 @@ class DataParallelTrainer:
 
     def eval_batches(self, params, state, batches):
         """Mean metrics over batches (train.Trainer-compatible, so TrainLoop
-        drives either trainer)."""
-        acc = {}
-        n = 0
-        for batch in batches:
-            m = self.eval_batch(params, state, batch)
-            for k, v in m.items():
-                acc[k] = acc.get(k, 0.0) + float(v)
-            n += 1
-        return {k: v / max(n, 1) for k, v in acc.items()}
+        drives either trainer; shared driver — train.loop.mean_eval_metrics)."""
+        from laughter_detection_icsi_tpu.train.loop import mean_eval_metrics
+
+        return mean_eval_metrics(self.eval_batch, params, state, batches)

@@ -284,14 +284,24 @@ class Trainer:
 
     def eval_batches(self, params, state, batches: Iterable) -> Dict[str, float]:
         """Mean metrics over a set of batches (reference train.py:178-201)."""
-        acc: Dict[str, float] = {}
-        n = 0
-        for batch in batches:
-            m = self.eval_batch(params, state, batch)
-            for k, v in m.items():
-                acc[k] = acc.get(k, 0.0) + float(v)
-            n += 1
-        return {k: v / max(n, 1) for k, v in acc.items()}
+        return mean_eval_metrics(self.eval_batch, params, state, batches)
+
+
+def mean_eval_metrics(
+    eval_batch_fn, params, state, batches: Iterable
+) -> Dict[str, float]:
+    """Unweighted mean of per-batch metrics — THE eval-batches driver,
+    shared by Trainer and parallel.DataParallelTrainer so the averaging
+    semantics can never drift between them.  Returns {} for an empty
+    iterable (callers treat that as 'no validation')."""
+    acc: Dict[str, float] = {}
+    n = 0
+    for batch in batches:
+        m = eval_batch_fn(params, state, batch)
+        for k, v in m.items():
+            acc[k] = acc.get(k, 0.0) + float(v)
+        n += 1
+    return {k: v / max(n, 1) for k, v in acc.items()}
 
 
 # --------------------------------------------------------------------------- #

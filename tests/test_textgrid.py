@@ -28,10 +28,16 @@ def test_empty_instances(tmp_path):
 
 
 def test_short_format_parse(tmp_path):
+    """A REAL Praat-saved short-format file: the standard long-style header
+    ('File type = ...' / 'Object class = "TextGrid"') with a bare-value
+    body — dispatch must key on body shape, not on 'class =' (which both
+    formats contain; keying on it silently parsed short files as {} —
+    round-2 review finding, confirmed by execution)."""
     content = "\n".join(
         [
-            '"ooTextFile"',
-            '"TextGrid"',
+            'File type = "ooTextFile"',
+            'Object class = "TextGrid"',
+            "",
             "0",
             "5",
             "<exists>",
@@ -53,3 +59,18 @@ def test_short_format_parse(tmp_path):
     path.write_text(content)
     got = tg.read_laughter_intervals(str(path))
     np.testing.assert_allclose(got, [(0.0, 1.5)])
+
+
+def test_overlapping_instances_write_merged(tmp_path):
+    """Overlapping/contained instances must produce a monotone, disjoint
+    tier (Praat requires a partition; overlaps would double-count time on
+    read-back)."""
+    path = str(tmp_path / "ov.TextGrid")
+    tg.write_textgrid(path, [(0.0, 5.0), (1.0, 2.0), (4.0, 7.0)], xmax=9.0)
+    tiers = tg.read_textgrid(path)
+    ivals = tiers["laughter"]
+    # monotone partition of [0, 9]
+    assert ivals[0][0] == 0.0 and ivals[-1][1] == 9.0
+    for (a0, b0, _), (a1, b1, _) in zip(ivals, ivals[1:]):
+        assert b0 == a1 and a0 < b0
+    assert tg.read_laughter_intervals(path) == [(0.0, 7.0)]
