@@ -10,7 +10,6 @@ codec does both (data/audio.py), including the spoken-gap delimiter
 from __future__ import annotations
 
 import argparse
-import os
 import sys
 from pathlib import Path
 from typing import List, Optional

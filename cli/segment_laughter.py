@@ -11,7 +11,6 @@ import os
 import sys
 from typing import List, Optional
 
-import numpy as np
 
 
 def strtobool(v: str) -> bool:
@@ -169,6 +168,12 @@ def main(argv: Optional[List[str]] = None) -> int:
         print(f"Real-time factor over {args.benchmark} runs: {rtf:.6f} "
               f"({1.0 / rtf:.1f}x realtime)")
         return 0
+    if (save_audio or save_tg) and not args.output_dir:
+        # Same contract as the reference (segment_laughter.py:139): silently
+        # discarding the user's segmentation would be worse than erroring.
+        raise SystemExit(
+            "Need to specify an output directory to save audio files"
+        )
     instance_dict, took = pipe.segment_file(
         args.input_audio_file,
         thresholds=thresholds,

@@ -159,6 +159,18 @@ def main(argv: Optional[List[str]] = None) -> int:
                      "threshold": args.threshold}
                 )
 
+    # Warm the bucket graphs BEFORE announcing readiness (cold jit is tens
+    # of seconds; emitting 'ready' first would stall the first real bucket
+    # while stdin backs up).  The streaming sessions share the pipeline's
+    # compiled bucket executors, so one offline pass compiles everything.
+    warm = np.zeros(
+        (settings.bucket_frames + settings.window) * 160 + 400, dtype=np.int16
+    )
+    if n_ch == 1:
+        pipe.probs_for_waveform(warm)
+    else:
+        spipe.probs_for_waveforms([warm] * n_ch)
+
     _emit(
         {"type": "ready", "channels": n_ch,
          "bucket_latency_s": settings.bucket_frames / 100.0,

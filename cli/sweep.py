@@ -19,9 +19,14 @@ import time
 from pathlib import Path
 from typing import List, Optional
 
-# The reference's sweep grid (gen_eval_exp.py:30-36)
-DEFAULT_THRESHOLDS = ",".join(str(round(t * 0.05 + 0.1, 2)) for t in range(0, 17))
-DEFAULT_MIN_LENGTHS = "0.1,0.2,0.5"
+# The reference's EXACT sweep grid (gen_eval_exp.py:30-36): 29 thresholds
+# (linspace(0, 0.9, 19) + linspace(0.91, 1, 10), rounded to 2 dp) x 3
+# min_lengths — row-for-row comparable against reference sum_stats CSVs.
+DEFAULT_THRESHOLDS = ",".join(
+    [str(round(0.05 * i, 2)) for i in range(19)]
+    + [str(round(0.91 + 0.01 * i, 2)) for i in range(10)]
+)
+DEFAULT_MIN_LENGTHS = "0,0.1,0.2"
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -147,6 +152,10 @@ def main(argv: Optional[List[str]] = None) -> int:
             print(f"{meeting_id}: {len(paths)} channels ...", flush=True)
             meter.start()
             (probs_dev, ts), durations = pipe.probs_for_meeting_device(paths)
+            if probs_dev is not None:
+                # The device arrays are async — stopping the meter on
+                # dispatch would report dispatch-only "throughput".
+                jax.block_until_ready(probs_dev)
             rtf = meter.stop(float(np.sum(durations)))
             print(f"  {rtf:.1f}x realtime", flush=True)
             total_audio_s += float(np.sum(durations))

@@ -24,7 +24,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--config", type=str, required=True)
     p.add_argument("--checkpoint_dir", type=str, required=True)
     p.add_argument("--data_root", type=str, required=True)
-    p.add_argument("--num_epochs", type=int, default=1)
+    p.add_argument("--num_epochs", type=int, default=1,
+                   help="epochs to train IN THIS RUN; resumed runs train "
+                        "this many MORE (reference-relative semantics)")
     p.add_argument("--data_dfs_dir", type=str, default="data_dfs")
     p.add_argument("--batch_size", type=str, default=None)
     p.add_argument("--dropout_rate", type=str, default="0.5")
@@ -188,6 +190,12 @@ def main(argv: Optional[List[str]] = None) -> int:
             raise SystemExit("--gradient_accumulation_steps requires single-device mode")
         trainer = DataParallelTrainer(model=model, mesh=mesh, optimizer=Adam())
         print(f"data-parallel over {n_dev} devices")
+        if args.transfer_dtype:
+            print(
+                "note: --transfer_dtype applies to single-device streamed "
+                "batches and is ignored under --data_parallel (use "
+                "--device_cache for the bandwidth win)"
+            )
     else:
         trainer = Trainer(model=model, optimizer=Adam(), grad_accum=grad_accum,
                           transfer_dtype=args.transfer_dtype)
@@ -263,8 +271,14 @@ def main(argv: Optional[List[str]] = None) -> int:
     # `with` (not manual __enter__/__exit__) so any exception — including
     # the escalated second-SIGINT KeyboardInterrupt — still finalizes the
     # profiler trace instead of leaving it corrupt.
+    # RELATIVE epoch semantics, exactly like the reference (train.py:154
+    # `for epoch in range(n_epochs)` after resuming): each run trains
+    # --num_epochs MORE epochs from wherever the checkpoint left off — the
+    # contract behind the reference's N one-epoch jobs resuming each other
+    # (gen_train_exp.py) and pinned by test_cli_entry's resume test.
+    target_epoch = loop.epoch + args.num_epochs
     with trace(args.trace_dir):
-        for epoch in range(args.num_epochs):
+        while loop.epoch < target_epoch:
             if use_cache:
                 # Fused resident steps: one device dispatch per batch.
                 epoch_batches = train_ds.index_batches(

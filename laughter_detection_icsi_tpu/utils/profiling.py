@@ -63,8 +63,14 @@ class ThroughputMeter:
     @contextlib.contextmanager
     def span(self, audio_seconds: float) -> Iterator[None]:
         self.start()
-        yield
-        self.stop(audio_seconds)
+        try:
+            yield
+            self.stop(audio_seconds)
+        except BaseException:
+            # Body failed: reset without crediting the span, so a later
+            # start()/stop() pair doesn't absorb this span's elapsed time.
+            self._t0 = None
+            raise
 
     @property
     def x_realtime_per_chip(self) -> float:

@@ -76,15 +76,24 @@ def plot_precision_recall(
 
 
 def plot_fp_confusion(
-    eval_df_csv: str, out_path: Optional[str] = None, thresholds: Sequence[float] = ()
+    eval_df_csv: str,
+    out_path: Optional[str] = None,
+    thresholds: Sequence[float] = (),
+    min_len: Optional[float] = None,
 ):
     """Heatmap of false-positive time attributed to speech/noise/silence per
-    threshold (reference visualise.py:123-168)."""
+    (threshold, min_len) — grouped on BOTH like the reference
+    (visualise.py:123-168 aggregates ['threshold', 'min_len']); summing
+    across min_lens would multiply every cell by the grid size and mix
+    distinct smoothing parametrizations.  ``min_len`` filters to one
+    setting; default shows each (threshold, min_len) as its own row."""
     df = pd.read_csv(eval_df_csv)
     if thresholds:
         df = df[df["threshold"].isin(thresholds)]
+    if min_len is not None:
+        df = df[df["min_len"] == min_len]
     agg = (
-        df.groupby("threshold")[
+        df.groupby(["threshold", "min_len"])[
             ["tot_fp_speech_time", "tot_fp_noise_time", "tot_fp_silence_time"]
         ]
         .sum()
@@ -96,7 +105,7 @@ def plot_fp_confusion(
     ax.set_xticks(range(3))
     ax.set_xticklabels(["speech", "noise", "silence"])
     ax.set_yticks(range(len(agg)))
-    ax.set_yticklabels([f"t={t}" for t in agg.index])
+    ax.set_yticklabels([f"t={t} l={l}" for t, l in agg.index])
     for i in range(data.shape[0]):
         for j in range(data.shape[1]):
             ax.text(j, i, f"{data[i, j]:.1f}", ha="center", va="center",
