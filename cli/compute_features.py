@@ -64,9 +64,12 @@ def main(argv: Optional[List[str]] = None) -> int:
         )
 
     store = transcript_lib.TranscriptStore(transcript_dir)
-    splits = set(args.splits.split(","))
+    # strip(): "train, dev" must mean train+dev, not silently match nothing
+    splits = {s.strip() for s in args.splits.split(",") if s.strip()}
     wanted_meetings = (
-        set(args.meetings.split(",")) if args.meetings else None
+        {m.strip() for m in args.meetings.split(",") if m.strip()}
+        if args.meetings
+        else None
     )
     cache = FeatureCache(output_dir)
     dtype = np.float16 if args.dtype == "float16" else np.float32

@@ -34,33 +34,49 @@ def main(argv: Optional[List[str]] = None) -> int:
                 loaded["params"], loaded["state"]
             ).items()
         }
+        def _get(key, default):
+            # `or` would map legitimate zeros (epoch 0, best_val_loss 0.0)
+            # to the default.
+            v = loaded.get(key)
+            return default if v is None else v
+
         torch.save(
             {
                 "state_dict": state_dict,
-                "epoch": loaded.get("epoch") or 0,
-                "global_step": loaded.get("global_step") or 0,
-                "best_val_loss": loaded.get("best_val_loss") or float("inf"),
+                "epoch": _get("epoch", 0),
+                "global_step": _get("global_step", 0),
+                "best_val_loss": _get("best_val_loss", float("inf")),
             },
             args.dest,
         )
     else:
         import os
+        import tempfile
 
-        dest_dir = os.path.dirname(args.dest) or "."
-        path = ckpt.save_checkpoint(
-            dest_dir,
-            loaded["params"],
-            loaded["state"],
-            opt_state=loaded.get("opt_state"),
-            epoch=loaded.get("epoch") or 0,
-            global_step=loaded.get("global_step") or 0,
-            best_val_loss=(
-                loaded.get("best_val_loss")
-                if loaded.get("best_val_loss") is not None
-                else float("inf")
-            ),
-        )
-        if os.path.abspath(path) != os.path.abspath(args.dest):
+        # Write into a TEMP directory, not the destination's: save_checkpoint
+        # always emits <dir>/last.ckpt.npz, and writing that directly into a
+        # live training directory would clobber its resume checkpoint.
+        with tempfile.TemporaryDirectory(
+            dir=os.path.dirname(args.dest) or "."
+        ) as tmp:
+            path = ckpt.save_checkpoint(
+                tmp,
+                loaded["params"],
+                loaded["state"],
+                opt_state=loaded.get("opt_state"),
+                epoch=loaded.get("epoch") if loaded.get("epoch") is not None else 0,
+                global_step=(
+                    loaded.get("global_step")
+                    if loaded.get("global_step") is not None
+                    else 0
+                ),
+                best_val_loss=(
+                    loaded.get("best_val_loss")
+                    if loaded.get("best_val_loss") is not None
+                    else float("inf")
+                ),
+                epoch_step=loaded.get("epoch_step") or 0,
+            )
             os.replace(path, args.dest)
     n = sum(
         v.size for v in ckpt.flatten_tree(loaded["params"]).values()

@@ -19,7 +19,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--transcript_dir", type=str, default=None)
     p.add_argument("--num_laugh_samples", type=int, default=None)
     p.add_argument("--num_non_laugh_samples", type=int, default=None)
-    p.add_argument("--random_selection", action="store_true", default=None)
+    p.add_argument("--random_selection", action=argparse.BooleanOptionalAction,
+                   default=None,
+                   help="--random_selection / --no-random_selection; unset "
+                        "falls back to RANDOM_SELECTION in env/.env")
     p.add_argument("--meeting_id", type=str, default=None)
     p.add_argument("--chan_id", type=str, default=None)
     p.add_argument("--noise_from_speech_bug", action="store_true",
@@ -41,9 +44,17 @@ def main(argv: Optional[List[str]] = None) -> int:
     data_dfs_dir = args.data_dfs_dir or os.environ.get("DATA_DFS_DIR")
     if not data_dfs_dir:
         raise SystemExit("need --data_dfs_dir (or DATA_DFS_DIR in env/.env)")
-    n_laugh = args.num_laugh_samples or int(os.environ.get("NUM_OF_LAUGH_SAMPLES", 1))
-    n_non = args.num_non_laugh_samples or int(
-        os.environ.get("NUM_OF_NON_LAUGH_SAMPLES", 1)
+    # `is None`, not `or`: an explicit --num_*_samples 0 is a legal request
+    # (e.g. a non-laugh-only table) that `or` would silently override.
+    n_laugh = (
+        args.num_laugh_samples
+        if args.num_laugh_samples is not None
+        else int(os.environ.get("NUM_OF_LAUGH_SAMPLES", 1))
+    )
+    n_non = (
+        args.num_non_laugh_samples
+        if args.num_non_laugh_samples is not None
+        else int(os.environ.get("NUM_OF_NON_LAUGH_SAMPLES", 1))
     )
     random_sel = (
         args.random_selection

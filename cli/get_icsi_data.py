@@ -61,14 +61,22 @@ def main(argv: Optional[List[str]] = None) -> int:
             if dest.exists():
                 continue
             url = f"{args.mirror}/{m}/{c}.sph"
+            # Fetch to a temp name, rename on success: urlretrieve writing
+            # the final name directly would leave a TRUNCATED .sph on any
+            # interruption (Ctrl-C, kill, timeout), which every rerun then
+            # skips as complete.
+            part = dest.with_suffix(".sph.part")
             try:
-                urllib.request.urlretrieve(url, dest)
+                urllib.request.urlretrieve(url, part)
+                part.replace(dest)
                 fetched += 1
                 print(f"fetched {url}")
-            except urllib.error.URLError as e:
-                dest.unlink(missing_ok=True)
+            except BaseException as e:
+                part.unlink(missing_ok=True)
                 if isinstance(e, urllib.error.HTTPError) and e.code == 404:
                     continue  # channel doesn't exist for this meeting
+                if not isinstance(e, urllib.error.URLError):
+                    raise
                 print(
                     f"network unavailable ({e}); rerun with --print_urls and "
                     "mirror the corpus in manually"
@@ -79,14 +87,19 @@ def main(argv: Optional[List[str]] = None) -> int:
         tdir.mkdir(parents=True, exist_ok=True)
         dest = tdir / "ICSI_original_transcripts.zip"
         if not dest.exists():
+            part = dest.with_suffix(".zip.part")
             try:
-                urllib.request.urlretrieve(TRANSCRIPTS_URL, dest)
+                urllib.request.urlretrieve(TRANSCRIPTS_URL, part)
+                part.replace(dest)
                 import zipfile
 
                 with zipfile.ZipFile(dest) as z:
                     z.extractall(tdir)
                 print(f"transcripts -> {tdir}")
-            except urllib.error.URLError as e:
+            except BaseException as e:
+                part.unlink(missing_ok=True)
+                if not isinstance(e, urllib.error.URLError):
+                    raise
                 print(f"network unavailable for transcripts ({e})")
                 return 1
     print(f"done ({fetched} files fetched)")

@@ -119,7 +119,11 @@ def main(argv: Optional[List[str]] = None) -> int:
     )
 
     store = transcript_lib.load(args.transcript_dir)
-    wanted = set(args.meetings.split(",")) if args.meetings else None
+    wanted = (
+        {m.strip() for m in args.meetings.split(",") if m.strip()}
+        if args.meetings
+        else None
+    )
     meetings = [
         m
         for m in store.meeting_ids

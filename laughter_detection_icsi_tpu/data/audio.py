@@ -269,6 +269,14 @@ def read(
             fmt = ">i2" if meta.big_endian else "<i2"
             scale = 32768.0
         elif meta.sample_bytes == 1:
+            # WAV stores 8-bit PCM UNSIGNED (midpoint 0x80); SPHERE is
+            # signed.  Decoding WAV as signed would wrap mid-scale (silence
+            # at -1.0).
+            if meta.container == "wav":
+                data = np.frombuffer(raw, dtype=np.uint8).astype(np.int16) - 128
+                if meta.num_channels > 1:
+                    data = data.reshape(-1, meta.num_channels)[:, channel]
+                return (data.astype(dtype) / 128.0).astype(dtype), sr
             fmt = "i1"
             scale = 128.0
         elif meta.sample_bytes == 4:

@@ -127,6 +127,15 @@ class _BitReader:
     __slots__ = ("bits", "ones", "pos", "n")
 
     def __init__(self, data: bytes):
+        if len(data) * 8 >= 2**31:
+            # int32 one-positions below; larger payloads would wrap the
+            # index silently.  (~268 MB compressed ≈ 4+ hours of 16 kHz
+            # audio — far beyond any ICSI channel; the C++ decoder has no
+            # such bound.)
+            raise ValueError(
+                "shorten: payload too large for the Python decoder "
+                f"({len(data)} bytes); use the native (C++) decoder"
+            )
         arr = np.frombuffer(data, dtype=np.uint8)
         self.bits = np.unpackbits(arr)
         # int32 positions: shorten payloads are far below 2^31 bits, and the

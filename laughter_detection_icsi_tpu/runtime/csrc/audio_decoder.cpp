@@ -47,6 +47,7 @@ typedef struct {
   int32_t encoding;    // AudioEncoding
   int32_t big_endian;  // 0/1
   int64_t data_offset; // bytes
+  int32_t is_wav;      // container: 1 = RIFF/WAVE, 0 = NIST SPHERE
 } audio_info_t;
 
 // ---------------------------------------------------------------------- //
@@ -73,6 +74,7 @@ static int parse_sphere(int fd, audio_info_t* info) {
   info->encoding = ENC_PCM;
   info->big_endian = 0;
   info->data_offset = header_size;
+  info->is_wav = 0;
 
   int rc = 0;
   char* save = nullptr;
@@ -134,6 +136,7 @@ static int parse_wav(int fd, audio_info_t* info) {
       info->num_channels = channels;
       info->big_endian = 0;
       info->data_offset = pos;
+      info->is_wav = 1;
       if (fmt_code == 7) { info->encoding = ENC_ULAW; info->sample_bytes = 1; }
       else if (fmt_code == 1) {
         info->encoding = ENC_PCM; info->sample_bytes = bits / 8;
@@ -495,9 +498,17 @@ int64_t audio_read_f32(const char* path, int64_t start, int64_t count,
       for (int64_t i = 0; i < frames; i++)
         out[i] = (int16_t)p[i * nch + ch] * (1.0f / 32768.0f);
   } else if (info.encoding == ENC_PCM && info.sample_bytes == 1) {
-    const int8_t* p = (const int8_t*)raw;
-    for (int64_t i = 0; i < frames; i++)
-      out[i] = p[i * nch + ch] * (1.0f / 128.0f);
+    if (info.is_wav) {
+      // WAV 8-bit PCM is UNSIGNED (midpoint 0x80); signed decode would
+      // wrap mid-scale.  SPHERE 8-bit stays signed.
+      const uint8_t* p = (const uint8_t*)raw;
+      for (int64_t i = 0; i < frames; i++)
+        out[i] = ((int)p[i * nch + ch] - 128) * (1.0f / 128.0f);
+    } else {
+      const int8_t* p = (const int8_t*)raw;
+      for (int64_t i = 0; i < frames; i++)
+        out[i] = p[i * nch + ch] * (1.0f / 128.0f);
+    }
   } else if (info.encoding == ENC_PCM && info.sample_bytes == 4) {
     const uint32_t* p = (const uint32_t*)raw;
     if (info.big_endian)

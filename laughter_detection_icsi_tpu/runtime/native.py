@@ -51,6 +51,7 @@ class _AudioInfo(ctypes.Structure):
         ("encoding", ctypes.c_int32),
         ("big_endian", ctypes.c_int32),
         ("data_offset", ctypes.c_int64),
+        ("is_wav", ctypes.c_int32),
     ]
 
 
@@ -204,7 +205,10 @@ def info(path: str):
         encoding={0: "pcm", 1: "ulaw", 2: "float", 3: "shorten"}[out.encoding],
         big_endian=bool(out.big_endian),
         data_offset=out.data_offset,
-        container="sphere" if out.encoding != 2 and out.data_offset == 1024 else "wav",
+        # The C side reports the container directly — inferring it from
+        # data_offset == 1024 misclassified SPHERE files with non-default
+        # header sizes.
+        container="wav" if out.is_wav else "sphere",
     )
 
 

@@ -80,6 +80,31 @@ def test_shorten_garbage_payload_rejected(tmp_path):
         audio.read(str(path))
 
 
+def test_8bit_wav_is_unsigned(tmp_path):
+    """WAV stores 8-bit PCM unsigned (midpoint 0x80): digital silence must
+    decode to 0.0 (signed decode wrapped it to -1.0 — review finding);
+    Python and C++ decoders must agree."""
+    import struct as _struct
+
+    from laughter_detection_icsi_tpu.runtime import native
+
+    # hand-built 8-bit mono WAV: silence, full positive, full negative
+    payload = bytes([0x80] * 4 + [0xFF] * 2 + [0x00] * 2)
+    with open(tmp_path / "u8.wav", "wb") as f:
+        f.write(b"RIFF" + _struct.pack("<I", 36 + len(payload)) + b"WAVEfmt ")
+        f.write(_struct.pack("<IHHIIHH", 16, 1, 1, 8000, 8000, 1, 8))
+        f.write(b"data" + _struct.pack("<I", len(payload)) + payload)
+    path = str(tmp_path / "u8.wav")
+    got, sr = audio.read(path)
+    want = np.array([0, 0, 0, 0, 127, 127, -128, -128], np.float32) / 128.0
+    np.testing.assert_allclose(got, want, atol=1e-6)
+    if native.available():
+        got_c, _ = native.read(path)
+        np.testing.assert_allclose(got_c, want, atol=1e-6)
+        # container reported from the actual header, not inferred
+        assert native.info(path).container == "wav"
+
+
 def test_stereo_channel_select(tmp_path, rng):
     left = (rng.standard_normal(800) * 0.2).astype(np.float32)
     right = (rng.standard_normal(800) * 0.2).astype(np.float32)

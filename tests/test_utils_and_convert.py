@@ -59,6 +59,33 @@ def test_convert_checkpoint_roundtrip(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_convert_does_not_clobber_live_checkpoint(tmp_path):
+    """Converting INTO a directory holding a live training checkpoint must
+    not overwrite its last.ckpt.npz (save_checkpoint always emits that
+    name; the converter must stage elsewhere — review finding), and a
+    mid-epoch epoch_step must survive conversion."""
+    from cli.convert_checkpoint import main
+
+    model = models.MLPModel(linear_layer_size=16, hid_dim1=8, hid_dim2=4)
+    params, state = model.init(jax.random.PRNGKey(1))
+    # the "live run" checkpoint in the destination dir
+    live = ckpt.save_checkpoint(
+        str(tmp_path), params, state, epoch=9, global_step=900, epoch_step=17
+    )
+    live_bytes = open(live, "rb").read()
+
+    src_dir = tmp_path / "src"
+    src = ckpt.save_checkpoint(
+        str(src_dir), params, state, epoch=1, global_step=5, epoch_step=3
+    )
+    dest = str(tmp_path / "converted.ckpt.npz")
+    assert main([src, dest]) == 0
+    assert open(live, "rb").read() == live_bytes  # untouched
+    loaded = ckpt.load_checkpoint(dest)
+    assert loaded["global_step"] == 5
+    assert loaded["epoch_step"] == 3  # forwarded, not dropped
+
+
 def test_corrupt_checkpoint_error(tmp_path):
     p = tmp_path / "last.ckpt.npz"
     p.write_bytes(b"PK\x03\x04 definitely not a real npz")
