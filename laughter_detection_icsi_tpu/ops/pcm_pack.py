@@ -169,6 +169,8 @@ def pack_pcm(
     wave = np.ascontiguousarray(wave)
     if wave.dtype != np.int16:
         raise TypeError(f"pack_pcm wants int16 PCM, got {wave.dtype}")
+    if wave.ndim != 1:
+        raise TypeError(f"pack_pcm wants a 1-D waveform, got shape {wave.shape}")
     n = len(wave)
     n_blocks = max(1, -(-n // BLOCK))
 

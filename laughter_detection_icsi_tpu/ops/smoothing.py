@@ -28,6 +28,15 @@ import numpy as np
 OVERFLOW_EPS = 1e-7
 
 
+def _fix_over_underflow_np(probs: np.ndarray) -> np.ndarray:
+    """Host twin of :func:`fix_over_underflow` (reference
+    laugh_segmenter.py:57-71): p > 1 -> 1, p <= 0 -> eps.  One definition
+    shared by every host path so the streaming detector's pinned agreement
+    with the offline scan can't drift."""
+    probs = np.where(probs > 1.0, 1.0, probs)
+    return np.where(probs <= 0.0, OVERFLOW_EPS, probs)
+
+
 class StreamingEventDetector:
     """Incremental run-length smoothing for one (threshold, min_length).
 
@@ -57,9 +66,7 @@ class StreamingEventDetector:
         """Add frame probabilities; returns the events that closed."""
         if self._done:
             raise RuntimeError("detector already finished")
-        probs = np.asarray(probs, dtype=np.float32)
-        probs = np.where(probs > 1.0, 1.0, probs)
-        probs = np.where(probs <= 0.0, OVERFLOW_EPS, probs)
+        probs = _fix_over_underflow_np(np.asarray(probs, dtype=np.float32))
         mask = probs > self.threshold
         prev = np.int8(0 if self._open is None else 1)
         d = np.diff(np.concatenate([[prev], mask.astype(np.int8)]))
@@ -174,9 +181,9 @@ def instances_from_device_probs(
     starts, lasts, counts = _padded_runs(
         probs_p, thr_arr, jnp.asarray(t, jnp.int32), max_events
     )
-    starts = np.asarray(starts)
-    lasts = np.asarray(lasts)
-    counts = np.asarray(counts)
+    # One batched D2H transfer for all three tiny tables: on a tunneled
+    # device each blocking np.asarray pays the full per-RPC latency.
+    starts, lasts, counts = jax.device_get((starts, lasts, counts))
 
     out: Dict[Tuple[float, float], List[Tuple[float, float]]] = {}
     host_probs: "np.ndarray | None" = None
@@ -219,10 +226,7 @@ def get_laughter_instances(
     a low threshold can legally produce tens of thousands of runs).  The
     in-graph equivalent for on-device smoothing is :func:`laughter_runs`.
     """
-    probs = np.asarray(probs, dtype=np.float32)
-    # reference fix_over_underflow semantics: p > 1 -> 1, p <= 0 -> eps
-    probs = np.where(probs > 1.0, 1.0, probs)
-    probs = np.where(probs <= 0.0, OVERFLOW_EPS, probs)
+    probs = _fix_over_underflow_np(np.asarray(probs, dtype=np.float32))
 
     out: Dict[Tuple[float, float], List[Tuple[float, float]]] = {}
     for thr in thresholds:

@@ -55,20 +55,41 @@ class _AudioInfo(ctypes.Structure):
     ]
 
 
-def _build() -> Optional[ctypes.CDLL]:
-    global _build_failed
-    if _LIB_PATH.is_file() and _LIB_PATH.stat().st_mtime >= _SRC.stat().st_mtime:
-        return ctypes.CDLL(str(_LIB_PATH))
+def _compile_and_load(
+    src: Path, lib_path: Path, extra_flags: Sequence[str] = ()
+) -> Optional[ctypes.CDLL]:
+    """Build ``src`` into ``lib_path`` (if stale) and dlopen it.
+
+    The compile goes to a process-unique temp path and lands with an atomic
+    os.replace, so concurrent first-use across processes (corpus sweeps
+    fan out one process per split) never exposes a half-written .so; and
+    the CDLL itself is inside the try so a torn/corrupt cached library
+    degrades to the Python fallback instead of raising forever.
+    """
     try:
+        if lib_path.is_file() and lib_path.stat().st_mtime >= src.stat().st_mtime:
+            try:
+                return ctypes.CDLL(str(lib_path))
+            except OSError:
+                pass  # corrupt cache (e.g. a compile killed mid-write): rebuild
+        tmp = lib_path.with_suffix(f".tmp{os.getpid()}.so")
         subprocess.run(
-            ["g++", "-O3", "-shared", "-fPIC", str(_SRC), "-o", str(_LIB_PATH), "-lpthread"],
+            ["g++", "-O3", "-shared", "-fPIC", str(src), "-o", str(tmp), *extra_flags],
             check=True,
             capture_output=True,
         )
-        return ctypes.CDLL(str(_LIB_PATH))
-    except (OSError, subprocess.CalledProcessError) as e:
-        _build_failed = True
+        os.replace(tmp, lib_path)
+        return ctypes.CDLL(str(lib_path))
+    except (OSError, subprocess.CalledProcessError):
         return None
+
+
+def _build() -> Optional[ctypes.CDLL]:
+    global _build_failed
+    lib = _compile_and_load(_SRC, _LIB_PATH, ["-lpthread"])
+    if lib is None:
+        _build_failed = True
+    return lib
 
 
 def _get_lib() -> Optional[ctypes.CDLL]:
@@ -122,20 +143,10 @@ def _get_pack_lib() -> Optional[ctypes.CDLL]:
     with _pack_lock:
         if _pack_lib is not None or _pack_build_failed:
             return _pack_lib
-        if not (
-            _PACK_LIB_PATH.is_file()
-            and _PACK_LIB_PATH.stat().st_mtime >= _PACK_SRC.stat().st_mtime
-        ):
-            try:
-                subprocess.run(
-                    ["g++", "-O3", "-shared", "-fPIC", str(_PACK_SRC), "-o", str(_PACK_LIB_PATH)],
-                    check=True,
-                    capture_output=True,
-                )
-            except (OSError, subprocess.CalledProcessError):
-                _pack_build_failed = True
-                return None
-        lib = ctypes.CDLL(str(_PACK_LIB_PATH))
+        lib = _compile_and_load(_PACK_SRC, _PACK_LIB_PATH)
+        if lib is None:
+            _pack_build_failed = True
+            return None
         lib.pcm_pack.restype = ctypes.c_int64
         lib.pcm_pack.argtypes = [
             ctypes.POINTER(ctypes.c_int16),

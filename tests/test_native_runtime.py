@@ -1,5 +1,7 @@
 """Native C++ decoder vs the pure-Python codec: bit-identical output."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -96,3 +98,27 @@ def test_native_packer_rejects_bad_block():
     wave = np.zeros(100, dtype=np.int16)
     assert native.pack_pcm_native(wave, block=33) is None
     assert native.pack_pcm_native(wave, block=0) is None
+
+
+def test_corrupt_cached_lib_recovers(tmp_path):
+    """A torn .so (e.g. a compile SIGKILLed mid-write, leaving a fresh
+    mtime) must trigger a rebuild, not poison the native path forever."""
+    from laughter_detection_icsi_tpu.runtime import native
+
+    if native._get_pack_lib() is None:
+        pytest.skip("no C++ toolchain")
+    lib_path = tmp_path / "libpcmpack.so"
+    lib_path.write_bytes(b"\x7fELF garbage, definitely not a library")
+    # Fresh mtime: the cache check alone would trust this file.
+    os.utime(lib_path, None)
+    lib = native._compile_and_load(native._PACK_SRC, lib_path)
+    assert lib is not None
+    assert hasattr(lib, "pcm_pack")
+
+
+def test_compile_failure_returns_none(tmp_path):
+    from laughter_detection_icsi_tpu.runtime import native
+
+    bad_src = tmp_path / "bad.cpp"
+    bad_src.write_text("this is not C++ at all {{{")
+    assert native._compile_and_load(bad_src, tmp_path / "bad.so") is None

@@ -132,3 +132,14 @@ def test_native_packer_matches_numpy():
         np.testing.assert_array_equal(a.widths, b.widths)
         np.testing.assert_array_equal(a.words, b.words)
         _roundtrip(wave)
+
+
+def test_pack_rejects_multidim():
+    """pack_pcm must reject non-1-D input on BOTH paths: with the native
+    packer a (C, T) array used to silently pack only the first C samples
+    (n = len(wave) counts rows)."""
+    wave2d = np.zeros((4, 1000), dtype=np.int16)
+    with pytest.raises(TypeError, match="1-D"):
+        pcm_pack.pack_pcm(wave2d, use_native=True)
+    with pytest.raises(TypeError, match="1-D"):
+        pcm_pack.pack_pcm(wave2d, use_native=False)
