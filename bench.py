@@ -74,9 +74,13 @@ def _wait_for_healthy_d2h(max_wait_s: float = 300.0) -> bool:
     import jax
     import jax.numpy as jnp
 
+    probe = jax.jit(lambda v: v + 1)
     deadline = time.monotonic() + max_wait_s
+    attempt = 0
     while True:
-        x = jax.jit(lambda v: v + 1)(jnp.ones(256))
+        # Distinct contents per attempt: the tunnel dedups identical
+        # transfers/executions, which would make a sick link probe healthy.
+        x = probe(jnp.full(256, float(attempt)))
         x.block_until_ready()
         t0 = time.perf_counter()
         np.asarray(x)
@@ -84,6 +88,7 @@ def _wait_for_healthy_d2h(max_wait_s: float = 300.0) -> bool:
             return True
         if time.monotonic() > deadline:
             return False
+        attempt += 1
         time.sleep(30.0)
 
 
@@ -165,19 +170,22 @@ def main() -> None:
     # and are scaled on device).  ICSI-like synthetic meeting audio — see
     # speech_like_pcm.  (Rounds 1a-1c used full-scale white noise; numbers
     # before/after are not directly comparable.)
-    wave = speech_like_pcm(audio_seconds)
-
     healthy = _wait_for_healthy_d2h() if on_accel else True
-    pipe.probs_for_waveform(wave)  # warmup: compile both graphs
+    # Distinct waveform CONTENTS per run (different seeds, same generator and
+    # length): the tunnel dedups repeated identical uploads/executions, so
+    # re-timing one wave can report the cache, not the hardware.  All waves
+    # are generated off the clock.
+    iters = 3 if healthy else 1
+    waves = [speech_like_pcm(audio_seconds, seed=23 + i) for i in range(iters + 1)]
+    pipe.probs_for_waveform(waves[0])  # warmup: compile both graphs
 
     # Best-of-N: the tunneled link's transfer rate fluctuates by >10x
     # minute to minute; the fastest run reflects the hardware, the mean
     # reflects the tunnel's mood.
-    iters = 3 if healthy else 1
     dt = float("inf")
-    for _ in range(iters):
+    for i in range(iters):
         t0 = time.perf_counter()
-        probs = pipe.probs_for_waveform(wave)
+        probs = pipe.probs_for_waveform(waves[1 + i])
         dt = min(dt, time.perf_counter() - t0)
     assert probs.shape[0] == audio_seconds * 100
 

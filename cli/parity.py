@@ -189,8 +189,10 @@ def _check_probs(gdir: Path, audio: Dict[str, str], pipe, atol: float) -> dict:
     if pipe is None:
         return {"status": "skipped", "reason": "no --model_path"}
     worst, n = 0.0, 0
+    missing: List[str] = []
     for g in goldens:
         if g.stem not in audio:
+            missing.append(g.stem)
             continue
         want = np.load(g)
         got, _dur = pipe.probs_for_file(audio[g.stem])
@@ -203,10 +205,13 @@ def _check_probs(gdir: Path, audio: Dict[str, str], pipe, atol: float) -> dict:
         n += 1
     if not n:
         return {"status": "skipped", "reason": "no golden had matching audio"}
-    return {
+    out = {
         "status": "pass" if worst <= atol else "fail",
         "n": n, "max_abs_diff": worst, "atol": atol,
     }
+    if missing:
+        out["missing_audio"] = missing
+    return out
 
 
 def _check_textgrids(
@@ -223,9 +228,11 @@ def _check_textgrids(
     thr = float(manifest.get("threshold", 0.5))
     min_len = float(manifest.get("min_length", 0.2))
     worst, n = 0.0, 0
+    missing: List[str] = []
     for g in goldens:
         stem = g.stem
         if stem not in audio:
+            missing.append(stem)
             continue
         want = tg.read_laughter_intervals(str(g))
         inst, _took = pipe.segment_file(
@@ -242,11 +249,14 @@ def _check_textgrids(
         n += 1
     if not n:
         return {"status": "skipped", "reason": "no golden had matching audio"}
-    return {
+    out = {
         "status": "pass" if worst <= tol else "fail",
         "n": n, "max_boundary_diff_s": worst, "tol_s": tol,
         "threshold": thr, "min_length": min_len,
     }
+    if missing:
+        out["missing_audio"] = missing
+    return out
 
 
 def _run_sweep_stats(args, manifest: dict, workdir: Path) -> Path:
@@ -298,6 +308,13 @@ def _check_analyse(args, gdir: Path, manifest: dict, atol: float, workdir: Path)
         return {"status": "fail", "reason": str(e)}
     ours = pd.read_csv(ours_csv)
     want = pd.read_csv(golden_csv)
+    # Join on ROUNDED grid keys: the reference export may carry float-repr
+    # noise (np.arange thresholds like 0.30000000000000004) while our keys
+    # round-trip through t_*/l_* directory names as exact short decimals —
+    # a raw float merge would silently drop those rows.
+    for df in (ours, want):
+        for col in ("threshold", "min_len"):
+            df[col] = df[col].round(6)
     merged = want.merge(
         ours, on=["threshold", "min_len"], suffixes=("_ref", "_tpu")
     )
@@ -389,13 +406,20 @@ def _write_goldens(args, gdir: Path, audio: Dict[str, str]) -> dict:
         pipe = _pipeline(args, model, params, state)
         (gdir / "probs").mkdir(exist_ok=True)
         (gdir / "textgrids").mkdir(exist_ok=True)
+        from laughter_detection_icsi_tpu.ops import smoothing
+
         for stem, path in audio.items():
-            probs, duration = pipe.probs_for_file(path)
-            np.save(gdir / "probs" / f"{stem}.npy", np.asarray(probs))
-            inst, _ = pipe.segment_file(
-                path,
+            # One forward pass per file: keep the probs on device, save a
+            # host copy, and run the on-device smoothing on the SAME array
+            # (segment_file would re-run full inference internally).
+            probs_dev, duration = pipe.probs_for_file(path, device=True)
+            np.save(gdir / "probs" / f"{stem}.npy", np.asarray(probs_dev))
+            fps = probs_dev.shape[0] / float(duration) if duration > 0 else 100.0
+            inst = smoothing.instances_from_device_probs(
+                probs_dev,
                 thresholds=[manifest["threshold"]],
                 min_lengths=[manifest["min_length"]],
+                fps=fps,
             )
             tg.write_textgrid(
                 str(gdir / "textgrids" / f"{stem}.TextGrid"),

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import dataclasses
 import os
+import re
 from pathlib import Path
 from typing import Dict, List, Optional
 
@@ -189,7 +190,18 @@ def load_env(env_file: str = ".env", override: bool = False) -> Dict[str, str]:
             continue
         key, _, value = line.partition("=")
         key = key.strip()
-        value = value.strip().strip("'\"")
+        value = value.strip()
+        if len(value) >= 2 and value[0] in "'\"" and value[-1] == value[0]:
+            # Quoted: keep the content verbatim (a '#' inside is data).
+            value = value[1:-1]
+        else:
+            # Unquoted: strip inline comments like python-dotenv does —
+            # everything from a whitespace-preceded '#' onward.
+            m = re.search(r"\s#", value)
+            if m:
+                value = value[: m.start()].rstrip()
+            if value.startswith("#"):
+                value = ""
         parsed[key] = value
         if override or key not in os.environ:
             os.environ[key] = value

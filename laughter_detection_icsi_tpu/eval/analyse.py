@@ -203,16 +203,20 @@ def eval_preds(
 
     if pred_df.size != 0:
         for part_id, part_df in pred_df.groupby("part_id"):
-            part_pred = IntervalSet.empty()
             invalid = idx.invalid.get(meeting_id, part_id)
             has_invalid = idx.invalid.has_part(meeting_id, part_id)
+            pairs = []
             for _, row in part_df.iterrows():
                 pred = IntervalSet.openclosed(
                     to_frames(row["start"]), to_frames(row["end"])
                 )
                 if not has_invalid or not invalid.contains(pred):
                     num_valid_pred += 1
-                part_pred = part_pred | pred
+                pairs.append((to_frames(row["start"]), to_frames(row["end"])))
+            # Union once over all pairs (O(n log n)) — an incremental
+            # per-row `|` re-normalizes the accumulated set every step
+            # (quadratic per participant at low thresholds).
+            part_pred = IntervalSet.from_pairs(pairs)
             corr, incorr, speech, noise, silence = laugh_match(
                 part_pred, meeting_id, part_id, idx
             )

@@ -123,15 +123,21 @@ def classify_segment(xml_seg) -> Tuple[SegmentType, Optional[str]]:
     return SegmentType.SPEECH, None
 
 
+def _as_tree(mrt):
+    """Accept an .mrt path or an already-parsed lxml tree (so TranscriptStore
+    can parse each multi-megabyte transcript once, not once per consumer)."""
+    return mrt if hasattr(mrt, "getroot") else etree.parse(mrt)
+
+
 def parse_meeting(
-    mrt_path: str,
+    mrt_path,
     meeting_id: str,
     part_to_chan: Dict[str, Dict[str, str]],
 ) -> List[Segment]:
-    """Parse one meeting transcript into Segment records.  Segments whose
-    participant has no mapped audio channel are dropped (reference
-    parse.py:93-98)."""
-    tree = etree.parse(mrt_path)
+    """Parse one meeting transcript (path or parsed tree) into Segment
+    records.  Segments whose participant has no mapped audio channel are
+    dropped (reference parse.py:93-98)."""
+    tree = _as_tree(mrt_path)
     chan_of = part_to_chan.get(meeting_id, {})
     out: List[Segment] = []
     for xml_seg in tree.xpath("//Segment"):
@@ -156,10 +162,10 @@ def parse_meeting(
     return out
 
 
-def meeting_length(mrt_path: str) -> float:
+def meeting_length(mrt_path) -> float:
     """EndTime of the meeting's <Transcript> element (reference
-    parse.py:206-215)."""
-    tree = etree.parse(mrt_path)
+    parse.py:206-215).  Accepts a path or a parsed tree."""
+    tree = _as_tree(mrt_path)
     transcript = tree.find(".//Transcript")
     return float(transcript.get("EndTime"))
 
@@ -189,7 +195,8 @@ class TranscriptStore:
                 continue
             mrt_path = os.path.join(self.transcript_dir, filename)
             meeting_id = stem
-            length = meeting_length(mrt_path)
+            tree = etree.parse(mrt_path)
+            length = meeting_length(tree)
             for chan_id, part_id in self.chan_to_part.get(meeting_id, {}).items():
                 info_rows.append(
                     [
@@ -200,7 +207,7 @@ class TranscriptStore:
                         os.path.join(meeting_id, f"{chan_id}.sph"),
                     ]
                 )
-            for seg in parse_meeting(mrt_path, meeting_id, self.part_to_chan):
+            for seg in parse_meeting(tree, meeting_id, self.part_to_chan):
                 row = seg.as_row()
                 if seg.type is SegmentType.LAUGH:
                     laugh_rows.append(row)

@@ -126,6 +126,11 @@ class Model:
         train: bool = False,
         rng: Optional[jax.Array] = None,
     ) -> Tuple[jnp.ndarray, PyTree]:
+        if train and rng is None and self.dropout_rate > 0.0:
+            raise ValueError(
+                f"{self.name}.apply(train=True) needs an rng: dropout_rate="
+                f"{self.dropout_rate} would silently act as 0.0 without one"
+            )
         return self.apply_fn(params, state, x, train, rng)
 
 

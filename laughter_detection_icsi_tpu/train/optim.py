@@ -96,4 +96,7 @@ def clip_by_global_norm(grads: PyTree, max_norm: float) -> PyTree:
     max_norm / (total_norm + 1e-6) when that is < 1."""
     norm = global_norm(grads)
     scale = jnp.minimum(1.0, max_norm / (norm + 1e-6))
-    return jax.tree_util.tree_map(lambda g: g * scale, grads)
+    # global_norm accumulates in float32, so cast the scale back to each
+    # leaf's dtype: a strong f32 scalar would otherwise promote bf16 grads
+    # (and then the Adam moments) to f32, breaking dtype preservation.
+    return jax.tree_util.tree_map(lambda g: g * scale.astype(g.dtype), grads)

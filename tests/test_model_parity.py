@@ -97,6 +97,23 @@ def test_param_names_match_torch(torch_model, jax_model):
         assert flat[k].shape == tuple(v.shape), k
 
 
+def test_train_apply_without_rng_raises():
+    """train=True with active dropout but no rng must error loudly — the
+    dropout layer's rng-is-None guard would otherwise silently train with
+    dropout_rate 0 (divergence from the reference regularization)."""
+    import jax
+
+    jm = models.build("ResNetBigger", dropout_rate=0.5, linear_layer_size=48)
+    params, state = jm.init(jax.random.PRNGKey(0))
+    x = np.zeros((2, 1, 100, 44), np.float32)
+    with pytest.raises(ValueError, match="needs an rng"):
+        jm.apply(params, state, x, train=True)
+    # dropout_rate=0 keeps the reference behavior: no rng needed in train mode
+    jm0 = models.build("ResNetBigger", dropout_rate=0.0, linear_layer_size=48)
+    p0, s0 = jm0.init(jax.random.PRNGKey(0))
+    jm0.apply(p0, s0, x, train=True)
+
+
 def test_param_count_matches_torch(torch_model, jax_model):
     import jax
 

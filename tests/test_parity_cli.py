@@ -174,3 +174,43 @@ def test_missing_goldens_skip_not_fail(corpus, tmp_path):
         ]
     )
     assert rc == 0  # nothing failed; everything skipped
+
+
+def test_probs_check_reports_missing_audio(corpus, goldens_written, tmp_path):
+    """A golden with no matching audio must be surfaced in the report, not
+    silently skipped — otherwise 'pass' overstates the parity evidence."""
+    ghost = goldens_written / "probs" / "Zzz999__chanZ.npy"
+    try:
+        np.save(ghost, np.asarray([0.5], np.float32))
+        report_path = tmp_path / "report.json"
+        rc = parity_cli.main(
+            _base_args(corpus) + ["--configs", "probs", "--out", str(report_path)]
+        )
+        assert rc == 0  # matched goldens still pass...
+        report = json.loads(report_path.read_text())
+        assert report["configs"]["probs"]["missing_audio"] == ["Zzz999__chanZ"]
+    finally:
+        ghost.unlink()
+
+
+def test_analyse_join_tolerates_float_repr_noise(corpus, goldens_written, tmp_path):
+    """Reference exports may carry np.arange float noise in the grid keys
+    (0.30000000000000004); the join must still find every row."""
+    import pandas as pd
+
+    csv = goldens_written / "sum_stats.csv"
+    orig = csv.read_text()
+    try:
+        df = pd.read_csv(csv)
+        df["threshold"] = df["threshold"] + 1e-12  # sub-rounding repr noise
+        df["min_len"] = df["min_len"] + 1e-12
+        df.to_csv(csv, index=False)
+        report_path = tmp_path / "report.json"
+        rc = parity_cli.main(
+            _base_args(corpus) + ["--configs", "analyse", "--out", str(report_path)]
+        )
+        assert rc == 0
+        report = json.loads(report_path.read_text())
+        assert report["configs"]["analyse"]["status"] == "pass"
+    finally:
+        csv.write_text(orig)

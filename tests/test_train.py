@@ -87,6 +87,20 @@ def test_clip_noop_below_max(rng):
     np.testing.assert_allclose(np.asarray(out["a"]), np.asarray(g["a"]), rtol=1e-5)
 
 
+def test_clip_preserves_leaf_dtypes(rng):
+    """The f32 norm accumulator must not promote bf16/f16 gradient leaves —
+    Adam moments are zeros_like(params), so a promoted grad would change the
+    moment dtypes between step 1 and step 2 in a jitted carried state."""
+    g = {
+        "bf": jnp.asarray(rng.standard_normal((3, 3)) * 5, dtype=jnp.bfloat16),
+        "f16": jnp.asarray(rng.standard_normal(5) * 5, dtype=jnp.float16),
+        "f32": jnp.asarray(rng.standard_normal(4).astype(np.float32) * 5),
+    }
+    out = clip_by_global_norm(g, 1.0)
+    for k in g:
+        assert out[k].dtype == g[k].dtype, k
+
+
 def test_batch_metrics_edge_cases():
     # no positive predictions -> precision 1.0 (reference train.py:216-218)
     m = batch_metrics(jnp.asarray([0.1, 0.2]), jnp.asarray([1.0, 0.0]))

@@ -106,3 +106,49 @@ def test_enable_compilation_cache(tmp_path, monkeypatch):
     # env-var disable
     monkeypatch.setenv("LAD_JAX_CACHE_DIR", "off")
     assert enable_compilation_cache() is None
+
+
+# --------------------------------------------------------------------------- #
+# .env loader (config.load_env)
+# --------------------------------------------------------------------------- #
+
+
+def test_load_env_inline_comments_and_quotes(tmp_path, monkeypatch):
+    """python-dotenv semantics: unquoted values lose ' # ...' inline
+    comments; quoted values keep '#' verbatim; full-line comments skipped."""
+    from laughter_detection_icsi_tpu import config as cfg
+
+    env = tmp_path / ".env"
+    env.write_text(
+        "# full-line comment\n"
+        "PLAIN=/data/icsi  # corpus root\n"
+        "QUOTED='/data/a # not a comment'\n"
+        'DQUOTED="x # y"\n'
+        "EMPTYVAL= # only a comment\n"
+        "NOCOMMENT=bare\n"
+    )
+    for k in ("PLAIN", "QUOTED", "DQUOTED", "EMPTYVAL", "NOCOMMENT"):
+        monkeypatch.delenv(k, raising=False)
+    parsed = cfg.load_env(str(env))
+    assert parsed["PLAIN"] == "/data/icsi"
+    assert parsed["QUOTED"] == "/data/a # not a comment"
+    assert parsed["DQUOTED"] == "x # y"
+    assert parsed["EMPTYVAL"] == ""
+    assert parsed["NOCOMMENT"] == "bare"
+    import os
+
+    assert os.environ["PLAIN"] == "/data/icsi"
+
+
+def test_load_env_no_override(tmp_path, monkeypatch):
+    from laughter_detection_icsi_tpu import config as cfg
+
+    env = tmp_path / ".env"
+    env.write_text("KEEPME=new\n")
+    monkeypatch.setenv("KEEPME", "old")
+    cfg.load_env(str(env))
+    import os
+
+    assert os.environ["KEEPME"] == "old"
+    cfg.load_env(str(env), override=True)
+    assert os.environ["KEEPME"] == "new"
