@@ -9,7 +9,6 @@ sliding-window inference -> TextGrids -> corpus evaluation.  Runs anywhere
     python examples/demo.py [workdir]
 """
 
-import os
 import sys
 import time
 from pathlib import Path

@@ -18,7 +18,7 @@ channels (static shapes, SURVEY.md §7.1).
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
+from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -59,7 +59,9 @@ class ShardedPipeline:
         repl = mesh_lib.replicated(self.mesh)
         self.params = jax.device_put(self.params, repl)
         self.state = jax.device_put(self.state, repl)
-        self._jitted: Dict[int, Tuple[Callable, Callable, int]] = {}
+        # Heterogeneous cache: ('body', c) -> (fn, wave_len, sharding),
+        # ('win', ...) -> 4-tuple, ('pk', ...) -> jitted callable.
+        self._jitted: Dict[tuple, Any] = {}
 
     @property
     def n_shards(self) -> int:
@@ -453,6 +455,10 @@ class ShardedPipeline:
 
         from laughter_detection_icsi_tpu.inference import int16_transfer_eligible
 
+        if not audio_paths:
+            # Mirror probs_for_waveforms_device([]) — the all(...) below is
+            # vacuously true and ThreadPoolExecutor(max_workers=0) raises.
+            return (None, []), []
         metas = [audio_io.info(p) for p in audio_paths]
         if all(int16_transfer_eligible(m, self.settings) for m in metas):
             # 16-bit sources (incl. decoded shorten) ship to the device raw

@@ -50,19 +50,19 @@ def plot_train_metrics(
     return fig
 
 
-def plot_precision_recall(
-    sum_stats_csv: str, out_path: Optional[str] = None, label: Optional[str] = None
-):
-    """Precision-recall curves, one line per min_length, threshold as the
-    parameter (reference visualise.py:90-121)."""
-    df = pd.read_csv(sum_stats_csv)
-    fig, ax = plt.subplots(figsize=(7, 6))
+def _draw_pr_curves(ax, df: pd.DataFrame, label: Optional[str] = None):
+    """One precision-recall line per min_length (threshold as the curve
+    parameter) onto ``ax`` — shared by :func:`plot_precision_recall` and
+    :func:`plot_experiment_comparison` so their styling cannot drift."""
     for min_len, g in df.groupby("min_len"):
         g = g.sort_values("threshold")
         name = f"min_len={min_len}"
         if label:
             name = f"{label} {name}"
         ax.plot(g["recall"], g["precision"], "o-", label=name, markersize=3)
+
+
+def _finish_pr_axes(fig, ax, out_path: Optional[str]):
     ax.set_xlabel("recall")
     ax.set_ylabel("precision")
     ax.set_xlim(0, 1)
@@ -73,6 +73,17 @@ def plot_precision_recall(
         fig.savefig(out_path, dpi=120)
         plt.close(fig)
     return fig
+
+
+def plot_precision_recall(
+    sum_stats_csv: str, out_path: Optional[str] = None, label: Optional[str] = None
+):
+    """Precision-recall curves, one line per min_length, threshold as the
+    parameter (reference visualise.py:90-121)."""
+    df = pd.read_csv(sum_stats_csv)
+    fig, ax = plt.subplots(figsize=(7, 6))
+    _draw_pr_curves(ax, df, label)
+    return _finish_pr_axes(fig, ax, out_path)
 
 
 def plot_fp_confusion(
@@ -131,17 +142,5 @@ def plot_experiment_comparison(
         df = pd.read_csv(path)
         if min_len is not None:
             df = df[df["min_len"] == min_len]
-        for ml, g in df.groupby("min_len"):
-            g = g.sort_values("threshold")
-            ax.plot(g["recall"], g["precision"], "o-",
-                    label=f"{name} (min_len={ml})", markersize=3)
-    ax.set_xlabel("recall")
-    ax.set_ylabel("precision")
-    ax.set_xlim(0, 1)
-    ax.set_ylim(0, 1.05)
-    ax.grid(alpha=0.3)
-    ax.legend()
-    if out_path:
-        fig.savefig(out_path, dpi=120)
-        plt.close(fig)
-    return fig
+        _draw_pr_curves(ax, df, label=name)
+    return _finish_pr_axes(fig, ax, out_path)

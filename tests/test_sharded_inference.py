@@ -54,6 +54,9 @@ def test_sharded_empty_and_zero(small_model, settings):
     assert sharded.probs_for_waveforms([]) == []
     out = sharded.probs_for_waveforms([np.zeros(40, np.float32)])
     assert out[0].shape == (0,)
+    # empty meeting: the all-int16-eligible check is vacuously true and must
+    # not reach ThreadPoolExecutor(max_workers=0)
+    assert sharded.probs_for_meeting_device([]) == ((None, []), [])
 
 
 def test_sharded_meeting_from_files(small_model, settings, rng, tmp_path):
