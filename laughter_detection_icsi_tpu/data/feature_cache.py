@@ -56,7 +56,10 @@ def compute_track_features(
 
     featurize = fbank_pallas_jit if resolve_use_pallas(use_pallas) else fbank_ops.fbank_jit
     snip = _dc.replace(cfg, snip_edges=True)
-    left, right = fbank_ops.pad_amounts(n, cfg)
+    # pad_amounts converts snip_edges=False framing to the padded snip=True
+    # layout the bucket indexing below assumes; a cfg already in snip mode
+    # needs no padding (pad_amounts would return a negative right pad).
+    left, right = (0, 0) if cfg.snip_edges else fbank_ops.pad_amounts(n, cfg)
     # symmetric == Kaldi edge mirroring; stays correct when a pad exceeds
     # the wave length (see inference.host_pad_waveform).
     padded = np.pad(wave, (left, right), mode="symmetric").astype(np.float32)
@@ -119,6 +122,9 @@ class FeatureCache:
         path = self._track_path(meeting_id, chan_id)
         path.parent.mkdir(parents=True, exist_ok=True)
         np.save(path, feats)
+        # Drop any cached mmap of the overwritten file: a stale view keeps
+        # the OLD shape and silently reads zeros/garbage past the new end.
+        self._mmaps.pop(self._key(meeting_id, chan_id), None)
         self._manifest[self._key(meeting_id, chan_id)] = {
             "num_frames": int(feats.shape[0]),
             "num_filters": int(feats.shape[1]),

@@ -47,6 +47,12 @@ COLS = [
 ]
 
 
+def _audio_path(meeting_id: str, chan_id: str) -> str:
+    """data_df audio_path column: always '/'-separated (the reference's CSV
+    format and _sanity_check's split both assume it, even on Windows)."""
+    return f"{meeting_id}/{chan_id}.sph"
+
+
 def get_subsample(start: float, duration: float, subsample_duration: float, rng) -> tuple:
     """Uniform subsample of ``subsample_duration`` within [start, start+duration]
     (reference create_data_df.py:84-95)."""
@@ -108,7 +114,7 @@ class DataFrameSampler:
             sub_start, sub_dur = get_subsample(
                 start, duration, self.cfg.subsample_duration, self.rng
             )
-            audio_path = f"{meeting_id}/{row.chan_id}.sph"
+            audio_path = _audio_path(meeting_id, row.chan_id)
             return [
                 start, duration, sub_start, sub_dur, audio_path,
                 meeting_id, row.chan_id, 0,
@@ -136,7 +142,7 @@ class DataFrameSampler:
         sub_start, sub_dur = get_subsample(
             row.start, row.length, self.cfg.subsample_duration, self.rng
         )
-        audio_path = f"{row.meeting_id}/{row.chan_id}.sph"
+        audio_path = _audio_path(row.meeting_id, row.chan_id)
         return [
             row.start,
             row.length,
@@ -198,7 +204,7 @@ class DataFrameSampler:
                         non_laugh[split].append(
                             self.random_non_laugh(seg.length, mid, silence=True)
                         )
-                audio_path = os.path.join(mid, f"{seg.chan_id}.sph")
+                audio_path = _audio_path(mid, seg.chan_id)
                 for _ in range(num_laugh_samples):
                     sub_start, sub_dur = get_subsample(
                         seg.start, seg.length, self.cfg.subsample_duration, self.rng

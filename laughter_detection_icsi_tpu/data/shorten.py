@@ -274,6 +274,11 @@ def decode(data: bytes, max_frames: Optional[int] = None) -> ShortenStream:
             continue
         if fn == FN_BITSHIFT:
             bitshift = br.uvar(_BITSHIFTSIZE)
+            if bitshift > 31:
+                # No sane stream shifts past the sample width; unchecked, a
+                # corrupt unary run makes the int64 `<<` silently produce 0
+                # (numpy wraps shifts >= 64) -> all-zero "decoded" audio.
+                raise ValueError(f"shorten: bad bitshift {bitshift}")
             continue
         if fn == FN_VERBATIM:
             n = br.uvar(_VERBATIM_CKSIZE_SIZE)

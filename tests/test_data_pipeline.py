@@ -65,6 +65,35 @@ def test_cache_roundtrip_and_cut(tmp_path, rng):
     assert cut.shape == (100, feats.shape[1])
 
 
+def test_cache_retrack_invalidates_mmap(tmp_path, rng):
+    """Re-adding a track must drop the cached mmap — a stale view keeps the
+    old shape and silently reads zeros/garbage past the new file's end."""
+    cache = FeatureCache(str(tmp_path / "cache"))
+    wave = (rng.standard_normal(16000 * 3) * 0.1).astype(np.float32)
+    cache.add_track("Btr001", "chan0", wave)
+    _ = cache.track("Btr001", "chan0")  # populate the mmap cache
+    short = (rng.standard_normal(16000) * 0.1).astype(np.float32)
+    feats = cache.add_track("Btr001", "chan0", short)
+    track = cache.track("Btr001", "chan0")
+    assert track.shape == feats.shape
+    np.testing.assert_array_equal(np.asarray(track), feats)
+
+
+def test_track_features_snip_edges_cfg(rng):
+    """A cfg already in snip_edges=True mode needs no padding — pad_amounts
+    would return a negative right pad and crash np.pad."""
+    import dataclasses
+
+    from laughter_detection_icsi_tpu.config import FEAT
+
+    cfg = dataclasses.replace(FEAT, snip_edges=True)
+    wave = (rng.standard_normal(16000) * 0.1).astype(np.float32)
+    got = compute_track_features(wave, cfg, bucket_frames=37)
+    direct = np.asarray(fb.fbank_jit(wave, cfg))
+    assert got.shape == direct.shape
+    np.testing.assert_allclose(got, direct, rtol=1e-4, atol=1e-5)
+
+
 def test_cache_missing_track_raises(tmp_path):
     cache = FeatureCache(str(tmp_path / "empty"))
     with pytest.raises(KeyError, match="not in feature cache"):

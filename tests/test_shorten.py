@@ -115,6 +115,25 @@ def test_bad_version_rejected(wave):
         shorten.decode(bytes(enc))
 
 
+def test_oversized_bitshift_rejected():
+    """bitshift >= 64 makes numpy's int64 << silently produce 0 (all-zero
+    'decoded' audio); the decoder must reject it like every other header
+    field.  The encoder validates its own bitshift, so craft the stream."""
+    w = shorten._BitWriter()
+    w.ulong(shorten.TYPE_S16HL)
+    w.ulong(1)  # nchan
+    w.ulong(256)  # blocksize
+    w.ulong(0)  # maxnlpc
+    w.ulong(0)  # nmean
+    w.ulong(0)  # nskip
+    w.uvar(shorten.FN_BITSHIFT, shorten._FNSIZE)
+    w.uvar(70, shorten._BITSHIFTSIZE)
+    w.uvar(shorten.FN_QUIT, shorten._FNSIZE)
+    stream = shorten.MAGIC + bytes([shorten.VERSION]) + w.getvalue()
+    with pytest.raises(ValueError, match="bitshift"):
+        shorten.decode(stream)
+
+
 def test_truncated_stream_rejected(wave):
     enc = shorten.encode(wave[:4000])
     with pytest.raises(ValueError, match="truncated|shorten"):
