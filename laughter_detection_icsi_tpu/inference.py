@@ -303,7 +303,11 @@ class LaughterPipeline:
         per (padded wire length, delta flag) — word streams are padded to
         WORD_PAD multiples so a handful of compilations serve arbitrary
         audio."""
-        key = ("pk", wire_len, delta)
+        # n_blocks is baked into the closure (split_wire's width-table
+        # offset), so it MUST be part of the key: padding wires to WORD_PAD
+        # multiples means two different buffer lengths can share a padded
+        # wire_len with different n_blocks.
+        key = ("pk", wire_len, n_blocks, delta)
         if key in self._jitted:
             return self._jitted[key]
         featurize_body, wave_len = self._jitted["body"]

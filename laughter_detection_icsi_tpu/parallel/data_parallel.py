@@ -147,6 +147,20 @@ class DataParallelTrainer:
         y = np.asarray(batch["is_laugh"], dtype=np.float32)
         return mesh_lib.shard_batch({"x": x, "y": y}, self.mesh)
 
+    # No gradient accumulation in the DP trainer: every train_batch applies,
+    # so the loop is always at an optimizer-apply boundary.  Trivial
+    # implementations of train.Trainer's boundary interface keep TrainLoop
+    # trainer-agnostic.
+    @property
+    def pending_micro_steps(self) -> int:
+        return 0
+
+    def drop_pending_group(self) -> None:
+        pass
+
+    def flush_pending_group(self, params, opt_state):
+        return params, opt_state
+
     def train_batch(self, params, state, opt_state, batch, rng: Optional[jax.Array] = None):
         # rng=None disables dropout (layers.dropout no-ops without a key) —
         # the same contract as train.Trainer.  Substituting a fixed key here

@@ -245,6 +245,29 @@ class Trainer:
             self._accum_count = 0
         return params, state, opt_state, metrics
 
+    @property
+    def pending_micro_steps(self) -> int:
+        """Micro-batches accumulated since the last optimizer apply (0 at an
+        apply boundary).  The epoch driver uses this to place checkpoints at
+        boundaries and to flush/drop partial groups."""
+        return self._accum_count
+
+    def drop_pending_group(self) -> None:
+        """Discard a partially accumulated gradient group (preemption path:
+        the rolled-back micro-batches will be replayed on resume)."""
+        self._acc_grads = None
+        self._accum_count = 0
+
+    def flush_pending_group(self, params, opt_state):
+        """Apply a partial accumulation group now (epoch end: groups never
+        span epochs — see TrainLoop.run_epoch).  The partial group's
+        gradient keeps the 1/grad_accum scale, i.e. a k-of-n tail group
+        takes a k/n-sized step.  No-op at an apply boundary."""
+        if self._accum_count:
+            params, opt_state = self._apply_grads(params, opt_state, self._acc_grads)
+            self.drop_pending_group()
+        return params, opt_state
+
     def train_batch_resident(self, params, state, opt_state, resident, idx, key, step):
         """One step from a data.ResidentLadDataset: single fused dispatch
         when grad_accum == 1, else a device gather feeding the
@@ -411,7 +434,12 @@ class TrainLoop:
             )
         return loaded["params"], loaded["state"], opt_state
 
-    def _save(self, params, state, opt_state, is_best: bool):
+    def _save(self, params, state, opt_state, is_best: bool, step_offset: int = 0):
+        """Write a checkpoint.  ``step_offset`` > 0 records the counters as
+        of ``step_offset`` batches ago — how a mid-accumulation-group save
+        points at the last optimizer-apply boundary without mutating the
+        live counters (groups never span epochs, so the boundary is always
+        inside the current epoch and both counters stay >= 0)."""
         ckpt_lib.save_checkpoint(
             self.checkpoint_dir,
             params,
@@ -422,10 +450,10 @@ class TrainLoop:
                 "nu": opt_state.nu,
             },
             epoch=self.epoch,
-            global_step=self.global_step,
+            global_step=self.global_step - step_offset,
             best_val_loss=self.best_val_loss,
             is_best=is_best,
-            epoch_step=self.epoch_step,
+            epoch_step=self.epoch_step - step_offset,
         )
 
     def run_epoch(
@@ -457,7 +485,9 @@ class TrainLoop:
         # boundary: grad_step updates state on every micro-batch, so a
         # preemption mid-accumulation-group must also roll state back or the
         # replayed micro-batches would be absorbed twice (exact resume would
-        # hold for params but not BN stats).
+        # hold for params but not BN stats).  Entry here IS a boundary:
+        # groups never span run_epoch calls (flushed at epoch end, dropped
+        # at preemption), so initializing from `state` is exact.
         state_at_boundary = state
         t0 = time.perf_counter()
         for batch in train_batches:
@@ -496,9 +526,22 @@ class TrainLoop:
                     "train_precision": float(metrics["precision"]),
                     "train_recall": float(metrics["recall"]),
                 }
+                # Checkpoints must sit at optimizer-apply boundaries: with
+                # grad_accum > 1 a log point can fall mid-group, where the
+                # pending micro-batches' gradients are not yet in params
+                # (and BN already absorbed them).  Save the boundary
+                # snapshot — a resume then replays the pending micro-batches
+                # and reproduces the uninterrupted run exactly, same as the
+                # preemption path below.
+                pending = self.trainer.pending_micro_steps
+                ckpt_state = state_at_boundary if pending else state
                 if val_batches_fn is not None:
+                    # Validate with the SAME state the checkpoint records:
+                    # mid-group, `state` carries BN updates past the apply
+                    # boundary, and best.ckpt must be the model that
+                    # achieved the recorded best_val_loss.
                     val = self.trainer.eval_batches(
-                        params, state, val_batches_fn(self.val_batches_per_log)
+                        params, ckpt_state, val_batches_fn(self.val_batches_per_log)
                     )
                     row.update({f"val_{k}": v for k, v in val.items()})
                     # val == {} when the fn yielded no batches (tiny dev
@@ -510,22 +553,7 @@ class TrainLoop:
                 else:
                     is_best = False
                 self.metrics_rows.append(row)
-                # Checkpoints must sit at optimizer-apply boundaries: with
-                # grad_accum > 1 a log point can fall mid-group, where the
-                # pending micro-batches' gradients are not yet in params
-                # (and BN already absorbed them).  Save the boundary
-                # snapshot — a resume then replays the pending micro-batches
-                # and reproduces the uninterrupted run exactly, same as the
-                # preemption path below.
-                pending = getattr(self.trainer, "_accum_count", 0)
-                if pending:
-                    self.global_step -= pending
-                    self.epoch_step -= pending
-                    self._save(params, state_at_boundary, opt_state, is_best)
-                    self.global_step += pending
-                    self.epoch_step += pending
-                else:
-                    self._save(params, state, opt_state, is_best)
+                self._save(params, ckpt_state, opt_state, is_best, step_offset=pending)
                 if verbose:
                     msg = " ".join(f"{k}={v:.4f}" for k, v in row.items() if k != "global_step")
                     print(f"step {self.global_step}: {msg}", flush=True)
@@ -535,12 +563,11 @@ class TrainLoop:
                 # Micro-batches of a partially accumulated gradient group
                 # have not touched params — roll the counters back to the
                 # last apply boundary so the resumed run replays them.
-                pending = getattr(self.trainer, "_accum_count", 0)
+                pending = self.trainer.pending_micro_steps
                 if pending:
                     self.global_step -= pending
                     self.epoch_step -= pending
-                    self.trainer._acc_grads = None
-                    self.trainer._accum_count = 0
+                    self.trainer.drop_pending_group()
                     # Roll BN running stats back to the apply boundary too,
                     # so interrupted+resumed ≡ uninterrupted holds for the
                     # full train state, not just params/opt.
@@ -556,6 +583,16 @@ class TrainLoop:
                     float(loss_sum) / num_batches if num_batches else 0.0
                 )
                 return params, state, opt_state, mean_loss
+        # Accumulation groups never span epochs: a tail group smaller than
+        # grad_accum applies HERE with its accumulated (1/grad_accum-scaled)
+        # gradient.  The reference instead carries pending .grad buffers
+        # into the next epoch (train.py:291 keys applies on global_step %
+        # accum) — but its checkpoints cannot save those buffers, so a
+        # resumed reference run silently drops them; closing groups at the
+        # epoch boundary is what makes this loop's exact-resume guarantee
+        # (and the epoch_step >= pending rollback invariant) hold.
+        # Documented divergence: PARITY.md #22.
+        params, opt_state = self.trainer.flush_pending_group(params, opt_state)
         self.epoch += 1
         self.epoch_step = 0
         if verbose:

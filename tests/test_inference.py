@@ -199,6 +199,26 @@ def test_packed_transfer_codec_bit_exact(small_model, wave):
     np.testing.assert_array_equal(a, b)
 
 
+def test_packed_featurize_cache_keyed_on_blocks(small_model, wave):
+    """The packed decoder bakes n_blocks into its closure (split_wire's
+    width-table offset), and WORD_PAD padding lets different buffer lengths
+    share a padded wire_len — so n_blocks must be part of the cache key or
+    a collision silently decodes garbage."""
+    model, params, state = small_model
+    pipe = inference.LaughterPipeline(
+        model, params, state,
+        settings=inference.InferenceSettings(
+            chunk=256, bucket_frames=512, transfer_codec="packed"
+        ),
+    )
+    pcm = (np.clip(wave, -1, 1) * 32767).astype(np.int16)
+    pipe.probs_for_waveform(pcm)  # populate the "body" entry
+    f2 = pipe._packed_featurize(16384, 2, False)
+    f3 = pipe._packed_featurize(16384, 3, False)
+    assert f2 is not f3
+    assert pipe._packed_featurize(16384, 2, False) is f2  # still cached
+
+
 def test_auto_codec_matches_raw_on_speechlike_pcm(small_model):
     """'auto' packs quiet speech-like PCM (savings >= 10%) and must still
     be bit-exact; a float32 input bypasses packing entirely."""

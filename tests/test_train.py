@@ -378,6 +378,116 @@ def test_preemption_mid_accum_group_exact_incl_bn_state(tiny_model, tmp_path):
         signal.signal(signal.SIGINT, signal.default_int_handler)
 
 
+def test_epoch_end_flushes_partial_accum_group(tiny_model, tmp_path):
+    """Accumulation groups never span epochs (PARITY #22): a 3-batch epoch
+    at accum=2 applies its tail micro-batch AT the boundary, so the next
+    epoch starts at an apply boundary and a preemption there can never roll
+    counters negative or drop the previous epoch's pending gradients."""
+    import os
+    import signal
+
+    def fixed_batches(n, seed):
+        r = np.random.default_rng(seed)
+        return _toy_batches(r, n)
+
+    try:
+        # Uninterrupted oracle: two 3-batch epochs.
+        trainer_c = Trainer(model=tiny_model, grad_accum=2)
+        pc, sc, oc = trainer_c.init(jax.random.PRNGKey(0))
+        loop_c = TrainLoop(
+            trainer=trainer_c, checkpoint_dir=str(tmp_path / "c"), log_frequency=0
+        )
+        for ep in range(2):
+            assert trainer_c.pending_micro_steps == 0  # boundary at entry
+            pc, sc, oc, _ = loop_c.run_epoch(
+                pc, sc, oc, fixed_batches(3, 70 + ep),
+                rng=jax.random.PRNGKey(ep), verbose=False,
+            )
+        assert trainer_c.pending_micro_steps == 0  # tail group flushed
+
+        # Interrupted twin: epoch 0 runs whole, epoch 1 preempted after one
+        # batch (1 pending micro-batch; rollback must stay within epoch 1).
+        trainer = Trainer(model=tiny_model, grad_accum=2)
+        params, state, opt_state = trainer.init(jax.random.PRNGKey(0))
+        loop = TrainLoop(
+            trainer=trainer, checkpoint_dir=str(tmp_path / "i"), log_frequency=0
+        )
+        params, state, opt_state, _ = loop.run_epoch(
+            params, state, opt_state, fixed_batches(3, 70),
+            rng=jax.random.PRNGKey(0), verbose=False,
+        )
+        loop.install_preemption_handler()
+
+        def batches_with_signal():
+            # the flag is checked AFTER a batch is processed, so killing
+            # before yielding batch 0 preempts with exactly 1 micro-batch
+            # pending past the epoch-entry boundary
+            for i, b in enumerate(fixed_batches(3, 71)):
+                if i == 0:
+                    os.kill(os.getpid(), signal.SIGTERM)
+                yield b
+
+        params, state, opt_state, _ = loop.run_epoch(
+            params, state, opt_state, batches_with_signal(),
+            rng=jax.random.PRNGKey(1), verbose=False,
+        )
+        assert loop.global_step == 3 and loop.epoch_step == 0  # boundary, not negative
+        assert loop.epoch == 1
+
+        trainer2 = Trainer(model=tiny_model, grad_accum=2)
+        loop2 = TrainLoop(
+            trainer=trainer2, checkpoint_dir=str(tmp_path / "i"), log_frequency=0
+        )
+        p2, s2, o2 = trainer2.init(jax.random.PRNGKey(9))
+        p2, s2, o2 = loop2.resume_if_possible(p2, s2, o2)
+        assert loop2.epoch == 1 and loop2.epoch_step == 0
+        p2, s2, o2, _ = loop2.run_epoch(
+            p2, s2, o2, fixed_batches(3, 71),
+            rng=jax.random.PRNGKey(1), verbose=False,
+        )
+        for tree_got, tree_want in ((p2, pc), (s2, sc)):
+            jax.tree_util.tree_map(
+                lambda a, b: np.testing.assert_array_equal(
+                    np.asarray(a), np.asarray(b)
+                ),
+                tree_got, tree_want,
+            )
+        assert int(o2.step) == int(oc.step)
+    finally:
+        import signal
+
+        signal.signal(signal.SIGTERM, signal.SIG_DFL)
+        signal.signal(signal.SIGINT, signal.default_int_handler)
+
+
+def test_best_ckpt_state_matches_recorded_val_loss(tiny_model, tmp_path):
+    """A log point falling mid-accumulation-group must validate with the
+    SAME state it checkpoints (the apply-boundary snapshot): best.ckpt is
+    the model that achieved the recorded best_val_loss."""
+    from laughter_detection_icsi_tpu.train import checkpoint as ckpt_lib
+
+    def val_batches(n):
+        r = np.random.default_rng(55)
+        return _toy_batches(r, 2)
+
+    trainer = Trainer(model=tiny_model, grad_accum=2)
+    params, state, opt_state = trainer.init(jax.random.PRNGKey(0))
+    loop = TrainLoop(
+        trainer=trainer, checkpoint_dir=str(tmp_path), log_frequency=3
+    )
+    r = np.random.default_rng(66)
+    loop.run_epoch(
+        params, state, opt_state, _toy_batches(r, 4),
+        val_batches_fn=val_batches,
+        rng=jax.random.PRNGKey(2), verbose=False,
+    )
+    row = next(rw for rw in loop.metrics_rows if rw["global_step"] == 3)
+    loaded = ckpt_lib.load_checkpoint(str(tmp_path / "best.ckpt.npz"))
+    re_val = trainer.eval_batches(loaded["params"], loaded["state"], val_batches(2))
+    assert re_val["loss"] == pytest.approx(row["val_loss"], abs=1e-6)
+    assert float(loaded["best_val_loss"]) == pytest.approx(row["val_loss"], abs=1e-6)
+
+
 def test_empty_validation_iterator_does_not_crash(tiny_model, rng, tmp_path):
     """A val_batches_fn that yields nothing (tiny dev split +
     drop_remainder) must not KeyError the run at the log point."""
