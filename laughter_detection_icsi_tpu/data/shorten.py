@@ -24,7 +24,8 @@ bitstream of Rice/Golomb codes —
 Header: ftype, nchan, blocksize, maxnlpc, nmean, nskip (all ulong; nskip
 bytes follow as uvar(7) each).  Then commands ``fn = uvar(2)``:
 DIFF0..3 / QLPC / ZERO decode one channel block (residuals ``var(resn)``
-where ``resn = uvar(3) - 1``), BLOCKSIZE / BITSHIFT change state, VERBATIM
+where ``resn = uvar(3)`` — v2 carries the Rice parameter verbatim; only
+version 0 streams decrement it), BLOCKSIZE / BITSHIFT change state, VERBATIM
 (len = uvar(5), bytes = uvar(8)) carries the embedded original SPHERE
 header, QUIT ends the stream.  Predictors:
 
@@ -168,7 +169,12 @@ class _BitReader:
         return (unary << k) | self._low(k)
 
     def ulong(self) -> int:
-        return self.uvar(self.uvar(_ULONGSIZE))
+        nbits = self.uvar(_ULONGSIZE)
+        if nbits > 32:
+            # ulongs are 32-bit; match the C++ twin's rejection (there a
+            # corrupt nbits would be shift-width UB).
+            raise ValueError(f"shorten: bad ulong width {nbits}")
+        return self.uvar(nbits)
 
     def var(self, k: int) -> int:
         u = self.uvar(k + 1)
@@ -250,6 +256,8 @@ def decode(data: bytes, max_frames: Optional[int] = None) -> ShortenStream:
     if nmean > _MAX_NMEAN:
         raise ValueError(f"shorten: bad nmean {nmean}")
     nskip = br.ulong()
+    if nskip * 8 > br.n - br.pos:
+        raise ValueError(f"shorten: nskip {nskip} exceeds payload")
     for _ in range(nskip):
         br.uvar(_XBYTESIZE)
 
@@ -268,6 +276,11 @@ def decode(data: bytes, max_frames: Optional[int] = None) -> ShortenStream:
         if fn == FN_QUIT:
             break
         if fn == FN_BLOCKSIZE:
+            if chan != 0:
+                # A change mid-channel-group would interleave unequal block
+                # lengths; real encoders only resize at a group start (the
+                # C++ twin rejects this identically).
+                raise ValueError("shorten: blocksize change mid channel group")
             blocksize = br.ulong()
             if not 0 < blocksize <= _MAX_BLOCKSIZE:
                 raise ValueError(f"shorten: bad blocksize {blocksize}")
@@ -282,6 +295,10 @@ def decode(data: bytes, max_frames: Optional[int] = None) -> ShortenStream:
             continue
         if fn == FN_VERBATIM:
             n = br.uvar(_VERBATIM_CKSIZE_SIZE)
+            if n * 9 > br.n - br.pos:
+                # each byte costs >= 9 bits; an unbounded n is a corrupt
+                # stream demanding billions of skip iterations
+                raise ValueError(f"shorten: verbatim length {n} exceeds payload")
             verbatim.extend(br.uvar(_VERBATIM_BYTE_SIZE) for _ in range(n))
             continue
         if fn not in (FN_ZERO, FN_DIFF0, FN_DIFF1, FN_DIFF2, FN_DIFF3, FN_QLPC):
@@ -292,9 +309,16 @@ def decode(data: bytes, max_frames: Optional[int] = None) -> ShortenStream:
         if fn == FN_ZERO:
             block = np.zeros(blocksize, dtype=np.int64)
         else:
-            resn = br.uvar(_ENERGYSIZE) - 1  # version > 0 decrement
-            if resn < 0:
-                raise ValueError("shorten: negative residual size")
+            # v2 streams carry the Rice parameter verbatim: shorten.c only
+            # decrements for version 0 ("hack as version 0 differed in
+            # definition of var_get").  Verified against libavcodec's
+            # decoder (tests/test_shorten.py ffmpeg differential) — an
+            # erroneous decrement here desyncs on every real LDC/ICSI file.
+            resn = br.uvar(_ENERGYSIZE)
+            if resn > 31:
+                # 16-bit audio residuals never need k > ~17; past 31 the
+                # C++ twin's uint32 shifts would be UB.
+                raise ValueError(f"shorten: bad residual size {resn}")
             if nmean == 0:
                 coffset = offs[0]
             else:
@@ -570,7 +594,7 @@ def encode(
                     hist = hist.copy()
                     hist[nwrap - len(extra) :] -= coffset
                 w.uvar(fn, _FNSIZE)
-                w.uvar(k + 1, _ENERGYSIZE)  # decoder subtracts 1
+                w.uvar(k, _ENERGYSIZE)  # v2: Rice k verbatim (no v0 hack)
                 if fn == FN_QLPC:
                     w.uvar(len(extra), _LPCQSIZE)
                     for c in extra:

@@ -55,9 +55,10 @@ typedef struct {
 // ---------------------------------------------------------------------- //
 
 static int parse_sphere(int fd, audio_info_t* info) {
-  char head[1024];
-  ssize_t got = pread(fd, head, sizeof(head), 0);
+  char head[1025];
+  ssize_t got = pread(fd, head, sizeof(head) - 1, 0);
   if (got < 16) return AERR_HEADER;
+  head[got] = 0;  // strtol must not run off the end of a short file
   if (memcmp(head, "NIST_1A", 7) != 0) return AERR_MAGIC;
   long header_size = strtol(head + 8, nullptr, 10);
   if (header_size <= 0 || header_size > 1 << 20) return AERR_HEADER;
@@ -98,7 +99,12 @@ static int parse_sphere(int fd, audio_info_t* info) {
   }
   free(hdr);
   if (rc) return rc;
-  return info->sample_rate > 0 ? 0 : AERR_HEADER;
+  // Field sanity: zero channels/sample_bytes would divide-by-zero (SIGFPE)
+  // in every consumer below; bound sample_bytes at the widest PCM we read.
+  if (info->sample_rate <= 0) return AERR_HEADER;
+  if (info->num_channels <= 0 || info->num_channels > 4096) return AERR_HEADER;
+  if (info->sample_bytes <= 0 || info->sample_bytes > 4) return AERR_HEADER;
+  return 0;
 }
 
 static int parse_wav(int fd, audio_info_t* info) {
@@ -143,6 +149,10 @@ static int parse_wav(int fd, audio_info_t* info) {
       } else if (fmt_code == 3) {
         info->encoding = ENC_FLOAT; info->sample_bytes = bits / 8;
       } else return AERR_UNSUPPORTED;
+      // A malformed fmt chunk with channels=0 or bits<8 would SIGFPE the
+      // whole process on the division below.
+      if (channels == 0 || info->sample_bytes <= 0 || info->sample_bytes > 4)
+        return AERR_HEADER;
       info->num_samples = (int64_t)size / (info->sample_bytes * channels);
       return 0;
     } else {
@@ -241,9 +251,17 @@ struct BitReader {
       nacc = top;  // consume the zeros AND the terminating 1
       break;
     }
-    return (unary << k) | bits(k);
+    // 64-bit shift: k can legitimately be 32 (ulong nbits), where a
+    // uint32 `unary << k` would be shift-width UB.
+    return (uint32_t)(((uint64_t)unary << k) | bits(k));
   }
-  inline uint32_t ulong_get() { return uvar(uvar(ULONGSIZE)); }
+  inline uint32_t ulong_get() {
+    uint32_t nbits = uvar(ULONGSIZE);
+    // ulongs are 32-bit; a corrupt nbits would be shift UB downstream.
+    // All-ones fails every caller's range check.
+    if (nbits > 32) return 0xFFFFFFFFu;
+    return uvar((int)nbits);
+  }
   inline int32_t var(int k) {
     uint32_t u = uvar(k + 1);
     return (int32_t)((u >> 1) ^ (~(u & 1) + 1));
@@ -301,6 +319,10 @@ static int64_t decode_stream(const uint8_t* data, size_t len, int16_t* out,
     fn = br.uvar(FNSIZE);
     if (fn == FN_QUIT) { rc = frames; break; }
     if (fn == FN_BLOCKSIZE) {
+      // Mid-channel-group changes would make the interleave below read
+      // past the earlier channels' written samples; real encoders only
+      // change blocksize at a group start (the Python twin errors too).
+      if (chan != 0) goto done_err;
       blocksize = br.ulong_get();
       if (blocksize <= 0 || blocksize > MAX_BLOCKSIZE) goto done_err;
       continue;
@@ -314,6 +336,10 @@ static int64_t decode_stream(const uint8_t* data, size_t len, int16_t* out,
     }
     if (fn == FN_VERBATIM) {
       long n = br.uvar(VERBATIM_CKSIZE_SIZE);
+      // Each verbatim byte costs >= 9 bits, so n can never exceed the
+      // payload length; an unbounded n is a corrupt stream demanding up
+      // to 2^37 skip iterations (minutes of spin) before overrun fires.
+      if (n < 0 || (size_t)n > br.len) goto done_err;
       for (long i = 0; i < n; i++) br.uvar(VERBATIM_BYTE_SIZE);
       continue;
     }
@@ -328,8 +354,13 @@ static int64_t decode_stream(const uint8_t* data, size_t len, int16_t* out,
       if (fn == FN_ZERO) {
         for (i = 0; i < blocksize; i++) cbuf[i] = 0;
       } else {
-        int resn = (int)br.uvar(ENERGYSIZE) - 1;  // version > 0 decrement
-        if (resn < 0) goto done_err;
+        // v2 carries the Rice parameter verbatim: shorten.c only
+        // decrements for version 0 ("hack as version 0 differed in
+        // definition of var_get") — verified against libavcodec.  Bound:
+        // 16-bit audio never needs k > ~17; past 31, var(k+1) would be
+        // shift UB.
+        int resn = (int)br.uvar(ENERGYSIZE);
+        if (resn > 31) goto done_err;
         long coffset;
         if (nmean == 0) {
           coffset = coff[0];
@@ -409,24 +440,30 @@ static int64_t decode_stream(const uint8_t* data, size_t len, int16_t* out,
 }
 
 // Read the whole shorten payload of `path` (SPHERE data fork) and decode.
+// `expect_nchan` > 0 is the channel count the CALLER sized `out` for; it is
+// authoritative over this function's own header re-parse (the file could
+// change between the caller's parse and this one — TOCTOU — and the buffer
+// size is the caller's).
 static int64_t decode_file(const char* path, int16_t* out, int64_t max_frames,
-                           int32_t* out_nchan) {
+                           long expect_nchan, int32_t* out_nchan) {
   audio_info_t info;
   int hrc = audio_info(path, &info);
   if (hrc) return hrc;
   if (info.encoding != ENC_SHORTEN) return AERR_UNSUPPORTED;
+  if (expect_nchan <= 0) expect_nchan = info.num_channels;
   int fd = open(path, O_RDONLY);
   if (fd < 0) return AERR_OPEN;
   off_t end = lseek(fd, 0, SEEK_END);
   if (end < info.data_offset) { close(fd); return AERR_HEADER; }
   size_t len = end - info.data_offset;
   uint8_t* raw = (uint8_t*)malloc(len ? len : 1);
+  if (!raw) { close(fd); return AERR_IO; }
   ssize_t got = pread(fd, raw, len, info.data_offset);
   close(fd);
   if (got < 0 || (size_t)got != len) { free(raw); return AERR_IO; }
   if (max_frames > info.num_samples) max_frames = info.num_samples;
   int64_t rc = decode_stream(raw, len, out, max_frames,
-                             info.num_channels, out_nchan);
+                             expect_nchan, out_nchan);
   free(raw);
   return rc;
 }
@@ -435,10 +472,12 @@ static int64_t decode_file(const char* path, int16_t* out, int64_t max_frames,
 
 // Decode a shorten SPHERE file to interleaved int16 (whole stream; the codec
 // is sequential so there is no ranged fast path).  `out` must hold
-// header_sample_count * header_channel_count values.  Returns frames.
+// max_frames * expect_nchan values; `expect_nchan` (the caller's buffer
+// layout) is enforced against the stream's own channel count.  Returns
+// frames, or a negative AudioError.
 int64_t audio_decode_shorten_i16(const char* path, int16_t* out,
-                                 int64_t max_frames) {
-  return shorten::decode_file(path, out, max_frames, nullptr);
+                                 int64_t max_frames, int32_t expect_nchan) {
+  return shorten::decode_file(path, out, max_frames, expect_nchan, nullptr);
 }
 
 // Decode `count` mono samples of `channel` starting at sample `start`.
@@ -459,7 +498,9 @@ int64_t audio_read_f32(const char* path, int64_t start, int64_t count,
     int64_t total = info.num_samples * info.num_channels;
     int16_t* pcm = (int16_t*)malloc((total ? total : 1) * sizeof(int16_t));
     if (!pcm) return AERR_IO;
-    int64_t frames = shorten::decode_file(path, pcm, info.num_samples, nullptr);
+    int64_t frames =
+        shorten::decode_file(path, pcm, info.num_samples, info.num_channels,
+                             nullptr);
     if (frames < 0) { free(pcm); return frames; }
     if (start >= frames) { free(pcm); return 0; }
     if (start + count > frames) count = frames - start;
@@ -475,7 +516,8 @@ int64_t audio_read_f32(const char* path, int64_t start, int64_t count,
   if (fd < 0) return AERR_OPEN;
 
   const int64_t nbytes = count * frame_bytes;
-  unsigned char* raw = (unsigned char*)malloc(nbytes);
+  unsigned char* raw = (unsigned char*)malloc(nbytes ? nbytes : 1);
+  if (!raw) { close(fd); return AERR_IO; }
   ssize_t got = pread(fd, raw, nbytes, info.data_offset + start * frame_bytes);
   close(fd);
   if (got < 0) { free(raw); return AERR_IO; }

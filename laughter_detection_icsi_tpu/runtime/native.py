@@ -126,6 +126,7 @@ def _get_lib() -> Optional[ctypes.CDLL]:
                     ctypes.c_char_p,
                     ctypes.POINTER(ctypes.c_int16),
                     ctypes.c_int64,
+                    ctypes.c_int32,
                 ]
             _lib = lib
     return _lib
@@ -233,10 +234,15 @@ def decode_shorten(
     if lib is None:
         return None
     out = np.empty((num_frames, num_channels), dtype=np.int16)
+    # num_channels is the BUFFER's layout and is passed through the ABI so
+    # the C side enforces it against the stream — its own header re-parse
+    # cannot be trusted to size our allocation (the file could change
+    # between the caller's parse and this call).
     got = lib.audio_decode_shorten_i16(
         path.encode(),
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
         num_frames,
+        num_channels,
     )
     if got < 0:
         raise ValueError(f"{path}: {_ERRORS.get(int(got), f'error {got}')}")
