@@ -11,15 +11,20 @@ equals the strided network's row for the window starting at t.  The
 AvgPool + flatten + linear head becomes twelve shifted adds over the final
 map plus a [T, 48] matmul.  ~150x fewer FLOPs per output frame.
 
-Numerics: EXACT for a window with silence around it (the track context the
-dilated convs see is then identical to the per-window zero padding —
-pinned by test), but on continuous audio interior windows see real
+Numerics: for a window with silence around it the paths agree up to the
+*bias leak* — a zero track region carries ``relu(bias)``/BN-affine
+constants through the stack where the per-window path saw literal
+per-layer zeros — exactly zero when conv biases are zero, ~1e-4 near the
+reference's 0.01-scale init, larger for trained checkpoints (pinned by
+tests).  On continuous audio interior windows additionally see real
 neighbour audio where the reference saw artificial zeros, so probabilities
 deviate near window borders.  This is a *better-posed* model (no synthetic
 zero-context) but NOT checkpoint-parity — hence an opt-in fast path
 (``InferenceSettings(mode="fused_conv")``), never the default.
 
 Only valid at inference: BatchNorm must be in running-stats (affine) mode.
+ResNetNoBN checkpoints (no BN anywhere, reference models.py:247-308) are
+supported — every BN fold is skipped when the parameter tree has none.
 """
 
 from __future__ import annotations
@@ -29,9 +34,9 @@ from typing import Any, Dict, Sequence, Tuple
 import jax
 import jax.numpy as jnp
 
-PyTree = Any
+from laughter_detection_icsi_tpu.models.layers import BN_EPS
 
-BN_EPS = 1e-5
+PyTree = Any
 
 
 def _affine_bn(params: PyTree, state: PyTree) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -70,16 +75,19 @@ def _block(x, params, state, f_stride, t_dil_in, replaced_stride):
     ``t_dil_in`` is the dilation entering the block; when the block's
     original stride was 2 in time, the first conv keeps dilation t_dil_in
     and every later conv (in this and following blocks) uses
-    t_dil_in * replaced_stride.
+    t_dil_in * replaced_stride.  NoBN blocks (reference models.py:43-79)
+    simply have no ``bn*`` keys — every fold is skipped.
     """
     t_dil_out = t_dil_in * replaced_stride
     out = _conv(x, params["conv1"]["weight"], 1, f_stride, t_dil_in,
                 params["conv1"].get("bias"))
-    out = _bn4(out, params["bn1"], state["bn1"])
+    if "bn1" in params:
+        out = _bn4(out, params["bn1"], state["bn1"])
     out = jax.nn.relu(out)
     out = _conv(out, params["conv2"]["weight"], 1, 1, t_dil_out,
                 params["conv2"].get("bias"))
-    out = _bn4(out, params["bn2"], state["bn2"])
+    if "bn2" in params:
+        out = _bn4(out, params["bn2"], state["bn2"])
     if "shortcut" in params:
         sc = jax.lax.conv_general_dilated(
             x,
@@ -89,7 +97,10 @@ def _block(x, params, state, f_stride, t_dil_in, replaced_stride):
             rhs_dilation=(1, 1),
             dimension_numbers=("NCHW", "OIHW", "NCHW"),
         )
-        sc = _bn4(sc, params["shortcut"]["1"], state["shortcut"]["1"])
+        if "bias" in params["shortcut"]["0"]:
+            sc = sc + params["shortcut"]["0"]["bias"][None, :, None, None]
+        if "1" in params["shortcut"]:  # NoBN shortcut = conv only
+            sc = _bn4(sc, params["shortcut"]["1"], state["shortcut"]["1"])
     else:
         sc = x
     return jax.nn.relu(out + sc), t_dil_out
@@ -118,11 +129,13 @@ def _block_valid_t(x, params, state, f_stride, t_dil_in, replaced_stride):
     t_dil_out = t_dil_in * replaced_stride
     out = _conv_valid_t(x, params["conv1"]["weight"], f_stride, t_dil_in,
                         params["conv1"].get("bias"))
-    out = _bn4(out, params["bn1"], state["bn1"])
+    if "bn1" in params:
+        out = _bn4(out, params["bn1"], state["bn1"])
     out = jax.nn.relu(out)
     out = _conv_valid_t(out, params["conv2"]["weight"], 1, t_dil_out,
                         params["conv2"].get("bias"))
-    out = _bn4(out, params["bn2"], state["bn2"])
+    if "bn2" in params:
+        out = _bn4(out, params["bn2"], state["bn2"])
     off = t_dil_in + t_dil_out  # rows consumed from each side
     if "shortcut" in params:
         sc = jax.lax.conv_general_dilated(
@@ -132,11 +145,31 @@ def _block_valid_t(x, params, state, f_stride, t_dil_in, replaced_stride):
             padding=[(0, 0), (0, 0)],
             dimension_numbers=("NCHW", "OIHW", "NCHW"),
         )
-        sc = _bn4(sc, params["shortcut"]["1"], state["shortcut"]["1"])
+        if "bias" in params["shortcut"]["0"]:
+            sc = sc + params["shortcut"]["0"]["bias"][None, :, None, None]
+        if "1" in params["shortcut"]:  # NoBN shortcut = conv only
+            sc = _bn4(sc, params["shortcut"]["1"], state["shortcut"]["1"])
     else:
         sc = x
     sc = sc[:, :, off : sc.shape[2] - off, :]
     return jax.nn.relu(out + sc), t_dil_out
+
+
+def _head(flat: jnp.ndarray, params: PyTree, state: PyTree) -> jnp.ndarray:
+    """BN1d -> linear1 -> BN1d -> ReLU -> linear2 -> sigmoid over the
+    flattened pooled map (reference models.py:231-238); BN folds skipped
+    for NoBN checkpoints (reference models.py:295-298)."""
+    h = flat
+    if "bn2" in params:
+        scale, bias = _affine_bn(params["bn2"], state["bn2"])
+        h = h * scale + bias
+    h = h @ params["linear1"]["weight"].T + params["linear1"]["bias"]
+    if "bn3" in params:
+        scale, bias = _affine_bn(params["bn3"], state["bn3"])
+        h = h * scale + bias
+    h = jax.nn.relu(h)
+    h = h @ params["linear2"]["weight"].T + params["linear2"]["bias"]
+    return jax.nn.sigmoid(h)[:, 0]
 
 
 def fully_conv_probs_blocked(
@@ -194,13 +227,16 @@ def fully_conv_probs_blocked(
 
     x = _conv_valid_t(xb, params["conv1"]["weight"], 1, 1,
                       params["conv1"].get("bias"))
-    x = _bn4(x, params["bn1"], state["bn1"])
+    if "bn1" in params:
+        x = _bn4(x, params["bn1"], state["bn1"])
     x = jax.nn.relu(x)
     t_dil = 1
     for i, s in enumerate(strides):
-        blk_p, blk_s = params[f"block{i + 1}"], state[f"block{i + 1}"]
-        x, t_dil = _block_valid_t(x, blk_p["0"], blk_s["0"], s, t_dil, s)
-        x, _ = _block_valid_t(x, blk_p["1"], blk_s["1"], 1, t_dil, 1)
+        # state.get: a torch-imported NoBN state tree is empty (no buffers)
+        blk_p = params[f"block{i + 1}"]
+        blk_s = state.get(f"block{i + 1}", {})
+        x, t_dil = _block_valid_t(x, blk_p["0"], blk_s.get("0", {}), s, t_dil, s)
+        x, _ = _block_valid_t(x, blk_p["1"], blk_s.get("1", {}), 1, t_dil, 1)
 
     # x: [nb, C, block + head_extent, Wf]; freq-pool like fully_conv_probs.
     c, wf = x.shape[1], x.shape[3]
@@ -227,15 +263,7 @@ def fully_conv_probs_blocked(
 
     # torch .view flatten order over [C, H=out_rows, W=1]: c*out_rows + r.
     flat = jnp.transpose(pooled, (1, 3, 2, 0)).reshape(nb * block, c * out_rows)
-
-    scale, bias = _affine_bn(params["bn2"], state["bn2"])
-    h = flat * scale + bias
-    h = h @ params["linear1"]["weight"].T + params["linear1"]["bias"]
-    scale, bias = _affine_bn(params["bn3"], state["bn3"])
-    h = h * scale + bias
-    h = jax.nn.relu(h)
-    h = h @ params["linear2"]["weight"].T + params["linear2"]["bias"]
-    probs = jax.nn.sigmoid(h)[:, 0]
+    probs = _head(flat, params, state)
 
     # Splice in the exact track edges (see docstring): rows < halo_l read
     # the left track edge, rows >= t_in - halo_r can read beyond the
@@ -267,15 +295,18 @@ def fully_conv_probs(
     x = feats[None, None, :, :]  # [1, 1, T, F]
 
     x = _conv(x, params["conv1"]["weight"], 1, 1, 1, params["conv1"].get("bias"))
-    x = _bn4(x, params["bn1"], state["bn1"])
+    if "bn1" in params:
+        x = _bn4(x, params["bn1"], state["bn1"])
     x = jax.nn.relu(x)
 
     t_dil = 1
     for i, s in enumerate(strides):
-        blk_p, blk_s = params[f"block{i + 1}"], state[f"block{i + 1}"]
+        # state.get: a torch-imported NoBN state tree is empty (no buffers)
+        blk_p = params[f"block{i + 1}"]
+        blk_s = state.get(f"block{i + 1}", {})
         # first block of the stage carries the stage stride, second is s=1
-        x, t_dil = _block(x, blk_p["0"], blk_s["0"], s, t_dil, s)
-        x, _ = _block(x, blk_p["1"], blk_s["1"], 1, t_dil, 1)
+        x, t_dil = _block(x, blk_p["0"], blk_s.get("0", {}), s, t_dil, s)
+        x, _ = _block(x, blk_p["1"], blk_s.get("1", {}), 1, t_dil, 1)
 
     # x: [1, C, T, Wf] at full time resolution; t_dil == total replaced
     # time stride (8).  Frequency followed the original striding, so Wf is
@@ -302,25 +333,23 @@ def fully_conv_probs(
 
     # pooled[r, i] = mean_q m[:, i + t_dil*(pool*r + q)]
     total = x.shape[2]
+    # Slice length: the largest offset is head_extent = t_dil*(pool*out_rows
+    # - 1), so total - head_extent positions exist for EVERY offset.  Since
+    # pool*out_rows - 1 <= (window-1)//t_dil, this is always >= t_in — a
+    # `- pool*out_rows` here dropped the final output frame whenever
+    # window % (t_dil*pool) == 0 (e.g. window 32/64/128).
+    slice_len = total - t_dil * (pool * out_rows - 1)
     pieces = []
     for r in range(out_rows):
         acc = 0
         for q in range(pool):
             off = t_dil * (pool * r + q)
-            sl = jax.lax.dynamic_slice_in_dim(m, off, total - t_dil * (pool * out_rows), axis=1)
+            sl = jax.lax.dynamic_slice_in_dim(m, off, slice_len, axis=1)
             acc = acc + sl
         pieces.append(acc / pool)
     pooled = jnp.stack(pieces, axis=0)  # [out_rows, C, T']
 
     # torch .view flatten order over [C, H=out_rows, W=1]: index = c*out_rows + r
     flat = jnp.transpose(pooled, (2, 1, 0)).reshape(pooled.shape[2], c * out_rows)
-
-    scale, bias = _affine_bn(params["bn2"], state["bn2"])
-    h = flat * scale + bias
-    h = h @ params["linear1"]["weight"].T + params["linear1"]["bias"]
-    scale, bias = _affine_bn(params["bn3"], state["bn3"])
-    h = h * scale + bias
-    h = jax.nn.relu(h)
-    h = h @ params["linear2"]["weight"].T + params["linear2"]["bias"]
-    probs = jax.nn.sigmoid(h)[:, 0]
+    probs = _head(flat, params, state)
     return probs[:t_in]

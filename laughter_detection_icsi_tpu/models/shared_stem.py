@@ -270,19 +270,11 @@ def _band2(params, state, band1: jnp.ndarray, strip: jnp.ndarray, top: bool):
 
 
 def _conv_nhcw(x, params, stride: int, padding: int):
-    """Conv consuming [B, H, C, W] input, emitting NCHW — the layout
-    permutation rides inside the conv (dimension_numbers) instead of
-    materializing a multi-GB transpose of the gathered window tensor."""
-    out = jax.lax.conv_general_dilated(
-        x,
-        params["weight"],
-        window_strides=(stride, stride),
-        padding=[(padding, padding), (padding, padding)],
-        dimension_numbers=("NHCW", "OIHW", "NCHW"),
+    """Scalar-stride/padding convenience over :func:`_conv_nhcw_hw` (the
+    layout note there applies)."""
+    return _conv_nhcw_hw(
+        x, params, (stride, stride), [(padding, padding), (padding, padding)]
     )
-    if "bias" in params:
-        out = out + params["bias"][None, :, None, None]
-    return out
 
 
 def _block2_first_nhcw(x, params, state, with_bn):

@@ -26,8 +26,10 @@ def extract_windows(
 ) -> jnp.ndarray:
     """Gather ``count`` consecutive sliding windows from ``feats``.
 
-    feats: [T, F] (assumed already zero-padded by ``window`` at the tail
-    by the caller, or ``start + count + window <= T``).
+    feats: [T, F] with every gathered index in range: the last one is
+    ``start + count + window - 2``, so the caller needs
+    ``start + count + window - 1 <= T`` — exactly what :func:`pad_tail`'s
+    ``window - 1`` tail padding provides for the full sweep.
     Returns [count, window, F].
     """
     idx = start + jnp.arange(count)[:, None] + jnp.arange(window)[None, :]
