@@ -189,6 +189,11 @@ def frame_waveform(waveform: jnp.ndarray, cfg: FeatConfig = FEAT) -> jnp.ndarray
     shift = cfg.frame_shift_samples
     flen = cfg.frame_length_samples
     t = num_frames(n, cfg)
+    if t == 0:
+        # jnp.pad(mode='symmetric') rejects an empty axis; a zero-length
+        # channel (truncated/empty file) should frame to 0 frames, matching
+        # num_frames() and the Pallas path.
+        return jnp.zeros((*waveform.shape[:-1], 0, flen), waveform.dtype)
     padded = _pad_for_framing(waveform, cfg)
     idx = jnp.arange(t)[:, None] * shift + jnp.arange(flen)[None, :]
     return padded[..., idx]
@@ -298,7 +303,6 @@ def fbank(
     frames = frames * jnp.asarray(_window_fn(cfg))
 
     nfft = cfg.fft_size
-    flen = cfg.frame_length_samples
     if use_fft:
         padded = jnp.pad(
             frames, [(0, 0)] * (frames.ndim - 1) + [(0, nfft - flen)]

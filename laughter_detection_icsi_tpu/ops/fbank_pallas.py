@@ -133,6 +133,12 @@ def fbank_pallas(
 
     ``interpret=True`` runs the kernel in the Pallas interpreter (CPU tests).
     """
+    if cfg.dither:
+        # Same guard as ops/fbank.py: silently ignoring the knob would
+        # fake parity with a dithering extractor.
+        raise NotImplementedError(
+            "dither != 0 is not implemented (features are deterministic)"
+        )
     cfg_snip = dataclasses.replace(cfg, snip_edges=True)
     shift = cfg_snip.frame_shift_samples
     flen = cfg_snip.frame_length_samples

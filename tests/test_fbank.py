@@ -124,3 +124,31 @@ def test_mel_banks_shape_and_partition():
     assert (banks >= 0).all()
     # every filter has some support
     assert (banks.sum(axis=0) > 0).all()
+
+
+def test_empty_waveform_zero_frames():
+    """A zero-length channel (truncated/empty file) must featurize to 0
+    frames on every path, not crash in jnp.pad(mode='symmetric')."""
+    import jax.numpy as jnp
+
+    out = fb.fbank_jit(jnp.zeros(0, jnp.float32))
+    assert out.shape == (0, 44)
+    np_out = fb.fbank_numpy(np.zeros(0, np.float32))
+    assert np_out.shape == (0, 44)
+
+
+def test_dither_rejected_everywhere():
+    """dither != 0 must raise on BOTH featurizer paths — silently ignoring
+    it would fake parity with a dithering extractor."""
+    import dataclasses
+
+    from laughter_detection_icsi_tpu.ops import fbank_pallas as fp
+
+    import jax.numpy as jnp
+
+    cfg = dataclasses.replace(FEAT, dither=1.0)
+    wave = jnp.zeros(16000, jnp.float32)
+    with pytest.raises(NotImplementedError, match="dither"):
+        fb.fbank(wave, cfg)
+    with pytest.raises(NotImplementedError, match="dither"):
+        fp.fbank_pallas(wave, cfg, interpret=True)
