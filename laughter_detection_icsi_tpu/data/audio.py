@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import dataclasses
 import struct
+import threading
 from typing import Optional, Tuple
 
 import numpy as np
@@ -141,6 +142,11 @@ def _parse_wav_header(path: str) -> AudioInfo:
         encoding, sample_bytes = "float", bits // 8
     else:
         raise NotImplementedError(f"{path}: unsupported WAV format {audio_format}")
+    if channels <= 0 or sample_bytes <= 0:
+        # a corrupt fmt chunk (channels=0 or bits<8) would otherwise raise
+        # ZeroDivisionError below instead of the ValueError malformed-header
+        # contract every other path keeps (the C decoder rejects this too)
+        raise ValueError(f"{path}: malformed WAV fmt chunk")
     num_samples = data_size // (sample_bytes * channels)
     return AudioInfo(
         sample_rate=sample_rate,
@@ -176,9 +182,15 @@ def _ulaw_table() -> np.ndarray:
 
 # Shorten is sequential (no ranged decode), so whole-file decodes are cached:
 # key -> (frames, nchan) int16.  Two entries cover the common access pattern
-# (a meeting channel being windowed, plus one neighbour).
+# (a meeting channel being windowed, plus one neighbour).  The lock guards
+# the check-then-evict (meeting channels decode concurrently from thread
+# pools, e.g. parallel/sharded_inference.py — unsynchronized eviction could
+# pop from an already-emptied dict); decodes themselves run OUTSIDE the
+# lock so concurrent different-file decodes still parallelize (the rare
+# same-file race costs a duplicate decode, never a crash).
 _SHORTEN_CACHE: "dict[tuple, np.ndarray]" = {}
 _SHORTEN_CACHE_MAX = 2
+_SHORTEN_CACHE_LOCK = threading.Lock()
 
 
 def _decode_shorten_cached(path: str, meta: AudioInfo) -> np.ndarray:
@@ -186,7 +198,8 @@ def _decode_shorten_cached(path: str, meta: AudioInfo) -> np.ndarray:
 
     st = os.stat(path)
     key = (os.path.abspath(path), st.st_mtime_ns, st.st_size)
-    hit = _SHORTEN_CACHE.get(key)
+    with _SHORTEN_CACHE_LOCK:
+        hit = _SHORTEN_CACHE.get(key)
     if hit is not None:
         return hit
     pcm: Optional[np.ndarray] = None
@@ -202,9 +215,10 @@ def _decode_shorten_cached(path: str, meta: AudioInfo) -> np.ndarray:
         pcm = _shorten.decode_file(
             path, meta.data_offset, max_frames=meta.num_samples
         )
-    if len(_SHORTEN_CACHE) >= _SHORTEN_CACHE_MAX:
-        _SHORTEN_CACHE.pop(next(iter(_SHORTEN_CACHE)))
-    _SHORTEN_CACHE[key] = pcm
+    with _SHORTEN_CACHE_LOCK:
+        while len(_SHORTEN_CACHE) >= _SHORTEN_CACHE_MAX:
+            _SHORTEN_CACHE.pop(next(iter(_SHORTEN_CACHE)))
+        _SHORTEN_CACHE[key] = pcm
     return pcm
 
 

@@ -64,8 +64,17 @@ class LadDataset:
     # ------------------------------------------------------------------ #
 
     def _plan(self):
-        if getattr(self, "_plan_cache", None) is not None:
+        # Keyed on the cache generation: add_track overwrites .npy files in
+        # place, so a plan built earlier would keep gathering through stale
+        # mmaps of the rewritten tracks (example() would NOT — the two
+        # paths are pinned identical).
+        gen = getattr(self.cache, "generation", 0)
+        if (
+            getattr(self, "_plan_cache", None) is not None
+            and self._plan_gen == gen
+        ):
             return self._plan_cache
+        self._plan_gen = gen
         fps = self.cache.cfg.num_samples
         keys = (
             self.df["meeting_id"].astype(str) + "/" + self.df["chan_id"].astype(str)

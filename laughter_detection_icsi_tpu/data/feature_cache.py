@@ -92,6 +92,9 @@ class FeatureCache:
         self._manifest_path = Path(self.cache_dir) / MANIFEST_NAME
         self._manifest: Dict[str, Dict] = {}
         self._mmaps: Dict[str, np.ndarray] = {}
+        #: bumped on every add_track so consumers holding derived views
+        #: (e.g. LadDataset's gather plan) can detect retracks and rebuild
+        self.generation = 0
         if self._manifest_path.is_file():
             self._manifest = json.loads(self._manifest_path.read_text())
 
@@ -125,6 +128,7 @@ class FeatureCache:
         # Drop any cached mmap of the overwritten file: a stale view keeps
         # the OLD shape and silently reads zeros/garbage past the new end.
         self._mmaps.pop(self._key(meeting_id, chan_id), None)
+        self.generation += 1
         self._manifest[self._key(meeting_id, chan_id)] = {
             "num_frames": int(feats.shape[0]),
             "num_filters": int(feats.shape[1]),

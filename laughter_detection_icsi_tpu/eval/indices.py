@@ -128,7 +128,11 @@ def laugh_index_from_df(df: pd.DataFrame, invalid_index: Index) -> Index:
             # The reference pre-creates an (empty) entry per participant
             # (preprocess.py:76); matters for `part_id in index` checks.
             index.sets[meeting_id].setdefault(part_id, IntervalSet.empty())
-            bad = part_df.apply(seg_is_invalid, axis=1)
+            # vectorized seg_is_invalid (one Python call per corpus laugh
+            # row adds up; add_many was rewritten for the same reason)
+            bad = (part_df["length"] < ANALYSIS.min_length) | (
+                part_df["laugh_type"] == "breath-laugh"
+            )
             if bool(bad.any()):
                 inv = part_df[bad]
                 invalid_index.add_many(
@@ -191,8 +195,14 @@ def build_indices(store: TranscriptStore) -> IndexStore:
 # --------------------------------------------------------------------------- #
 
 
-def _cache_key(transcript_dir: str) -> str:
+def _cache_key(transcript_dir: str, cfg: AnalysisConfig = None) -> str:
+    cfg = cfg if cfg is not None else ANALYSIS
     h = hashlib.sha1()
+    # The indices depend on the analysis config as well as the corpus:
+    # min_length moves laughs between the laugh and invalid indices, and
+    # frame_duration sets the interval resolution — a config change must
+    # miss the cache or evaluation silently runs on the wrong split.
+    h.update(f"cfg:{cfg.min_length}:{cfg.frame_duration_ms}".encode())
     tdir = Path(transcript_dir)
     for p in sorted(tdir.glob("*.mrt")):
         st = p.stat()

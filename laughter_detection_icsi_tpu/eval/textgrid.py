@@ -25,6 +25,15 @@ Interval = Tuple[float, float, str]
 # --------------------------------------------------------------------------- #
 
 
+def _quote(s: str) -> str:
+    """Praat escapes a double quote inside a string as two ('\"\" ')."""
+    return s.replace('"', '""')
+
+
+def _unquote(s: str) -> str:
+    return s.replace('""', '"')
+
+
 def _fill_gaps(
     intervals: Sequence[Tuple[float, float]], xmin: float, xmax: float, text: str
 ) -> List[Interval]:
@@ -35,9 +44,18 @@ def _fill_gaps(
     out: List[Interval] = []
     cursor = xmin
     for start, end in sorted(intervals):
-        start = max(start, cursor)
-        if end <= cursor:
-            continue  # fully contained in an already-emitted interval
+        if end < start:
+            raise ValueError(
+                f"textgrid: interval end {end} < start {start}"
+            )
+        # Clamp to the tier: frame->seconds conversion can step a hair past
+        # the channel length; unclamped, the tier would declare laugh time
+        # past xmax (invalid TextGrid, trips the evaluator's FP-accounting
+        # closure assert).
+        start = min(max(start, cursor), xmax)
+        end = min(end, xmax)
+        if end <= cursor or end <= start:
+            continue  # contained in an emitted interval, or clamped away
         if start > cursor:
             out.append((cursor, start, ""))
         if out and out[-1][2] == text and out[-1][1] == start:
@@ -76,7 +94,7 @@ def write_textgrid(
         "item []:",
         "    item [1]:",
         '        class = "IntervalTier"',
-        f'        name = "{tier_name}"',
+        f'        name = "{_quote(tier_name)}"',
         f"        xmin = {xmin}",
         f"        xmax = {xmax}",
         f"        intervals: size = {len(intervals)}",
@@ -86,7 +104,7 @@ def write_textgrid(
             f"        intervals [{i}]:",
             f"            xmin = {a}",
             f"            xmax = {b}",
-            f'            text = "{t}"',
+            f'            text = "{_quote(t)}"',
         ]
     Path(path).write_text("\n".join(lines) + "\n")
 
@@ -118,6 +136,7 @@ def read_textgrid(path: str) -> Dict[str, List[Interval]]:
 def _read_long(content: str) -> Dict[str, List[Interval]]:
     tiers: Dict[str, List[Interval]] = {}
     cur_tier = None
+    cur_class = "IntervalTier"
     cur: Dict[str, object] = {}
     for raw in content.splitlines():
         line = raw.strip()
@@ -127,8 +146,13 @@ def _read_long(content: str) -> Dict[str, List[Interval]]:
             continue
         m = re.match(r'name\s*=\s*"(.*)"', line)
         if m:
-            cur_tier = m.group(1)
-            tiers.setdefault(cur_tier, [])
+            if cur_class == "IntervalTier":
+                cur_tier = _unquote(m.group(1))
+                tiers.setdefault(cur_tier, [])
+            else:
+                # TextTier (point tier) etc.: skip explicitly instead of
+                # relying on its mark/number lines not matching below
+                cur_tier = None
             continue
         m = re.match(r"xmin\s*=\s*(\S+)", line)
         if m:
@@ -141,7 +165,11 @@ def _read_long(content: str) -> Dict[str, List[Interval]]:
         m = re.match(r'text\s*=\s*"(.*)"', line)
         if m and cur_tier is not None:
             tiers[cur_tier].append(
-                (float(cur.get("xmin", 0.0)), float(cur.get("xmax", 0.0)), m.group(1))
+                (
+                    float(cur.get("xmin", 0.0)),
+                    float(cur.get("xmax", 0.0)),
+                    _unquote(m.group(1)),
+                )
             )
     return tiers
 
@@ -158,6 +186,11 @@ def _read_short(content: str) -> Dict[str, List[Interval]]:
         i += 1
         return v
 
+    def unq(v: str) -> str:
+        if len(v) >= 2 and v[0] == '"' and v[-1] == '"':
+            return _unquote(v[1:-1])
+        return v
+
     take()  # File type
     take()  # Object class
     take()  # xmin
@@ -167,7 +200,7 @@ def _read_short(content: str) -> Dict[str, List[Interval]]:
     tiers: Dict[str, List[Interval]] = {}
     for _ in range(ntiers):
         take()  # class
-        name = take().strip('"')
+        name = unq(take())
         take()  # xmin
         take()  # xmax
         n = int(_NUM.search(take()).group())
@@ -175,7 +208,7 @@ def _read_short(content: str) -> Dict[str, List[Interval]]:
         for _ in range(n):
             a = float(take())
             b = float(take())
-            t = take().strip('"')
+            t = unq(take())
             ivals.append((a, b, t))
         tiers[name] = ivals
     return tiers

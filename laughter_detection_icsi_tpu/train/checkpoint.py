@@ -163,7 +163,11 @@ def save_checkpoint(
         np.savez(f, __meta__=json.dumps(meta), **arrays)
     os.replace(tmp, path)  # atomic: a crash never corrupts last.ckpt
     if is_best:
-        shutil.copyfile(path, ckpt_dir / BEST_NAME)
+        # same tmp+replace dance: a crash mid-copy must never leave a
+        # truncated best.ckpt (the one checkpoint model selection reads)
+        best_tmp = ckpt_dir / (BEST_NAME + ".tmp")
+        shutil.copyfile(path, best_tmp)
+        os.replace(best_tmp, ckpt_dir / BEST_NAME)
     return str(path)
 
 
@@ -187,6 +191,9 @@ def load_checkpoint(path: str) -> Dict[str, Any]:
                     continue
                 prefix, _, rest = key.partition("/")
                 trees[prefix][rest] = data[key]
+    except FileNotFoundError:
+        # a wrong path is not corruption — let it say what it is
+        raise
     except (ValueError, OSError, EOFError, KeyError, zipfile.BadZipFile) as e:
         raise ValueError(
             f"{path}: corrupt or unreadable checkpoint ({e}); writes are "

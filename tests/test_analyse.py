@@ -164,3 +164,17 @@ def test_analyse_end_to_end(preds_dir, synthetic_corpus):
     # second call uses the cache (no force)
     again = an.analyse(str(preds_dir))
     assert again.iloc[0]["precision"] == pytest.approx(0.7)
+
+
+def test_index_cache_key_covers_config(synthetic_corpus):
+    """Changing the analysis config (min_length moves laughs between the
+    laugh and invalid indices) must miss the index cache."""
+    import dataclasses
+
+    from laughter_detection_icsi_tpu.config import ANALYSIS
+    from laughter_detection_icsi_tpu.eval import indices as idx_lib
+
+    tdir = str(synthetic_corpus.transcript_dir)
+    a = idx_lib._cache_key(tdir)
+    b = idx_lib._cache_key(tdir, dataclasses.replace(ANALYSIS, min_length=0.5))
+    assert a != b

@@ -442,3 +442,30 @@ def test_trainloop_fused_resident_path(tmp_path, rng):
     assert loop.global_step == 3  # 12 rows / batch 4
     assert np.isfinite(mean_loss)
     assert not np.array_equal(p0, np.asarray(params["conv1"]["weight"]))
+
+
+def test_dataset_plan_invalidated_on_retrack(tmp_path, rng):
+    """A recomputed track (cache.add_track) must invalidate LadDataset's
+    cached gather plan — a stale plan fed old mmaps to batch assembly while
+    example() served the new features."""
+    import pandas as pd
+
+    from laughter_detection_icsi_tpu.data.dataset import LadDataset
+
+    cache = FeatureCache(str(tmp_path / "fc"))
+    w1 = (rng.standard_normal(16000 * 2) * 0.1).astype(np.float32)
+    cache.add_track("Btr001", "chan0", w1)
+    df = pd.DataFrame(
+        {
+            "start": [0.0], "duration": [1.0], "sub_start": [0.2],
+            "sub_duration": [1.0], "audio_path": ["Btr001/chan0.sph"],
+            "meeting_id": ["Btr001"], "chan_id": ["chan0"], "label": [1],
+        }
+    )
+    ds = LadDataset(df=df, cache=cache)
+    b1 = next(iter(ds.batches(batch_size=1, shuffle=False)))
+    w2 = (rng.standard_normal(16000 * 2) * 0.1).astype(np.float32)
+    feats2 = cache.add_track("Btr001", "chan0", w2)
+    b2 = next(iter(ds.batches(batch_size=1, shuffle=False)))
+    np.testing.assert_array_equal(b2["inputs"][0], feats2[20:120])
+    assert not np.array_equal(b1["inputs"][0], b2["inputs"][0])

@@ -74,3 +74,63 @@ def test_overlapping_instances_write_merged(tmp_path):
     for (a0, b0, _), (a1, b1, _) in zip(ivals, ivals[1:]):
         assert b0 == a1 and a0 < b0
     assert tg.read_laughter_intervals(path) == [(0.0, 7.0)]
+
+
+def test_quote_escaping_roundtrip(tmp_path):
+    """Praat escapes '\"' as '\"\"'; writer and both readers must agree (the
+    tgt/textgrids libraries parse unescaped quotes as string terminators)."""
+    p = str(tmp_path / "q.TextGrid")
+    tg.write_textgrid(p, [(1.0, 2.0)], tier_name='la"ugh', text='he" he')
+    tiers = tg.read_textgrid(p)
+    assert 'la"ugh' in tiers
+    assert [t for _, _, t in tiers['la"ugh'] if t] == ['he" he']
+
+
+def test_intervals_clamped_to_xmax(tmp_path):
+    """Frame->seconds rounding can step past the channel length; the tier
+    must stay a valid [xmin, xmax] partition or laugh time past xmax trips
+    the evaluator's closure assert."""
+    p = str(tmp_path / "c.TextGrid")
+    tg.write_textgrid(p, [(2.0, 12.0)], xmax=10.0)
+    assert tg.read_laughter_intervals(p) == [(2.0, 10.0)]
+    # interval entirely past xmax: clamped away, grid stays valid
+    tg.write_textgrid(p, [(11.0, 12.0)], xmax=10.0)
+    assert tg.read_laughter_intervals(p) == []
+
+
+def test_reversed_interval_rejected(tmp_path):
+    import pytest
+
+    with pytest.raises(ValueError, match="end"):
+        tg.write_textgrid(str(tmp_path / "r.TextGrid"), [(5.0, 3.0)], xmax=10.0)
+
+
+def test_point_tier_skipped(tmp_path):
+    """A TextTier (point tier) in a long-format file must not be collected
+    as intervals."""
+    p = tmp_path / "pt.TextGrid"
+    p.write_text(
+        'File type = "ooTextFile"\n'
+        'Object class = "TextGrid"\n\n'
+        "xmin = 0\nxmax = 10\ntiers? <exists>\nsize = 2\n"
+        "item []:\n"
+        "    item [1]:\n"
+        '        class = "TextTier"\n'
+        '        name = "points"\n'
+        "        xmin = 0\n        xmax = 10\n"
+        "        points: size = 1\n"
+        "        points [1]:\n"
+        "            number = 5\n"
+        '            mark = "x"\n'
+        "    item [2]:\n"
+        '        class = "IntervalTier"\n'
+        '        name = "laughter"\n'
+        "        xmin = 0\n        xmax = 10\n"
+        "        intervals: size = 1\n"
+        "        intervals [1]:\n"
+        "            xmin = 1\n            xmax = 2\n"
+        '            text = "laugh"\n'
+    )
+    tiers = tg.read_textgrid(str(p))
+    assert "points" not in tiers or tiers["points"] == []
+    assert tg.read_laughter_intervals(str(p)) == [(1.0, 2.0)]

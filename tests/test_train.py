@@ -601,3 +601,11 @@ def test_preemption_second_sigint_escalates(tiny_model, tmp_path):
     finally:
         signal.signal(signal.SIGTERM, signal.SIG_DFL)
         signal.signal(signal.SIGINT, signal.default_int_handler)
+
+
+def test_missing_checkpoint_path_is_file_not_found(tmp_path):
+    """A wrong path must say 'file not found', not claim corruption."""
+    from laughter_detection_icsi_tpu.train import checkpoint as ckpt_lib
+
+    with pytest.raises(FileNotFoundError):
+        ckpt_lib.load_checkpoint(str(tmp_path / "nope" / "last.ckpt.npz"))
