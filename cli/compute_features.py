@@ -16,6 +16,11 @@ import os
 import sys
 from typing import List, Optional
 
+from pathlib import Path
+
+# Allow running as a script from a clean checkout (sys.path[0] is cli/)
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
 
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description=__doc__)

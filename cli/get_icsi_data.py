@@ -16,6 +16,10 @@ import urllib.request
 from pathlib import Path
 from typing import List, Optional
 
+
+# Allow running as a script from a clean checkout (sys.path[0] is cli/)
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
 MIRROR = "https://groups.inf.ed.ac.uk/ami/ICSIsignals/SPH"
 TRANSCRIPTS_URL = (
     "https://groups.inf.ed.ac.uk/ami/ICSICorpusAnnotations/ICSI_original_transcripts.zip"

@@ -17,6 +17,10 @@ from typing import List, Optional
 import numpy as np
 
 
+# Allow running as a script from a clean checkout (sys.path[0] is cli/)
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--textgrid", type=str, required=True,

@@ -111,11 +111,7 @@ def _load_model(args):
     )
     if args.model_path is None:
         return model, None, None
-    best = (
-        args.model_path
-        if os.path.isfile(args.model_path)
-        else ckpt_lib.find_best_checkpoint(args.model_path)
-    )
+    best = ckpt_lib.resolve_checkpoint(args.model_path)
     if best is None:
         raise SystemExit(f"Model checkpoint not found at {args.model_path}")
     loaded = ckpt_lib.load_checkpoint(best)

@@ -11,10 +11,23 @@ import os
 import sys
 from typing import List, Optional
 
+from pathlib import Path
+
+# Allow running as a script from a clean checkout (sys.path[0] is cli/)
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
 
 
 def strtobool(v: str) -> bool:
-    return str(v).lower() in ("1", "true", "yes", "y", "t")
+    """distutils.util.strtobool semantics, including the ValueError on an
+    unrecognized string — silently mapping a typo ('Ture') to False would
+    discard all outputs while the run appears to succeed."""
+    s = str(v).lower()
+    if s in ("1", "true", "yes", "y", "t", "on"):
+        return True
+    if s in ("0", "false", "no", "n", "f", "off"):
+        return False
+    raise SystemExit(f"invalid truth value {v!r} (use true/false)")
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -116,11 +129,7 @@ def main(argv: Optional[List[str]] = None) -> int:
     if args.random_init:
         params, state = model.init(jax.random.PRNGKey(0))
     else:
-        best = (
-            args.model_path
-            if os.path.isfile(args.model_path)
-            else ckpt_lib.find_best_checkpoint(args.model_path)
-        )
+        best = ckpt_lib.resolve_checkpoint(args.model_path)
         if best is None:
             raise SystemExit(f"Model checkpoint not found at {args.model_path}")
         loaded = ckpt_lib.load_checkpoint(best)

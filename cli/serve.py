@@ -49,6 +49,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--channels", type=int, default=1,
                    help="interleaved channel count of the stdin stream "
                         "(>1 uses the mesh-sharded session)")
+    p.add_argument("--channel", type=int, default=0,
+                   help="which channel of a replayed audio file to analyze "
+                        "(file replay is single-stream)")
     p.add_argument("--threshold", type=float, default=0.5)
     p.add_argument("--min_length", type=float, default=0.2)
     p.add_argument("--chunk_ms", type=int, default=250,
@@ -57,7 +60,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--bucket_frames", type=int, default=None,
                    help="probability latency bound: a bucket finalizes "
                         "every bucket_frames x 10 ms of audio")
-    p.add_argument("--precision", type=str, default=None)
+    p.add_argument("--precision", type=str, default=None,
+                   choices=["float32", "bfloat16"])
     p.add_argument("--save_probs", type=str, default=None,
                    help="write the full [channels, T] probability array "
                         "(.npy) at end of stream")
@@ -92,11 +96,7 @@ def main(argv: Optional[List[str]] = None) -> int:
         linear_layer_size=preset.linear_layer_size,
         filter_sizes=preset.filter_sizes,
     )
-    best = (
-        args.model_path
-        if os.path.isfile(args.model_path)
-        else ckpt_lib.find_best_checkpoint(args.model_path)
-    )
+    best = ckpt_lib.resolve_checkpoint(args.model_path)
     if best is None:
         raise SystemExit(f"Model checkpoint not found at {args.model_path}")
     loaded = ckpt_lib.load_checkpoint(best)
@@ -108,10 +108,35 @@ def main(argv: Optional[List[str]] = None) -> int:
         precision=args.precision or ("bfloat16" if on_accel else "float32"),
     )
     n_ch = args.channels
+    # Event times divide frame indices by this; for file replay it is set
+    # to the offline fps (frames/duration) below so emitted events equal
+    # segment_laughter's on the same file even when the sample count is
+    # not frame-aligned.  Live stdin has no known duration: exact 100
+    # frames/s (the true frame rate) is used.
+    fps = 100.0
+    wave = None
     if args.input != "-":
         from laughter_detection_icsi_tpu.data import audio as audio_io
+        from laughter_detection_icsi_tpu.ops import fbank as fbank_ops
 
-        n_ch = 1  # file replay is single-channel (pick with --channels later)
+        if args.channels != 1:
+            raise SystemExit(
+                "--channels applies to the interleaved stdin stream; file "
+                "replay analyzes ONE channel (pick it with --channel)"
+            )
+        n_ch = 1
+        try:
+            # 16-bit PCM ships as raw int16 (half the transfer bytes)...
+            wave, sr = audio_io.read_int16(args.input, channel=args.channel)
+        except ValueError:
+            # ...every other valid encoding (ulaw/float/8- or 24-bit)
+            # replays through the float path like the offline pipeline.
+            wave, sr = audio_io.read(args.input, channel=args.channel)
+        if sr != 16000:
+            raise SystemExit(f"{args.input}: expected 16 kHz audio, got {sr}")
+        duration = len(wave) / float(sr)
+        if duration > 0:
+            fps = fbank_ops.num_frames(len(wave)) / duration
     if n_ch == 1:
         pipe = inference.LaughterPipeline(
             model, loaded["params"], loaded["state"], settings=settings
@@ -138,26 +163,29 @@ def main(argv: Optional[List[str]] = None) -> int:
         finish = sharded.finish
 
     detectors = [
-        StreamingEventDetector(args.threshold, args.min_length)
+        StreamingEventDetector(args.threshold, args.min_length, fps=fps)
         for _ in range(n_ch)
     ]
     probs_out: List[List[np.ndarray]] = [[] for _ in range(n_ch)]
     n_events = 0
     n_samples = 0
 
-    def handle(probs: np.ndarray) -> None:
+    def emit_event(c: int, start: float, end: float) -> None:
         nonlocal n_events
+        n_events += 1
+        _emit(
+            {"type": "event", "channel": c,
+             "start": round(start, 3), "end": round(end, 3),
+             "threshold": args.threshold}
+        )
+
+    def handle(probs: np.ndarray) -> None:
         probs = np.atleast_2d(probs)
         for c in range(n_ch):
             if args.save_probs:
                 probs_out[c].append(probs[c])
             for start, end in detectors[c].feed(probs[c]):
-                n_events += 1
-                _emit(
-                    {"type": "event", "channel": c,
-                     "start": round(start, 3), "end": round(end, 3),
-                     "threshold": args.threshold}
-                )
+                emit_event(c, start, end)
 
     # Warm the bucket graphs BEFORE announcing readiness (cold jit is tens
     # of seconds; emitting 'ready' first would stall the first real bucket
@@ -191,9 +219,6 @@ def main(argv: Optional[List[str]] = None) -> int:
             n_samples += deint.shape[0]
             handle(feed([np.ascontiguousarray(deint[:, c]) for c in range(n_ch)]))
     else:
-        wave, sr = audio_io.read_int16(args.input)
-        if sr != 16000:
-            raise SystemExit(f"{args.input}: expected 16 kHz audio, got {sr}")
         for lo in range(0, len(wave), chunk_samples):
             piece = wave[lo : lo + chunk_samples]
             n_samples += len(piece)
@@ -202,12 +227,7 @@ def main(argv: Optional[List[str]] = None) -> int:
     handle(finish())
     for c in range(n_ch):
         for start, end in detectors[c].finish():
-            n_events += 1
-            _emit(
-                {"type": "event", "channel": c,
-                 "start": round(start, 3), "end": round(end, 3),
-                 "threshold": args.threshold}
-            )
+            emit_event(c, start, end)
     if args.save_probs:
         np.save(
             args.save_probs,

@@ -19,6 +19,10 @@ import time
 from pathlib import Path
 from typing import List, Optional
 
+
+# Allow running as a script from a clean checkout (sys.path[0] is cli/)
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
 # The reference's EXACT sweep grid (gen_eval_exp.py:30-36): 29 thresholds
 # (linspace(0, 0.9, 19) + linspace(0.91, 1, 10), rounded to 2 dp) x 3
 # min_lengths — row-for-row comparable against reference sum_stats CSVs.
@@ -93,11 +97,7 @@ def main(argv: Optional[List[str]] = None) -> int:
         linear_layer_size=preset.linear_layer_size,
         filter_sizes=preset.filter_sizes,
     )
-    ckpt = (
-        args.model_path
-        if os.path.isfile(args.model_path)
-        else ckpt_lib.find_best_checkpoint(args.model_path)
-    )
+    ckpt = ckpt_lib.resolve_checkpoint(args.model_path)
     if ckpt is None:
         raise SystemExit(f"Model checkpoint not found at {args.model_path}")
     loaded = ckpt_lib.load_checkpoint(ckpt)
@@ -142,13 +142,15 @@ def main(argv: Optional[List[str]] = None) -> int:
             info = store.info_df[store.info_df.meeting_id == meeting_id]
             chans, paths = [], []
             for _, row in info.iterrows():
-                path = os.path.join(args.audio_dir, meeting_id, f"{row.chan_id}.sph")
-                if not os.path.isfile(path):
-                    alt = os.path.join(args.audio_dir, meeting_id, f"{row.chan_id}.wav")
-                    if not os.path.isfile(alt):
-                        print(f"missing audio: {path}")
-                        continue
-                    path = alt
+                from laughter_detection_icsi_tpu.data.audio import find_track_audio
+
+                path = find_track_audio(args.audio_dir, meeting_id, row.chan_id)
+                if path is None:
+                    print(
+                        f"missing audio: {meeting_id}/{row.chan_id}"
+                        ".sph (and .wav)"
+                    )
+                    continue
                 chans.append(row.chan_id)
                 paths.append(path)
             if not paths:

@@ -19,6 +19,10 @@ from pathlib import Path
 from typing import List, Optional
 
 
+# Allow running as a script from a clean checkout (sys.path[0] is cli/)
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--config", type=str, required=True)
@@ -83,16 +87,14 @@ def _ensure_features(cache, df, signals_dir: str) -> None:
     for meeting_id, chan_id in pairs:
         if cache.has(meeting_id, chan_id):
             continue
-        path = os.path.join(signals_dir, meeting_id, f"{chan_id}.sph")
-        if not os.path.isfile(path):
-            alt = os.path.join(signals_dir, meeting_id, f"{chan_id}.wav")
-            if os.path.isfile(alt):
-                path = alt
-            else:
-                raise FileNotFoundError(
-                    f"no cached features and no audio for {meeting_id}/{chan_id} "
-                    f"under {signals_dir}"
-                )
+        from laughter_detection_icsi_tpu.data.audio import find_track_audio
+
+        path = find_track_audio(signals_dir, meeting_id, chan_id)
+        if path is None:
+            raise FileNotFoundError(
+                f"no cached features and no audio ({chan_id}.sph or .wav) "
+                f"for {meeting_id} under {signals_dir}"
+            )
         print(f"featurizing {meeting_id}/{chan_id} ...", flush=True)
         cache.add_audio_file(meeting_id, chan_id, path)
 
@@ -190,7 +192,10 @@ def main(argv: Optional[List[str]] = None) -> int:
             raise SystemExit("--gradient_accumulation_steps requires single-device mode")
         trainer = DataParallelTrainer(model=model, mesh=mesh, optimizer=Adam())
         print(f"data-parallel over {n_dev} devices")
-        if args.transfer_dtype:
+        if args.transfer_dtype and not use_cache:
+            # With --device_cache the value IS honored (it sets the
+            # resident cache dtype below) — only the streamed DP path
+            # ignores it.
             print(
                 "note: --transfer_dtype applies to single-device streamed "
                 "batches and is ignored under --data_parallel (use "

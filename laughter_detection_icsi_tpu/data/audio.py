@@ -238,6 +238,21 @@ def get_audio_length(path: str) -> float:
     return info(path).duration
 
 
+def find_track_audio(
+    signals_dir: str, meeting_id: str, chan_id: str
+) -> Optional[str]:
+    """``<signals>/<meeting>/<chan>.sph``, falling back to ``.wav`` — THE
+    corpus track-file resolution rule (shared by the train and sweep CLIs
+    so the probe order and supported containers cannot drift)."""
+    import os
+
+    for ext in (".sph", ".wav"):
+        p = os.path.join(signals_dir, meeting_id, chan_id + ext)
+        if os.path.isfile(p):
+            return p
+    return None
+
+
 def read(
     path: str,
     offset: float = 0.0,

@@ -228,3 +228,11 @@ def find_best_checkpoint(checkpoint_dir: str) -> Optional[str]:
         if p.is_file():
             return str(p)
     return None
+
+
+def resolve_checkpoint(model_path: str) -> Optional[str]:
+    """A checkpoint FILE as given, or the best checkpoint inside a
+    directory — the one --model_path resolution rule every CLI shares."""
+    if os.path.isfile(model_path):
+        return model_path
+    return find_best_checkpoint(model_path)

@@ -126,3 +126,93 @@ def test_stdin_multichannel_subprocess(served):
     want = [(round(s, 3), round(e, 3)) for s, e in served["offline_events"]]
     assert ch0_events == want
     assert lines[-1]["type"] == "done" and lines[-1]["events"] >= len(want)
+
+
+def test_file_replay_unaligned_length_matches_offline(served, tmp_path, capsys):
+    """A replayed file whose sample count is NOT frame-aligned: event times
+    must still equal segment_laughter's (offline converts frames at
+    fps = T/duration, not exactly 100) — fixed-100 fps drifted every
+    boundary by ~0.06%."""
+    from cli import serve as serve_cli
+
+    rng = np.random.default_rng(9)
+    wave = (rng.standard_normal(16000 * 8 + 80) * 0.1).astype(np.float32)
+    wav_path = tmp_path / "odd.wav"
+    audio.write_wav(str(wav_path), wave, 16000)
+
+    loaded = ckpt_lib.load_checkpoint(str(served["ckpt"]))
+    preset = MODEL_MAP["resnet_base"]
+    model = models.build(
+        preset.model,
+        dropout_rate=0.0,
+        linear_layer_size=preset.linear_layer_size,
+        filter_sizes=preset.filter_sizes,
+    )
+    pipe = inference.LaughterPipeline(
+        model, loaded["params"], loaded["state"],
+        settings=inference.InferenceSettings(chunk=512, bucket_frames=1024),
+    )
+    probs, _ = pipe.probs_for_file(str(wav_path))
+    thr = float(np.quantile(probs, 0.7))
+    inst, _ = pipe.segment_file(str(wav_path), thresholds=[thr], min_lengths=[0.1])
+
+    rc = serve_cli.main(
+        [
+            "--model_path", str(served["ckpt"]),
+            "--input", str(wav_path),
+            "--threshold", str(thr),
+            "--min_length", "0.1",
+            "--chunk", "512",
+            "--bucket_frames", "1024",
+        ]
+    )
+    assert rc == 0
+    lines = [json.loads(l) for l in capsys.readouterr().out.splitlines()]
+    events = [(l["start"], l["end"]) for l in lines if l["type"] == "event"]
+    want = [(round(s, 3), round(e, 3)) for s, e in inst[(thr, 0.1)]]
+    assert events == want and events
+
+
+def test_file_replay_non_int16_falls_back(served, tmp_path, capsys):
+    """A valid non-16-bit file (float WAV) must replay through the float
+    decode path instead of dying on read_int16's PCM requirement."""
+    from cli import serve as serve_cli
+
+    import struct
+
+    rng = np.random.default_rng(11)
+    wave = (rng.standard_normal(16000 * 2) * 0.1).astype(np.float32)
+    f32_path = tmp_path / "f32.wav"
+    data = wave.tobytes()
+    f32_path.write_bytes(
+        b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVEfmt "
+        + struct.pack("<IHHIIHH", 16, 3, 1, 16000, 16000 * 4, 4, 32)
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+
+    rc = serve_cli.main(
+        [
+            "--model_path", str(served["ckpt"]),
+            "--input", str(f32_path),
+            "--threshold", "0.9",
+            "--chunk", "512",
+            "--bucket_frames", "1024",
+        ]
+    )
+    assert rc == 0
+    lines = [json.loads(l) for l in capsys.readouterr().out.splitlines()]
+    assert lines[-1]["type"] == "done"
+    assert lines[-1]["seconds"] == 2.0
+
+
+def test_file_replay_rejects_multichannel_flag(served, capsys):
+    from cli import serve as serve_cli
+
+    with pytest.raises(SystemExit, match="channel"):
+        serve_cli.main(
+            [
+                "--model_path", str(served["ckpt"]),
+                "--input", str(served["wav"]),
+                "--channels", "2",
+            ]
+        )
