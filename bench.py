@@ -190,16 +190,18 @@ def main() -> None:
     assert probs.shape[0] == audio_seconds * 100
 
     x_realtime = audio_seconds / dt
-    print(
-        json.dumps(
-            {
-                "metric": "e2e_inference_throughput",
-                "value": round(x_realtime, 2),
-                "unit": "x_realtime_per_chip",
-                "vs_baseline": round(x_realtime / 500.0, 4),
-            }
-        )
-    )
+    out = {
+        "metric": "e2e_inference_throughput",
+        "value": round(x_realtime, 2),
+        "unit": "x_realtime_per_chip",
+        "vs_baseline": round(x_realtime / 500.0, 4),
+    }
+    if not healthy:
+        # Surface a sick tunnel in the record: without this flag a
+        # degraded-link number is indistinguishable from a framework
+        # regression — exactly what the health probe exists to prevent.
+        out["link_degraded"] = True
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -68,9 +68,16 @@ def main(argv: Optional[List[str]] = None) -> int:
             "TRANSCRIPT_DIR/OUTPUT_DIR in the environment or .env)"
         )
 
-    store = transcript_lib.TranscriptStore(transcript_dir)
     # strip(): "train, dev" must mean train+dev, not silently match nothing
     splits = {s.strip() for s in args.splits.split(",") if s.strip()}
+    bad = splits - {"train", "dev", "test"}
+    if bad:
+        # a typo ('val') would filter every meeting and exit 0 having
+        # featurized nothing
+        raise SystemExit(
+            f"unknown splits: {', '.join(sorted(bad))} (use train/dev/test)"
+        )
+    store = transcript_lib.TranscriptStore(transcript_dir)
     wanted_meetings = (
         {m.strip() for m in args.meetings.split(",") if m.strip()}
         if args.meetings
@@ -85,18 +92,18 @@ def main(argv: Optional[List[str]] = None) -> int:
             continue
         if wanted_meetings and row.meeting_id not in wanted_meetings:
             continue
-        if cache.has(row.meeting_id, row.chan_id):
+        # dtype-aware: rerunning with --dtype float16 against a float32
+        # cache must re-featurize, not silently no-op
+        if cache.has(row.meeting_id, row.chan_id, dtype=dtype):
             skipped += 1
             continue
-        path = os.path.join(audio_dir, row.meeting_id, f"{row.chan_id}.sph")
-        if not os.path.isfile(path):
-            alt = os.path.join(audio_dir, row.meeting_id, f"{row.chan_id}.wav")
-            if os.path.isfile(alt):
-                path = alt
-            else:
-                print(f"missing audio: {path}")
-                missing += 1
-                continue
+        from laughter_detection_icsi_tpu.data.audio import find_track_audio
+
+        path = find_track_audio(audio_dir, row.meeting_id, row.chan_id)
+        if path is None:
+            print(f"missing audio: {row.meeting_id}/{row.chan_id}.sph (and .wav)")
+            missing += 1
+            continue
         print(f"featurizing {row.meeting_id}/{row.chan_id} ...", flush=True)
         cache.add_audio_file(row.meeting_id, row.chan_id, path, dtype=dtype)
         done += 1

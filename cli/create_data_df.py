@@ -49,17 +49,28 @@ def main(argv: Optional[List[str]] = None) -> int:
     data_dfs_dir = args.data_dfs_dir or os.environ.get("DATA_DFS_DIR")
     if not data_dfs_dir:
         raise SystemExit("need --data_dfs_dir (or DATA_DFS_DIR in env/.env)")
+    def _env_int(name: str, default: int) -> int:
+        raw = os.environ.get(name, "")
+        if not raw.strip():
+            return default
+        try:
+            return int(raw)
+        except ValueError:
+            # int('') / int('five') would crash with a raw traceback that
+            # never names the offending variable
+            raise SystemExit(f"{name}={raw!r} is not an integer")
+
     # `is None`, not `or`: an explicit --num_*_samples 0 is a legal request
     # (e.g. a non-laugh-only table) that `or` would silently override.
     n_laugh = (
         args.num_laugh_samples
         if args.num_laugh_samples is not None
-        else int(os.environ.get("NUM_OF_LAUGH_SAMPLES", 1))
+        else _env_int("NUM_OF_LAUGH_SAMPLES", 1)
     )
     n_non = (
         args.num_non_laugh_samples
         if args.num_non_laugh_samples is not None
-        else int(os.environ.get("NUM_OF_NON_LAUGH_SAMPLES", 1))
+        else _env_int("NUM_OF_NON_LAUGH_SAMPLES", 1)
     )
     random_sel = (
         args.random_selection

@@ -38,15 +38,34 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+def _fetch(url: str, part: Path, timeout: float = 60.0) -> None:
+    """Download ``url`` to ``part`` with a socket timeout — urlretrieve has
+    none, so one stalled connection would hang the whole sequential
+    download forever."""
+    import shutil
+
+    with urllib.request.urlopen(url, timeout=timeout) as resp:
+        with open(part, "wb") as f:
+            shutil.copyfileobj(resp, f)
+
+
 def main(argv: Optional[List[str]] = None) -> int:
     args = build_parser().parse_args(argv)
     from laughter_detection_icsi_tpu.config import PARTITIONS
 
-    meetings = (
-        args.meetings.split(",")
-        if args.meetings
-        else sorted(m for ms in PARTITIONS.values() for m in ms)
-    )
+    known = sorted(m for ms in PARTITIONS.values() for m in ms)
+    if args.meetings:
+        meetings = [m.strip() for m in args.meetings.split(",") if m.strip()]
+        unknown = [m for m in meetings if m not in known]
+        if unknown:
+            # A typo'd ID would 404 on every channel and exit 0 having
+            # fetched nothing — fail loudly instead.
+            raise SystemExit(
+                f"unknown meeting IDs: {', '.join(unknown)} "
+                f"(known: {', '.join(known[:5])}, ...)"
+            )
+    else:
+        meetings = known
     # Channel inventory differs per meeting; probe chan0..chanF.
     chan_names = [f"chan{i}" for i in range(10)] + [f"chan{c}" for c in "ABCDEF"]
     urls = [TRANSCRIPTS_URL] + [
@@ -71,7 +90,7 @@ def main(argv: Optional[List[str]] = None) -> int:
             # skips as complete.
             part = dest.with_suffix(".sph.part")
             try:
-                urllib.request.urlretrieve(url, part)
+                _fetch(url, part)
                 part.replace(dest)
                 fetched += 1
                 print(f"fetched {url}")
@@ -93,12 +112,16 @@ def main(argv: Optional[List[str]] = None) -> int:
         if not dest.exists():
             part = dest.with_suffix(".zip.part")
             try:
-                urllib.request.urlretrieve(TRANSCRIPTS_URL, part)
-                part.replace(dest)
+                _fetch(TRANSCRIPTS_URL, part)
                 import zipfile
 
-                with zipfile.ZipFile(dest) as z:
+                # Extract from the .part BEFORE the rename: the final name
+                # is the done-marker, so a crash mid-extract must leave the
+                # rerun able to retry (renaming first made any extraction
+                # failure permanently skip extraction while printing done).
+                with zipfile.ZipFile(part) as z:
                     z.extractall(tdir)
+                part.replace(dest)
                 print(f"transcripts -> {tdir}")
             except BaseException as e:
                 part.unlink(missing_ok=True)

@@ -29,15 +29,21 @@ def build_parser() -> argparse.ArgumentParser:
 def main(argv: Optional[List[str]] = None) -> int:
     args = build_parser().parse_args(argv)
     from laughter_detection_icsi_tpu.data import audio
+    from laughter_detection_icsi_tpu.runtime import native
 
     meta = audio.info(args.audio_file)
+    # Time what the pipeline actually runs: the native decoder when it
+    # builds (runtime/native.py falls back to the Python codec itself, but
+    # timing the Python path on a machine WITH the native library would
+    # overstate decode cost by an order of magnitude).
     print(f"{args.audio_file}: {meta.duration:.1f}s @ {meta.sample_rate} Hz "
-          f"({meta.container}/{meta.encoding})")
+          f"({meta.container}/{meta.encoding}; "
+          f"decoder {'native' if native.available() else 'python'})")
     for off in (float(o) for o in args.offsets.split(",")):
         if off >= meta.duration:
             continue
         t0 = time.perf_counter()
-        wav, _ = audio.read(
+        wav, _ = native.read(
             args.audio_file, offset=off, duration=args.duration, channel=args.channel
         )
         dt = time.perf_counter() - t0

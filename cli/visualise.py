@@ -34,8 +34,15 @@ def main(argv: Optional[List[str]] = None) -> int:
     elif args.what == "pr":
         viz.plot_precision_recall(args.inputs[0], out_path=args.out)
     elif args.what == "confusion":
-        viz.plot_fp_confusion(args.inputs[0], out_path=args.out)
+        viz.plot_fp_confusion(
+            args.inputs[0], out_path=args.out, min_len=args.min_len
+        )
     else:
+        bad = [s for s in args.inputs if "=" not in s]
+        if bad:
+            raise SystemExit(
+                f"compare inputs must be name=path pairs (got {bad[0]!r})"
+            )
         pairs = dict(s.split("=", 1) for s in args.inputs)
         viz.plot_experiment_comparison(pairs, out_path=args.out, min_len=args.min_len)
     print(f"wrote {args.out}")

@@ -106,8 +106,16 @@ class FeatureCache:
     def _track_path(self, meeting_id: str, chan_id: str) -> Path:
         return Path(self.cache_dir) / meeting_id / f"{chan_id}.npy"
 
-    def has(self, meeting_id: str, chan_id: str) -> bool:
-        return self._key(meeting_id, chan_id) in self._manifest
+    def has(self, meeting_id: str, chan_id: str, dtype=None) -> bool:
+        """Track present — and, when ``dtype`` is given, stored in that
+        dtype (a float32 cache does NOT satisfy a float16 request: rerun
+        semantics would otherwise silently no-op a dtype change)."""
+        entry = self._manifest.get(self._key(meeting_id, chan_id))
+        if entry is None:
+            return False
+        if dtype is not None and entry.get("dtype") != str(np.dtype(dtype)):
+            return False
+        return True
 
     def add_track(
         self,

@@ -469,3 +469,17 @@ def test_dataset_plan_invalidated_on_retrack(tmp_path, rng):
     b2 = next(iter(ds.batches(batch_size=1, shuffle=False)))
     np.testing.assert_array_equal(b2["inputs"][0], feats2[20:120])
     assert not np.array_equal(b1["inputs"][0], b2["inputs"][0])
+
+
+def test_cache_has_is_dtype_aware(tmp_path, rng):
+    """cache.has(dtype=...) must not treat a float32 cache as satisfying a
+    float16 request (rerunning compute_features --dtype float16 silently
+    no-op'd)."""
+    cache = FeatureCache(str(tmp_path / "fc"))
+    wave = (rng.standard_normal(16000) * 0.1).astype(np.float32)
+    cache.add_track("Btr001", "chan0", wave)  # float32 default
+    assert cache.has("Btr001", "chan0")
+    assert cache.has("Btr001", "chan0", dtype=np.float32)
+    assert not cache.has("Btr001", "chan0", dtype=np.float16)
+    cache.add_track("Btr001", "chan0", wave, dtype=np.float16)
+    assert cache.has("Btr001", "chan0", dtype=np.float16)

@@ -125,3 +125,23 @@ def test_get_icsi_data_print_urls(capsys):
     assert main(["--audio_dir", "/tmp/never", "--meetings", "Btr001", "--print_urls"]) == 0
     out = capsys.readouterr().out
     assert "Btr001/chan0.sph" in out and "transcripts" in out
+
+
+def test_get_icsi_unknown_meeting_rejected(capsys):
+    """A typo'd meeting ID must fail loudly — every channel URL would 404
+    and the tool would print done having fetched nothing."""
+    import pytest
+
+    from cli import get_icsi_data
+
+    with pytest.raises(SystemExit, match="unknown meeting"):
+        get_icsi_data.main(
+            ["--audio_dir", "/tmp/x", "--meetings", "Bzz999", "--print_urls"]
+        )
+    # strip(): 'Bmr021, Bns001' must parse as two valid IDs
+    rc = get_icsi_data.main(
+        ["--audio_dir", "/tmp/x", "--meetings", "Bmr021, Bns001", "--print_urls"]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "Bmr021/chan0.sph" in out and "Bns001/chan0.sph" in out
