@@ -110,8 +110,10 @@ def bench_train() -> None:
         filter_sizes=(64, 32, 16, 16),
     )
     trainer = Trainer(model)
-    params, state, opt_state = trainer.init(jax.random.PRNGKey(0))
+    disarm = _backend_watchdog()
     on_accel = jax.devices()[0].platform not in ("cpu",)
+    disarm()
+    params, state, opt_state = trainer.init(jax.random.PRNGKey(0))
     batch = 1024 if on_accel else 32
     iters = 50 if on_accel else 5
 
@@ -142,6 +144,36 @@ def bench_train() -> None:
     )
 
 
+def _backend_watchdog(timeout_s: float = 300.0):
+    """Fail fast instead of hanging if backend init blocks.
+
+    The axon tunnel plugin's ``make_c_api_client`` blocks INDEFINITELY when
+    the tunnel is unreachable (observed 2026-08-17: first ``jax.devices()``
+    never returns while the pool is down).  A silent hang would stall the
+    whole benchmark run; a loud fast failure lets the driver record the
+    outage and retry.  Returns a callable to disarm the watchdog once the
+    backend is live."""
+    import os
+    import sys
+    import threading
+
+    done = threading.Event()
+
+    def watchdog():
+        if not done.wait(timeout_s):
+            print(
+                f"bench: JAX backend init did not complete within "
+                f"{timeout_s:.0f}s — accelerator tunnel unreachable? "
+                f"No measurement taken.",
+                file=sys.stderr,
+                flush=True,
+            )
+            os._exit(3)
+
+    threading.Thread(target=watchdog, daemon=True).start()
+    return done.set
+
+
 def main() -> None:
     import jax
 
@@ -153,9 +185,10 @@ def main() -> None:
         linear_layer_size=48,
         filter_sizes=(64, 32, 16, 16),
     )
-    params, state = model.init(jax.random.PRNGKey(0))
-
+    disarm = _backend_watchdog()
     platform = jax.devices()[0].platform
+    disarm()
+    params, state = model.init(jax.random.PRNGKey(0))
     on_accel = platform not in ("cpu",)
     audio_seconds = 600 if on_accel else 12  # 10 min on TPU; tiny on (1-core) CPU
     settings = inference.InferenceSettings(

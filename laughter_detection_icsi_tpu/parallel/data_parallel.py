@@ -24,7 +24,7 @@ from jax.sharding import Mesh
 
 from laughter_detection_icsi_tpu.models.zoo import Model
 from laughter_detection_icsi_tpu.parallel import mesh as mesh_lib
-from laughter_detection_icsi_tpu.train.loop import batch_metrics, bce_loss
+from laughter_detection_icsi_tpu.train.loop import build_step_fns
 from laughter_detection_icsi_tpu.train.optim import Adam, AdamState
 
 PyTree = Any
@@ -43,69 +43,39 @@ class DataParallelTrainer:
     optimizer: Adam = dataclasses.field(default_factory=Adam)
 
     def __post_init__(self):
-        model, optimizer = self.model, self.optimizer
         repl = mesh_lib.replicated(self.mesh)
         dp = mesh_lib.data_sharding(self.mesh)
 
-        def loss_fn(params, state, x, y, rng):
-            probs, new_state = model.apply(params, state, x, train=True, rng=rng)
-            return bce_loss(probs, y), (probs, new_state)
+        def constrain(x, y):
+            # The resident steps gather rows sharded over the 'data' axis;
+            # the gather crosses shards over ICI (XLA inserts the collective
+            # from the shardings) and must land batch-sharded so the rest IS
+            # the plain data-parallel step.
+            return (
+                jax.lax.with_sharding_constraint(x, dp),
+                jax.lax.with_sharding_constraint(y, dp),
+            )
 
-        def step(params, state, opt_state, x, y, rng):
-            (loss, (probs, new_state)), grads = jax.value_and_grad(
-                loss_fn, has_aux=True
-            )(params, state, x, y, rng)
-            new_params, new_opt_state = optimizer.update(grads, opt_state, params)
-            metrics = batch_metrics(probs, y)
-            metrics["loss"] = loss
-            return new_params, new_state, new_opt_state, metrics
-
+        # ONE step-body definition shared with the single-device trainer
+        # (train.loop.build_step_fns) so the two can never drift.
+        _, train_step, train_step_resident, eval_step, eval_step_resident = (
+            build_step_fns(self.model, self.optimizer, constrain)
+        )
         self._train_step = jax.jit(
-            step,
+            train_step,
             in_shardings=(repl, repl, repl, dp, dp, repl),
             out_shardings=(repl, repl, repl, repl),
         )
-
-        def step_resident(params, state, opt_state, data, labels, idx, key, step_no):
-            """Fused resident step over the mesh: the dataset's rows live
-            sharded across devices (data.ResidentLadDataset with a 'data'
-            sharding); the batch gather crosses shards over ICI (XLA
-            inserts the collective from the shardings) and lands batch-
-            sharded, so the rest IS the plain data-parallel step."""
-            x = data[idx].astype(jnp.float32)[:, None, :, :]
-            x = jax.lax.with_sharding_constraint(x, dp)
-            y = jax.lax.with_sharding_constraint(labels[idx], dp)
-            rng = jax.random.fold_in(key, step_no)
-            return step(params, state, opt_state, x, y, rng)
-
         self._train_step_resident = jax.jit(
-            step_resident,
+            train_step_resident,
             in_shardings=(repl, repl, repl, dp, dp, dp, repl, repl),
             out_shardings=(repl, repl, repl, repl),
         )
-
-        def ev(params, state, x, y):
-            probs, _ = model.apply(params, state, x, train=False)
-            metrics = batch_metrics(probs, y)
-            metrics["loss"] = bce_loss(probs, y)
-            return metrics
-
         self._eval_step = jax.jit(
-            ev, in_shardings=(repl, repl, dp, dp), out_shardings=repl
+            eval_step, in_shardings=(repl, repl, dp, dp), out_shardings=repl
         )
-
-        def ev_resident(params, state, data, labels, idx):
-            """Fused resident eval over the mesh: dev-split rows live
-            sharded on the 'data' axis, the gather crosses shards over ICI
-            and lands batch-sharded — validation's twin of
-            step_resident."""
-            x = data[idx].astype(jnp.float32)[:, None, :, :]
-            x = jax.lax.with_sharding_constraint(x, dp)
-            y = jax.lax.with_sharding_constraint(labels[idx], dp)
-            return ev(params, state, x, y)
-
         self._eval_step_resident = jax.jit(
-            ev_resident,
+            eval_step_resident,
             in_shardings=(repl, repl, dp, dp, dp),
             out_shardings=repl,
         )

@@ -15,7 +15,6 @@ and side-effect free until called).
 
 from __future__ import annotations
 
-import os
 from typing import Optional
 
 

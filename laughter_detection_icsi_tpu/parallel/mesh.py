@@ -27,6 +27,8 @@ def make_mesh(
     """A 1-D mesh over the first ``n_devices`` devices (all by default)."""
     devices = jax.devices()
     n = len(devices) if n_devices is None else n_devices
+    if n < 1:
+        raise ValueError(f"n_devices must be >= 1, got {n}")
     if n > len(devices):
         raise ValueError(f"requested {n} devices, only {len(devices)} available")
     return Mesh(np.asarray(devices[:n]), (axis_name,))

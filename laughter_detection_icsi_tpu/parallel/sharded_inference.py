@@ -279,7 +279,20 @@ class ShardedPipeline:
             return None
         from laughter_detection_icsi_tpu.ops import pcm_pack
 
-        packs = [pcm_pack.pack_pcm(row, mode="delta") for row in batch]
+        if len(batch) > 1:
+            # Per-channel packing is independent and the native packer
+            # releases the GIL, so pack the bucket's channels concurrently
+            # (mirrors the per-channel decode pool in
+            # probs_for_meeting_device) instead of serializing host work on
+            # the dispatch critical path.
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=min(8, len(batch))) as ex:
+                packs = list(
+                    ex.map(lambda row: pcm_pack.pack_pcm(row, mode="delta"), batch)
+                )
+        else:
+            packs = [pcm_pack.pack_pcm(row, mode="delta") for row in batch]
         rows = [p.wire() for p in packs]
         wire_len = max(len(r) for r in rows)
         total = len(rows) * wire_len * 4
@@ -357,6 +370,16 @@ class ShardedPipeline:
         cross back to host.  (None, counts) when nothing to compute."""
         if not waves:
             return None, []
+        for w in waves:
+            if np.asarray(w).dtype not in (np.int16, np.float32, np.float64):
+                # Same contract as LaughterPipeline.probs_for_waveform_device
+                # and _StreamingBase._append: silently casting e.g. int32 PCM
+                # would feed +-2^31-range values to a featurizer expecting
+                # [-1, 1].
+                raise TypeError(
+                    f"unsupported PCM dtype {np.asarray(w).dtype}; pass "
+                    "int16 or float32/float64 in [-1, 1]"
+                )
         int16_in = all(np.asarray(w).dtype == np.int16 for w in waves)
         dtype = np.int16 if int16_in else np.float32
         padded_list, ts = [], []

@@ -102,6 +102,63 @@ def batch_metrics(probs: jnp.ndarray, targets: jnp.ndarray) -> Dict[str, jnp.nda
 # --------------------------------------------------------------------------- #
 
 
+def build_step_fns(model: Model, optimizer: Adam, constrain_batch=None):
+    """Un-jitted train/eval step bodies shared by the single-device
+    ``Trainer`` and ``parallel.data_parallel.DataParallelTrainer`` — ONE
+    definition of the loss/grad/optimizer-update recipe, the metric set, and
+    the resident ``fold_in(key, step)`` rng derivation (which the "streamed
+    and resident epochs see IDENTICAL per-step dropout keys" invariant
+    depends on), so the two trainers cannot silently drift.
+
+    ``constrain_batch(x, y) -> (x, y)`` lets the data-parallel caller pin
+    the HBM-gathered batch's sharding inside the resident steps (the gather
+    crosses shards over ICI and must land batch-sharded); identity when
+    None.  Callers jit the returned fns with their own sharding annotations.
+
+    Returns (loss_fn, train_step, train_step_resident, eval_step,
+    eval_step_resident):
+
+    - train_step_resident: fused step for device-resident datasets — HBM
+      batch gather + per-step rng derivation + train step in ONE dispatch
+      (only the [B] index vector and the step scalar cross the link;
+      link/dispatch latency is the loop bound once features are resident).
+    - eval_step_resident: fused HBM gather + eval, the validation twin —
+      online eval during --device_cache training never streams feature
+      batches from host.
+    """
+    cb = constrain_batch or (lambda x, y: (x, y))
+
+    def loss_fn(params, state, x, y, rng):
+        probs, new_state = model.apply(params, state, x, train=True, rng=rng)
+        return bce_loss(probs, y), (probs, new_state)
+
+    def train_step(params, state, opt_state, x, y, rng):
+        (loss, (probs, new_state)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(params, state, x, y, rng)
+        new_params, new_opt_state = optimizer.update(grads, opt_state, params)
+        metrics = batch_metrics(probs, y)
+        metrics["loss"] = loss
+        return new_params, new_state, new_opt_state, metrics
+
+    def train_step_resident(params, state, opt_state, data, labels, idx, key, step):
+        x, y = cb(data[idx].astype(jnp.float32)[:, None, :, :], labels[idx])
+        rng = jax.random.fold_in(key, step)
+        return train_step(params, state, opt_state, x, y, rng)
+
+    def eval_step(params, state, x, y):
+        probs, _ = model.apply(params, state, x, train=False)
+        metrics = batch_metrics(probs, y)
+        metrics["loss"] = bce_loss(probs, y)
+        return metrics
+
+    def eval_step_resident(params, state, data, labels, idx):
+        x, y = cb(data[idx].astype(jnp.float32)[:, None, :, :], labels[idx])
+        return eval_step(params, state, x, y)
+
+    return loss_fn, train_step, train_step_resident, eval_step, eval_step_resident
+
+
 @dataclasses.dataclass
 class Trainer:
     """Owns the jitted train/eval steps for one (model, optimizer) pair.
@@ -123,40 +180,17 @@ class Trainer:
 
     def __post_init__(self):
         model, optimizer = self.model, self.optimizer
-
-        def loss_fn(params, state, x, y, rng):
-            probs, new_state = model.apply(params, state, x, train=True, rng=rng)
-            return bce_loss(probs, y), (probs, new_state)
-
-        @jax.jit
-        def train_step(params, state, opt_state, x, y, rng):
-            (loss, (probs, new_state)), grads = jax.value_and_grad(
-                loss_fn, has_aux=True
-            )(params, state, x, y, rng)
-            new_params, new_opt_state = optimizer.update(grads, opt_state, params)
-            metrics = batch_metrics(probs, y)
-            metrics["loss"] = loss
-            return new_params, new_state, new_opt_state, metrics
-
-        @jax.jit
-        def train_step_resident(
-            params, state, opt_state, data, labels, idx, key, step
-        ):
-            """Fused step for device-resident datasets: HBM batch gather +
-            per-step rng derivation + train step in ONE dispatch (only the
-            [B] index vector and the step scalar cross the link; link/
-            dispatch latency is the loop bound once features are
-            resident)."""
-            x = data[idx].astype(jnp.float32)[:, None, :, :]
-            y = labels[idx]
-            rng = jax.random.fold_in(key, step)
-            (loss, (probs, new_state)), grads = jax.value_and_grad(
-                loss_fn, has_aux=True
-            )(params, state, x, y, rng)
-            new_params, new_opt_state = optimizer.update(grads, opt_state, params)
-            metrics = batch_metrics(probs, y)
-            metrics["loss"] = loss
-            return new_params, new_state, new_opt_state, metrics
+        (
+            loss_fn,
+            train_step,
+            train_step_resident,
+            eval_step,
+            eval_step_resident,
+        ) = build_step_fns(model, optimizer)
+        train_step = jax.jit(train_step)
+        train_step_resident = jax.jit(train_step_resident)
+        eval_step = jax.jit(eval_step)
+        eval_step_resident = jax.jit(eval_step_resident)
 
         @jax.jit
         def grad_step(params, state, acc_grads, x, y, rng):
@@ -175,25 +209,6 @@ class Trainer:
         @jax.jit
         def apply_grads(params, opt_state, grads):
             return optimizer.update(grads, opt_state, params)
-
-        @jax.jit
-        def eval_step(params, state, x, y):
-            probs, _ = model.apply(params, state, x, train=False)
-            metrics = batch_metrics(probs, y)
-            metrics["loss"] = bce_loss(probs, y)
-            return metrics
-
-        @jax.jit
-        def eval_step_resident(params, state, data, labels, idx):
-            """Fused HBM gather + eval (one dispatch), the validation twin
-            of train_step_resident — online eval during --device_cache
-            training never streams feature batches from host."""
-            x = data[idx].astype(jnp.float32)[:, None, :, :]
-            probs, _ = model.apply(params, state, x, train=False)
-            y = labels[idx]
-            metrics = batch_metrics(probs, y)
-            metrics["loss"] = bce_loss(probs, y)
-            return metrics
 
         self._eval_step_resident = eval_step_resident
         self._train_step = train_step

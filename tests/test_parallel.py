@@ -144,7 +144,11 @@ def test_dryrun_fallback_from_single_device_platform():
     env = {
         k: v
         for k, v in os.environ.items()
-        if k not in ("XLA_FLAGS", "JAX_PLATFORMS")
+        # PALLAS_AXON_POOL_IPS enables the axon tunnel plugin's
+        # sitecustomize registration, which overrides JAX_PLATFORMS and
+        # blocks backend init whenever the tunnel is unreachable — strip it
+        # so the simulated driver platform is a deterministic 1-device CPU.
+        if k not in ("XLA_FLAGS", "JAX_PLATFORMS", "PALLAS_AXON_POOL_IPS")
     }
     env["JAX_PLATFORMS"] = "cpu"
     env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
@@ -181,7 +185,9 @@ def test_dryrun_fallback_recursion_guard():
     env = {
         k: v
         for k, v in os.environ.items()
-        if k not in ("XLA_FLAGS", "JAX_PLATFORMS")
+        # See test_dryrun_fallback_from_single_device_platform: keep the
+        # tunnel plugin out of the child so jax.devices() is deterministic.
+        if k not in ("XLA_FLAGS", "JAX_PLATFORMS", "PALLAS_AXON_POOL_IPS")
     }
     env.update(
         JAX_PLATFORMS="cpu",
