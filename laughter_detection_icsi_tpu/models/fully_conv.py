@@ -29,32 +29,30 @@ supported — every BN fold is skipped when the parameter tree has none.
 
 from __future__ import annotations
 
-from typing import Any, Dict, Sequence, Tuple
+from typing import Any, Sequence
 
 import jax
 import jax.numpy as jnp
 
-from laughter_detection_icsi_tpu.models.layers import BN_EPS
+from laughter_detection_icsi_tpu.models.layers import bn_eval_affine as _affine_bn
 
 PyTree = Any
 
 
-def _affine_bn(params: PyTree, state: PyTree) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Inference-mode BN as (scale, bias)."""
-    inv = jax.lax.rsqrt(state["running_var"] + BN_EPS)
-    scale = params["weight"] * inv
-    return scale, params["bias"] - state["running_mean"] * scale
+def _conv(x, w, f_stride, t_dil, bias=None):
+    """NCHW conv, 'same'-in-time padding scaled by the dilation.
 
-
-def _conv(x, w, t_stride, f_stride, t_dil, bias=None):
-    """NCHW conv, 'same'-in-time padding scaled by the dilation."""
+    Time stride is fixed at 1 — the whole point of this module is replacing
+    the reference's time strides with dilation, so a real time stride would
+    break the one-output-per-input-frame contract (like the sibling
+    _conv_valid_t)."""
     kh = w.shape[2]
     pad_t = t_dil * (kh // 2)
     pad_f = w.shape[3] // 2
     out = jax.lax.conv_general_dilated(
         x,
         w,
-        window_strides=(t_stride, f_stride),
+        window_strides=(1, f_stride),
         padding=[(pad_t, pad_t), (pad_f, pad_f)],
         rhs_dilation=(t_dil, 1),
         dimension_numbers=("NCHW", "OIHW", "NCHW"),
@@ -79,12 +77,12 @@ def _block(x, params, state, f_stride, t_dil_in, replaced_stride):
     simply have no ``bn*`` keys — every fold is skipped.
     """
     t_dil_out = t_dil_in * replaced_stride
-    out = _conv(x, params["conv1"]["weight"], 1, f_stride, t_dil_in,
+    out = _conv(x, params["conv1"]["weight"], f_stride, t_dil_in,
                 params["conv1"].get("bias"))
     if "bn1" in params:
         out = _bn4(out, params["bn1"], state["bn1"])
     out = jax.nn.relu(out)
-    out = _conv(out, params["conv2"]["weight"], 1, 1, t_dil_out,
+    out = _conv(out, params["conv2"]["weight"], 1, t_dil_out,
                 params["conv2"].get("bias"))
     if "bn2" in params:
         out = _bn4(out, params["bn2"], state["bn2"])
@@ -294,7 +292,7 @@ def fully_conv_probs(
     feats = jnp.pad(feats, ((0, window - 1), (0, 0)))
     x = feats[None, None, :, :]  # [1, 1, T, F]
 
-    x = _conv(x, params["conv1"]["weight"], 1, 1, 1, params["conv1"].get("bias"))
+    x = _conv(x, params["conv1"]["weight"], 1, 1, params["conv1"].get("bias"))
     if "bn1" in params:
         x = _bn4(x, params["bn1"], state["bn1"])
     x = jax.nn.relu(x)

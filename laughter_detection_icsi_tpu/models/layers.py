@@ -103,6 +103,21 @@ def batch_norm(
     return y, new_state
 
 
+def bn_eval_affine(params: Params, state: Params) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Inference-mode BatchNorm folded to per-channel (scale, bias):
+    ``y = x * scale + bias``.
+
+    The single folded-BN implementation for the fused/dilated fast paths
+    (models/fully_conv.py).  NOTE: algebraically equal to
+    ``batch_norm(train=False)`` but NOT bit-identical in floating point —
+    paths that must stay bit-exact with the reference windows pipeline
+    (models/shared_stem.py) deliberately call :func:`batch_norm` instead.
+    """
+    inv = jax.lax.rsqrt(state["running_var"] + BN_EPS)
+    scale = params["weight"] * inv
+    return scale, params["bias"] - state["running_mean"] * scale
+
+
 def bn_init(num_features: int) -> Tuple[Params, Params]:
     params = {
         "weight": jnp.ones(num_features, dtype=jnp.float32),

@@ -336,6 +336,15 @@ def _window_starts(start, count: int) -> jnp.ndarray:
     start = jnp.asarray(start)
     if start.ndim == 0:
         return start + jnp.arange(count)[:, None]
+    if start.shape[0] != count:
+        # Fail fast: silently returning start.shape[0] windows where the
+        # contract promises ``count`` would surface as a distant reshape
+        # error (or worse, misassign windows to channels) in callers like
+        # parallel/sharded_inference.chunk_local.
+        raise ValueError(
+            f"starts vector has {start.shape[0]} entries, expected "
+            f"count={count}"
+        )
     return start[:, None]
 
 

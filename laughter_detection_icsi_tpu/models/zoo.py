@@ -209,11 +209,25 @@ def _resnet_family(
     return Model(name=name, init_fn=init_fn, apply_fn=apply_fn, dropout_rate=dropout_rate)
 
 
+def _check_fixed_filter_plan(name: str, filter_sizes, fixed: Tuple[int, ...]):
+    """ResNet/ResNetNoBN hardcode their channel plans (the reference
+    constructors don't even accept ``filter_sizes`` — models.py:123,252, so a
+    config that passed one would crash there).  Accept a matching plan (the
+    CLI forwards every preset's filter_sizes unconditionally), reject a
+    different one loudly — silently building a different network than the
+    config states is the worst outcome (a coinciding head size can make it
+    run without any shape error)."""
+    if filter_sizes is not None and tuple(filter_sizes) != fixed:
+        raise ValueError(
+            f"{name} hardcodes filter plan {fixed} (its reference "
+            f"constructor takes no filter_sizes); got {tuple(filter_sizes)}"
+        )
+
+
 def ResNetBigger(
     dropout_rate: float = 0.5,
     linear_layer_size: int = 192,
     filter_sizes: Sequence[int] = (64, 32, 16, 16),
-    **_: Any,
 ) -> Model:
     """reference models.py:181-244."""
     return _resnet_family(
@@ -227,12 +241,15 @@ def ResNetBigger(
 
 
 def ResNet(
-    dropout_rate: float = 0.5, linear_layer_size: int = 192, **_: Any
+    dropout_rate: float = 0.5,
+    linear_layer_size: int = 192,
+    filter_sizes: Optional[Sequence[int]] = None,
 ) -> Model:
     """reference models.py:118-178: 32-channel stem.  The reference hardcodes
     a 192-feature head (sized for the legacy (44, 128) Gillick features); we
     keep that default but make it configurable so the model also fits the
     (100, 44) ICSI features (head 48)."""
+    _check_fixed_filter_plan("ResNet", filter_sizes, (32, 16, 16, 16))
     return _resnet_family(
         "ResNet",
         dropout_rate,
@@ -244,9 +261,12 @@ def ResNet(
 
 
 def ResNetNoBN(
-    dropout_rate: float = 0.5, linear_layer_size: int = 192, **_: Any
+    dropout_rate: float = 0.5,
+    linear_layer_size: int = 192,
+    filter_sizes: Optional[Sequence[int]] = None,
 ) -> Model:
     """reference models.py:247-308: ResNetBigger shape without batch norm."""
+    _check_fixed_filter_plan("ResNetNoBN", filter_sizes, (64, 32, 16, 16))
     return _resnet_family(
         "ResNetNoBN",
         dropout_rate,
@@ -267,9 +287,12 @@ def MLPModel(
     hid_dim1: int = 600,
     hid_dim2: int = 100,
     dropout_rate: float = 0.5,
-    **_: Any,
+    filter_sizes: Optional[Sequence[int]] = None,  # accepted-and-ignored,
+    # exactly like the reference constructor (models.py:7)
 ) -> Model:
-    """reference models.py:6-40."""
+    """reference models.py:6-40.  ``linear_layer_size`` is the INPUT dim
+    (the flattened window size), not a head width like the ResNets'."""
+    del filter_sizes
 
     def init_fn(rng):
         ks = jax.random.split(rng, 3)
@@ -285,6 +308,23 @@ def MLPModel(
 
     def apply_fn(params, state, x, train, rng):
         new_state = {}
+        if x.ndim > 1:
+            feat = 1
+            for d in x.shape[1:]:
+                feat *= int(d)
+            if feat != linear_layer_size:
+                # The reference's view(-1, input_dim) (models.py:24) would
+                # silently REGROUP the batch whenever the flattened window
+                # size happens to divide by input_dim (e.g. 4400-feature
+                # windows into a 48-input MLP -> wrong output count, no
+                # error).  Fail fast on the misconfiguration instead; for
+                # correctly-sized inputs the reshape is identical.
+                raise ValueError(
+                    f"MLPModel(linear_layer_size={linear_layer_size}) got "
+                    f"windows of {feat} features each (input shape "
+                    f"{tuple(x.shape)}); linear_layer_size must equal the "
+                    "flattened window size"
+                )
         x = x.reshape(-1, linear_layer_size)
         r1 = r2 = None
         if rng is not None:
@@ -316,20 +356,29 @@ MODEL_REGISTRY = {
 def build(
     architecture: str,
     dropout_rate: float = 0.5,
-    linear_layer_size: int = 48,
-    filter_sizes: Sequence[int] = (64, 32, 16, 16),
+    linear_layer_size: Optional[int] = None,
+    filter_sizes: Optional[Sequence[int]] = None,
 ) -> Model:
-    """Build a model by architecture name (resolves config.ModelPreset.model)."""
+    """Build a model by architecture name (resolves config.ModelPreset.model).
+
+    ``linear_layer_size`` / ``filter_sizes`` left as None take each
+    architecture's own reference default — ``linear_layer_size`` in
+    particular means different things per arch (ResNet head width 192 vs the
+    MLP's INPUT dim 4040), so one shared default here would silently
+    mis-size some archs.  Explicit values are forwarded and validated by the
+    constructor (ResNet/ResNetNoBN reject a filter plan they don't
+    implement; MLPModel ignores filter_sizes like the reference)."""
     if architecture not in MODEL_REGISTRY:
         raise KeyError(
             f"unknown architecture {architecture!r}; "
             f"available: {sorted(MODEL_REGISTRY)}"
         )
-    return MODEL_REGISTRY[architecture](
-        dropout_rate=dropout_rate,
-        linear_layer_size=linear_layer_size,
-        filter_sizes=filter_sizes,
-    )
+    kwargs: Dict[str, Any] = {"dropout_rate": dropout_rate}
+    if linear_layer_size is not None:
+        kwargs["linear_layer_size"] = linear_layer_size
+    if filter_sizes is not None:
+        kwargs["filter_sizes"] = filter_sizes
+    return MODEL_REGISTRY[architecture](**kwargs)
 
 
 def count_parameters(params: PyTree) -> int:

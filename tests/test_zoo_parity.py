@@ -264,3 +264,40 @@ def test_torch_checkpoint_roundtrip(tmp_path, name):
     np.testing.assert_allclose(
         np.asarray(probs), want.squeeze(-1), rtol=1e-4, atol=1e-5
     )
+
+
+def test_build_forwards_only_given_kwargs():
+    """build() leaves unspecified sizes to each arch's reference default —
+    one shared default would mis-size archs where linear_layer_size means
+    something else (the MLP's INPUT dim vs a ResNet head width)."""
+    m = models.build("MLPModel", dropout_rate=0.0)
+    params, state = m.init(jax.random.PRNGKey(0))
+    # Reference default input dim 101*40 (reference models.py:7).
+    assert params["linear1"]["weight"].shape[1] == 101 * 40
+    x = np.zeros((3, 1, 101, 40), np.float32)
+    probs, _ = m.apply(params, state, x, train=False)
+    assert probs.shape == (3,)
+
+
+def test_mlp_rejects_regrouping_input():
+    """view(-1, input_dim) on a divisible-but-wrong window size must fail
+    fast, not silently return the wrong number of probabilities."""
+    m = models.build("MLPModel", dropout_rate=0.0, linear_layer_size=48)
+    params, state = m.init(jax.random.PRNGKey(0))
+    x = np.zeros((12, 1, 100, 44), np.float32)  # 4400 % 48 != 0 per-sample,
+    # but 12*4400 is divisible by 48 -> the old reshape gave 1100 probs
+    with pytest.raises(ValueError, match="flattened window size"):
+        m.apply(params, state, x, train=False)
+
+
+def test_fixed_plan_archs_reject_foreign_filter_sizes():
+    """ResNet/ResNetNoBN hardcode their channel plans (their reference
+    constructors take no filter_sizes at all); a mismatching plan must not
+    silently build a different network."""
+    with pytest.raises(ValueError, match="hardcodes filter plan"):
+        models.build("ResNet", filter_sizes=(128, 64, 32, 16))
+    with pytest.raises(ValueError, match="hardcodes filter plan"):
+        models.build("ResNetNoBN", filter_sizes=(128, 64, 32, 16))
+    # The matching plan (what a faithful preset would carry) is accepted.
+    models.build("ResNet", filter_sizes=(32, 16, 16, 16))
+    models.build("ResNetNoBN", filter_sizes=(64, 32, 16, 16))
