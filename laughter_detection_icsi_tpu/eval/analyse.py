@@ -159,17 +159,13 @@ def laugh_match(
     idx: IndexStore,
 ) -> Tuple[float, float, float, float, float]:
     """(correct, incorrect, fp_speech, fp_noise, fp_silence) in seconds
-    (reference analyse.py:120-149)."""
-    if idx.invalid.has_part(meeting_id, part_id):
-        pred_laugh = pred_laugh - idx.invalid.get(meeting_id, part_id)
-
+    (reference analyse.py:120-149).  Missing-participant defaults live in ONE
+    place — Index.get returns the empty set and _overlap_sec returns 0.0 —
+    so no has_part guards are repeated here."""
+    pred_laugh = pred_laugh - idx.invalid.get(meeting_id, part_id)
     pred_length = to_sec(pred_laugh.length())
-    correct = 0.0
-    incorrect = pred_length
-    if idx.laugh.has_part(meeting_id, part_id):
-        correct = _overlap_sec(idx.laugh, pred_laugh, meeting_id, part_id)
-        incorrect = pred_length - correct
-
+    correct = _overlap_sec(idx.laugh, pred_laugh, meeting_id, part_id)
+    incorrect = pred_length - correct
     speech = _overlap_sec(idx.speech, pred_laugh, meeting_id, part_id)
     silence = _overlap_sec(idx.silence, pred_laugh, meeting_id, part_id)
     noise = _overlap_sec(idx.noise, pred_laugh, meeting_id, part_id)
@@ -195,6 +191,11 @@ def eval_preds(
     fp_speech = fp_noise = fp_silence = 0.0
     tot_transc = idx.laugh.tot_len.get(meeting_id, 0.0)
     laugh_df = store.laugh_only_df
+    # PARITY: counts EVERY transcribed laugh row for the meeting, including
+    # short/breath-laughs the index build routes to the invalid index —
+    # exactly the reference (analyse.py:163-165).  tot_transc (the recall
+    # denominator) covers only VALID laugh time, so the two columns measure
+    # different populations by design.
     num_transc = (
         int((laugh_df["meeting_id"] == meeting_id).sum()) if not laugh_df.empty else 0
     )
@@ -202,17 +203,30 @@ def eval_preds(
     num_valid_pred = 0
 
     if pred_df.size != 0:
+        info = store.info_df
         for part_id, part_df in pred_df.groupby("part_id"):
             invalid = idx.invalid.get(meeting_id, part_id)
             has_invalid = idx.invalid.has_part(meeting_id, part_id)
+            # Frames past the transcript's EndTime belong to NO ground-truth
+            # index (the silence index stops at info_df length), so a
+            # prediction sticking past it — audio files run slightly longer
+            # than transcripts — would break the FP-accounting closure
+            # assert and abort the whole evaluation.  Clamp the TIME
+            # accounting to the transcribed extent (the reference crashes
+            # here; divergence documented in laugh_match's contract).
+            lens = info[
+                (info["meeting_id"] == meeting_id) & (info["part_id"] == part_id)
+            ]["length"]
+            limit = to_frames(float(lens.iloc[0])) if len(lens) else None
             pairs = []
             for _, row in part_df.iterrows():
-                pred = IntervalSet.openclosed(
-                    to_frames(row["start"]), to_frames(row["end"])
-                )
+                a, b = to_frames(row["start"]), to_frames(row["end"])
+                pred = IntervalSet.openclosed(a, b)
                 if not has_invalid or not invalid.contains(pred):
                     num_valid_pred += 1
-                pairs.append((to_frames(row["start"]), to_frames(row["end"])))
+                if limit is not None:
+                    a, b = min(a, limit), min(b, limit)
+                pairs.append((a, b))
             # Union once over all pairs (O(n log n)) — an incremental
             # per-row `|` re-normalizes the accumulated set every step
             # (quadratic per participant at low thresholds).
@@ -268,6 +282,13 @@ def create_evaluation_df(
     for meeting in sorted(os.listdir(preds_dir)):
         meeting_path = os.path.join(preds_dir, meeting)
         if not os.path.isdir(meeting_path):
+            continue
+        if len(meeting) != 6:
+            # Same rule get_params_from_path enforces per file: a foreign
+            # directory (archive/, backup/) containing copied t_*/l_* trees
+            # must be skipped, not NameError the whole run.
+            if verbose:
+                print(f"skipping non-meeting entry {meeting_path}", flush=True)
             continue
         for thr_name in sorted(os.listdir(meeting_path)):
             thr_dir = os.path.join(meeting_path, thr_name)
@@ -338,8 +359,19 @@ def analyse(
     eval_df_path = preds_path.parent / f"{split}_{cfg.eval_df_cache_file}"
     if not force and sum_stats_path.is_file():
         return pd.read_csv(sum_stats_path)
+    if cfg.frame_duration_ms != 1:
+        # Every to_frames/to_sec call in this module and indices.py runs at
+        # the reference's fixed 1 ms resolution (reference config.py:46);
+        # accepting another value here would change only the cache key while
+        # the computation stayed at 1 ms — fail loudly instead.
+        raise NotImplementedError(
+            f"analyse() evaluates at 1 ms frames (reference semantics); got "
+            f"cfg.frame_duration_ms={cfg.frame_duration_ms}"
+        )
     store = transcript_lib.load(transcript_dir)
-    idx = indices_lib.load(store, force_recompute=cfg.force_index_recompute)
+    idx = indices_lib.load(
+        store, force_recompute=cfg.force_index_recompute, cfg=cfg
+    )
     eval_df = create_evaluation_df(
         str(preds_path), store, idx, out_path=str(eval_df_path), use_cache=not force
     )

@@ -116,7 +116,9 @@ def index_from_df(df: pd.DataFrame) -> Index:
     return index
 
 
-def laugh_index_from_df(df: pd.DataFrame, invalid_index: Index) -> Index:
+def laugh_index_from_df(
+    df: pd.DataFrame, invalid_index: Index, cfg: AnalysisConfig = ANALYSIS
+) -> Index:
     """Reference preprocess.py:49-88: invalid laughs (too short /
     breath-laugh) go to the invalid index instead."""
     index = Index()
@@ -130,7 +132,7 @@ def laugh_index_from_df(df: pd.DataFrame, invalid_index: Index) -> Index:
             index.sets[meeting_id].setdefault(part_id, IntervalSet.empty())
             # vectorized seg_is_invalid (one Python call per corpus laugh
             # row adds up; add_many was rewritten for the same reason)
-            bad = (part_df["length"] < ANALYSIS.min_length) | (
+            bad = (part_df["length"] < cfg.min_length) | (
                 part_df["laugh_type"] == "breath-laugh"
             )
             if bool(bad.any()):
@@ -172,9 +174,9 @@ def silence_index_from(
     return index
 
 
-def build_indices(store: TranscriptStore) -> IndexStore:
+def build_indices(store: TranscriptStore, cfg: AnalysisConfig = ANALYSIS) -> IndexStore:
     invalid = index_from_df(store.invalid_df)
-    laugh = laugh_index_from_df(store.laugh_only_df, invalid_index=invalid)
+    laugh = laugh_index_from_df(store.laugh_only_df, invalid_index=invalid, cfg=cfg)
     speech = index_from_df(store.speech_df)
     noise = index_from_df(store.noise_df)
     # Evaluation walks every meeting dir and reads laugh totals
@@ -217,8 +219,9 @@ def load(
     store: TranscriptStore,
     cache_dir: Optional[str] = None,
     force_recompute: bool = False,
+    cfg: AnalysisConfig = ANALYSIS,
 ) -> IndexStore:
-    key = _cache_key(store.transcript_dir)
+    key = _cache_key(store.transcript_dir, cfg)
     if not force_recompute and key in _INDEX_CACHE:
         return _INDEX_CACHE[key]
     cache_file = None
@@ -229,10 +232,14 @@ def load(
                 indices = pickle.load(f)
             _INDEX_CACHE[key] = indices
             return indices
-    indices = build_indices(store)
+    indices = build_indices(store, cfg=cfg)
     _INDEX_CACHE[key] = indices
     if cache_file is not None:
         cache_file.parent.mkdir(parents=True, exist_ok=True)
-        with open(cache_file, "wb") as f:
+        # Atomic publish: a crash mid-dump must not leave a truncated pickle
+        # that poisons every later load for this key.
+        tmp = cache_file.with_name(cache_file.name + f".tmp.{os.getpid()}")
+        with open(tmp, "wb") as f:
             pickle.dump(indices, f)
+        os.replace(tmp, cache_file)
     return indices

@@ -48,6 +48,7 @@ def _fill_gaps(
             raise ValueError(
                 f"textgrid: interval end {end} < start {start}"
             )
+        raw_start = start
         # Clamp to the tier: frame->seconds conversion can step a hair past
         # the channel length; unclamped, the tier would declare laugh time
         # past xmax (invalid TextGrid, trips the evaluator's FP-accounting
@@ -58,8 +59,12 @@ def _fill_gaps(
             continue  # contained in an emitted interval, or clamped away
         if start > cursor:
             out.append((cursor, start, ""))
-        if out and out[-1][2] == text and out[-1][1] == start:
-            out[-1] = (out[-1][0], end, text)  # extend the open laugh run
+        if out and out[-1][2] == text and out[-1][1] == start and raw_start < cursor:
+            # Genuinely OVERLAPPING inputs collapse into the running laugh
+            # run.  Exactly-touching instances stay two adjacent intervals
+            # (valid in a Praat partition tier) so distinct predicted events
+            # keep their count through a write/read round-trip.
+            out[-1] = (out[-1][0], end, text)
         else:
             out.append((start, end, text))
         cursor = end
@@ -199,18 +204,26 @@ def _read_short(content: str) -> Dict[str, List[Interval]]:
     ntiers = int(_NUM.search(take()).group())
     tiers: Dict[str, List[Interval]] = {}
     for _ in range(ntiers):
-        take()  # class
+        klass = unq(take())
         name = unq(take())
         take()  # xmin
         take()  # xmax
         n = int(_NUM.search(take()).group())
-        ivals = []
-        for _ in range(n):
-            a = float(take())
-            b = float(take())
-            t = unq(take())
-            ivals.append((a, b, t))
-        tiers[name] = ivals
+        if klass == "IntervalTier":
+            ivals = []
+            for _ in range(n):
+                a = float(take())
+                b = float(take())
+                t = unq(take())
+                ivals.append((a, b, t))
+            tiers[name] = ivals
+        else:
+            # TextTier (point tier): TWO lines per point (time, mark).
+            # Consume them so the line cursor stays aligned for the tiers
+            # that follow — _read_long skips these explicitly too; points
+            # are not intervals, so the tier itself is dropped.
+            for _ in range(2 * n):
+                take()
     return tiers
 
 

@@ -273,7 +273,15 @@ def load(transcript_dir: Optional[str] = None) -> TranscriptStore:
     from laughter_detection_icsi_tpu import config as _config
 
     tdir = str(transcript_dir or _config.ANALYSIS.transcript_dir)
-    key = str(Path(tdir).absolute())
+    # Content-keyed like the index cache (indices._cache_key): a path-only
+    # key would keep serving the OLD parse after the .mrt files change on
+    # disk in a long-running process — and the indices rebuilt from that
+    # stale store would then be cached under the NEW content hash.
+    stat = "|".join(
+        f"{p.name}:{p.stat().st_size}:{p.stat().st_mtime_ns}"
+        for p in sorted(Path(tdir).glob("*.mrt"))
+    )
+    key = f"{Path(tdir).absolute()}#{hash(stat)}"
     if key not in _STORE_CACHE:
         _STORE_CACHE[key] = TranscriptStore(tdir)
     return _STORE_CACHE[key]

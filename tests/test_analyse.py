@@ -178,3 +178,81 @@ def test_index_cache_key_covers_config(synthetic_corpus):
     a = idx_lib._cache_key(tdir)
     b = idx_lib._cache_key(tdir, dataclasses.replace(ANALYSIS, min_length=0.5))
     assert a != b
+
+
+def test_prediction_past_transcript_end_does_not_abort(store, idx, tmp_path):
+    """Audio channels run slightly longer than their transcripts; a
+    prediction sticking past the transcript EndTime lies in NO index and
+    crashed the reference's closure assert (analyse.py:147).  We clamp the
+    time accounting to the transcribed extent (PARITY #23)."""
+    info = store.info_df
+    row = info[(info["meeting_id"] == "Bmr021")].iloc[0]
+    length = float(row["length"])
+    d = tmp_path / "dev" / "Bmr021" / "t_0.5" / "l_0.2"
+    d.mkdir(parents=True)
+    # one in-range incorrect pred + one sticking 2 s past the transcript end
+    tg.write_textgrid(
+        str(d / "chan0.TextGrid"),
+        [(15.0, 16.0), (length - 1.0, length + 2.0)],
+        xmax=length + 2.0,
+    )
+    out = an.create_evaluation_df(str(tmp_path / "dev"), store, idx, verbose=False)
+    r = out[out.meeting == "Bmr021"].iloc[0]
+    # clamped: only the in-transcript second of the long pred counts
+    assert r["tot_pred_time"] == pytest.approx(2.0)
+    assert r["num_of_pred_laughs"] == 2
+
+
+def test_foreign_meeting_dir_skipped(preds_dir, store, idx):
+    """A non-meeting directory (archive/, backup/) containing a copied
+    t_*/l_* tree must be skipped, not NameError the whole run."""
+    d = preds_dir / "archive" / "t_0.5" / "l_0.2"
+    d.mkdir(parents=True)
+    tg.write_textgrid(str(d / "chan0.TextGrid"), [(1.0, 2.0)], xmax=10.0)
+    out = an.create_evaluation_df(str(preds_dir), store, idx, verbose=False)
+    assert sorted(out.meeting.unique()) == ["Bmr021", "Btr001"]
+
+
+def test_min_length_cfg_threads_into_indices(store):
+    """analyse(cfg=...) must evaluate WITH that cfg: a larger min_length
+    moves short laughs into the invalid index (they stop counting toward
+    recall's denominator)."""
+    from laughter_detection_icsi_tpu.config import AnalysisConfig
+
+    base = indices_lib.build_indices(store)
+    strict = indices_lib.build_indices(
+        store, cfg=AnalysisConfig(min_length=1.0)
+    )
+    assert strict.laugh.tot_len["Bmr021"] < base.laugh.tot_len["Bmr021"]
+    # and load() keys its caches on the cfg
+    a = indices_lib.load(store, cfg=AnalysisConfig(min_length=1.0))
+    b = indices_lib.load(store)
+    assert a.laugh.tot_len["Bmr021"] != b.laugh.tot_len["Bmr021"]
+
+
+def test_analyse_rejects_unsupported_frame_duration(preds_dir, synthetic_corpus):
+    from laughter_detection_icsi_tpu.config import AnalysisConfig
+
+    with pytest.raises(NotImplementedError, match="1 ms"):
+        an.analyse(
+            str(preds_dir),
+            transcript_dir=str(synthetic_corpus.transcript_dir),
+            cfg=AnalysisConfig(frame_duration_ms=10),
+            force=True,
+        )
+
+
+def test_transcript_load_sees_content_changes(synthetic_corpus, tmp_path):
+    """load() is content-keyed: editing an .mrt on disk must yield a fresh
+    parse, not the memoized stale store (whose indices would then be cached
+    under the NEW content hash)."""
+    import shutil
+
+    tdir = tmp_path / "transcripts"
+    shutil.copytree(synthetic_corpus.transcript_dir, tdir)
+    s1 = transcript_lib.load(str(tdir))
+    # rewrite one transcript with different content (mtime_ns + size change)
+    mrt = sorted(p for p in tdir.glob("*.mrt") if p.name != "preambles.mrt")[0]
+    mrt.write_text(mrt.read_text() + "\n<!-- edited -->\n")
+    s2 = transcript_lib.load(str(tdir))
+    assert s2 is not s1

@@ -134,3 +134,55 @@ def test_point_tier_skipped(tmp_path):
     tiers = tg.read_textgrid(str(p))
     assert "points" not in tiers or tiers["points"] == []
     assert tg.read_laughter_intervals(str(p)) == [(1.0, 2.0)]
+
+
+def test_touching_instances_stay_distinct(tmp_path):
+    """Exactly-touching predicted events are DISTINCT instances: a
+    write/read round-trip must preserve their count (adjacent same-text
+    intervals are a valid Praat partition).  Only genuine overlaps merge."""
+    path = str(tmp_path / "touch.TextGrid")
+    tg.write_textgrid(path, [(10.0, 11.0), (11.0, 12.0)], xmax=20.0)
+    got = tg.read_laughter_intervals(path)
+    assert got == [(10.0, 11.0), (11.0, 12.0)]
+    ivals = tg.read_textgrid(path)["laughter"]
+    for (a0, b0, _), (a1, b1, _) in zip(ivals, ivals[1:]):
+        assert b0 == a1 and a0 < b0  # still a monotone partition
+
+
+def test_short_format_point_tier_keeps_alignment(tmp_path):
+    """A short-format TextTier has TWO lines per point; the parser must
+    consume them so a following IntervalTier is read correctly."""
+    content = "\n".join(
+        [
+            'File type = "ooTextFile"',
+            'Object class = "TextGrid"',
+            "",
+            "0",
+            "5",
+            "<exists>",
+            "2",
+            '"TextTier"',
+            '"points"',
+            "0",
+            "5",
+            "2",
+            "1.5",
+            '"a"',
+            "3.0",
+            '"b"',
+            '"IntervalTier"',
+            '"laughter"',
+            "0",
+            "5",
+            "2",
+            "0",
+            "1.5",
+            '"laugh"',
+            "1.5",
+            "5",
+            '""',
+        ]
+    )
+    path = tmp_path / "short_pt.TextGrid"
+    path.write_text(content)
+    assert tg.read_laughter_intervals(str(path)) == [(0.0, 1.5)]
