@@ -93,6 +93,22 @@ def _snip_cfg(cfg: FeatConfig) -> FeatConfig:
     return dataclasses.replace(cfg, snip_edges=True)
 
 
+def bucket_wave_len(settings: "InferenceSettings", feat_cfg: FeatConfig) -> int:
+    """Samples one bucket's featurize graph reads: ``bucket + window - 1``
+    frames (the bucket plus its window-1 halo) under snip_edges geometry.
+
+    THE single owner of the halo formula.  The compiled graphs
+    (LaughterPipeline._graphs, parallel ShardedPipeline._graphs) size their
+    input buffers with it, and the streaming readiness check
+    (_StreamingBase) decides bucket finality with it — if the two ever
+    disagreed, streaming would zero-fill missing tail samples and the
+    documented streaming==offline bit-exactness would break silently.
+    """
+    cfg = _snip_cfg(feat_cfg)
+    ext = settings.bucket_frames + settings.window - 1
+    return (ext - 1) * cfg.frame_shift_samples + cfg.frame_length_samples
+
+
 def cast_tree_bf16(tree):
     """Cast a params/state tree's float leaves to bfloat16.
 
@@ -212,13 +228,11 @@ class LaughterPipeline:
         if int16_in in self._jitted:
             return self._jitted[int16_in]
         cfg = _snip_cfg(self.feat_cfg)
-        shift = cfg.frame_shift_samples
-        flen = cfg.frame_length_samples
         bucket = self.settings.bucket_frames
         window = self.settings.window
         chunk = self.settings.chunk
         ext = bucket + window - 1  # frames computed per bucket (with halo)
-        wave_len = (ext - 1) * shift + flen
+        wave_len = bucket_wave_len(self.settings, self.feat_cfg)
         n_chunks = -(-bucket // chunk)
         # Enough rows that the last window of the last chunk reads in bounds
         # (mirrors the reference InferenceDataset zero-pad, datasets.py:85-92).
@@ -540,6 +554,15 @@ class _StreamingBase:
     def __init__(self, pipeline, n_streams: int):
         if pipeline.settings.mode != "windows":
             raise ValueError(f"{type(self).__name__} requires mode='windows'")
+        if pipeline.feat_cfg.snip_edges:
+            # Same contract as the offline path (host_pad_waveform): the
+            # streaming left/right reflection pads implement
+            # snip_edges=False framing; silently applying them under a
+            # snip_edges=True cfg would shift every frame.
+            raise ValueError(
+                f"{type(self).__name__} implements snip_edges=False "
+                "framing; a snip_edges=True FeatConfig must not reach it"
+            )
         if n_streams < 1:
             raise ValueError("need at least one stream")
         self._pipe = pipeline
@@ -549,6 +572,11 @@ class _StreamingBase:
             [] for _ in range(n_streams)
         ]
         self._bufs: List[np.ndarray] = []
+        # Chunks appended since the last consolidation: feed() is O(chunk)
+        # (list append); the buffer materializes only when a bucket executes
+        # or trims — not on every feed of a long-lived live stream.
+        self._pending: List[List[np.ndarray]] = [[] for _ in range(n_streams)]
+        self._total = 0  # padded samples known so far (incl. consumed ones)
         self._consumed = 0  # padded samples dropped from the buffers' front
         self._n = 0  # raw samples seen per stream
         self._bucket_idx = 0
@@ -576,12 +604,9 @@ class _StreamingBase:
         return (cfg.frame_length_samples - cfg.frame_shift_samples) // 2
 
     def _wave_len(self) -> int:
-        s = self._pipe.settings
-        cfg = self._cfg
-        return (
-            (s.bucket_frames + s.window - 2) * cfg.frame_shift_samples
-            + cfg.frame_length_samples
-        )
+        # The ONE halo formula, shared with the compiled graphs — see
+        # bucket_wave_len's contract note.
+        return bucket_wave_len(self._pipe.settings, self._pipe.feat_cfg)
 
     def _append(self, chunks: Sequence[np.ndarray]) -> None:
         if len(chunks) != self.n_streams:
@@ -630,9 +655,22 @@ class _StreamingBase:
             self._bufs = [
                 np.concatenate([h[: self._left_pad][::-1], h]) for h in heads
             ]
+            self._total = len(self._bufs[0])
             return
         if n:
-            self._bufs = [np.concatenate([b, c]) for b, c in zip(self._bufs, chunks)]
+            for i, c in enumerate(chunks):
+                self._pending[i].append(c)
+            self._total += n
+
+    def _consolidate(self) -> None:
+        """Materialize pending chunks into the contiguous buffers (called
+        only when a bucket is about to execute or trim, keeping feed()
+        itself O(chunk))."""
+        if self._pending[0]:
+            self._bufs = [
+                np.concatenate([b, *p]) for b, p in zip(self._bufs, self._pending)
+            ]
+            self._pending = [[] for _ in range(self.n_streams)]
 
     def _heads(self) -> List[np.ndarray]:
         dtype = self._dtype or np.float32
@@ -659,8 +697,9 @@ class _StreamingBase:
         pieces = []
         while True:
             lo = self._bucket_idx * bucket * shift
-            if self._consumed + len(self._bufs[0]) < lo + wave_len:
+            if self._total < lo + wave_len:
                 break
+            self._consolidate()
             # Every halo sample is final -> full-validity bucket, exactly
             # the offline path's non-final buckets.
             probs = self._execute(
@@ -688,10 +727,12 @@ class _StreamingBase:
         shift = self._cfg.frame_shift_samples
         t = fbank_ops.num_frames(self._n, self._pipe.feat_cfg)
         _left, right = fbank_ops.pad_amounts(self._n, self._pipe.feat_cfg)
+        self._consolidate()
         if right > 0:
             self._bufs = [
                 np.concatenate([b, b[len(b) - right :][::-1]]) for b in self._bufs
             ]
+            self._total += right
         bucket = s.bucket_frames
         wave_len = self._wave_len()
         pieces = []
@@ -764,6 +805,14 @@ def calc_real_time_factor(
     """Average (prediction time / audio duration)
     (reference segment_laughter.py:178-197)."""
     duration = audio_io.get_audio_length(audio_path)
+    if duration <= 0.0:
+        # segment_file handles zero-duration files (returns empty
+        # instances), but a realtime FACTOR of nothing is undefined — raise
+        # a clear error instead of ZeroDivisionError.
+        raise ValueError(
+            f"cannot compute a realtime factor for zero-duration audio "
+            f"{audio_path!r}"
+        )
     total = 0.0
     for _ in range(iterations):
         _, took = pipeline.segment_file(audio_path, **kwargs)

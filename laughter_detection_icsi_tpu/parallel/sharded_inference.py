@@ -115,13 +115,13 @@ class ShardedPipeline:
         if key in self._jitted:
             return self._jitted[key]
         cfg = dataclasses.replace(self.feat_cfg, snip_edges=True)
-        shift = cfg.frame_shift_samples
-        flen = cfg.frame_length_samples
         bucket = self.settings.bucket_frames
         window = self.settings.window
+        from laughter_detection_icsi_tpu.inference import bucket_wave_len
+
         chunk = max(1, self.settings.chunk // max(1, c_local))
         ext = bucket + window - 1
-        wave_len = (ext - 1) * shift + flen
+        wave_len = bucket_wave_len(self.settings, self.feat_cfg)
         n_chunks = -(-bucket // chunk)
         feat_rows = n_chunks * chunk + window - 1
         model, params, state = self.model, self.params, self.state

@@ -248,9 +248,38 @@ def test_streaming_memory_stays_bounded(pipeline, rng):
     for _ in range(60):  # 1 minute of audio through 5.12 s buckets
         out = sess.feed((rng.standard_normal(16000) * 0.1).astype(np.float32))
         frames += len(out)
-        max_buf = max(max_buf, sess._bufs[0].nbytes if sess._bufs else 0)
+        held = (sess._bufs[0].nbytes if sess._bufs else 0) + sum(
+            c.nbytes for c in sess._pending[0]
+        )
+        max_buf = max(max_buf, held)
     frames += len(sess.finish())
     assert frames == 6000
     # bucket span (512 frames) is ~82k samples + chunk slack; 2 MB is far
     # below the 3.8 MB a minute of unbounded float32 audio would reach.
     assert max_buf < 2_000_000, max_buf
+
+
+def test_streaming_rejects_snip_edges_cfg(pipeline):
+    """The streaming pads implement snip_edges=False framing; a
+    snip_edges=True cfg must be rejected up front (the offline path raises
+    in host_pad_waveform) instead of silently shifting every frame."""
+    import dataclasses
+
+    bad = inference.LaughterPipeline(
+        pipeline.model, pipeline.params, pipeline.state,
+        feat_cfg=dataclasses.replace(pipeline.feat_cfg, snip_edges=True),
+        settings=pipeline.settings,
+    )
+    with pytest.raises(ValueError, match="snip_edges"):
+        inference.StreamingSession(bad)
+
+
+def test_streaming_tiny_chunks_match_offline(pipeline, rng):
+    """Microphone-sized chunks (~10 ms) exercise the pending-chunk append
+    path heavily: many feeds per bucket, consolidation only at execute/trim
+    boundaries — output must stay bit-exact."""
+    n = 16000 * 7 + 37
+    wave = (rng.standard_normal(n) * 0.1).astype(np.float32)
+    want = pipeline.probs_for_waveform(wave)
+    got = _stream(pipeline, wave, [163] * (-(-n // 163)))
+    np.testing.assert_array_equal(got, want)
