@@ -83,6 +83,10 @@ def _parse_sphere_header(path: str) -> AudioInfo:
 
     byte_format = str(fields.get("sample_byte_format", "01"))
     big_endian = byte_format == "10"
+    if int(fields["sample_rate"]) <= 0 or int(fields["sample_count"]) < 0:
+        # negative sample_count would size np.empty(-n) far from here; the
+        # C decoder rejects both the same way (AERR_HEADER)
+        raise ValueError(f"{path}: malformed SPHERE header fields")
     return AudioInfo(
         sample_rate=int(fields["sample_rate"]),
         num_samples=int(fields["sample_count"]),
@@ -142,9 +146,10 @@ def _parse_wav_header(path: str) -> AudioInfo:
         encoding, sample_bytes = "float", bits // 8
     else:
         raise NotImplementedError(f"{path}: unsupported WAV format {audio_format}")
-    if channels <= 0 or sample_bytes <= 0:
-        # a corrupt fmt chunk (channels=0 or bits<8) would otherwise raise
-        # ZeroDivisionError below instead of the ValueError malformed-header
+    if channels <= 0 or sample_bytes <= 0 or sample_rate <= 0:
+        # a corrupt fmt chunk (channels=0, bits<8, or rate=0) would
+        # otherwise raise ZeroDivisionError here or in every downstream
+        # duration computation instead of the ValueError malformed-header
         # contract every other path keeps (the C decoder rejects this too)
         raise ValueError(f"{path}: malformed WAV fmt chunk")
     num_samples = data_size // (sample_bytes * channels)
@@ -253,6 +258,20 @@ def find_track_audio(
     return None
 
 
+def _check_channel(path: str, meta: AudioInfo, channel: int) -> int:
+    """Mono files ignore ``channel`` (matched by the C decoder — the two
+    twins must behave identically whether or not a compiler was present);
+    multichannel files require a valid index, uniformly across encodings."""
+    if meta.num_channels == 1:
+        return 0
+    if not 0 <= channel < meta.num_channels:
+        raise ValueError(
+            f"{path}: channel {channel} out of range for "
+            f"{meta.num_channels}-channel audio"
+        )
+    return channel
+
+
 def read(
     path: str,
     offset: float = 0.0,
@@ -267,6 +286,7 @@ def read(
     misc_scripts/check_librosa_loading_times.py for why that hurt).
     """
     meta = info(path)
+    channel = _check_channel(path, meta, channel)
     sr = meta.sample_rate
     start = int(round(offset * sr))
     count = (
@@ -332,6 +352,7 @@ def read_int16(
     path: scale-by-1/32768 happens on device and matches :func:`read`
     bit-for-bit.  Only valid for 16-bit PCM sources."""
     meta = info(path)
+    channel = _check_channel(path, meta, channel)
     if meta.encoding not in ("pcm", "shorten") or meta.sample_bytes != 2:
         raise ValueError(
             f"{path}: read_int16 requires 16-bit PCM "

@@ -387,7 +387,13 @@ def decode(data: bytes, max_frames: Optional[int] = None) -> ShortenStream:
             if max_frames is not None:
                 take = min(take, max_frames - frames_out)
             if take > 0:
-                interleaved = np.stack([g[:take] for g in group], axis=1)
+                # int32 at append time: post-bitshift samples are 16-bit
+                # range, and carrying int64 chunks to the final concatenate
+                # doubles peak memory TWICE on hour-long channels (the same
+                # OOM class _BitReader's int32 ones-index works around).
+                interleaved = np.stack(
+                    [g[:take] for g in group], axis=1
+                ).astype(np.int32, copy=False)
                 chunks.append(interleaved)
                 frames_out += take
             group = [None] * nchan
@@ -395,7 +401,7 @@ def decode(data: bytes, max_frames: Optional[int] = None) -> ShortenStream:
                 break
 
     if chunks:
-        samples = np.concatenate(chunks, axis=0).astype(np.int32)
+        samples = np.concatenate(chunks, axis=0)  # chunks are int32 already
     else:
         samples = np.zeros((0, nchan), dtype=np.int32)
     return ShortenStream(

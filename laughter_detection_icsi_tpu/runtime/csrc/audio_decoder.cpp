@@ -102,6 +102,7 @@ static int parse_sphere(int fd, audio_info_t* info) {
   // Field sanity: zero channels/sample_bytes would divide-by-zero (SIGFPE)
   // in every consumer below; bound sample_bytes at the widest PCM we read.
   if (info->sample_rate <= 0) return AERR_HEADER;
+  if (info->num_samples < 0) return AERR_HEADER;
   if (info->num_channels <= 0 || info->num_channels > 4096) return AERR_HEADER;
   if (info->sample_bytes <= 0 || info->sample_bytes > 4) return AERR_HEADER;
   return 0;
@@ -150,9 +151,19 @@ static int parse_wav(int fd, audio_info_t* info) {
         info->encoding = ENC_FLOAT; info->sample_bytes = bits / 8;
       } else return AERR_UNSUPPORTED;
       // A malformed fmt chunk with channels=0 or bits<8 would SIGFPE the
-      // whole process on the division below.
-      if (channels == 0 || info->sample_bytes <= 0 || info->sample_bytes > 4)
+      // whole process on the division below; rate=0 would ZeroDivisionError
+      // every duration computation downstream.
+      if ((int32_t)rate <= 0 || channels == 0 || info->sample_bytes <= 0)
         return AERR_HEADER;
+      if (info->encoding == ENC_FLOAT) {
+        // IEEE float WAVs: f32 and f64, matching the pure-Python twin
+        // (data/audio.py fmt map {4:'<f4', 8:'<f8'}).  Other widths are
+        // well-formed-but-unsupported, not malformed.
+        if (info->sample_bytes != 4 && info->sample_bytes != 8)
+          return AERR_UNSUPPORTED;
+      } else if (info->sample_bytes > 4) {
+        return AERR_HEADER;
+      }
       info->num_samples = (int64_t)size / (info->sample_bytes * channels);
       return 0;
     } else {
@@ -491,6 +502,10 @@ int64_t audio_read_f32(const char* path, int64_t start, int64_t count,
   if (start >= info.num_samples) return 0;
   if (count < 0 || start + count > info.num_samples)
     count = info.num_samples - start;
+  // Mono files ignore the channel argument, matching the pure-Python twin
+  // (data/audio.py applies `channel` only when num_channels > 1) — the two
+  // decoders must behave identically whether or not a compiler was present.
+  if (info.num_channels == 1) channel = 0;
   if (channel < 0 || channel >= info.num_channels) return AERR_UNSUPPORTED;
 
   if (info.encoding == ENC_SHORTEN) {
@@ -531,6 +546,9 @@ int64_t audio_read_f32(const char* path, int64_t start, int64_t count,
   } else if (info.encoding == ENC_FLOAT && info.sample_bytes == 4) {
     const float* p = (const float*)raw;
     for (int64_t i = 0; i < frames; i++) out[i] = p[i * nch + ch];
+  } else if (info.encoding == ENC_FLOAT && info.sample_bytes == 8) {
+    const double* p = (const double*)raw;
+    for (int64_t i = 0; i < frames; i++) out[i] = (float)p[i * nch + ch];
   } else if (info.encoding == ENC_PCM && info.sample_bytes == 2) {
     const uint16_t* p = (const uint16_t*)raw;
     if (info.big_endian)
@@ -605,14 +623,24 @@ int audio_read_batch(const char** paths, const int64_t* starts,
                      float** outs, int64_t* results, int n, int threads) {
   if (n <= 0) return 0;
   batch_item_t* items = (batch_item_t*)malloc(n * sizeof(batch_item_t));
+  if (!items) return AERR_IO;
   for (int i = 0; i < n; i++)
     items[i] = {paths[i], starts[i], counts[i], channels[i], outs[i], 0};
   batch_state_t st = {items, n, 0, PTHREAD_MUTEX_INITIALIZER};
   if (threads > n) threads = n;
   if (threads < 1) threads = 1;
   pthread_t* tids = (pthread_t*)malloc(threads * sizeof(pthread_t));
-  for (int t = 0; t < threads; t++) pthread_create(&tids[t], nullptr, batch_worker, &st);
-  for (int t = 0; t < threads; t++) pthread_join(tids[t], nullptr);
+  if (!tids) { free(items); return AERR_IO; }
+  // pthread_create can fail under thread exhaustion (EAGAIN); join only
+  // the threads that actually started.  With zero started threads, run the
+  // queue inline — the work must still complete.
+  int started = 0;
+  for (int t = 0; t < threads; t++) {
+    if (pthread_create(&tids[started], nullptr, batch_worker, &st) == 0)
+      started++;
+  }
+  if (started == 0) batch_worker(&st);
+  for (int t = 0; t < started; t++) pthread_join(tids[t], nullptr);
   for (int i = 0; i < n; i++) results[i] = items[i].result;
   free(tids);
   free(items);

@@ -289,9 +289,17 @@ def read_batch(
     threads: int = 8,
 ) -> List[Tuple[np.ndarray, int]]:
     """Decode whole files concurrently (a meeting's channels in one call)."""
+    if channels is not None and len(channels) != len(paths):
+        # A falsy-but-present channels list (e.g. built from a filter that
+        # came up empty) must not silently decode everything on channel 0,
+        # and a short list must not IndexError mid-batch.
+        raise ValueError(
+            f"read_batch got {len(paths)} paths but {len(channels)} channels"
+        )
+    chans = list(channels) if channels is not None else [0] * len(paths)
     lib = _get_lib()
     if lib is None:
-        return [read(p, channel=(channels[i] if channels else 0)) for i, p in enumerate(paths)]
+        return [read(p, channel=chans[i]) for i, p in enumerate(paths)]
     n = len(paths)
     if n == 0:
         return []
@@ -300,9 +308,7 @@ def read_batch(
     c_paths = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
     c_starts = (ctypes.c_int64 * n)(*([0] * n))
     c_counts = (ctypes.c_int64 * n)(*[m.num_samples for m in metas])
-    c_chans = (ctypes.c_int32 * n)(
-        *[(channels[i] if channels else 0) for i in range(n)]
-    )
+    c_chans = (ctypes.c_int32 * n)(*chans)
     c_outs = (ctypes.POINTER(ctypes.c_float) * n)(
         *[o.ctypes.data_as(ctypes.POINTER(ctypes.c_float)) for o in outs]
     )

@@ -122,3 +122,76 @@ def test_compile_failure_returns_none(tmp_path):
     bad_src = tmp_path / "bad.cpp"
     bad_src.write_text("this is not C++ at all {{{")
     assert native._compile_and_load(bad_src, tmp_path / "bad.so") is None
+
+
+def _wav_bytes(fmt_code, channels, rate, bits, payload):
+    import struct
+
+    fmt = struct.pack("<HHIIHH", fmt_code, channels, rate,
+                      rate * channels * (bits // 8) if rate else 0,
+                      channels * (bits // 8), bits)
+    chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    chunks += b"data" + struct.pack("<I", len(payload)) + payload
+    return b"RIFF" + __import__("struct").pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def test_corrupt_headers_rejected_identically(tmp_path):
+    """rate=0 WAV and negative-sample_count SPHERE must be clean header
+    errors from BOTH twins — not ZeroDivisionError / np.empty(-n) far
+    downstream."""
+    wav = tmp_path / "rate0.wav"
+    wav.write_bytes(_wav_bytes(1, 1, 0, 16, b"\x00\x00" * 4))
+    for impl in (native, audio):
+        with pytest.raises(ValueError):
+            impl.info(str(wav))
+    sph = tmp_path / "neg.sph"
+    hdr = (b"NIST_1A\n   1024\n"
+           b"sample_rate -i 16000\nsample_count -i -5\nchannel_count -i 1\n"
+           b"sample_n_bytes -i 2\nsample_coding -s3 pcm\nend_head\n")
+    sph.write_bytes(hdr.ljust(1024, b" ") + b"\x00\x00" * 4)
+    for impl in (native, audio):
+        with pytest.raises(ValueError):
+            impl.info(str(sph))
+
+
+def test_float64_wav_matches_python(tmp_path, rng):
+    """IEEE-float64 WAVs decode in BOTH twins (behavior must not depend on
+    compiler availability)."""
+    w = (rng.standard_normal(2000) * 0.2).astype(np.float64)
+    wav = tmp_path / "f64.wav"
+    wav.write_bytes(_wav_bytes(3, 1, 16000, 64, w.astype("<f8").tobytes()))
+    a, sr_a = native.read(str(wav))
+    b, sr_b = audio.read(str(wav))
+    assert sr_a == sr_b == 16000
+    np.testing.assert_array_equal(a, b)
+    np.testing.assert_allclose(a, w.astype(np.float32), atol=1e-7)
+
+
+def test_channel_arg_parity(tmp_path, rng):
+    """Mono ignores `channel` in both twins; an out-of-range channel on a
+    multichannel file is a clear error in both."""
+    mono = tmp_path / "mono.wav"
+    audio.write_wav(str(mono), (rng.standard_normal(1000) * 0.1).astype(np.float32), 16000)
+    a, _ = native.read(str(mono), channel=3)
+    b, _ = audio.read(str(mono), channel=3)
+    np.testing.assert_array_equal(a, b)
+    assert len(a) == 1000
+
+    stereo = tmp_path / "st.wav"
+    two = np.stack([np.arange(100), np.arange(100) + 7], axis=1).astype(np.int16)
+    audio.write_wav(str(stereo), two, 16000)
+    with pytest.raises(ValueError):
+        native.read(str(stereo), channel=5)
+    with pytest.raises(ValueError):
+        audio.read(str(stereo), channel=5)
+
+
+def test_read_batch_channels_validation(tmp_path, rng):
+    p = tmp_path / "b.wav"
+    audio.write_wav(str(p), (rng.standard_normal(500) * 0.1).astype(np.float32), 16000)
+    with pytest.raises(ValueError, match="channels"):
+        native.read_batch([str(p), str(p)], channels=[])
+    with pytest.raises(ValueError, match="channels"):
+        native.read_batch([str(p), str(p)], channels=[0])
+    out = native.read_batch([str(p), str(p)], channels=[0, 0])
+    assert len(out) == 2 and len(out[0][0]) == 500
