@@ -69,12 +69,15 @@ class LadDataset:
         # mmaps of the rewritten tracks (example() would NOT — the two
         # paths are pinned identical).
         gen = getattr(self.cache, "generation", 0)
-        if (
-            getattr(self, "_plan_cache", None) is not None
-            and self._plan_gen == gen
-        ):
-            return self._plan_cache
-        self._plan_gen = gen
+        # Cached as ONE (gen, plan) tuple published only after a successful
+        # build: setting the generation key before/separately from the plan
+        # would let a concurrent caller (the batches() prefetch thread) — or
+        # any later call after a failed rebuild — read the PREVIOUS
+        # generation's plan under the new key, gathering through stale mmaps
+        # of rewritten tracks (the exact hazard the key exists to prevent).
+        cached = getattr(self, "_plan_cache", None)
+        if cached is not None and cached[0] == gen:
+            return cached[1]
         fps = self.cache.cfg.num_samples
         keys = (
             self.df["meeting_id"].astype(str) + "/" + self.df["chan_id"].astype(str)
@@ -88,7 +91,7 @@ class LadDataset:
         n = np.round(self.df["sub_duration"].to_numpy(float) * fps).astype(np.int64)
         lens = np.asarray([t.shape[0] for t in tracks], dtype=np.int64)
         first = np.clip(first, 0, lens[track_idx])
-        self._plan_cache = {
+        plan = {
             "track_idx": np.asarray(track_idx, dtype=np.int64),
             "first": first,
             "n": n,
@@ -96,7 +99,8 @@ class LadDataset:
             "tracks": tracks,
             "lens": lens,
         }
-        return self._plan_cache
+        self._plan_cache = (gen, plan)
+        return plan
 
     def _assemble(self, idx: np.ndarray) -> Dict[str, np.ndarray]:
         """Batch for df rows ``idx`` — semantics identical to per-row
@@ -260,8 +264,15 @@ class ResidentLadDataset:
             import ml_dtypes
 
             host_dtype = ml_dtypes.bfloat16
-        else:
+        elif transfer_dtype is None or transfer_dtype == "float32":
             host_dtype = np.float32
+        else:
+            # A typo ('bf16', 'float16') silently storing float32 would
+            # double the planned HBM footprint and OOM a memory-tight run.
+            raise ValueError(
+                f"unknown transfer_dtype {transfer_dtype!r}; "
+                "use 'bfloat16' or 'float32'/None"
+            )
         feats = np.zeros((n_pad, w, nf), dtype=host_dtype)
         lens = np.zeros(n_pad, dtype=np.int32)
         labels = np.zeros(n_pad, dtype=np.float32)
@@ -299,6 +310,11 @@ class ResidentLadDataset:
         dataset: LadDataset, transfer_dtype: Optional[str] = None
     ) -> int:
         """HBM footprint of :class:`ResidentLadDataset` before building it."""
+        if transfer_dtype not in (None, "float32", "bfloat16"):
+            raise ValueError(
+                f"unknown transfer_dtype {transfer_dtype!r}; "
+                "use 'bfloat16' or 'float32'/None"
+            )
         itemsize = 2 if transfer_dtype == "bfloat16" else 4
         return (
             len(dataset)

@@ -132,7 +132,14 @@ class FeatureCache:
         )
         path = self._track_path(meeting_id, chan_id)
         path.parent.mkdir(parents=True, exist_ok=True)
-        np.save(path, feats)
+        # Atomic publish, like the manifest below: a bare np.save overwrite
+        # interrupted mid-write leaves a truncated .npy that the (old,
+        # still-valid-looking) manifest entry reports as present — a rerun
+        # would then skip recomputing the corrupt track.
+        # (the .npy suffix matters: np.save appends one to any other name)
+        tmp = path.with_name(f"{path.stem}.tmp.{os.getpid()}.npy")
+        np.save(tmp, feats)
+        os.replace(tmp, path)
         # Drop any cached mmap of the overwritten file: a stale view keeps
         # the OLD shape and silently reads zeros/garbage past the new end.
         self._mmaps.pop(self._key(meeting_id, chan_id), None)

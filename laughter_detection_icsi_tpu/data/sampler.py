@@ -76,6 +76,18 @@ class DataFrameSampler:
         self.cfg = cfg
         self.noise_from_speech_bug = noise_from_speech_bug
         self.rng = np.random  # reference uses the global numpy RNG, seeded
+        # Per-meeting sub-frames, grouped once per source DataFrame: the
+        # O(|df|) boolean filter per sampled row dominated table generation
+        # (laughs x samples x |speech_df| scans).  Grouping preserves
+        # within-meeting row order, so iloc-based draws are unchanged.
+        self._group_cache: Dict[int, Dict[str, pd.DataFrame]] = {}
+
+    def _meeting_rows(self, df: pd.DataFrame, meeting_id: str) -> pd.DataFrame:
+        groups = self._group_cache.get(id(df))
+        if groups is None:
+            groups = {k: g for k, g in df.groupby("meeting_id")}
+            self._group_cache[id(df)] = groups
+        return groups.get(meeting_id, df.iloc[0:0])
 
     # ------------------------------------------------------------------ #
 
@@ -90,7 +102,7 @@ class DataFrameSampler:
         from pandas internals) before any attempt cap and lose this clear
         diagnostic."""
         duration = max(duration, self.cfg.subsample_duration)
-        info = self.store.info_df[self.store.info_df.meeting_id == meeting_id]
+        info = self._meeting_rows(self.store.info_df, meeting_id)
         if info.empty:
             # Without this, randint(0, 0) raises a context-free ValueError.
             raise RuntimeError(
@@ -133,7 +145,7 @@ class DataFrameSampler:
         sampled row's own span is used.  Matched deliberately (PARITY #21).
         """
         duration = max(duration, self.cfg.subsample_duration)
-        rows = df[df.meeting_id == meeting_id]
+        rows = self._meeting_rows(df, meeting_id)
         if rows.empty:
             # The reference crashes here (df.sample on empty); meetings with
             # no transcribed segments of a kind fall back to random non-laugh.
@@ -166,6 +178,10 @@ class DataFrameSampler:
     ) -> Dict[str, pd.DataFrame]:
         """The three split tables (reference create_data_df.py:98-206)."""
         self.rng.seed(self.cfg.random_seed)
+        if chan_id and not meeting_id:
+            # chan ids are only meaningful within a meeting; silently
+            # dropping the filter would sample the full corpus.
+            raise ValueError("chan_id filter requires meeting_id")
         laughs = self.store.laugh_only_df
         if meeting_id:
             laughs = laughs[laughs.meeting_id == meeting_id]

@@ -483,3 +483,19 @@ def test_cache_has_is_dtype_aware(tmp_path, rng):
     assert not cache.has("Btr001", "chan0", dtype=np.float16)
     cache.add_track("Btr001", "chan0", wave, dtype=np.float16)
     assert cache.has("Btr001", "chan0", dtype=np.float16)
+
+
+def test_resident_rejects_unknown_transfer_dtype(store, idx, populated_cache):
+    from laughter_detection_icsi_tpu.data.dataset import ResidentLadDataset
+
+    dfs = DataFrameSampler(store, idx).create_data_dfs(1, 1)
+    ds = LadDataset(dfs["train"], populated_cache)
+    with pytest.raises(ValueError, match="transfer_dtype"):
+        ResidentLadDataset(ds, transfer_dtype="bf16")
+    with pytest.raises(ValueError, match="transfer_dtype"):
+        ResidentLadDataset.estimated_nbytes(ds, transfer_dtype="float16")
+
+
+def test_sampler_rejects_chan_without_meeting(store, idx):
+    with pytest.raises(ValueError, match="meeting_id"):
+        DataFrameSampler(store, idx).create_data_dfs(chan_id="chan0")
