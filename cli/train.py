@@ -236,6 +236,9 @@ def main(argv: Optional[List[str]] = None) -> int:
         checkpoint_dir=str(ckpt_dir),
         log_frequency=preset.log_frequency,
         val_batches_per_log=args.val_batches_per_log,
+        # lets the preemption path flush metric rows before the grace
+        # period can end in SIGKILL
+        metrics_path=str(ckpt_dir / "metrics.csv"),
     )
     params, state, opt_state = loop.resume_if_possible(params, state, opt_state)
     if loop.global_step:
@@ -298,6 +301,9 @@ def main(argv: Optional[List[str]] = None) -> int:
                     shuffle=True,
                     seed=args.seed + loop.epoch,
                     drop_remainder=args.data_parallel,
+                    # Mid-epoch resume: don't assemble the already-trained
+                    # batches run_epoch skips (placeholders instead).
+                    skip_assembly=loop.epoch_step,
                 )
             params, state, opt_state, mean_loss = loop.run_epoch(
                 params,

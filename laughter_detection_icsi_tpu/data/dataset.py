@@ -144,13 +144,26 @@ class LadDataset:
         seed: int = 0,
         drop_remainder: bool = False,
         prefetch: int = 2,
+        skip_assembly: int = 0,
     ) -> Iterator[Dict[str, np.ndarray]]:
         """One epoch of batches.  With ``drop_remainder`` the tail partial
         batch is dropped (use for pjit static shapes).  ``prefetch`` > 0
-        assembles upcoming batches on a background thread."""
+        assembles upcoming batches on a background thread.
+
+        ``skip_assembly`` > 0 (mid-epoch resume): the first k batches of
+        the epoch order were already trained, so yield k cheap ``None``
+        placeholders instead of paying host feature assembly for batches
+        the resuming caller (train.loop.run_epoch's epoch_step skip)
+        discards unseen — resume is near-instant instead of minutes of
+        dead I/O near a late log boundary."""
         slices = _epoch_slices(
             len(self.df), batch_size, shuffle, seed, drop_remainder
         )
+        if skip_assembly:
+            k = min(skip_assembly, len(slices))
+            for _ in range(k):
+                yield None
+            slices = slices[k:]
 
         if prefetch <= 0:
             for idx in slices:
@@ -305,6 +318,15 @@ class ResidentLadDataset:
 
         self._gather = gather
 
+    def gather(self, idx):
+        """(inputs [B,W,F] float32, lens [B], labels [B]) for rows ``idx``,
+        gathered ON DEVICE in one jitted dispatch — the public hook the
+        grad-accumulation resident path uses (train.loop), so external
+        callers never touch the private jitted closure."""
+        import jax.numpy as jnp
+
+        return self._gather(self.feats, self.lens, self.labels, jnp.asarray(idx))
+
     @staticmethod
     def estimated_nbytes(
         dataset: LadDataset, transfer_dtype: Optional[str] = None
@@ -337,14 +359,10 @@ class ResidentLadDataset:
         ``LadDataset.batches``, but 'inputs' / 'input_lens' / 'is_laugh'
         are device arrays gathered in HBM (only the index vector crosses
         the host->device link)."""
-        import jax.numpy as jnp
-
         for idx in _epoch_slices(
             len(self.dataset), batch_size, shuffle, seed, drop_remainder
         ):
-            x, lens, labels = self._gather(
-                self.feats, self.lens, self.labels, jnp.asarray(idx)
-            )
+            x, lens, labels = self.gather(idx)
             yield {"inputs": x, "input_lens": lens, "is_laugh": labels}
 
     def index_batches(

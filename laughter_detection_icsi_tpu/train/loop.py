@@ -299,9 +299,7 @@ class Trainer:
                 key,
                 np.int32(step),
             )
-        x, _lens, y = resident._gather(
-            resident.feats, resident.lens, resident.labels, jnp.asarray(idx)
-        )
+        x, _lens, y = resident.gather(idx)
         rng = jax.random.fold_in(key, step)
         return self.train_batch(
             params, state, opt_state, {"inputs": x, "is_laugh": y}, rng
@@ -336,6 +334,10 @@ def mean_eval_metrics(
     n = 0
     for batch in batches:
         m = eval_batch_fn(params, state, batch)
+        # ONE device->host transfer per batch: per-value float() would issue
+        # four blocking round-trips each, and per-RPC latency dominates on
+        # tunneled links.
+        m = jax.device_get(m)
         for k, v in m.items():
             acc[k] = acc.get(k, 0.0) + float(v)
         n += 1
@@ -368,10 +370,15 @@ def update_metrics_on_disk(metrics_rows: List[Dict[str, Any]], path: str) -> Non
             if k not in fieldnames:
                 fieldnames.append(k)
     rows = sorted(existing.values(), key=lambda r: int(float(r["global_step"])))
-    with open(path, "w", newline="") as f:
+    # Atomic publish (tmp + os.replace), like checkpoint.py: an in-place
+    # rewrite killed between truncate and write would destroy every
+    # previously persisted row of the merged history it just read.
+    tmp = f"{path}.tmp.{os.getpid()}"
+    with open(tmp, "w", newline="") as f:
         writer = csv.DictWriter(f, fieldnames=fieldnames)
         writer.writeheader()
         writer.writerows(rows)
+    os.replace(tmp, path)
 
 
 @dataclasses.dataclass
@@ -383,6 +390,10 @@ class TrainLoop:
     checkpoint_dir: str
     log_frequency: int = 900  # reference config.py:13
     val_batches_per_log: int = 10
+    #: where flush_metrics persists metric rows; when set, the preemption
+    #: path also flushes so a SIGKILL after the grace period cannot lose
+    #: the run's logged metrics (the checkpoint alone would survive).
+    metrics_path: Optional[str] = None
 
     global_step: int = 0
     epoch: int = 0
@@ -507,8 +518,17 @@ class TrainLoop:
         t0 = time.perf_counter()
         for batch in train_batches:
             if skip > 0:
+                # `batch` may be a real (discarded) batch or a None
+                # placeholder from a skip-aware source
+                # (LadDataset.batches(skip_assembly=...)).
                 skip -= 1
                 continue
+            if batch is None:
+                raise RuntimeError(
+                    "skip placeholder (None) beyond epoch_step: the batch "
+                    "source's skip_assembly disagrees with the loop's "
+                    "resume position"
+                )
             if isinstance(batch, dict) and batch.get("resident") is not None:
                 # Fused resident step: rng derives on device from
                 # (epoch key, global_step) — no per-step split dispatch.
@@ -530,7 +550,11 @@ class TrainLoop:
             num_batches += 1
             self.global_step += 1
             self.epoch_step += 1
-            if getattr(self.trainer, "_accum_count", 0) == 0:
+            if self.trainer.pending_micro_steps == 0:
+                # The PUBLIC boundary interface (both trainers implement
+                # it), not a private attribute probe — a trainer with real
+                # accumulation but no `_accum_count` would silently capture
+                # post-group BN stats as the "boundary" state.
                 state_at_boundary = state
             if self.log_frequency and self.global_step % self.log_frequency == 0:
                 row = {
@@ -588,6 +612,11 @@ class TrainLoop:
                     # full train state, not just params/opt.
                     state = state_at_boundary
                 self._save(params, state, opt_state, is_best=False)
+                # Metrics too: the docstring contract is save + flush +
+                # return, and the grace period may end in SIGKILL before
+                # the caller's own end-of-run flush.  (No-op unless
+                # metrics_path is set.)
+                self.flush_metrics()
                 if verbose:
                     print(
                         f"preempted at step {self.global_step}; "
@@ -620,7 +649,8 @@ class TrainLoop:
         mean_loss = float(loss_sum) / num_batches if num_batches else 0.0
         return params, state, opt_state, mean_loss
 
-    def flush_metrics(self, path: str) -> None:
-        if self.metrics_rows:
+    def flush_metrics(self, path: Optional[str] = None) -> None:
+        path = path or self.metrics_path
+        if self.metrics_rows and path:
             update_metrics_on_disk(self.metrics_rows, path)
             self.metrics_rows = []

@@ -62,8 +62,13 @@ class Adam:
         def upd(p, g, m, v):
             m = self.b1 * m + (1.0 - self.b1) * g
             v = self.b2 * v + (1.0 - self.b2) * (g * g)
-            mhat = m / bc1
-            vhat = v / bc2
+            # bc1/bc2 are strong float32 arrays (derived from the int32
+            # step); dividing bf16 moments by them would promote the whole
+            # update to f32 and return f32 params for bf16 inputs — the
+            # same promotion clip_by_global_norm casts its scale to avoid.
+            # For f32 params the casts are identity.
+            mhat = m / bc1.astype(m.dtype)
+            vhat = v / bc2.astype(v.dtype)
             return p - self.lr * mhat / (jnp.sqrt(vhat) + self.eps), m, v
 
         flat_p, treedef = jax.tree_util.tree_flatten(params)

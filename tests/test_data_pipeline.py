@@ -499,3 +499,19 @@ def test_resident_rejects_unknown_transfer_dtype(store, idx, populated_cache):
 def test_sampler_rejects_chan_without_meeting(store, idx):
     with pytest.raises(ValueError, match="meeting_id"):
         DataFrameSampler(store, idx).create_data_dfs(chan_id="chan0")
+
+
+def test_batches_skip_assembly_placeholders(store, idx, populated_cache):
+    """Mid-epoch resume path: skip_assembly yields cheap None placeholders
+    for the already-trained prefix, then EXACTLY the batches a full epoch
+    would produce from that point (same seed => same order)."""
+    dfs = DataFrameSampler(store, idx).create_data_dfs(2, 4)
+    ds = LadDataset(dfs["train"], populated_cache)
+    for prefetch in (0, 2):
+        full = list(ds.batches(4, seed=3, prefetch=prefetch))
+        skipped = list(ds.batches(4, seed=3, prefetch=prefetch, skip_assembly=2))
+        assert skipped[0] is None and skipped[1] is None
+        assert len(skipped) == len(full)
+        for a, b in zip(full[2:], skipped[2:]):
+            np.testing.assert_array_equal(a["inputs"], b["inputs"])
+            np.testing.assert_array_equal(a["is_laugh"], b["is_laugh"])
