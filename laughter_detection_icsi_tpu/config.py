@@ -21,7 +21,7 @@ import dataclasses
 import os
 import re
 from pathlib import Path
-from typing import Dict, List, Optional
+from typing import Dict, List, Optional, Tuple
 
 
 # --------------------------------------------------------------------------- #
@@ -37,7 +37,10 @@ class ModelPreset:
     model: str  # model-zoo architecture name, resolved by models.build()
     batch_size: int
     linear_layer_size: int
-    filter_sizes: List[int]
+    # Tuple, not List: frozen=True blocks rebinding but not in-place
+    # mutation — a List here would let callers corrupt the shared
+    # module-global presets.
+    filter_sizes: Tuple[int, ...]
     log_frequency: int
     # Kept for CLI-surface parity; unused by the ICSI pipeline
     # (reference config.py:12,22).
@@ -53,7 +56,7 @@ MODEL_MAP: Dict[str, ModelPreset] = {
         # leave a (3, 1) map with 16 channels = 48 features
         # (reference config.py:14-15).
         linear_layer_size=48,
-        filter_sizes=[64, 32, 16, 16],
+        filter_sizes=(64, 32, 16, 16),
         log_frequency=900,
     ),
     "resnet_with_augmentation": ModelPreset(
@@ -61,7 +64,7 @@ MODEL_MAP: Dict[str, ModelPreset] = {
         model="ResNetBigger",
         batch_size=32,
         linear_layer_size=128,
-        filter_sizes=[128, 64, 32, 32],
+        filter_sizes=(128, 64, 32, 32),
         log_frequency=200,
     ),
 }
@@ -170,12 +173,19 @@ ANALYSIS = AnalysisConfig()
 def load_env(env_file: str = ".env", override: bool = False) -> Dict[str, str]:
     """Parse a ``KEY=VALUE`` env file into os.environ (reference sample.env:1-7).
 
-    Lines starting with '#' and blank lines are ignored; values may be quoted.
-    Returns the parsed mapping.  Missing files are tolerated (returns {}).
+    Lines starting with '#' and blank lines are ignored; ``export`` prefixes
+    are stripped and values may be quoted (with or without a trailing inline
+    comment) — the python-dotenv syntax the reference used.  Returns the
+    parsed mapping.  A missing DEFAULT file is tolerated (walk up from CWD
+    like dotenv's find_dotenv, else {}); an explicitly named file that does
+    not exist raises — silently walking up could load an unrelated
+    same-named file from another project and mask the typo.
     """
     parsed: Dict[str, str] = {}
     path = Path(env_file)
     if not path.is_file():
+        if env_file != ".env":
+            raise FileNotFoundError(f"env file {env_file!r} not found")
         # Walk up from CWD like dotenv's find_dotenv does.
         for parent in [Path.cwd(), *Path.cwd().parents]:
             candidate = parent / env_file
@@ -188,12 +198,18 @@ def load_env(env_file: str = ".env", override: bool = False) -> Dict[str, str]:
         line = raw.strip()
         if not line or line.startswith("#") or "=" not in line:
             continue
+        if line.startswith("export ") or line.startswith("export\t"):
+            # shell-sourceable style, supported by python-dotenv; without
+            # the strip the KEY would silently become 'export KEY'
+            line = line[len("export") :].strip()
         key, _, value = line.partition("=")
         key = key.strip()
         value = value.strip()
-        if len(value) >= 2 and value[0] in "'\"" and value[-1] == value[0]:
-            # Quoted: keep the content verbatim (a '#' inside is data).
-            value = value[1:-1]
+        m = re.match(r"""(['"])(.*?)\1\s*(?:#.*)?$""", value)
+        if m:
+            # Quoted (optionally followed by an inline comment): keep the
+            # content verbatim (a '#' inside the quotes is data).
+            value = m.group(2)
         else:
             # Unquoted: strip inline comments like python-dotenv does —
             # everything from a whitespace-preceded '#' onward.

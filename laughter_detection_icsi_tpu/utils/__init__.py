@@ -2,6 +2,7 @@
 
 from laughter_detection_icsi_tpu.utils.profiling import (  # noqa: F401
     ThroughputMeter,
+    annotate,
     epoch_time,
     trace,
 )

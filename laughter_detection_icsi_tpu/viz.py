@@ -27,6 +27,10 @@ def plot_train_metrics(
     fig, axes = plt.subplots(2, 2, figsize=(11, 8))
     panels = [("loss", "Loss"), ("acc", "Accuracy"),
               ("precision", "Precision"), ("recall", "Recall")]
+    # Epoch axis data is panel-independent: compute once, not per panel.
+    firsts = None
+    if "epoch" in df.columns and df["epoch"].nunique() > 1:
+        firsts = df.groupby("epoch")["global_step"].min()
     for ax, (key, label) in zip(axes.flat, panels):
         for prefix, style in (("train", "-"), ("val", "--")):
             col = f"{prefix}_{key}"
@@ -36,9 +40,8 @@ def plot_train_metrics(
         ax.set_ylabel(label)
         ax.legend()
         ax.grid(alpha=0.3)
-        if "epoch" in df.columns and df["epoch"].nunique() > 1:
+        if firsts is not None:
             top = ax.secondary_xaxis("top")
-            firsts = df.groupby("epoch")["global_step"].min()
             top.set_xticks(firsts.values)
             top.set_xticklabels([f"e{int(e)}" for e in firsts.index])
     if title:
@@ -103,6 +106,13 @@ def plot_fp_confusion(
         df = df[df["threshold"].isin(thresholds)]
     if min_len is not None:
         df = df[df["min_len"] == min_len]
+    if df.empty:
+        # A filter value outside the sweep grid would otherwise render a
+        # blank heatmap and report success.
+        raise ValueError(
+            f"no evaluation rows match thresholds={list(thresholds)} "
+            f"min_len={min_len} in {eval_df_csv}"
+        )
     agg = (
         df.groupby(["threshold", "min_len"])[
             ["tot_fp_speech_time", "tot_fp_noise_time", "tot_fp_silence_time"]

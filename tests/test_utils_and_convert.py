@@ -152,3 +152,65 @@ def test_load_env_no_override(tmp_path, monkeypatch):
     assert os.environ["KEEPME"] == "old"
     cfg.load_env(str(env), override=True)
     assert os.environ["KEEPME"] == "new"
+
+
+def test_load_env_dotenv_syntax(tmp_path, monkeypatch):
+    """python-dotenv syntax the reference relied on: export prefixes and
+    quoted values with trailing inline comments."""
+    import os
+
+    from laughter_detection_icsi_tpu.config import load_env
+
+    envf = tmp_path / "x.env"
+    envf.write_text(
+        'export DATA_DIR=/data/icsi\n'
+        'MODEL_PATH="/models/best.ckpt" # prod model\n'
+        "TAG='hash#inside'\n"
+        "PLAIN=value # comment\n"
+    )
+    for k in ("DATA_DIR", "MODEL_PATH", "TAG", "PLAIN", "export DATA_DIR"):
+        monkeypatch.delitem(os.environ, k, raising=False)
+    parsed = load_env(str(envf))
+    assert parsed == {
+        "DATA_DIR": "/data/icsi",
+        "MODEL_PATH": "/models/best.ckpt",
+        "TAG": "hash#inside",
+        "PLAIN": "value",
+    }
+    assert os.environ["DATA_DIR"] == "/data/icsi"
+    assert "export DATA_DIR" not in os.environ
+
+
+def test_load_env_explicit_missing_file_raises(tmp_path):
+    from laughter_detection_icsi_tpu.config import load_env
+
+    with pytest.raises(FileNotFoundError):
+        load_env(str(tmp_path / "typo.env"))
+
+
+def test_model_map_presets_immutable():
+    from laughter_detection_icsi_tpu.config import MODEL_MAP
+
+    preset = MODEL_MAP["resnet_base"]
+    assert isinstance(preset.filter_sizes, tuple)
+    with pytest.raises(AttributeError):
+        preset.filter_sizes = (1, 2)
+
+
+def test_fp_confusion_rejects_empty_filter(tmp_path):
+    import pandas as pd
+
+    from laughter_detection_icsi_tpu import viz
+
+    csv = tmp_path / "eval.csv"
+    pd.DataFrame(
+        {
+            "threshold": [0.5],
+            "min_len": [0.2],
+            "tot_fp_speech_time": [1.0],
+            "tot_fp_noise_time": [0.5],
+            "tot_fp_silence_time": [0.1],
+        }
+    ).to_csv(csv, index=False)
+    with pytest.raises(ValueError, match="no evaluation rows"):
+        viz.plot_fp_confusion(str(csv), min_len=0.25)
