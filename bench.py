@@ -101,13 +101,15 @@ def bench_train() -> None:
     import jax.numpy as jnp
 
     from laughter_detection_icsi_tpu import models
+    from laughter_detection_icsi_tpu.config import MODEL_MAP
     from laughter_detection_icsi_tpu.train.loop import Trainer
 
+    preset = MODEL_MAP["resnet_base"]
     model = models.build(
-        "ResNetBigger",
+        preset.model,
         dropout_rate=0.5,
-        linear_layer_size=48,
-        filter_sizes=(64, 32, 16, 16),
+        linear_layer_size=preset.linear_layer_size,
+        filter_sizes=preset.filter_sizes,
     )
     trainer = Trainer(model)
     disarm = _backend_watchdog()
@@ -178,12 +180,14 @@ def main() -> None:
     import jax
 
     from laughter_detection_icsi_tpu import inference, models
+    from laughter_detection_icsi_tpu.config import MODEL_MAP
 
+    preset = MODEL_MAP["resnet_base"]
     model = models.build(
-        "ResNetBigger",
+        preset.model,
         dropout_rate=0.0,
-        linear_layer_size=48,
-        filter_sizes=(64, 32, 16, 16),
+        linear_layer_size=preset.linear_layer_size,
+        filter_sizes=preset.filter_sizes,
     )
     disarm = _backend_watchdog()
     platform = jax.devices()[0].platform

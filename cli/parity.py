@@ -91,6 +91,13 @@ def _audio_files(audio_dir: str) -> Dict[str, str]:
     for ext in ("*.sph", "*.wav"):
         for f in sorted(root.rglob(ext)):
             stem = str(f.relative_to(root).with_suffix("")).replace(os.sep, "__")
+            if stem in out:
+                # Silent overwrite would compare goldens against the WRONG
+                # audio file (e.g. a .sph and its converted .wav twin).
+                raise ValueError(
+                    f"audio stems collide: {out[stem]} and {f} both flatten "
+                    f"to {stem!r} — remove one or separate the directories"
+                )
             out[stem] = str(f)
     return out
 
@@ -270,6 +277,9 @@ def _run_sweep_stats(args, manifest: dict, workdir: Path) -> Path:
         "--output_dir", str(out_dir),
         "--split", split,
         "--model_path", args.model_path,
+        # Without forwarding the preset, sweep would build its default
+        # resnet_base and apply a differently-shaped checkpoint to it.
+        "--config", args.config,
         "--thresholds", thresholds,
         "--min_lengths", min_lengths,
         "--analyse",
@@ -322,10 +332,21 @@ def _check_analyse(args, gdir: Path, manifest: dict, atol: float, workdir: Path)
         }
     worst = 0.0
     for col in ("precision", "recall"):
-        worst = max(
-            worst,
-            float((merged[f"{col}_ref"] - merged[f"{col}_tpu"]).abs().max()),
-        )
+        ref, tpu = merged[f"{col}_ref"], merged[f"{col}_tpu"]
+        diff = (ref - tpu).abs()
+        # NaN in BOTH columns is agreement, not failure: recall is 0/0 = NaN
+        # for a split with zero transcribed laugh time, in the golden and
+        # the re-run alike.  NaN on one side only stays a failure.
+        both_nan = ref.isna() & tpu.isna()
+        diff = diff.mask(both_nan, 0.0)
+        if diff.isna().any():
+            return {
+                "status": "fail",
+                "reason": f"{col}: NaN on one side only "
+                          f"({int(diff.isna().sum())} rows)",
+            }
+        if len(diff):
+            worst = max(worst, float(diff.max()))
     return {
         "status": "pass" if worst <= atol else "fail",
         "rows": len(merged), "max_metric_diff": worst, "atol": atol,

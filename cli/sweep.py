@@ -187,8 +187,10 @@ def main(argv: Optional[List[str]] = None) -> int:
             f"({total_audio_s / dt:.1f}x realtime end-to-end; "
             f"inference-only: {meter.report()})"
         )
-        if args.trace_dir:
-            print(f"profiler trace written to {args.trace_dir}")
+    if args.trace_dir:
+        # Unconditional, like train.py: the trace exists even when no audio
+        # was processed.
+        print(f"profiler trace written to {args.trace_dir}")
     if args.analyse:
         from laughter_detection_icsi_tpu.eval.analyse import analyse
 

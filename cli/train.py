@@ -105,13 +105,29 @@ def main(argv: Optional[List[str]] = None) -> int:
     )
 
     enable_compilation_cache()
-    args = build_parser().parse_args(argv)
-    for flag in ("torch_device", "include_words", "train_on_noisy_audioset"):
-        if getattr(args, flag):
+    parser = build_parser()
+    args = parser.parse_args(argv)
+    # Compatibility flags: compare against the parser DEFAULT (num_workers
+    # and lhotse_dir have truthy defaults, so a bare truthiness check could
+    # never fire for them and would misfire for explicit default values).
+    for flag in (
+        "torch_device",
+        "include_words",
+        "train_on_noisy_audioset",
+        "num_workers",
+        "lhotse_dir",
+    ):
+        if getattr(args, flag) != parser.get_default(flag):
             print(f"note: --{flag} is accepted for compatibility and ignored")
 
     # Multi-host: join the pod runtime BEFORE the first backend touch so
     # jax.devices() spans all hosts (parallel/distributed.py; SURVEY §5.8).
+    if args.num_processes is not None and args.coordinator_address is None and args.process_id is None:
+        parser.error(
+            "--num_processes requires --coordinator_address (and usually "
+            "--process_id); without them distributed init would be "
+            "silently skipped"
+        )
     if args.coordinator_address is not None or args.process_id is not None:
         from laughter_detection_icsi_tpu.parallel import distributed
 
@@ -321,8 +337,8 @@ def main(argv: Optional[List[str]] = None) -> int:
         print(f"profiler trace written to {args.trace_dir}")
     total = time.perf_counter() - t_start
     print(f"training finished in {total:.1f}s")
-    loop.flush_metrics(str(ckpt_dir / "metrics.csv"))
-    loop._save(params, state, opt_state, is_best=False)
+    loop.flush_metrics()  # metrics_path was set at construction
+    loop.save(params, state, opt_state)
     return 0
 
 

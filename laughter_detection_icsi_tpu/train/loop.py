@@ -460,6 +460,11 @@ class TrainLoop:
             )
         return loaded["params"], loaded["state"], opt_state
 
+    def save(self, params, state, opt_state, is_best: bool = False) -> None:
+        """Public end-of-run checkpoint hook: writes ``last`` with the
+        counters as they stand (callers should not reach for ``_save``)."""
+        self._save(params, state, opt_state, is_best)
+
     def _save(self, params, state, opt_state, is_best: bool, step_offset: int = 0):
         """Write a checkpoint.  ``step_offset`` > 0 records the counters as
         of ``step_offset`` batches ago — how a mid-accumulation-group save
