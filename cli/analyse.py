@@ -17,7 +17,12 @@ def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("preds_dir", type=str, nargs="?", default=None,
                    help="dir of <meeting>/t_<thr>/l_<minlen>/chanN.TextGrid")
-    p.add_argument("--transcript_dir", type=str, default=None)
+    p.add_argument("--transcript_dir", type=str, default=None,
+                   help="defaults to $TRANSCRIPT_DIR (via --env_file) or "
+                        "the repo-local corpus layout")
+    p.add_argument("--env_file", type=str, default=".env",
+                   help="dotenv file for TRANSCRIPT_DIR (reference "
+                        "sample.env workflow, like compute_features)")
     p.add_argument("--force", action="store_true",
                    help="ignore cached eval CSVs")
     p.add_argument("--laugh_counts", action="store_true",
@@ -31,6 +36,16 @@ def build_parser() -> argparse.ArgumentParser:
 def main(argv: Optional[List[str]] = None) -> int:
     parser = build_parser()
     args = parser.parse_args(argv)
+    if args.transcript_dir is None:
+        # Honor the .env/TRANSCRIPT_DIR convention the other CLIs follow
+        # (reference sample.env workflow) before falling back to the
+        # repo-local default inside the library.
+        import os
+
+        from laughter_detection_icsi_tpu.config import load_env
+
+        load_env(args.env_file)
+        args.transcript_dir = os.environ.get("TRANSCRIPT_DIR")
     if args.laugh_counts:
         import os
 

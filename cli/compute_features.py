@@ -83,6 +83,15 @@ def main(argv: Optional[List[str]] = None) -> int:
         if args.meetings
         else None
     )
+    if wanted_meetings:
+        unknown = wanted_meetings - set(store.meeting_ids)
+        if unknown:
+            # same reasoning as the --splits guard above: a typo'd meeting
+            # ID must not featurize nothing and exit 0
+            raise SystemExit(
+                f"unknown meetings: {', '.join(sorted(unknown))} "
+                f"(known: {', '.join(store.meeting_ids)})"
+            )
     cache = FeatureCache(output_dir)
     dtype = np.float16 if args.dtype == "float16" else np.float32
 

@@ -52,7 +52,10 @@ def main(argv: Optional[List[str]] = None) -> int:
         )
         path = out / f"laugh_{i}_{start:.2f}-{end:.2f}.wav"
         audio.write_wav(str(path), wav, sr)
-        pieces.append(wav)
+        if args.concat:
+            # only the concat path reads the pieces back; retaining them
+            # otherwise holds all laugh audio in memory for nothing
+            pieces.append(wav)
         print(f"{start:.2f}-{end:.2f}s -> {path}")
     if args.concat and pieces:
         gap = np.zeros(int(args.break_s * sr), dtype=np.float32)

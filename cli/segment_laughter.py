@@ -82,6 +82,10 @@ def save_instances(
     from laughter_detection_icsi_tpu.data import audio as audio_io
     from laughter_detection_icsi_tpu.eval import textgrid as tg
 
+    # Deliberately BEFORE the empty check, like the reference's
+    # unconditional `mkdir -p` (segment_laughter.py:131): an empty
+    # t_<thr>/l_<minlen>/ dir is meaningful to the evaluator — it yields a
+    # zero-prediction row (precision := 1), where no dir yields no row.
     os.makedirs(output_dir, exist_ok=True)
     if not instances:
         return
@@ -114,9 +118,11 @@ def main(argv: Optional[List[str]] = None) -> int:
     from laughter_detection_icsi_tpu.config import MODEL_MAP
     from laughter_detection_icsi_tpu.train import checkpoint as ckpt_lib
 
+    from laughter_detection_icsi_tpu.config import parse_float_list
+
     preset = MODEL_MAP[args.config]
-    thresholds = [float(t) for t in args.thresholds.split(",")]
-    min_lengths = [float(l) for l in args.min_lengths.split(",")]
+    thresholds = parse_float_list(args.thresholds, "--thresholds")
+    min_lengths = parse_float_list(args.min_lengths, "--min_lengths")
     save_audio = strtobool(args.save_to_audio_files)
     save_tg = strtobool(args.save_to_textgrid)
 
@@ -170,6 +176,8 @@ def main(argv: Optional[List[str]] = None) -> int:
     if not args.input_audio_file:
         raise SystemExit("--input_audio_file is required (or use --interactive)")
     if args.benchmark:
+        if args.benchmark < 1:
+            raise SystemExit(f"--benchmark wants >= 1 iterations, got {args.benchmark}")
         rtf = inference.calc_real_time_factor(
             pipe, args.input_audio_file, iterations=args.benchmark,
             thresholds=thresholds, min_lengths=min_lengths, channel=args.channel,

@@ -125,10 +125,16 @@ def main(argv: Optional[List[str]] = None) -> int:
                 "replay analyzes ONE channel (pick it with --channel)"
             )
         n_ch = 1
-        try:
+        # The SHARED transfer-eligibility predicate, exactly like the
+        # offline pipelines (inference.py int16_transfer_eligible docstring:
+        # "both pipelines consult it, so they can never disagree") — a
+        # hand-rolled try/except here ignored settings.transfer_int16 and
+        # swallowed real header errors into a second parse.
+        meta = audio_io.info(args.input)
+        if inference.int16_transfer_eligible(meta, settings):
             # 16-bit PCM ships as raw int16 (half the transfer bytes)...
             wave, sr = audio_io.read_int16(args.input, channel=args.channel)
-        except ValueError:
+        else:
             # ...every other valid encoding (ulaw/float/8- or 24-bit)
             # replays through the float path like the offline pipeline.
             wave, sr = audio_io.read(args.input, channel=args.channel)
@@ -190,9 +196,13 @@ def main(argv: Optional[List[str]] = None) -> int:
     # Warm the bucket graphs BEFORE announcing readiness (cold jit is tens
     # of seconds; emitting 'ready' first would stall the first real bucket
     # while stdin backs up).  The streaming sessions share the pipeline's
-    # compiled bucket executors, so one offline pass compiles everything.
+    # compiled bucket executors, and the graphs key on the input dtype —
+    # warm with the dtype that will actually be fed (stdin is s16le;
+    # float-path file replay needs the float32 graphs) or the first real
+    # bucket pays the cold jit anyway.
+    warm_dtype = np.int16 if wave is None else wave.dtype
     warm = np.zeros(
-        (settings.bucket_frames + settings.window) * 160 + 400, dtype=np.int16
+        (settings.bucket_frames + settings.window) * 160 + 400, dtype=warm_dtype
     )
     if n_ch == 1:
         pipe.probs_for_waveform(warm)

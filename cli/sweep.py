@@ -88,8 +88,10 @@ def main(argv: Optional[List[str]] = None) -> int:
     from laughter_detection_icsi_tpu.train import checkpoint as ckpt_lib
 
     preset = MODEL_MAP[args.config]
-    thresholds = [float(t) for t in args.thresholds.split(",")]
-    min_lengths = [float(l) for l in args.min_lengths.split(",")]
+    from laughter_detection_icsi_tpu.config import parse_float_list
+
+    thresholds = parse_float_list(args.thresholds, "--thresholds")
+    min_lengths = parse_float_list(args.min_lengths, "--min_lengths")
 
     model = models.build(
         preset.model,

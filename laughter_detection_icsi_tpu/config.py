@@ -228,6 +228,16 @@ def env(key: str, default: Optional[str] = None) -> Optional[str]:
     return os.environ.get(key, default)
 
 
+def parse_float_list(text: str, flag: str = "value list") -> List[float]:
+    """Comma-separated floats for CLI flags, tolerant of blanks and spaces
+    ('0.5,' / '0.2, 0.4') — a bare float('') raised a raw traceback.  An
+    all-blank string is a usage error, not an empty sweep."""
+    out = [float(t) for t in text.split(",") if t.strip()]
+    if not out:
+        raise ValueError(f"{flag}: no values in {text!r}")
+    return out
+
+
 # ICSI partitions (reference create_data_df.py:15-29, taken from the Lhotse
 # ICSI recipe to minimise speaker overlap between splits).
 PARTITIONS: Dict[str, List[str]] = {

@@ -804,6 +804,8 @@ def calc_real_time_factor(
 ) -> float:
     """Average (prediction time / audio duration)
     (reference segment_laughter.py:178-197)."""
+    if iterations < 1:
+        raise ValueError(f"iterations must be >= 1, got {iterations}")
     duration = audio_io.get_audio_length(audio_path)
     if duration <= 0.0:
         # segment_file handles zero-duration files (returns empty
