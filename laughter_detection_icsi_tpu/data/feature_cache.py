@@ -60,6 +60,11 @@ def compute_track_features(
     # layout the bucket indexing below assumes; a cfg already in snip mode
     # needs no padding (pad_amounts would return a negative right pad).
     left, right = (0, 0) if cfg.snip_edges else fbank_ops.pad_amounts(n, cfg)
+    if right < 0:
+        # Short-frame geometry (flen <= 2*shift): the last frame ends
+        # before the waveform; drop the tail Kaldi never reads.
+        wave = wave[: n + right]
+        right = 0
     # symmetric == Kaldi edge mirroring; stays correct when a pad exceeds
     # the wave length (see inference.host_pad_waveform).
     padded = np.pad(wave, (left, right), mode="symmetric").astype(np.float32)

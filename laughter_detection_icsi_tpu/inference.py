@@ -155,6 +155,11 @@ def host_pad_waveform(
     if t == 0:
         return np.zeros(0, dtype=wave.dtype), 0
     left, right = fbank_ops.pad_amounts(n, cfg)
+    if right < 0:
+        # Short-frame geometry (flen <= 2*shift): the last frame ends before
+        # the waveform; Kaldi never reads the tail (see pad_amounts).
+        wave = wave[: n + right]
+        right = 0
     # mode='symmetric' == Kaldi's edge mirroring (index -j-1 / 2n-1-j) for
     # the normal case, and stays well-defined (repeated mirroring) when a
     # pad exceeds the wave length — naive slicing (wave[:left][::-1]) would
@@ -600,8 +605,10 @@ class _StreamingBase:
 
     @property
     def _left_pad(self) -> int:
+        # Kaldi's per-term truncation, matching fbank.pad_amounts exactly
+        # ((flen - shift)//2 is one sample short for even-flen/odd-shift).
         cfg = self._cfg
-        return (cfg.frame_length_samples - cfg.frame_shift_samples) // 2
+        return cfg.frame_length_samples // 2 - cfg.frame_shift_samples // 2
 
     def _wave_len(self) -> int:
         # The ONE halo formula, shared with the compiled graphs — see

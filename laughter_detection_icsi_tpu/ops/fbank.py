@@ -168,13 +168,25 @@ def num_frames(num_samples: int, cfg: FeatConfig = FEAT) -> int:
 
 
 def pad_amounts(num_samples: int, cfg: FeatConfig = FEAT) -> Tuple[int, int]:
-    """(left, right) symmetric padding for snip_edges=False framing."""
+    """(left, right) symmetric padding for snip_edges=False framing.
+
+    ``left`` follows Kaldi's FirstSampleOfFrame with PER-TERM integer
+    truncation: frame 0 begins at ``shift/2 - flen/2``, so the left pad is
+    ``flen//2 - shift//2`` — NOT ``(flen - shift)//2``, which is one sample
+    short when flen is even and shift odd (e.g. 400/5) and would shift
+    every frame vs Kaldi.
+
+    ``right`` may be NEGATIVE for short-frame geometries (flen <= 2*shift,
+    e.g. num_samples=50 -> shift 320 / flen 400): the last frame then ends
+    BEFORE the waveform does and Kaldi simply never reads the tail samples —
+    consumers must truncate to ``num_samples + right``, not pad.
+    """
     shift = cfg.frame_shift_samples
     flen = cfg.frame_length_samples
     t = num_frames(num_samples, cfg)
     new_len = (t - 1) * shift + flen
     npad = new_len - num_samples
-    npad_left = (flen - shift) // 2
+    npad_left = flen // 2 - shift // 2
     return npad_left, npad - npad_left
 
 
@@ -212,6 +224,12 @@ def _pad_for_framing(waveform: jnp.ndarray, cfg: FeatConfig) -> jnp.ndarray:
         return waveform
     n = waveform.shape[-1]
     left, right = pad_amounts(n, cfg)
+    if right < 0:
+        # Short-frame geometry (see pad_amounts): the last frame ends before
+        # the waveform — drop the tail samples Kaldi never reads instead of
+        # passing a negative pad (jnp.pad raises).
+        waveform = waveform[..., : n + right]
+        right = 0
     widths = [(0, 0)] * (waveform.ndim - 1) + [(left, right)]
     return jnp.pad(waveform, widths, mode="symmetric")
 

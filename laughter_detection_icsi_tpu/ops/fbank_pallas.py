@@ -148,6 +148,14 @@ def fbank_pallas(
             "fbank_pallas assumes 2*shift < frame_length <= 3*shift "
             f"(got shift={shift}, frame_length={flen})"
         )
+    if cfg.num_filters > LANES:
+        # The mel bank is padded into one LANES-wide tile
+        # (_kernel_constants); more filters would raise an opaque numpy
+        # broadcast error instead of this explicit guard.
+        raise NotImplementedError(
+            f"fbank_pallas supports at most {LANES} mel filters "
+            f"(got {cfg.num_filters}); use ops.fbank"
+        )
 
     batch_shape = waveform.shape[:-1]
     n = waveform.shape[-1]

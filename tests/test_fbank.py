@@ -7,6 +7,7 @@ differently from the vectorized/matmul production path so shared bugs are
 unlikely.
 """
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -152,3 +153,53 @@ def test_dither_rejected_everywhere():
         fb.fbank(wave, cfg)
     with pytest.raises(NotImplementedError, match="dither"):
         fp.fbank_pallas(wave, cfg, interpret=True)
+
+
+def test_pad_amounts_kaldi_per_term_truncation():
+    """Kaldi's FirstSampleOfFrame truncates PER TERM: frame 0 begins at
+    shift//2 - flen//2, so the left pad is flen//2 - shift//2.  For even
+    flen / odd shift the folded form (flen - shift)//2 is one sample short
+    (torchaudio feature_window.cc first_sample_of_frame semantics)."""
+    import dataclasses
+
+    cfg = dataclasses.replace(fb.FEAT, num_samples=3200)  # shift 5, flen 400
+    assert cfg.frame_shift_samples == 5
+    left, _right = fb.pad_amounts(10_000, cfg)
+    assert left == 198  # 400//2 - 5//2; the folded form gives 197
+
+
+def test_short_frame_geometry_truncates_not_crashes():
+    """flen <= 2*shift (e.g. 50 frames/s with the default 25 ms window):
+    the last frame ends BEFORE the waveform, pad_amounts returns a negative
+    right pad, and the featurizer must drop the unread tail instead of
+    crashing in jnp.pad."""
+    import dataclasses
+
+    cfg = dataclasses.replace(fb.FEAT, num_samples=50)  # shift 320, flen 400
+    n = 3679
+    left, right = fb.pad_amounts(n, cfg)
+    assert right < 0
+    wave = (np.random.default_rng(0).standard_normal(n) * 0.1).astype(np.float32)
+    feats = np.asarray(fb.fbank(wave, cfg))
+    t = fb.num_frames(n, cfg)
+    assert feats.shape == (t, cfg.num_filters)
+    # Frames must equal manual Kaldi framing: symmetric-pad left, truncate
+    # the unread tail, then stride.
+    manual = np.pad(wave[: n + right], (left, 0), mode="symmetric")
+    frames = fb.frame_waveform(jnp.asarray(wave), cfg)
+    for i in (0, t - 1):
+        np.testing.assert_array_equal(
+            np.asarray(frames[i]),
+            manual[i * 320 : i * 320 + 400],
+        )
+
+
+def test_pallas_rejects_too_many_filters():
+    import dataclasses
+
+    from laughter_detection_icsi_tpu.ops import fbank_pallas as fp
+
+    cfg = dataclasses.replace(fb.FEAT, num_filters=129)
+    wave = np.zeros(16000, np.float32)
+    with pytest.raises(NotImplementedError, match="mel filters"):
+        fp.fbank_pallas(jnp.asarray(wave), cfg, interpret=True)
