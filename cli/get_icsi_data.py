@@ -38,6 +38,18 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+def _is_network_error(e: BaseException) -> bool:
+    """URLError covers only connect-time failures; a body-read stall raises
+    socket.timeout/OSError inside copyfileobj and a premature server close
+    raises http.client.IncompleteRead — all of them are 'network
+    unavailable', not programming errors to traceback on."""
+    import http.client
+
+    return isinstance(
+        e, (urllib.error.URLError, OSError, http.client.HTTPException)
+    )
+
+
 def _fetch(url: str, part: Path, timeout: float = 60.0) -> None:
     """Download ``url`` to ``part`` with a socket timeout — urlretrieve has
     none, so one stalled connection would hang the whole sequential
@@ -97,8 +109,9 @@ def main(argv: Optional[List[str]] = None) -> int:
             except BaseException as e:
                 part.unlink(missing_ok=True)
                 if isinstance(e, urllib.error.HTTPError) and e.code == 404:
+                    missing += 1
                     continue  # channel doesn't exist for this meeting
-                if not isinstance(e, urllib.error.URLError):
+                if not _is_network_error(e):
                     raise
                 print(
                     f"network unavailable ({e}); rerun with --print_urls and "
@@ -125,11 +138,11 @@ def main(argv: Optional[List[str]] = None) -> int:
                 print(f"transcripts -> {tdir}")
             except BaseException as e:
                 part.unlink(missing_ok=True)
-                if not isinstance(e, urllib.error.URLError):
+                if not _is_network_error(e):
                     raise
                 print(f"network unavailable for transcripts ({e})")
                 return 1
-    print(f"done ({fetched} files fetched)")
+    print(f"done ({fetched} files fetched, {missing} absent channels skipped)")
     return 0
 
 

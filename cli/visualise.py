@@ -29,6 +29,13 @@ def main(argv: Optional[List[str]] = None) -> int:
     args = build_parser().parse_args(argv)
     from laughter_detection_icsi_tpu import viz
 
+    if args.what != "compare" and len(args.inputs) > 1:
+        # Only compare consumes multiple inputs; silently plotting just the
+        # first would report success for a figure missing the others.
+        raise SystemExit(
+            f"{args.what} takes exactly one input CSV "
+            f"(got {len(args.inputs)}); use 'compare' for multiple runs"
+        )
     if args.what == "train":
         viz.plot_train_metrics(args.inputs[0], out_path=args.out, title=args.title)
     elif args.what == "pr":
@@ -44,6 +51,10 @@ def main(argv: Optional[List[str]] = None) -> int:
                 f"compare inputs must be name=path pairs (got {bad[0]!r})"
             )
         pairs = dict(s.split("=", 1) for s in args.inputs)
+        if len(pairs) != len(args.inputs):
+            # dict() keeps only the LAST duplicate — the 'comparison' would
+            # silently contain one experiment labeled as two.
+            raise SystemExit("compare experiment names must be unique")
         viz.plot_experiment_comparison(pairs, out_path=args.out, min_len=args.min_len)
     print(f"wrote {args.out}")
     return 0

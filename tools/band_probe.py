@@ -81,7 +81,11 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--chunks", type=str, default="1536,6144,12288")
-    ap.add_argument("--dtype", type=str, default="bfloat16")
+    ap.add_argument(
+        "--dtype", type=str, default="bfloat16",
+        choices=["bfloat16", "float32"],  # a typo ('bf16') must not
+        # silently benchmark the wrong MXU precision
+    )
     args = ap.parse_args()
 
     from laughter_detection_icsi_tpu import models
@@ -94,14 +98,12 @@ def main():
     model = models.build("ResNetBigger", dropout_rate=0.0, linear_layer_size=48)
     params, state = model.init(jax.random.PRNGKey(0))
     if dtype == jnp.bfloat16:
-        # Mirror LaughterPipeline: params AND state drop to bf16.
-        cast = lambda x: (
-            x.astype(jnp.bfloat16)
-            if jnp.issubdtype(jnp.asarray(x).dtype, jnp.floating)
-            else x
-        )
-        params = jax.tree_util.tree_map(cast, params)
-        state = jax.tree_util.tree_map(cast, state)
+        # THE pipeline's cast (shared helper), so the probe can never
+        # measure a different model than production runs.
+        from laughter_detection_icsi_tpu.inference import cast_tree_bf16
+
+        params = cast_tree_bf16(params)
+        state = cast_tree_bf16(state)
 
     window = 100
     chunks = [int(c) for c in args.chunks.split(",")]
@@ -117,8 +119,6 @@ def main():
 
     # ---- stems ---------------------------------------------------------- #
     stem1 = jax.jit(lambda f: shared_stem.stem_track(params, state, f))
-    track1_c = stem1(vary(base_feats, 0))
-    jax.block_until_ready(track1_c)
     stem2 = jax.jit(lambda t1: shared_stem.stem_track2(params, state, t1))
 
     ms = time_op(stem1, lambda i: (vary(base_feats, i),), args.iters)
@@ -156,7 +156,6 @@ def main():
 
     # ---- full exact-mode chunk ------------------------------------------ #
     for b in chunks:
-        t_need = b + window - 1
 
         def chunk_fn(feats, track1, track2, b=b):
             return shared_stem.chunk_probs_from_track2(
