@@ -95,8 +95,15 @@ def parse_preambles(
 
 
 def classify_segment(xml_seg) -> Tuple[SegmentType, Optional[str]]:
-    """Classify one ``<Segment>`` element (reference parse.py:117-165)."""
-    children = list(xml_seg)
+    """Classify one ``<Segment>`` element (reference parse.py:117-165).
+
+    Child counting skips XML comments/PIs: lxml's getchildren() (which the
+    reference uses) would count an annotator comment as a child and
+    misclassify a pure laugh as INVALID — a divergence that only fires on
+    content the real ICSI transcripts don't contain, and that keeps this
+    classifier consistent with count_laugh_segments' element-only
+    ``count(./*)`` XPath."""
+    children = [c for c in xml_seg if isinstance(c.tag, str)]
     if len(children) == 0:
         return SegmentType.SPEECH, None
     if len(children) == 1:
@@ -190,8 +197,11 @@ class TranscriptStore:
 
         for filename in sorted(os.listdir(self.transcript_dir)):
             # All ICSI meetings have a 6-char ID (reference parse.py:232-235).
-            stem = filename.split(".")[0]
-            if not filename.endswith(".mrt") or len(stem) != 6:
+            # EXACTLY '<6 chars>.mrt': the reference's first-dot split would
+            # also parse a stray 'Bmr001.orig.mrt' as meeting Bmr001 and
+            # silently double every segment/info row of that meeting.
+            stem, dot, ext = filename.partition(".")
+            if not (dot and ext == "mrt" and len(stem) == 6):
                 continue
             mrt_path = os.path.join(self.transcript_dir, filename)
             meeting_id = stem
@@ -219,8 +229,6 @@ class TranscriptStore:
                     noise_rows.append(row)
 
         def _df(rows: List[Dict]) -> pd.DataFrame:
-            if not rows:
-                return pd.DataFrame(columns=SEGMENT_COLUMNS)
             return pd.DataFrame(rows, columns=SEGMENT_COLUMNS)
 
         self.laugh_only_df = _df(laugh_rows)
@@ -276,12 +284,19 @@ def load(transcript_dir: Optional[str] = None) -> TranscriptStore:
     # Content-keyed like the index cache (indices._cache_key): a path-only
     # key would keep serving the OLD parse after the .mrt files change on
     # disk in a long-running process — and the indices rebuilt from that
-    # stale store would then be cached under the NEW content hash.
+    # stale store would then be cached under the NEW content hash.  The key
+    # carries the full stat fingerprint (no lossy hash()) over the
+    # symlink-resolved dir, and superseded entries for the same dir are
+    # evicted — otherwise every corpus update would leak a whole parsed
+    # store (five corpus-wide DataFrames) in this module-global dict.
+    prefix = f"{Path(tdir).resolve()}#"
     stat = "|".join(
         f"{p.name}:{p.stat().st_size}:{p.stat().st_mtime_ns}"
         for p in sorted(Path(tdir).glob("*.mrt"))
     )
-    key = f"{Path(tdir).absolute()}#{hash(stat)}"
+    key = prefix + stat
     if key not in _STORE_CACHE:
+        for old in [k for k in _STORE_CACHE if k.startswith(prefix)]:
+            del _STORE_CACHE[old]
         _STORE_CACHE[key] = TranscriptStore(tdir)
     return _STORE_CACHE[key]

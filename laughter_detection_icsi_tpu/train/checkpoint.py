@@ -158,14 +158,23 @@ def save_checkpoint(
         "format_version": 1,
     }
     path = ckpt_dir / LAST_NAME
-    tmp = ckpt_dir / (LAST_NAME + ".tmp")
+    # Process-unique tmp name: a FIXED name would let two writers to the
+    # same dir (a stale job plus its preemption-requeued successor)
+    # interleave into one tmp file and publish a corrupt npz.
+    tmp = ckpt_dir / (LAST_NAME + f".tmp.{os.getpid()}")
     with open(tmp, "wb") as f:
         np.savez(f, __meta__=json.dumps(meta), **arrays)
+        # fsync BEFORE the rename: close() flushes userspace buffers only,
+        # and on power loss/kernel crash the rename can otherwise persist
+        # ahead of the data blocks, leaving a zero-length last.ckpt — the
+        # exact corruption the tmp+replace dance promises to prevent.
+        f.flush()
+        os.fsync(f.fileno())
     os.replace(tmp, path)  # atomic: a crash never corrupts last.ckpt
     if is_best:
         # same tmp+replace dance: a crash mid-copy must never leave a
         # truncated best.ckpt (the one checkpoint model selection reads)
-        best_tmp = ckpt_dir / (BEST_NAME + ".tmp")
+        best_tmp = ckpt_dir / (BEST_NAME + f".tmp.{os.getpid()}")
         shutil.copyfile(path, best_tmp)
         os.replace(best_tmp, ckpt_dir / BEST_NAME)
     return str(path)
@@ -199,6 +208,17 @@ def load_checkpoint(path: str) -> Dict[str, Any]:
             f"{path}: corrupt or unreadable checkpoint ({e}); writes are "
             "atomic, so a stale .tmp sibling may hold a partial save"
         ) from e
+    # Structurally valid npz: version skew or missing counter keys get their
+    # own descriptive errors (a bare KeyError: 'epoch' explained nothing).
+    version = meta.get("format_version", 1)
+    if version != 1:
+        raise ValueError(
+            f"{path}: unsupported checkpoint format_version {version} "
+            "(this build reads version 1)"
+        )
+    missing = [k for k in ("epoch", "global_step", "best_val_loss") if k not in meta]
+    if missing:
+        raise ValueError(f"{path}: checkpoint meta missing keys {missing}")
     return {
         "params": unflatten_tree(trees["params"]),
         "state": unflatten_tree(trees["state"]),

@@ -609,3 +609,22 @@ def test_missing_checkpoint_path_is_file_not_found(tmp_path):
 
     with pytest.raises(FileNotFoundError):
         ckpt_lib.load_checkpoint(str(tmp_path / "nope" / "last.ckpt.npz"))
+
+
+def test_checkpoint_version_and_missing_meta_errors(tmp_path):
+    import json
+
+    import numpy as np
+
+    from laughter_detection_icsi_tpu.train import checkpoint as ckpt
+
+    p = tmp_path / "last.ckpt.npz"
+    with open(p, "wb") as f:
+        np.savez(f, __meta__=json.dumps({"format_version": 2, "epoch": 0,
+                                         "global_step": 0, "best_val_loss": 1.0}))
+    with pytest.raises(ValueError, match="format_version 2"):
+        ckpt.load_checkpoint(str(p))
+    with open(p, "wb") as f:
+        np.savez(f, __meta__=json.dumps({"global_step": 0}))
+    with pytest.raises(ValueError, match="missing keys"):
+        ckpt.load_checkpoint(str(p))

@@ -164,3 +164,41 @@ def test_count_laugh_segments_laugh_only_branch(tmp_path):
     )
     counts = count_laugh_segments(str(tmp_path))
     assert counts["Bxx001"] == (3, 1)
+
+
+def test_comment_inside_segment_does_not_invalidate(tmp_path, synthetic_corpus):
+    """An annotator XML comment inside a pure-laugh <Segment> must not count
+    as a child (lxml would), which misclassified the laugh as INVALID and
+    disagreed with count_laugh_segments' element-only XPath."""
+    import shutil
+
+    from laughter_detection_icsi_tpu.eval import transcript as tl
+
+    tdir = tmp_path / "tr"
+    shutil.copytree(synthetic_corpus.transcript_dir, tdir)
+    mrt = tdir / "Bmr021.mrt"
+    text = mrt.read_text()
+    assert "<VocalSound" in text
+    text = text.replace("<VocalSound", "<!-- annotator note --><VocalSound", 1)
+    mrt.write_text(text)
+    base = tl.TranscriptStore(str(synthetic_corpus.transcript_dir))
+    got = tl.TranscriptStore(str(tdir))
+    assert len(got.laugh_only_df) == len(base.laugh_only_df)
+    assert len(got.invalid_df) == len(base.invalid_df)
+
+
+def test_stray_dotted_mrt_not_double_parsed(tmp_path, synthetic_corpus):
+    """Bmr021.orig.mrt next to Bmr021.mrt must be skipped, not parsed as a
+    second copy of meeting Bmr021 (the reference's first-dot split would
+    silently double every row)."""
+    import shutil
+
+    from laughter_detection_icsi_tpu.eval import transcript as tl
+
+    tdir = tmp_path / "tr"
+    shutil.copytree(synthetic_corpus.transcript_dir, tdir)
+    shutil.copyfile(tdir / "Bmr021.mrt", tdir / "Bmr021.orig.mrt")
+    base = tl.TranscriptStore(str(synthetic_corpus.transcript_dir))
+    got = tl.TranscriptStore(str(tdir))
+    assert len(got.laugh_only_df) == len(base.laugh_only_df)
+    assert len(got.info_df) == len(base.info_df)
