@@ -83,15 +83,28 @@ def _parse_sphere_header(path: str) -> AudioInfo:
 
     byte_format = str(fields.get("sample_byte_format", "01"))
     big_endian = byte_format == "10"
-    if int(fields["sample_rate"]) <= 0 or int(fields["sample_count"]) < 0:
-        # negative sample_count would size np.empty(-n) far from here; the
-        # C decoder rejects both the same way (AERR_HEADER)
+    if "sample_rate" not in fields or "sample_count" not in fields:
+        # a bare KeyError is not the documented malformed-header ValueError
+        raise ValueError(f"{path}: SPHERE header missing sample_rate/sample_count")
+    channels = int(fields.get("channel_count", 1))
+    sample_bytes = int(fields.get("sample_n_bytes", 2))
+    if (
+        int(fields["sample_rate"]) <= 0
+        or int(fields["sample_count"]) < 0
+        # zero/negative would ZeroDivisionError or negative-seek far from
+        # here; >4 bytes is no PCM we read.  Mirrors the C decoder's
+        # AERR_HEADER bounds so the twins agree with or without a compiler.
+        or channels <= 0
+        or channels > 4096
+        or sample_bytes <= 0
+        or sample_bytes > 4
+    ):
         raise ValueError(f"{path}: malformed SPHERE header fields")
     return AudioInfo(
         sample_rate=int(fields["sample_rate"]),
         num_samples=int(fields["sample_count"]),
-        num_channels=int(fields.get("channel_count", 1)),
-        sample_bytes=int(fields.get("sample_n_bytes", 2)),
+        num_channels=channels,
+        sample_bytes=sample_bytes,
         encoding=encoding,
         big_endian=big_endian,
         data_offset=header_size,
@@ -127,6 +140,10 @@ def _parse_wav_header(path: str) -> AudioInfo:
                 f.seek(csize + (csize % 2), 1)
     if fmt is None:
         raise ValueError(f"{path}: missing fmt chunk")
+    if len(fmt) < 16:
+        # struct.error is not a ValueError; keep the malformed-header
+        # contract uniform
+        raise ValueError(f"{path}: WAV fmt chunk truncated ({len(fmt)} bytes)")
     audio_format, channels, sample_rate, _, _, bits = struct.unpack(
         "<HHIIHH", fmt[:16]
     )
@@ -144,6 +161,12 @@ def _parse_wav_header(path: str) -> AudioInfo:
         encoding, sample_bytes = "pcm", bits // 8
     elif audio_format == 3:
         encoding, sample_bytes = "float", bits // 8
+        if sample_bytes not in (4, 8):
+            # match the C twin's parse-time AERR_UNSUPPORTED — deferring to
+            # read() surfaced a bare KeyError from the f4/f8 dtype map
+            raise NotImplementedError(
+                f"{path}: {bits}-bit float WAV unsupported (want 32/64)"
+            )
     else:
         raise NotImplementedError(f"{path}: unsupported WAV format {audio_format}")
     if channels <= 0 or sample_bytes <= 0 or sample_rate <= 0:
@@ -204,7 +227,12 @@ def _decode_shorten_cached(path: str, meta: AudioInfo) -> np.ndarray:
     st = os.stat(path)
     key = (os.path.abspath(path), st.st_mtime_ns, st.st_size)
     with _SHORTEN_CACHE_LOCK:
-        hit = _SHORTEN_CACHE.get(key)
+        hit = _SHORTEN_CACHE.pop(key, None)
+        if hit is not None:
+            # re-insert on hit: dict order is insertion order, so eviction
+            # below becomes LRU, not FIFO — otherwise the pattern A,B,A,C
+            # evicts the hot A and re-decodes the whole meeting channel
+            _SHORTEN_CACHE[key] = hit
     if hit is not None:
         return hit
     pcm: Optional[np.ndarray] = None
@@ -413,14 +441,20 @@ def write_wav(path: str, samples: np.ndarray, sample_rate: int) -> None:
 def write_sphere(
     path: str, samples: np.ndarray, sample_rate: int, big_endian: bool = False
 ) -> None:
-    """Write 16-bit PCM SPHERE (for tests and tooling round-trips)."""
+    """Write 16-bit PCM SPHERE (for tests and tooling round-trips).
+    1-D mono or 2-D [frames, channels] interleaved — like write_wav."""
     samples = np.asarray(samples)
     if samples.dtype != np.int16:
         samples = (np.clip(samples, -1.0, 1.0) * 32767.0).astype(np.int16)
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    if samples.ndim != 2:
+        raise ValueError(f"write_sphere wants 1-D or 2-D samples, got {samples.shape}")
+    n_frames, n_chan = samples.shape
     header_size = 1024
     fields = [
-        ("channel_count", "-i", "1"),
-        ("sample_count", "-i", str(len(samples))),
+        ("channel_count", "-i", str(n_chan)),
+        ("sample_count", "-i", str(n_frames)),
         ("sample_rate", "-i", str(sample_rate)),
         ("sample_n_bytes", "-i", "2"),
         ("sample_byte_format", "-s2", "10" if big_endian else "01"),

@@ -73,12 +73,18 @@ def _compile_and_load(
             except OSError:
                 pass  # corrupt cache (e.g. a compile killed mid-write): rebuild
         tmp = lib_path.with_suffix(f".tmp{os.getpid()}.so")
-        subprocess.run(
-            ["g++", "-O3", "-shared", "-fPIC", str(src), "-o", str(tmp), *extra_flags],
-            check=True,
-            capture_output=True,
-        )
-        os.replace(tmp, lib_path)
+        try:
+            subprocess.run(
+                ["g++", "-O3", "-shared", "-fPIC", str(src), "-o", str(tmp),
+                 *extra_flags],
+                check=True,
+                capture_output=True,
+            )
+            os.replace(tmp, lib_path)
+        finally:
+            # a failed compile (or a replace that never ran) must not
+            # accumulate per-pid .tmp<pid>.so litter across sweep processes
+            tmp.unlink(missing_ok=True)
         return ctypes.CDLL(str(lib_path))
     except (OSError, subprocess.CalledProcessError):
         return None
@@ -177,6 +183,10 @@ def pack_pcm_native(
     if block <= 0 or block % 32:
         return None  # the C side enforces the same (word alignment)
     wave = np.ascontiguousarray(wave, dtype=np.int16)
+    if wave.ndim != 1:
+        # n below counts ROWS for 2-D input — the pack would silently
+        # encode only the first len(wave) samples of the flattened buffer.
+        raise ValueError(f"pack_pcm_native wants 1-D int16 PCM, got {wave.shape}")
     n = len(wave)
     n_blocks = max(1, -(-n // block))
     words = np.zeros(n_blocks * (block // 32) * 17 + 1, dtype=np.uint32)
@@ -246,7 +256,11 @@ def decode_shorten(
     )
     if got < 0:
         raise ValueError(f"{path}: {_ERRORS.get(int(got), f'error {got}')}")
-    return out[: int(got)]
+    if int(got) < num_frames:
+        # a plain slice would be a VIEW pinning the full header-sized
+        # allocation for the cache entry's lifetime
+        return out[: int(got)].copy()
+    return out
 
 
 def read(
@@ -262,6 +276,14 @@ def read(
 
         return py_audio.read(path, offset=offset, duration=duration, channel=channel)
     meta = info(path)
+    if meta.encoding == "shorten":
+        # Sequential codec: the C ranged read re-decodes the WHOLE stream
+        # per call, so windowed access (O(windows x file)) must go through
+        # the Python twin's whole-file decode cache — which itself uses
+        # decode_shorten() above for the heavy lifting when available.
+        from laughter_detection_icsi_tpu.data import audio as py_audio
+
+        return py_audio.read(path, offset=offset, duration=duration, channel=channel)
     sr = meta.sample_rate
     start = int(round(offset * sr))
     count = (
@@ -313,7 +335,16 @@ def read_batch(
         *[o.ctypes.data_as(ctypes.POINTER(ctypes.c_float)) for o in outs]
     )
     c_res = (ctypes.c_int64 * n)()
-    lib.audio_read_batch(c_paths, c_starts, c_counts, c_chans, c_outs, c_res, n, threads)
+    rc = lib.audio_read_batch(
+        c_paths, c_starts, c_counts, c_chans, c_outs, c_res, n, threads
+    )
+    if rc:
+        # batch-level failure (e.g. allocation) writes no per-file results;
+        # the zero-initialized c_res would otherwise read as n EMPTY
+        # waveforms and inference would silently process silence
+        raise MemoryError(
+            f"audio_read_batch failed: {_ERRORS.get(int(rc), f'error {rc}')}"
+        )
     results = []
     for i in range(n):
         got = int(c_res[i])

@@ -152,3 +152,71 @@ def test_wave_format_extensible_float(tmp_path, rng):
     if native.available():
         wn, srn = native.read(path)
         np.testing.assert_allclose(wn, w, atol=1e-6)
+
+
+def test_sphere_header_validation_matches_c(tmp_path, rng):
+    """sample_n_bytes=0 / channel_count=0 / missing sample_rate are clean
+    ValueErrors (the C twin rejects them at parse; a ZeroDivisionError deep
+    in read() explained nothing)."""
+    for body in (
+        b"sample_rate -i 16000\nsample_count -i 4\nchannel_count -i 1\nsample_n_bytes -i 0\n",
+        b"sample_rate -i 16000\nsample_count -i 4\nchannel_count -i 0\nsample_n_bytes -i 2\n",
+        b"sample_count -i 4\nchannel_count -i 1\nsample_n_bytes -i 2\n",
+    ):
+        p = tmp_path / "bad.sph"
+        hdr = b"NIST_1A\n   1024\n" + body + b"sample_coding -s3 pcm\nend_head\n"
+        p.write_bytes(hdr.ljust(1024, b" ") + b"\x00" * 8)
+        with pytest.raises(ValueError):
+            audio.info(str(p))
+
+
+def test_float16_wav_rejected_at_parse(tmp_path):
+    import struct
+
+    fmt = struct.pack("<HHIIHH", 3, 1, 16000, 16000 * 2, 2, 16)
+    payload = b"\x00" * 8
+    chunks = (b"fmt " + struct.pack("<I", len(fmt)) + fmt
+              + b"data" + struct.pack("<I", len(payload)) + payload)
+    p = tmp_path / "f16.wav"
+    p.write_bytes(b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks)
+    with pytest.raises(NotImplementedError, match="float WAV"):
+        audio.info(str(p))
+
+
+def test_write_sphere_stereo_roundtrip(tmp_path):
+    two = np.stack([np.arange(50, dtype=np.int16),
+                    np.arange(50, dtype=np.int16) + 1000], axis=1)
+    p = tmp_path / "st.sph"
+    audio.write_sphere(str(p), two, 16000)
+    meta = audio.info(str(p))
+    assert meta.num_channels == 2 and meta.num_samples == 50
+    c0, _ = audio.read_int16(str(p), channel=0)
+    c1, _ = audio.read_int16(str(p), channel=1)
+    np.testing.assert_array_equal(c0, two[:, 0])
+    np.testing.assert_array_equal(c1, two[:, 1])
+
+
+def test_shorten_cache_is_lru(tmp_path, rng):
+    from laughter_detection_icsi_tpu.data.audio import (
+        _SHORTEN_CACHE,
+        _SHORTEN_CACHE_LOCK,
+    )
+
+    paths = []
+    for i in range(3):
+        p = tmp_path / f"s{i}.sph"
+        audio.write_sphere_shorten(
+            str(p), (rng.standard_normal(4000) * 3000).astype(np.int16), 16000
+        )
+        paths.append(str(p))
+    with _SHORTEN_CACHE_LOCK:
+        _SHORTEN_CACHE.clear()
+    audio.read(paths[0])          # A
+    audio.read(paths[1])          # B
+    audio.read(paths[0])          # A again (hot)
+    audio.read(paths[2])          # C -> evicts B, not A
+    with _SHORTEN_CACHE_LOCK:
+        cached = {k[0] for k in _SHORTEN_CACHE}
+    import os
+    assert os.path.abspath(paths[0]) in cached
+    assert os.path.abspath(paths[1]) not in cached
