@@ -35,7 +35,7 @@ Validity: ResNetBigger / ResNet / ResNetNoBN (stage-1 stride 1, 3x3 convs,
 
 from __future__ import annotations
 
-from typing import Any, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
@@ -43,15 +43,14 @@ import jax.numpy as jnp
 from laughter_detection_icsi_tpu.models import layers as L
 from laughter_detection_icsi_tpu.models.zoo import _block_apply, _stage_apply
 
-PyTree = Any
-
 #: stride-1 3x3 convs before the first stride-2 conv: stem conv1 + two
 #: residual blocks of stage 1 (2 convs each) = receptive-field radius 5.
 DEPTH = 5
 
 #: contaminated rows per window edge at the stage-2 output (window rows at
 #: the half-resolution scale): the stride-2 conv maps block1 contamination
-#: (5 rows) to ceil(5/2) + 1 = 3 rows, and the three following effective-
+#: (DEPTH = 5 rows) onto rows m with 2m-1 <= DEPTH-1, i.e.
+#: floor(DEPTH/2) + 1 = 3 rows, and the three following effective-
 #: dilation-2 convs add one row each -> 6.
 DEPTH2 = 6
 
@@ -208,12 +207,10 @@ def stem_track2(params, state, track1: jnp.ndarray) -> jnp.ndarray:
     out = jax.nn.relu(out)
     out = _conv_dil(out, b0["conv2"], t_dil=2)
     out = _bn_eval(out, b0.get("bn2"), st0.get("bn2"), with_bn)
-    if "shortcut" in b0:
-        sc = _conv_nhcw_hw(x, b0["shortcut"]["0"], (1, 2), [(0, 0), (0, 0)])
-        if with_bn:
-            sc = _bn_eval(sc, b0["shortcut"]["1"], st0["shortcut"]["1"], True)
-    else:  # impossible for stride-2 stages (zoo always adds the shortcut)
-        sc = jnp.transpose(x, (0, 2, 1, 3))
+    # zoo always adds the shortcut for stride-2 stages; see _block2_first_nhcw
+    sc = _conv_nhcw_hw(x, b0["shortcut"]["0"], (1, 2), [(0, 0), (0, 0)])
+    if with_bn:
+        sc = _bn_eval(sc, b0["shortcut"]["1"], st0["shortcut"]["1"], True)
     x = jax.nn.relu(out + sc)
 
     b1, st1 = p2["1"], s2.get("1", {})
@@ -285,14 +282,12 @@ def _block2_first_nhcw(x, params, state, with_bn):
     out = jax.nn.relu(out)
     out = L.conv2d(out, params["conv2"], stride=1, padding=1)
     out = _bn_eval(out, params.get("bn2"), state.get("bn2"), with_bn)
-    if "shortcut" in params:
-        sc = _conv_nhcw(x, params["shortcut"]["0"], stride=2, padding=0)
-        if with_bn:
-            sc = _bn_eval(sc, params["shortcut"]["1"], state["shortcut"]["1"], True)
-    else:
-        # Identity shortcut is impossible at stride 2 (shape changes), but
-        # keep the NCHW fallback for odd custom plans.
-        sc = jnp.transpose(x, (0, 2, 1, 3))
+    # zoo._block_init ALWAYS creates a shortcut at stride 2 (the identity
+    # cannot match the halved H/W) — a missing key here means a hand-built
+    # params tree, so fail loudly instead of pretending a fallback exists.
+    sc = _conv_nhcw(x, params["shortcut"]["0"], stride=2, padding=0)
+    if with_bn:
+        sc = _bn_eval(sc, params["shortcut"]["1"], state["shortcut"]["1"], True)
     return jax.nn.relu(out + sc)
 
 
@@ -384,8 +379,14 @@ def chunk_probs_from_track(
 
 
 def supports_track2(window: int) -> bool:
-    """Stage-2 sharing needs an even window (the stride-2 phase is then the
-    same for every window) with a non-empty interior at half resolution."""
+    """Stage-2 sharing needs an EVEN window with a non-empty interior at
+    half resolution.  The even-window requirement is about the band/splice
+    GEOMETRY, not phase alignment (stem_track2 evaluates every track
+    position, so any phase is available): the splice assumes the stage-2
+    height is exactly window/2 (odd windows produce (window+1)/2 and the
+    6+interior+6 splice height would be wrong), and the bottom band's
+    t0pad=(0, 0) holds only when the last conv1 center 2*(h2-1)+1 ==
+    window-1 touches no zero pad — true iff the window is even."""
     return window % 2 == 0 and window // 2 > 2 * DEPTH2
 
 

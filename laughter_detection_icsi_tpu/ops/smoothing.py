@@ -111,7 +111,6 @@ def _runs_from_mask(mask: jnp.ndarray, max_events: int):
     (instances_from_device_probs' ``counts[k] > max_events`` fallback) can
     detect table overflow.  Do not clip it here.
     """
-    t = mask.shape[0]
     prev = jnp.concatenate([jnp.zeros(1, dtype=mask.dtype), mask[:-1]])
     nxt = jnp.concatenate([mask[1:], jnp.zeros(1, dtype=mask.dtype)])
     start_mask = mask & ~prev
@@ -186,19 +185,22 @@ def instances_from_device_probs(
     starts, lasts, counts = jax.device_get((starts, lasts, counts))
 
     out: Dict[Tuple[float, float], List[Tuple[float, float]]] = {}
-    host_probs: "np.ndarray | None" = None
-    for k, thr in enumerate(thresholds):
-        # counts holds TRUE (unclipped) run counts; the tables are complete
-        # up to and including exactly max_events runs.
-        if counts[k] > max_events:
-            if host_probs is None:
-                host_probs = np.asarray(probs_dev)
-            out.update(
-                get_laughter_instances(
-                    host_probs, thresholds=[thr], min_lengths=min_lengths, fps=fps
-                )
+    # counts holds TRUE (unclipped) run counts; the tables are complete up
+    # to and including exactly max_events runs.  Overflowing thresholds
+    # (typical at low thresholds on a near-random checkpoint, usually MANY
+    # at once) fall back to ONE batched host pass instead of re-running the
+    # O(T) clamp+cast per threshold.
+    overflowed = [thr for k, thr in enumerate(thresholds) if counts[k] > max_events]
+    if overflowed:
+        host_probs = np.asarray(probs_dev)
+        out.update(
+            get_laughter_instances(
+                host_probs, thresholds=overflowed, min_lengths=min_lengths, fps=fps
             )
-            continue
+        )
+    for k, thr in enumerate(thresholds):
+        if counts[k] > max_events:
+            continue  # already handled by the batched host fallback
         n = int(counts[k])
         spans = [
             (int(s) / fps, int(e) / fps)
