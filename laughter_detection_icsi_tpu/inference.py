@@ -467,6 +467,15 @@ class LaughterPipeline:
         (ops/smoothing.instances_from_device_probs) so only tiny run tables
         ever cross back to host."""
         wave = np.asarray(wave)
+        if wave.ndim != 1:
+            # The other half of the streaming contract: 2-D input would
+            # either return empty probs (channel-major: len == n_channels)
+            # or crash in np.pad with an opaque broadcast error.
+            raise ValueError(
+                f"probs_for_waveform wants 1-D PCM, got shape {wave.shape}; "
+                "pass one channel (or use parallel.ShardedPipeline for "
+                "multichannel batches)"
+            )
         if wave.dtype not in (np.int16, np.float32, np.float64):
             # Same contract as the streaming path (_StreamingBase._append):
             # silently casting e.g. int32 PCM would feed +-30000-range
@@ -506,6 +515,15 @@ class LaughterPipeline:
         ``device=True`` leaves the probabilities on device (for on-device
         smoothing)."""
         meta = audio_io.info(audio_path)
+        if meta.sample_rate != self.feat_cfg.sampling_rate:
+            # Featurizing 44.1 kHz samples with 16 kHz Kaldi geometry yields
+            # meaningless probabilities whose timestamps still LOOK right
+            # (fps adapts); every sibling reader guards this (cli/serve.py,
+            # data/feature_cache.py) — so must the public pipeline entry.
+            raise ValueError(
+                f"{audio_path}: sample rate {meta.sample_rate} != featurizer "
+                f"rate {self.feat_cfg.sampling_rate}"
+            )
         if int16_transfer_eligible(meta, self.settings):
             wave, _sr = audio_io.read_int16(audio_path, channel=channel)
         else:
@@ -637,7 +655,13 @@ class _StreamingBase:
             conv = []
             for c in chunks:
                 if c.dtype == self._dtype:
-                    conv.append(c)
+                    # COPY: chunks are retained (pending lists / head) until
+                    # a bucket executes, and callers legitimately reuse one
+                    # capture buffer per feed (the standard audio-callback
+                    # pattern) — aliasing it would silently corrupt every
+                    # buffered chunk.  The conversion branches below copy
+                    # implicitly (astype).
+                    conv.append(np.array(c, copy=True))
                 elif self._dtype == np.float32 and c.dtype == np.int16:
                     # Int16 into a float stream: scale like the offline
                     # mixed path (parallel/sharded_inference.py) — exact.

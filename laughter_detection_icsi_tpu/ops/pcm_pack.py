@@ -141,12 +141,12 @@ def _pack_stream(vals: np.ndarray, widths: np.ndarray) -> np.ndarray:
 def _finish(stream: np.ndarray, n_words: int, widths, n, delta) -> PackedPCM:
     # +1: the decoder's second gather may touch one word past the stream;
     # pad to WORD_PAD multiples so few decoder compilations serve all sizes.
+    # (Always copy: neither packer ever hands a stream already at
+    # padded_len — the numpy path sizes to n_words exactly and the native
+    # worst-case buffer is odd-length — so a reuse branch was dead code.)
     padded_len = -(-(n_words + 1) // WORD_PAD) * WORD_PAD
-    if len(stream) == padded_len and not stream[n_words:].any():
-        words = stream
-    else:
-        words = np.zeros(padded_len, dtype=np.uint32)
-        words[:n_words] = stream[:n_words]
+    words = np.zeros(padded_len, dtype=np.uint32)
+    words[:n_words] = stream[:n_words]
     return PackedPCM(words=words, widths=widths, n=n, delta=delta)
 
 

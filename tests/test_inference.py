@@ -270,3 +270,19 @@ def test_packed_codec_conflicts_and_warnings(small_model, wave):
         _warnings.simplefilter("always")
         pipe.probs_for_waveform(wave.astype(np.float32))
     assert any("int16" in str(w.message) for w in rec)
+
+
+def test_pipeline_rejects_wrong_sample_rate(pipeline, tmp_path, rng):
+    from laughter_detection_icsi_tpu.data import audio
+
+    p = tmp_path / "sr44.wav"
+    audio.write_wav(str(p), (rng.standard_normal(44100) * 0.1).astype(np.float32), 44100)
+    with pytest.raises(ValueError, match="sample rate"):
+        pipeline.probs_for_file(str(p))
+
+
+def test_pipeline_rejects_2d_waveform(pipeline):
+    with pytest.raises(ValueError, match="1-D PCM"):
+        pipeline.probs_for_waveform(np.zeros((2, 16000), np.float32))
+    with pytest.raises(ValueError, match="1-D PCM"):
+        pipeline.probs_for_waveform(np.zeros((16000, 2), np.float32))

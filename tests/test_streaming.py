@@ -283,3 +283,20 @@ def test_streaming_tiny_chunks_match_offline(pipeline, rng):
     want = pipeline.probs_for_waveform(wave)
     got = _stream(pipeline, wave, [163] * (-(-n // 163)))
     np.testing.assert_array_equal(got, want)
+
+
+def test_feed_does_not_alias_reused_buffer(pipeline, rng):
+    """The standard audio-callback pattern reuses ONE capture buffer across
+    feeds; retained chunks must be copies or every buffered chunk silently
+    decodes as the last chunk's data."""
+    n = 16000 * 7
+    wave = (rng.standard_normal(n) * 0.1).astype(np.float32)
+    want = pipeline.probs_for_waveform(wave)
+    sess = inference.StreamingSession(pipeline)
+    buf = np.empty(4000, dtype=np.float32)
+    outs = []
+    for lo in range(0, n, 4000):
+        buf[:] = wave[lo : lo + 4000]
+        outs.append(sess.feed(buf))
+    outs.append(sess.finish())
+    np.testing.assert_array_equal(np.concatenate(outs), want)
