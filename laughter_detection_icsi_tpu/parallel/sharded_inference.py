@@ -371,6 +371,14 @@ class ShardedPipeline:
         if not waves:
             return None, []
         for w in waves:
+            if np.asarray(w).ndim != 1:
+                # Same contract as LaughterPipeline.probs_for_waveform_device:
+                # a 2-D channel would be silently treated as empty audio
+                # (channel-major) or crash in np.pad (samples-major).
+                raise ValueError(
+                    f"each channel must be 1-D PCM, got shape "
+                    f"{np.asarray(w).shape}"
+                )
             if np.asarray(w).dtype not in (np.int16, np.float32, np.float64):
                 # Same contract as LaughterPipeline.probs_for_waveform_device
                 # and _StreamingBase._append: silently casting e.g. int32 PCM
@@ -408,7 +416,12 @@ class ShardedPipeline:
                 batch[i, : len(p)] = p
                 valid[i] = t
             sharded = mesh_lib.shard_batch({"w": batch, "v": valid}, self.mesh)
-            return graph(sharded["w"], sharded["v"])[:c], ts
+            # Slice to the documented [C, t_max]: the graph computes the
+            # bucket-rounded frame count, and the masked-zero tail carries
+            # a fully-conv bias-leak CONSTANT (~0.48 at init scale), not 0 —
+            # a device consumer trusting the contract would smooth phantom
+            # laughter past the end of the audio.
+            return graph(sharded["w"], sharded["v"])[:c, :t_max], ts
         c_local = c_pad // self.n_shards
         wave_len = self._graphs(int16_in, c_local)[2]
         bucket = self.settings.bucket_frames
@@ -483,6 +496,16 @@ class ShardedPipeline:
             # vacuously true and ThreadPoolExecutor(max_workers=0) raises.
             return (None, []), []
         metas = [audio_io.info(p) for p in audio_paths]
+        for p, m in zip(audio_paths, metas):
+            if m.sample_rate != self.feat_cfg.sampling_rate:
+                # Same guard as LaughterPipeline.probs_for_file: a stray
+                # non-16k file in a sweep would otherwise silently corrupt
+                # its channel's probabilities (fps adapts, so the TextGrid
+                # timestamps still LOOK right).
+                raise ValueError(
+                    f"{p}: sample rate {m.sample_rate} != featurizer rate "
+                    f"{self.feat_cfg.sampling_rate}"
+                )
         if all(int16_transfer_eligible(m, self.settings) for m in metas):
             # 16-bit sources (incl. decoded shorten) ship to the device raw
             # (half the transfer bytes, scaled on device — same numerics).

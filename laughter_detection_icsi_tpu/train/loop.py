@@ -562,13 +562,17 @@ class TrainLoop:
                 # post-group BN stats as the "boundary" state.
                 state_at_boundary = state
             if self.log_frequency and self.global_step % self.log_frequency == 0:
+                # ONE device->host transfer for the metrics dict (per-value
+                # float() would pay four blocking round-trips; same rule as
+                # mean_eval_metrics).
+                m = jax.device_get(metrics)
                 row = {
                     "global_step": self.global_step,
                     "epoch": self.epoch,
-                    "train_loss": float(metrics["loss"]),
-                    "train_acc": float(metrics["acc"]),
-                    "train_precision": float(metrics["precision"]),
-                    "train_recall": float(metrics["recall"]),
+                    "train_loss": float(m["loss"]),
+                    "train_acc": float(m["acc"]),
+                    "train_precision": float(m["precision"]),
+                    "train_recall": float(m["recall"]),
                 }
                 # Checkpoints must sit at optimizer-apply boundaries: with
                 # grad_accum > 1 a log point can fall mid-group, where the
@@ -598,6 +602,14 @@ class TrainLoop:
                     is_best = False
                 self.metrics_rows.append(row)
                 self._save(params, ckpt_state, opt_state, is_best, step_offset=pending)
+                # Persist metrics WITH the checkpoint: a hard kill (OOM,
+                # SIGKILL) between log points must not lose every row since
+                # the last graceful flush while the checkpoint survives.
+                # (The reference flushes only at end of run, train.py:537 —
+                # and loses its METRICS_DICT on any crash; the append-merge
+                # write, train.py:488-504, makes per-log-point flushing
+                # idempotent.)  No-op without a metrics_path.
+                self.flush_metrics()
                 if verbose:
                     msg = " ".join(f"{k}={v:.4f}" for k, v in row.items() if k != "global_step")
                     print(f"step {self.global_step}: {msg}", flush=True)

@@ -246,3 +246,37 @@ def test_sharded_device_probs_and_smoothing(small_model, settings, rng):
             min_lengths=[0.0, 0.1], fps=100.0,
         )
         assert got == want
+
+
+def test_sharded_guards_and_fused_conv_shape(tmp_path, rng):
+    """Sharded twin keeps the single-channel pipeline's contracts: sample
+    rate validated on the meeting path, 1-D channels enforced, and
+    fused_conv returns the documented [C, t_max] (the bucket-rounded tail
+    carries a bias-leak constant, not zeros)."""
+    import jax
+
+    from laughter_detection_icsi_tpu import inference, models
+    from laughter_detection_icsi_tpu.data import audio
+    from laughter_detection_icsi_tpu.parallel import ShardedPipeline, make_mesh
+
+    model = models.build(
+        "ResNetBigger", dropout_rate=0.0, linear_layer_size=24,
+        filter_sizes=(8, 8, 8, 8),
+    )
+    params, state = model.init(jax.random.PRNGKey(7))
+    sp = ShardedPipeline(
+        model=model, params=params, state=state, mesh=make_mesh(8),
+        settings=inference.InferenceSettings(
+            chunk=256, bucket_frames=256, mode="fused_conv"
+        ),
+    )
+    w = (rng.standard_normal(16000) * 0.1).astype(np.float32)  # 100 frames
+    probs, ts = sp.probs_for_waveforms_device([w])
+    assert probs.shape == (1, 100) and ts == [100]
+
+    p8 = tmp_path / "sr8.wav"
+    audio.write_wav(str(p8), (rng.standard_normal(8000) * 0.1).astype(np.float32), 8000)
+    with pytest.raises(ValueError, match="sample rate"):
+        sp.probs_for_meeting([str(p8)])
+    with pytest.raises(ValueError, match="1-D PCM"):
+        sp.probs_for_waveforms([np.zeros((2, 32000), np.float32)])
