@@ -107,9 +107,14 @@ def textgrid_to_df(textgrid_dir: str, store: TranscriptStore) -> pd.DataFrame:
         # Only exact chanN.TextGrid names are predictions: a stray
         # 'notes.TextGrid' must not NameError the whole evaluation, and a
         # 'chan0_backup.TextGrid' must not silently double-count alongside
-        # chan0.TextGrid (get_params_from_path would parse it as chan0).
+        # chan0.TextGrid (get_params_from_path would parse it as chan0 —
+        # hence no underscore in the class).  Letter channels are REAL ICSI
+        # (chanA..chanF; cli/get_icsi_data.py probes that inventory and
+        # sweep writes them) — a digits-only filter silently dropped their
+        # predictions from the corpus stats.  Unmapped names still skip via
+        # the chan_to_part check below.
         stem = filename[: -len(".TextGrid")]
-        if not re.fullmatch(r"chan\d+", stem):
+        if not re.fullmatch(r"chan[0-9A-Za-z]+", stem):
             print(f"WARNING: skipping non-prediction file {filename}")
             continue
         full_path = os.path.join(textgrid_dir, filename)
@@ -266,6 +271,16 @@ def eval_preds(
 # --------------------------------------------------------------------------- #
 
 
+def _prefixed_float(name: str, prefix: str) -> Optional[float]:
+    """float from ``<prefix><value>`` dir names; None when not parseable."""
+    if not name.startswith(prefix):
+        return None
+    try:
+        return float(name[len(prefix):])
+    except ValueError:
+        return None
+
+
 def create_evaluation_df(
     preds_dir: str,
     store: TranscriptStore,
@@ -290,19 +305,35 @@ def create_evaluation_df(
             if verbose:
                 print(f"skipping non-meeting entry {meeting_path}", flush=True)
             continue
+        if meeting not in store.meeting_ids:
+            # Meeting known to preambles but its .mrt transcript absent
+            # (subset corpus): no index covers it, so every prediction would
+            # trip the FP-accounting closure assert and abort the whole run.
+            if verbose:
+                print(
+                    f"skipping {meeting}: no transcript in the store", flush=True
+                )
+            continue
         for thr_name in sorted(os.listdir(meeting_path)):
             thr_dir = os.path.join(meeting_path, thr_name)
             # Stray files (.DS_Store, logs) or foreign directories must not
             # abort a whole evaluation — the reference crashed on these
             # (reference analyse.py:239-252); skip anything that is not a
-            # t_<thr>/l_<min_len> directory.
-            if not (os.path.isdir(thr_dir) and thr_name.startswith("t_")):
+            # t_<float>/l_<float> directory (a bare startswith would still
+            # crash on 't_0.5_backup' when the float parse runs).
+            if not (
+                os.path.isdir(thr_dir)
+                and _prefixed_float(thr_name, "t_") is not None
+            ):
                 if verbose:
                     print(f"skipping non-threshold entry {thr_dir}", flush=True)
                 continue
             for min_len_name in sorted(os.listdir(thr_dir)):
                 tg_dir = os.path.join(thr_dir, min_len_name)
-                if not (os.path.isdir(tg_dir) and min_len_name.startswith("l_")):
+                if not (
+                    os.path.isdir(tg_dir)
+                    and _prefixed_float(min_len_name, "l_") is not None
+                ):
                     if verbose:
                         print(f"skipping non-min-length entry {tg_dir}", flush=True)
                     continue
@@ -353,21 +384,23 @@ def analyse(
     """Evaluate a prediction dir; writes ``<split>_sum_stats.csv`` and
     ``<split>_eval_df_per_meeting.csv`` next to it (reference
     analyse.py:508-539).  Returns the summary stats."""
+    if cfg.frame_duration_ms != 1:
+        # Every to_frames/to_sec call in this module and indices.py runs at
+        # the reference's fixed 1 ms resolution (reference config.py:46);
+        # accepting another value would change only the cache key while the
+        # computation stayed at 1 ms — fail loudly instead.  BEFORE the
+        # cache check: returning a cached 1 ms CSV to a 10 ms cfg would
+        # bypass this guard exactly when it matters.
+        raise NotImplementedError(
+            f"analyse() evaluates at 1 ms frames (reference semantics); got "
+            f"cfg.frame_duration_ms={cfg.frame_duration_ms}"
+        )
     preds_path = Path(preds_dir)
     split = preds_path.name
     sum_stats_path = preds_path.parent / f"{split}_{cfg.sum_stats_cache_file}"
     eval_df_path = preds_path.parent / f"{split}_{cfg.eval_df_cache_file}"
     if not force and sum_stats_path.is_file():
         return pd.read_csv(sum_stats_path)
-    if cfg.frame_duration_ms != 1:
-        # Every to_frames/to_sec call in this module and indices.py runs at
-        # the reference's fixed 1 ms resolution (reference config.py:46);
-        # accepting another value here would change only the cache key while
-        # the computation stayed at 1 ms — fail loudly instead.
-        raise NotImplementedError(
-            f"analyse() evaluates at 1 ms frames (reference semantics); got "
-            f"cfg.frame_duration_ms={cfg.frame_duration_ms}"
-        )
     store = transcript_lib.load(transcript_dir)
     idx = indices_lib.load(
         store, force_recompute=cfg.force_index_recompute, cfg=cfg

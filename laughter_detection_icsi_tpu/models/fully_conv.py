@@ -29,11 +29,12 @@ supported — every BN fold is skipped when the parameter tree has none.
 
 from __future__ import annotations
 
-from typing import Any, Sequence
+from typing import Any
 
 import jax
 import jax.numpy as jnp
 
+from laughter_detection_icsi_tpu.models import layers as L
 from laughter_detection_icsi_tpu.models.layers import bn_eval_affine as _affine_bn
 
 PyTree = Any
@@ -161,12 +162,12 @@ def _head(flat: jnp.ndarray, params: PyTree, state: PyTree) -> jnp.ndarray:
     if "bn2" in params:
         scale, bias = _affine_bn(params["bn2"], state["bn2"])
         h = h * scale + bias
-    h = h @ params["linear1"]["weight"].T + params["linear1"]["bias"]
+    h = L.linear(h, params["linear1"])
     if "bn3" in params:
         scale, bias = _affine_bn(params["bn3"], state["bn3"])
         h = h * scale + bias
     h = jax.nn.relu(h)
-    h = h @ params["linear2"]["weight"].T + params["linear2"]["bias"]
+    h = L.linear(h, params["linear2"])
     return jax.nn.sigmoid(h)[:, 0]
 
 
@@ -279,7 +280,6 @@ def fully_conv_probs(
     state: PyTree,
     feats: jnp.ndarray,
     window: int = 100,
-    strides: Sequence[int] = (1, 2, 2, 2),
 ) -> jnp.ndarray:
     """[T_in, F] feature track -> [T_in] per-frame laughter probabilities
     (one per window start, like the per-window pipeline).
@@ -298,7 +298,10 @@ def fully_conv_probs(
     x = jax.nn.relu(x)
 
     t_dil = 1
-    for i, s in enumerate(strides):
+    # The ONE stride plan zoo._resnet_family builds (a parameter here could
+    # silently evaluate a truncated network when the head size coincides;
+    # the blocked sibling's radius math hardcodes this plan anyway).
+    for i, s in enumerate((1, 2, 2, 2)):
         # state.get: a torch-imported NoBN state tree is empty (no buffers)
         blk_p = params[f"block{i + 1}"]
         blk_s = state.get(f"block{i + 1}", {})

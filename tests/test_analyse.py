@@ -152,6 +152,73 @@ def test_create_evaluation_df_ignores_stray_entries(preds_dir, store, idx):
     assert s["precision"] == pytest.approx(0.7)
 
 
+def test_unparseable_param_dirs_skipped(preds_dir, store, idx):
+    """'t_0.5_backup' passes a bare startswith('t_') check but crashes the
+    float parse; same for 'l_0.2old'.  Both must be skipped like any other
+    stray entry, and their contents must not be double-counted."""
+    d = preds_dir / "Bmr021" / "t_0.5_backup" / "l_0.2"
+    d.mkdir(parents=True)
+    tg.write_textgrid(str(d / "chan0.TextGrid"), [(10.0, 12.0)], xmax=100.0)
+    d2 = preds_dir / "Bmr021" / "t_0.5" / "l_0.2old"
+    d2.mkdir()
+    tg.write_textgrid(str(d2 / "chan0.TextGrid"), [(10.0, 12.0)], xmax=100.0)
+    eval_df = an.create_evaluation_df(str(preds_dir), store, idx, verbose=False)
+    assert len(eval_df) == 2
+    assert an.calc_sum_stats(eval_df).iloc[0]["precision"] == pytest.approx(0.7)
+
+
+def test_letter_channels_are_predictions(tmp_path):
+    """Real ICSI meetings carry letter channels (chanA..chanF — the
+    inventory cli/get_icsi_data.py probes); a digits-only filename filter
+    silently dropped their predictions from the corpus stats."""
+    tdir = tmp_path / "transcripts"
+    tdir.mkdir()
+    (tdir / "preambles.mrt").write_text(
+        '<?xml version="1.0" encoding="UTF-8"?>\n<Preambles>\n'
+        '  <Meeting Session="Bxx001" DateTimeStamp="2000-01-03">\n'
+        "    <Preamble>\n      <Participants>\n"
+        '        <Participant Name="me001" Channel="chanA"/>\n'
+        "      </Participants>\n      <Channels>\n"
+        '        <Channel Name="chanA" AudioFile="chanA.sph"/>\n'
+        "      </Channels>\n    </Preamble>\n  </Meeting>\n</Preambles>\n"
+    )
+    (tdir / "Bxx001.mrt").write_text(
+        '<?xml version="1.0" encoding="UTF-8"?>\n'
+        '<Meeting Session="Bxx001">\n'
+        '  <Transcript StartTime="0.0" EndTime="60.0">\n'
+        '    <Segment StartTime="10.0" EndTime="12.0" Participant="me001">'
+        '<VocalSound Description="laugh"/></Segment>\n'
+        "  </Transcript>\n</Meeting>\n"
+    )
+    lstore = transcript_lib.TranscriptStore(str(tdir))
+    lidx = indices_lib.build_indices(lstore)
+    d = tmp_path / "dev" / "Bxx001" / "t_0.5" / "l_0.2"
+    d.mkdir(parents=True)
+    tg.write_textgrid(str(d / "chanA.TextGrid"), [(10.0, 12.0)], xmax=60.0)
+    df = an.textgrid_to_df(str(d), lstore)
+    assert len(df) == 1 and df.iloc[0]["chan"] == "chanA"
+    out = an.create_evaluation_df(str(tmp_path / "dev"), lstore, lidx, verbose=False)
+    assert len(out) == 1
+    assert out.iloc[0]["precision"] == pytest.approx(1.0)
+    assert out.iloc[0]["corr_pred_time"] == pytest.approx(2.0)
+
+
+def test_meeting_without_transcript_skipped(preds_dir, synthetic_corpus, tmp_path):
+    """A meeting present in preambles.mrt but whose .mrt transcript is absent
+    (subset corpus) has no index coverage; its predictions would trip the
+    FP-accounting closure assert.  Skip the meeting, keep the rest."""
+    import shutil
+
+    tdir = tmp_path / "transcripts"
+    shutil.copytree(synthetic_corpus.transcript_dir, tdir)
+    (tdir / "Btr001.mrt").unlink()
+    sub_store = transcript_lib.load(str(tdir))
+    assert "Btr001" in sub_store.chan_to_part  # preambles still know it
+    sub_idx = indices_lib.build_indices(sub_store)
+    out = an.create_evaluation_df(str(preds_dir), sub_store, sub_idx, verbose=False)
+    assert sorted(out.meeting.unique()) == ["Bmr021"]
+
+
 def test_analyse_end_to_end(preds_dir, synthetic_corpus):
     stats = an.analyse(
         str(preds_dir), transcript_dir=str(synthetic_corpus.transcript_dir), force=True
