@@ -67,12 +67,24 @@ def main(argv: Optional[List[str]] = None) -> int:
         return 0
     if args.preds_dir is None:
         parser.error("preds_dir is required unless --laugh_counts")
-    from laughter_detection_icsi_tpu.eval.analyse import analyse
+    from laughter_detection_icsi_tpu.eval.analyse import analyse, average_precision
 
     stats = analyse(
         args.preds_dir, transcript_dir=args.transcript_dir, force=args.force
     )
     print(stats.to_string(index=False))
+    if "f1" in stats.columns and len(stats):
+        # Summary quality numbers (BASELINE.md's parity target is F1/AP).
+        f1 = stats["f1"]
+        if f1.notna().any():
+            best = stats.loc[f1.idxmax()]
+            print(
+                f"best F1 = {best['f1']:.4f} at threshold={best['threshold']} "
+                f"min_len={best['min_len']}"
+            )
+        for ml in sorted(stats["min_len"].unique()):
+            ap = average_precision(stats, ml)
+            print(f"AP(min_len={ml}) = {ap:.4f}")
     return 0
 
 

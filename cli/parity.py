@@ -347,10 +347,27 @@ def _check_analyse(args, gdir: Path, manifest: dict, atol: float, workdir: Path)
             }
         if len(diff):
             worst = max(worst, float(diff.max()))
-    return {
+    out = {
         "status": "pass" if worst <= atol else "fail",
         "rows": len(merged), "max_metric_diff": worst, "atol": atol,
     }
+    # Informational quality summary from OUR sweep (BASELINE.md's parity
+    # target is stated as F1/AP; both derive from the compared
+    # precision/recall rows, so row-parity implies F1/AP parity).
+    import math
+
+    from laughter_detection_icsi_tpu.eval.analyse import average_precision
+
+    if "f1" in ours.columns and ours["f1"].notna().any():
+        out["best_f1"] = round(float(ours["f1"].max()), 6)
+    ap = {}
+    for ml in sorted(ours["min_len"].unique()):
+        v = average_precision(ours, ml)
+        if not math.isnan(v):
+            ap[str(ml)] = round(v, 6)
+    if ap:
+        out["ap"] = ap
+    return out
 
 
 def _check_loss_curve(args, gdir: Path, model, params, state, atol: float) -> dict:

@@ -360,8 +360,15 @@ def create_evaluation_df(
 
 
 def calc_sum_stats(eval_df: pd.DataFrame) -> pd.DataFrame:
-    """Corpus-weighted precision/recall per (min_len, threshold): sum the
-    times across meetings, then divide (reference analyse.py:269-298)."""
+    """Corpus-weighted precision/recall/F1 per (min_len, threshold): sum the
+    times across meetings, then divide (reference analyse.py:269-298).
+
+    ``f1`` is ours (the reference reports only precision/recall in its CSVs;
+    its thesis-level F1 numbers are derived from them) — the quality-parity
+    target is stated as F1/AP (BASELINE.md), so the framework computes both.
+    F1 is 0 where precision+recall is 0 and NaN where recall is NaN (no
+    transcribed laugh time in the split).
+    """
     sums = (
         eval_df.groupby(["min_len", "threshold"])[
             ["corr_pred_time", "tot_pred_time", "tot_transc_laugh_time"]
@@ -372,7 +379,37 @@ def calc_sum_stats(eval_df: pd.DataFrame) -> pd.DataFrame:
     sums["precision"] = sums["corr_pred_time"] / sums["tot_pred_time"]
     sums.loc[sums.tot_pred_time == 0, "precision"] = 1.0
     sums["recall"] = sums["corr_pred_time"] / sums["tot_transc_laugh_time"]
-    return sums[["threshold", "min_len", "precision", "recall"]]
+    pr = sums["precision"] + sums["recall"]
+    sums["f1"] = (2.0 * sums["precision"] * sums["recall"] / pr).where(pr != 0, 0.0)
+    return sums[["threshold", "min_len", "precision", "recall", "f1"]]
+
+
+def average_precision(sum_stats: pd.DataFrame, min_len: float) -> float:
+    """Step-integrated average precision over the threshold sweep at one
+    ``min_len``: AP = sum_i (R_i - R_{i-1}) * P_i with thresholds ordered
+    descending (recall ascending from the R_0 = 0 anchor) — the standard
+    interpolation-free AP definition (sklearn average_precision_score
+    convention), computed from the corpus-weighted sweep rows.
+
+    The BASELINE.md quality-parity target names F1/AP; the reference has no
+    AP code (thesis-only numbers).  NaN when the split has no transcribed
+    laugh time (recall undefined).  A one-row sweep degenerates to R * P.
+    """
+    rows = sum_stats[sum_stats["min_len"] == min_len]
+    if rows.empty:
+        raise ValueError(
+            f"no sum-stats rows at min_len={min_len!r} "
+            f"(have {sorted(sum_stats['min_len'].unique())})"
+        )
+    rows = rows.sort_values("threshold", ascending=False)
+    if rows["recall"].isna().any():
+        return float("nan")
+    ap = 0.0
+    r_prev = 0.0
+    for _, row in rows.iterrows():
+        ap += (float(row["recall"]) - r_prev) * float(row["precision"])
+        r_prev = float(row["recall"])
+    return ap
 
 
 def analyse(

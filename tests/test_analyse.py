@@ -152,6 +152,59 @@ def test_create_evaluation_df_ignores_stray_entries(preds_dir, store, idx):
     assert s["precision"] == pytest.approx(0.7)
 
 
+def test_calc_sum_stats_f1_and_average_precision():
+    """Hand-computed F1 per sweep row and step-integrated AP over the
+    threshold sweep (BASELINE.md's quality-parity target names F1/AP; the
+    reference CSVs carry only precision/recall)."""
+    eval_df = pd.DataFrame(
+        {
+            "min_len": [0.2] * 3,
+            "threshold": [0.8, 0.5, 0.2],
+            "corr_pred_time": [2.0, 5.0, 8.0],
+            "tot_pred_time": [2.0, 10.0, 20.0],
+            "tot_transc_laugh_time": [10.0, 10.0, 10.0],
+        }
+    )
+    stats = an.calc_sum_stats(eval_df)
+    f1 = dict(zip(stats.threshold, stats.f1))
+    assert f1[0.8] == pytest.approx(2 * 1.0 * 0.2 / 1.2)
+    assert f1[0.5] == pytest.approx(0.5)
+    assert f1[0.2] == pytest.approx(2 * 0.4 * 0.8 / 1.2)
+    # AP = sum (R_i - R_{i-1}) P_i over descending thresholds:
+    # 0.2*1.0 + 0.3*0.5 + 0.3*0.4
+    assert an.average_precision(stats, 0.2) == pytest.approx(0.47)
+    with pytest.raises(ValueError, match="min_len"):
+        an.average_precision(stats, 0.3)
+
+
+def test_f1_and_ap_degenerate_rows():
+    """P+R == 0 yields F1 = 0 (not NaN); a split with zero transcribed
+    laugh time yields NaN recall, NaN F1, and NaN AP."""
+    import math
+
+    eval_df = pd.DataFrame(
+        {
+            "min_len": [0.2, 0.2],
+            "threshold": [0.5, 0.9],
+            "corr_pred_time": [0.0, 0.0],
+            "tot_pred_time": [4.0, 0.0],
+            "tot_transc_laugh_time": [10.0, 0.0],
+        }
+    )
+    stats = an.calc_sum_stats(eval_df)
+    by_thr = stats.set_index("threshold")
+    assert by_thr.loc[0.5, "f1"] == 0.0  # P=0, R=0
+    assert math.isnan(by_thr.loc[0.9, "recall"])
+    assert math.isnan(by_thr.loc[0.9, "f1"])
+    assert math.isnan(an.average_precision(stats, 0.2))
+
+
+def test_sum_stats_f1_integration(preds_dir, store, idx):
+    eval_df = an.create_evaluation_df(str(preds_dir), store, idx, verbose=False)
+    s = an.calc_sum_stats(eval_df).iloc[0]
+    assert s["f1"] == pytest.approx(2 * 0.7 * 0.5 / 1.2)
+
+
 def test_unparseable_param_dirs_skipped(preds_dir, store, idx):
     """'t_0.5_backup' passes a bare startswith('t_') check but crashes the
     float parse; same for 'l_0.2old'.  Both must be skipped like any other
