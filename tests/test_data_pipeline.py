@@ -158,6 +158,52 @@ def test_sampler_deterministic(store, idx):
         pd.testing.assert_frame_equal(a[split], b[split])
 
 
+def test_sampler_random_mode(store, idx):
+    """RANDOM_SELECTION mode (reference create_data_df.py:32-63,144-147):
+    every negative is a rejection-sampled segment that avoids the laugh AND
+    invalid indices of its own channel, duration floored at the 1 s
+    subsample, deterministic under the fixed seed."""
+    sampler = DataFrameSampler(store, idx)
+    dfs = sampler.create_data_dfs(
+        num_laugh_samples=1, num_non_laugh_samples=5, random=True
+    )
+    for split, n_laughs in (("train", 4), ("dev", 2)):
+        df = dfs[split]
+        non = df[df.label == 0]
+        assert len(non) == n_laughs * 5
+        assert (non.duration >= ANALYSIS.subsample_duration - 1e-9).all()
+        for _, row in non.iterrows():
+            part = store.chan_to_part[row.meeting_id][row.chan_id]
+            # 0.01 inset: the emitted floats are rounded to 2 decimals, so
+            # the nominal boundary can sit up to 5 ms past the segment the
+            # rejection test actually cleared.
+            seg = IntervalSet.closed(
+                to_frames(row.start + 0.01),
+                to_frames(row.start + row.duration - 0.01),
+            )
+            assert not idx.laugh.get(row.meeting_id, part).overlaps(seg)
+            assert not idx.invalid.get(row.meeting_id, part).overlaps(seg)
+    again = DataFrameSampler(store, idx).create_data_dfs(1, 5, random=True)
+    for split in PARTITIONS:
+        pd.testing.assert_frame_equal(dfs[split], again[split])
+
+
+def test_sampler_noise_bug_parity_flag(store, idx):
+    """noise_from_speech_bug=True reproduces the reference's accidental
+    noise-sampled-from-speech draws (SURVEY.md §2.5-3): table shapes match
+    the fixed sampler's, but the noise rows come from a different source
+    table, so the train split must differ."""
+    a = DataFrameSampler(store, idx).create_data_dfs(1, 10)
+    b = DataFrameSampler(store, idx, noise_from_speech_bug=True).create_data_dfs(
+        1, 10
+    )
+    for split in ("train", "dev"):
+        assert len(a[split]) == len(b[split])
+        assert list(a[split].label) == list(b[split].label)
+    # Btr001 (train) has real noise segments; the bug swaps them for speech
+    assert not a["train"].equals(b["train"])
+
+
 def test_sampler_meeting_filter(store, idx):
     dfs = DataFrameSampler(store, idx).create_data_dfs(1, 1, meeting_id="Bmr021")
     assert len(dfs["train"]) == 0
