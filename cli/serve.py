@@ -219,11 +219,21 @@ def main(argv: Optional[List[str]] = None) -> int:
     if args.input == "-":
         stdin = sys.stdin.buffer
         frame_bytes = 2 * n_ch
+        # Carry partial frames across reads: BufferedReader.read(n) loops on
+        # pipes, but an unbuffered/non-blocking stdin can short-read
+        # mid-frame — DROPPING the remainder would misalign every later
+        # sample (and swap channels) for the rest of the stream.  Only a
+        # trailing partial frame at EOF is discarded.
+        pending = b""
         while True:
             raw = stdin.read(chunk_samples * frame_bytes)
             if not raw:
                 break
+            raw = pending + raw
             usable = len(raw) - len(raw) % frame_bytes
+            pending = raw[usable:]
+            if not usable:
+                continue
             data = np.frombuffer(raw[:usable], dtype="<i2")
             deint = data.reshape(-1, n_ch)
             n_samples += deint.shape[0]

@@ -86,6 +86,54 @@ def test_file_replay_events_match_offline(served, tmp_path, capsys):
     np.testing.assert_array_equal(got[0], served["probs"])
 
 
+def test_stdin_short_reads_stay_frame_aligned(served, capsys, monkeypatch):
+    """An unbuffered/non-blocking stdin can short-read MID-SAMPLE; dropping
+    the partial frame would misalign every later 16-bit sample.  The carry
+    buffer must keep the stream aligned: same events and total seconds as
+    the aligned offline run."""
+    import types
+
+    from cli import serve as serve_cli
+
+    wave16, _sr = audio.read_int16(str(served["wav"]))
+    data = wave16.astype("<i2").tobytes()
+
+    class ShortReader:
+        def __init__(self, buf):
+            self.buf, self.pos, self.calls = buf, 0, 0
+
+        def read(self, size):
+            if self.pos >= len(self.buf):
+                return b""
+            self.calls += 1
+            take = min(size, len(self.buf) - self.pos)
+            if self.calls % 2 and take > 1 and take % 2 == 0:
+                take -= 1  # odd byte count: splits a sample mid-read
+            out = self.buf[self.pos : self.pos + take]
+            self.pos += take
+            return out
+
+    monkeypatch.setattr(
+        serve_cli.sys, "stdin", types.SimpleNamespace(buffer=ShortReader(data))
+    )
+    rc = serve_cli.main(
+        [
+            "--model_path", str(served["ckpt"]),
+            "--input", "-",
+            "--threshold", str(served["threshold"]),
+            "--min_length", "0.1",
+            "--chunk", "512",
+            "--bucket_frames", "1024",
+        ]
+    )
+    assert rc == 0
+    lines = [json.loads(l) for l in capsys.readouterr().out.splitlines()]
+    events = [(l["start"], l["end"]) for l in lines if l["type"] == "event"]
+    want = [(round(s, 3), round(e, 3)) for s, e in served["offline_events"]]
+    assert events == want and events
+    assert lines[-1]["seconds"] == 8.0
+
+
 def test_stdin_multichannel_subprocess(served):
     """Raw interleaved s16le on stdin with --channels 2: the mesh-sharded
     streaming path, end-to-end through the process boundary."""
