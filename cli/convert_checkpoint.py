@@ -80,7 +80,11 @@ def main(argv: Optional[List[str]] = None) -> int:
                     if loaded.get("best_val_loss") is not None
                     else float("inf")
                 ),
-                epoch_step=loaded.get("epoch_step") or 0,
+                epoch_step=(
+                    loaded.get("epoch_step")
+                    if loaded.get("epoch_step") is not None
+                    else 0
+                ),
             )
             os.replace(path, args.dest)
     n = sum(

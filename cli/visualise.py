@@ -17,12 +17,57 @@ def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("what", choices=["train", "pr", "confusion", "compare"])
     p.add_argument("inputs", nargs="+",
-                   help="train: metrics.csv | pr/confusion: eval CSVs | "
+                   help="train: metrics.csv | pr: sum_stats CSV | "
+                        "confusion: per-meeting eval_df CSV | "
                         "compare: name=path pairs of sum_stats CSVs")
     p.add_argument("--out", type=str, required=True, help="output PNG path")
-    p.add_argument("--min_len", type=float, default=None)
-    p.add_argument("--title", type=str, default=None)
+    p.add_argument("--min_len", type=float, default=None,
+                   help="filter pr/confusion/compare to one smoothing "
+                        "setting (rejected for train)")
+    p.add_argument("--title", type=str, default=None,
+                   help="figure title (train only)")
     return p
+
+
+# Column fingerprints that distinguish the three CSV kinds this CLI accepts;
+# feeding the wrong kind either crashed with a raw pandas KeyError
+# (confusion <- sum_stats) or silently drew a wrong figure
+# (pr <- per-meeting eval_df, whose several rows per threshold get jumbled
+# into one PR line).  Checked up front with a message naming the expected
+# input instead.
+_REQUIRED_COLUMNS = {
+    "train": ("global_step",),
+    "pr": ("threshold", "min_len", "precision", "recall"),
+    "compare": ("threshold", "min_len", "precision", "recall"),
+    "confusion": ("threshold", "min_len", "tot_fp_speech_time",
+                  "tot_fp_noise_time", "tot_fp_silence_time"),
+}
+_INPUT_KIND = {
+    "train": "a training metrics.csv",
+    "pr": "a sweep sum_stats CSV (analyse --sum_stats output)",
+    "compare": "sweep sum_stats CSVs (analyse --sum_stats outputs)",
+    "confusion": "a per-meeting eval_df CSV (analyse output)",
+}
+
+
+def _check_columns(what: str, path: str) -> None:
+    import pandas as pd
+
+    header = pd.read_csv(path, nrows=0)
+    missing = [c for c in _REQUIRED_COLUMNS[what] if c not in header.columns]
+    if missing:
+        raise SystemExit(
+            f"{path} is missing column(s) {missing} — '{what}' expects "
+            f"{_INPUT_KIND[what]}"
+        )
+    if what in ("pr", "compare") and "tot_fp_speech_time" in header.columns:
+        # Per-meeting eval_df also carries threshold/precision/recall, so it
+        # passes the required-column check — but its several rows per
+        # (threshold, min_len) would be jumbled into one misleading PR line.
+        raise SystemExit(
+            f"{path} looks like a per-meeting eval_df (has per-type FP "
+            f"columns) — '{what}' expects {_INPUT_KIND[what]}"
+        )
 
 
 def main(argv: Optional[List[str]] = None) -> int:
@@ -36,11 +81,22 @@ def main(argv: Optional[List[str]] = None) -> int:
             f"{args.what} takes exactly one input CSV "
             f"(got {len(args.inputs)}); use 'compare' for multiple runs"
         )
+    # Loud failure for flags a mode ignores — a user who believes they
+    # filtered/titled the figure must not read an unfiltered one.
+    if args.min_len is not None and args.what == "train":
+        raise SystemExit("--min_len does not apply to 'train'")
+    if args.title is not None and args.what != "train":
+        raise SystemExit(f"--title does not apply to {args.what!r}")
     if args.what == "train":
+        _check_columns("train", args.inputs[0])
         viz.plot_train_metrics(args.inputs[0], out_path=args.out, title=args.title)
     elif args.what == "pr":
-        viz.plot_precision_recall(args.inputs[0], out_path=args.out)
+        _check_columns("pr", args.inputs[0])
+        viz.plot_precision_recall(
+            args.inputs[0], out_path=args.out, min_len=args.min_len
+        )
     elif args.what == "confusion":
+        _check_columns("confusion", args.inputs[0])
         viz.plot_fp_confusion(
             args.inputs[0], out_path=args.out, min_len=args.min_len
         )
@@ -55,6 +111,8 @@ def main(argv: Optional[List[str]] = None) -> int:
             # dict() keeps only the LAST duplicate — the 'comparison' would
             # silently contain one experiment labeled as two.
             raise SystemExit("compare experiment names must be unique")
+        for path in pairs.values():
+            _check_columns("compare", path)
         viz.plot_experiment_comparison(pairs, out_path=args.out, min_len=args.min_len)
     print(f"wrote {args.out}")
     return 0

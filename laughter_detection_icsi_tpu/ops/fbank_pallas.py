@@ -64,7 +64,6 @@ def _kernel_constants(cfg: FeatConfig):
     nfft = cfg.fft_size
     flen = cfg.frame_length_samples
     shift = cfg.frame_shift_samples
-    tail = flen - 2 * shift
     nbins = nfft // 2  # Nyquist bin excluded (mel row is zero)
     cos_eff, sin_eff = fbank_ref._effective_bases(cfg)
 

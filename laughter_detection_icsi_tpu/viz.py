@@ -79,11 +79,22 @@ def _finish_pr_axes(fig, ax, out_path: Optional[str]):
 
 
 def plot_precision_recall(
-    sum_stats_csv: str, out_path: Optional[str] = None, label: Optional[str] = None
+    sum_stats_csv: str,
+    out_path: Optional[str] = None,
+    label: Optional[str] = None,
+    min_len: Optional[float] = None,
 ):
     """Precision-recall curves, one line per min_length, threshold as the
-    parameter (reference visualise.py:90-121)."""
+    parameter (reference visualise.py:90-121).  ``min_len`` filters the
+    sweep to a single smoothing setting (one curve)."""
     df = pd.read_csv(sum_stats_csv)
+    if min_len is not None:
+        df = df[df["min_len"] == min_len]
+        if df.empty:
+            # An out-of-grid filter would render an empty (yet saved) figure.
+            raise ValueError(
+                f"no sweep rows with min_len={min_len} in {sum_stats_csv}"
+            )
     fig, ax = plt.subplots(figsize=(7, 6))
     _draw_pr_curves(ax, df, label)
     return _finish_pr_axes(fig, ax, out_path)
@@ -152,5 +163,12 @@ def plot_experiment_comparison(
         df = pd.read_csv(path)
         if min_len is not None:
             df = df[df["min_len"] == min_len]
+            if df.empty:
+                # Silently skipping one experiment would produce a
+                # "comparison" missing a contender without any signal.
+                raise ValueError(
+                    f"no sweep rows with min_len={min_len} in {path} "
+                    f"(experiment {name!r})"
+                )
         _draw_pr_curves(ax, df, label=name)
     return _finish_pr_axes(fig, ax, out_path)

@@ -59,6 +59,11 @@ def eval_df_csv(tmp_path):
             "meeting": ["Bmr021", "Bmr021"],
             "threshold": [0.2, 0.5],
             "min_len": [0.2, 0.2],
+            # Real eval_df rows (EVAL_COLS) carry per-meeting precision and
+            # recall too — which is exactly why 'pr' needs the per-type-FP
+            # fingerprint to reject them.
+            "precision": [0.4, 0.6],
+            "recall": [0.8, 0.5],
             "tot_fp_speech_time": [3.0, 1.5],
             "tot_fp_noise_time": [0.5, 0.2],
             "tot_fp_silence_time": [8.0, 4.0],
@@ -85,6 +90,45 @@ def test_visualise_cli(metrics_csv, tmp_path):
     out = tmp_path / "t.png"
     assert main(["train", metrics_csv, "--out", str(out)]) == 0
     assert out.exists()
+
+
+def test_visualise_cli_rejects_wrong_input_kind(
+    metrics_csv, sum_stats_csv, eval_df_csv, tmp_path
+):
+    """Each mode names the CSV kind it expects instead of a raw pandas
+    KeyError (confusion <- sum_stats) or a silently-wrong figure
+    (pr <- per-meeting eval_df)."""
+    from cli.visualise import main
+
+    out = str(tmp_path / "x.png")
+    for argv, needle in (
+        (["pr", eval_df_csv, "--out", out], "per-meeting eval_df"),
+        (["confusion", sum_stats_csv, "--out", out], "tot_fp_speech_time"),
+        (["train", sum_stats_csv, "--out", out], "metrics.csv"),
+        (["compare", f"a={eval_df_csv}", "--out", out], "per-meeting eval_df"),
+    ):
+        with pytest.raises(SystemExit, match=needle.replace("(", r"\(")):
+            main(argv)
+        assert not os.path.exists(out)
+
+
+def test_visualise_cli_min_len_filtering(sum_stats_csv, metrics_csv, tmp_path):
+    """--min_len filters the PR sweep (out-of-grid fails loudly) and is
+    rejected by modes that would silently ignore it."""
+    from cli.visualise import main
+
+    out = tmp_path / "pr.png"
+    assert main(["pr", sum_stats_csv, "--out", str(out), "--min_len", "0.2"]) == 0
+    assert out.exists()
+    with pytest.raises(ValueError, match="min_len=99"):
+        main(["pr", sum_stats_csv, "--out", str(out), "--min_len", "99"])
+    with pytest.raises(ValueError, match="experiment 'a'"):
+        main(["compare", f"a={sum_stats_csv}", "--out", str(out),
+              "--min_len", "99"])
+    with pytest.raises(SystemExit, match="--min_len"):
+        main(["train", metrics_csv, "--out", str(out), "--min_len", "0.2"])
+    with pytest.raises(SystemExit, match="--title"):
+        main(["pr", sum_stats_csv, "--out", str(out), "--title", "t"])
 
 
 def test_laughs_to_wav_cli(tmp_path, rng):

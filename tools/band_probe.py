@@ -105,13 +105,22 @@ def main():
         params = cast_tree_bf16(params)
         state = cast_tree_bf16(state)
 
+    # Derive the analytic-FLOP dimensions from the BUILT model, not
+    # constants: if the architecture's stage-1 channel plan or the feature
+    # width ever changes, hardcoded f=44/c=64 would print confident but
+    # fabricated TFLOP/s.
+    stem_c = int(params["conv1"]["weight"].shape[0])
+    from laughter_detection_icsi_tpu.config import FEAT
+
+    feat_w = FEAT.num_filters
+
     window = 100
     chunks = [int(c) for c in args.chunks.split(",")]
     max_chunk = max(chunks)
     t_rows = max_chunk + window - 1 + 512  # track length incl. halo slack
 
     base_feats = jax.device_put(
-        (np.random.default_rng(0).standard_normal((t_rows, 44)) * 0.5).astype(
+        (np.random.default_rng(0).standard_normal((t_rows, feat_w)) * 0.5).astype(
             np.float32
         )
     )
@@ -122,7 +131,7 @@ def main():
     stem2 = jax.jit(lambda t1: shared_stem.stem_track2(params, state, t1))
 
     ms = time_op(stem1, lambda i: (vary(base_feats, i),), args.iters)
-    fl = stem_flops(t_rows)
+    fl = stem_flops(t_rows, f=feat_w, c=stem_c)
     print(f"stem_track      T={t_rows}: {ms:7.2f} ms  {fl / ms / 1e9:6.1f} TFLOP/s")
     ms = time_op(
         stem2, lambda i: (stem1(vary(base_feats, i)),), args.iters
@@ -148,7 +157,7 @@ def main():
             return top_in, bot_in
 
         ms = time_op(band_jit, make_band_input, args.iters)
-        fl = band_flops(b)
+        fl = band_flops(b, f=feat_w, c=stem_c)
         print(
             f"_band_stem both B={b:6d}: {ms:7.2f} ms  "
             f"{fl / ms / 1e9:6.1f} TFLOP/s  ({fl / 1e9:.1f} GFLOP)"
