@@ -1,0 +1,126 @@
+"""Export a trained model as a serialized StableHLO artifact (jax.export).
+
+The deployment counterpart of ``convert_checkpoint.py``: instead of moving
+weights between checkpoint formats, this bakes weights + computation into
+one versioned artifact any PJRT runtime can execute without this package
+(reference has no analogue — its segment_laughter.py:79-101 rebuilds the
+torch net from source at every use).
+
+Two artifact kinds (``--what``):
+- ``windows``: [B, 1, 100, 44] log-mel windows -> [B] probabilities;
+  batch is symbolic unless ``--batch N`` pins it.
+- ``e2e``: one bucket of raw PCM ([wave_len] int16 by default, plus the
+  valid-frame count) -> [bucket_frames] per-10ms-frame probabilities,
+  featurizer + shared-stem windowing + classifier in one graph.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from pathlib import Path
+from typing import List, Optional
+
+# Allow running as a script from a clean checkout (sys.path[0] is cli/)
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--model_path", type=str, default=None,
+                   help="checkpoint (.ckpt.npz | .pth.tar) or its directory")
+    # Default differs from segment_laughter's reference-parity default
+    # (resnet_with_augmentation): that preset's 128-wide head doesn't fit
+    # the ICSI (100, 44) window geometry this exporter bakes in, and a new
+    # CLI has no reference flag surface to mirror.
+    p.add_argument("--config", type=str, default="resnet_base")
+    p.add_argument("--out", type=str, required=True,
+                   help="output artifact path (e.g. model.stablehlo)")
+    p.add_argument("--what", choices=["windows", "e2e"], default="windows")
+    p.add_argument("--batch", type=int, default=None,
+                   help="windows: pin the batch dim (default: symbolic)")
+    p.add_argument("--precision", choices=["float32", "bfloat16"],
+                   default="float32")
+    p.add_argument("--platforms", type=str, default=None,
+                   help="comma list, e.g. 'tpu,cpu' for one cross-platform "
+                        "artifact (default: current backend only)")
+    # e2e graph geometry (same knobs/defaults as segment_laughter.py)
+    p.add_argument("--chunk", type=int, default=1536)
+    p.add_argument("--bucket_frames", type=int, default=6144)
+    p.add_argument("--wave_dtype", choices=["int16", "float32"],
+                   default="int16",
+                   help="e2e: PCM dtype the artifact takes")
+    p.add_argument("--random_init", action="store_true",
+                   help="export an untrained model (tests/smoke only)")
+    return p
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    args = build_parser().parse_args(argv)
+
+    import jax
+
+    from laughter_detection_icsi_tpu import export as export_lib
+    from laughter_detection_icsi_tpu import models
+    from laughter_detection_icsi_tpu.config import MODEL_MAP
+    from laughter_detection_icsi_tpu.train import checkpoint as ckpt_lib
+
+    preset = MODEL_MAP[args.config]
+    model = models.build(
+        preset.model,
+        dropout_rate=0.0,
+        linear_layer_size=preset.linear_layer_size,
+        filter_sizes=preset.filter_sizes,
+    )
+    if args.random_init:
+        params, state = model.init(jax.random.PRNGKey(0))
+    else:
+        if args.model_path is None:
+            raise SystemExit("--model_path is required (or --random_init)")
+        found = ckpt_lib.resolve_checkpoint(args.model_path)
+        if found is None:
+            raise SystemExit(f"Model checkpoint not found at {args.model_path}")
+        loaded = ckpt_lib.load_checkpoint(found)
+        params, state = loaded["params"], loaded["state"]
+
+    platforms = args.platforms.split(",") if args.platforms else None
+
+    if args.what == "windows":
+        exported = export_lib.export_window_classifier(
+            model, params, state,
+            batch=args.batch,
+            precision=args.precision,
+            platforms=platforms,
+        )
+        shape = f"[{args.batch if args.batch is not None else 'b'}, 1, 100, 44]"
+        sig = f"{shape} float32 windows -> [batch] float32 probs"
+    else:
+        from laughter_detection_icsi_tpu import inference
+
+        pipe = inference.LaughterPipeline(
+            model, params, state,
+            settings=inference.InferenceSettings(
+                chunk=args.chunk,
+                bucket_frames=args.bucket_frames,
+                precision=args.precision,
+            ),
+        )
+        exported, wave_len = export_lib.export_bucket_pipeline(
+            pipe,
+            int16_in=(args.wave_dtype == "int16"),
+            platforms=platforms,
+        )
+        sig = (
+            f"([{wave_len}] {args.wave_dtype} PCM, scalar int32 "
+            f"valid_frames) -> [{args.bucket_frames}] float32 probs"
+        )
+
+    n_bytes = export_lib.save(exported, args.out)
+    plat = ",".join(exported.platforms)
+    print(f"wrote {args.out} ({n_bytes:,} bytes, platforms [{plat}])")
+    print(f"signature: {sig}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
