@@ -9,9 +9,11 @@ torch net from source at every use).
 Two artifact kinds (``--what``):
 - ``windows``: [B, 1, 100, 44] log-mel windows -> [B] probabilities;
   batch is symbolic unless ``--batch N`` pins it.
-- ``e2e``: one bucket of raw PCM ([wave_len] int16 by default, plus the
+- ``e2e``: one bucket's PCM buffer ([wave_len] int16 by default, plus the
   valid-frame count) -> [bucket_frames] per-10ms-frame probabilities,
-  featurizer + shared-stem windowing + classifier in one graph.
+  featurizer + shared-stem windowing + classifier in one graph.  Build the
+  buffers with the numpy-only ``export.bucket_inputs`` helper (they carry
+  the Kaldi edge padding and bucket offsets, not raw recording bytes).
 """
 
 from __future__ import annotations
@@ -44,12 +46,18 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--platforms", type=str, default=None,
                    help="comma list, e.g. 'tpu,cpu' for one cross-platform "
                         "artifact (default: current backend only)")
-    # e2e graph geometry (same knobs/defaults as segment_laughter.py)
-    p.add_argument("--chunk", type=int, default=1536)
-    p.add_argument("--bucket_frames", type=int, default=6144)
+    # e2e graph geometry (None -> resolved for the TARGET platform below,
+    # mirroring segment_laughter's accelerator/CPU defaults)
+    p.add_argument("--chunk", type=int, default=None)
+    p.add_argument("--bucket_frames", type=int, default=None)
     p.add_argument("--wave_dtype", choices=["int16", "float32"],
-                   default="int16",
-                   help="e2e: PCM dtype the artifact takes")
+                   default=None,
+                   help="e2e: PCM dtype the artifact takes (default int16)")
+    p.add_argument("--pallas_fbank", choices=["off", "on"], default=None,
+                   help="e2e: bake the Pallas TPU featurizer kernel into "
+                        "the artifact (default off: the matmul featurizer, "
+                        "which lowers for every platform — 'on' makes the "
+                        "artifact TPU-only)")
     p.add_argument("--random_init", action="store_true",
                    help="export an untrained model (tests/smoke only)")
     return p
@@ -83,7 +91,32 @@ def main(argv: Optional[List[str]] = None) -> int:
         loaded = ckpt_lib.load_checkpoint(found)
         params, state = loaded["params"], loaded["state"]
 
-    platforms = args.platforms.split(",") if args.platforms else None
+    platforms = None
+    if args.platforms:
+        platforms = [s.strip() for s in args.platforms.split(",") if s.strip()]
+        known = {"tpu", "cpu", "cuda", "rocm"}
+        bad = [s for s in platforms if s not in known]
+        if bad or not platforms:
+            # jax.export would reject ' cpu'/'' much later with an opaque
+            # error, after the checkpoint already loaded.
+            raise SystemExit(
+                f"--platforms: unknown platform(s) {bad or ['(empty)']} "
+                f"(choose from {sorted(known)})"
+            )
+
+    # Loud failure for knobs the selected --what ignores (same convention
+    # as cli/visualise.py): a user must not believe a no-op flag took
+    # effect in a deployment artifact.
+    e2e_only = {"--chunk": args.chunk, "--bucket_frames": args.bucket_frames,
+                "--wave_dtype": args.wave_dtype,
+                "--pallas_fbank": args.pallas_fbank}
+    if args.what == "windows":
+        given = [k for k, v in e2e_only.items() if v is not None]
+        if given:
+            raise SystemExit(f"{given[0]} only applies to --what e2e")
+    elif args.batch is not None:
+        raise SystemExit("--batch only applies to --what windows "
+                         "(the e2e artifact has no batch dimension)")
 
     if args.what == "windows":
         exported = export_lib.export_window_classifier(
@@ -92,27 +125,44 @@ def main(argv: Optional[List[str]] = None) -> int:
             precision=args.precision,
             platforms=platforms,
         )
-        shape = f"[{args.batch if args.batch is not None else 'b'}, 1, 100, 44]"
-        sig = f"{shape} float32 windows -> [batch] float32 probs"
+        b = args.batch if args.batch is not None else "b"
+        sig = f"[{b}, 1, 100, 44] float32 windows -> [{b}] float32 probs"
     else:
         from laughter_detection_icsi_tpu import inference
 
+        # Resolve geometry for the TARGET platform (the artifact may be
+        # lowered for an accelerator from a CPU host): small chunks
+        # underfill the MXU (inference.py InferenceSettings notes), so an
+        # accelerator-targeted artifact gets segment_laughter's tuned
+        # accelerator defaults.
+        target_accel = (
+            any(p != "cpu" for p in platforms)
+            if platforms
+            else jax.devices()[0].platform != "cpu"
+        )
+        chunk = args.chunk or (6144 if target_accel else 1024)
+        bucket_frames = args.bucket_frames or 6144
+        wave_dtype = args.wave_dtype or "int16"
         pipe = inference.LaughterPipeline(
             model, params, state,
             settings=inference.InferenceSettings(
-                chunk=args.chunk,
-                bucket_frames=args.bucket_frames,
+                chunk=chunk,
+                bucket_frames=bucket_frames,
                 precision=args.precision,
+                # Default OFF: the Pallas kernel only lowers for TPU; the
+                # matmul featurizer makes the artifact portable (export.py
+                # cross-platform notes).
+                use_pallas_fbank=(args.pallas_fbank == "on"),
             ),
         )
         exported, wave_len = export_lib.export_bucket_pipeline(
             pipe,
-            int16_in=(args.wave_dtype == "int16"),
+            int16_in=(wave_dtype == "int16"),
             platforms=platforms,
         )
         sig = (
-            f"([{wave_len}] {args.wave_dtype} PCM, scalar int32 "
-            f"valid_frames) -> [{args.bucket_frames}] float32 probs"
+            f"([{wave_len}] {wave_dtype} bucket buffer (export.bucket_inputs), "
+            f"scalar int32 valid_frames) -> [{bucket_frames}] float32 probs"
         )
 
     n_bytes = export_lib.save(exported, args.out)

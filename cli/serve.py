@@ -33,6 +33,7 @@ import argparse
 import json
 import os
 import sys
+import time
 from pathlib import Path
 from typing import List, Optional
 
@@ -80,6 +81,10 @@ def main(argv: Optional[List[str]] = None) -> int:
 
     enable_compilation_cache()
     args = build_parser().parse_args(argv)
+    if args.channels < 1:
+        # Fail before the expensive model load + warmup: 0 would otherwise
+        # die with a ZeroDivisionError deep in the stdin loop.
+        raise SystemExit(f"--channels must be >= 1 (got {args.channels})")
 
     import jax
     import numpy as np
@@ -227,6 +232,12 @@ def main(argv: Optional[List[str]] = None) -> int:
         pending = b""
         while True:
             raw = stdin.read(chunk_samples * frame_bytes)
+            if raw is None:
+                # Non-blocking stdin with no bytes momentarily available —
+                # NOT end-of-stream; treating it as EOF would flush and
+                # exit mid-meeting on any brief producer stall.
+                time.sleep(0.005)
+                continue
             if not raw:
                 break
             raw = pending + raw

@@ -13,13 +13,15 @@ Two artifact kinds:
 - **window classifier** — ``[B, 1, window, n_feats]`` log-mel windows →
   ``[B]`` laughter probabilities.  ``B`` may be SYMBOLIC (the default), so
   one artifact serves every batch size.
-- **e2e bucket pipeline** — one bucket's raw PCM (``[wave_len]`` int16 or
-  float32 plus the bucket's valid-frame count) → per-10 ms-frame
+- **e2e bucket pipeline** — one bucket's PCM buffer (``[wave_len]`` int16
+  or float32 plus the bucket's valid-frame count) → per-10 ms-frame
   probabilities ``[bucket_frames]``: featurizer, shared-stem windowing and
   classifier fused into ONE graph.  It inlines the very jitted bodies the
   live pipeline dispatches (``LaughterPipeline._graphs``), so its output is
-  numerically identical to ``LaughterPipeline.probs_for_waveform`` on a
-  bucket's worth of audio (pinned by tests/test_export.py).
+  numerically identical to ``LaughterPipeline.probs_for_waveform``
+  (pinned by tests/test_export.py).  The buffer is NOT the raw recording —
+  it carries the Kaldi edge padding and bucket offset; build it with the
+  numpy-only :func:`bucket_inputs` helper (contract documented there).
 
 Cross-platform notes: pass ``platforms=("tpu", "cpu")`` to emit one
 artifact loadable on both (ahead-of-time lowering; no TPU needed to
@@ -90,11 +92,29 @@ def export_bucket_pipeline(
     """Export one bucket of ``pipeline`` as a single serialized graph.
 
     Signature of the artifact: ``(wave [wave_len] int16|float32,
-    valid_frames scalar int32) -> probs [bucket_frames] float32``.  Rows at
-    index >= valid_frames are computed from zero-masked features — slice
-    them off exactly like ``LaughterPipeline.probs_for_waveform_device``
-    does (inference.py bucket loop).  Returns ``(exported, wave_len)``.
+    valid_frames scalar int32) -> probs [bucket_frames] float32``.
+
+    ``wave`` is NOT the raw recording: it is one bucket's slice of the
+    Kaldi-padded waveform (reflection pad of ``flen//2 - shift//2`` samples
+    on the left, mirrored tail on the right), offset by
+    ``k * bucket_frames * frame_shift`` for bucket k and zero-filled to
+    ``wave_len`` — exactly the buffers the live bucket loop builds.  Use
+    :func:`bucket_inputs` for the host-side prep (pure numpy — a serving
+    host needs neither JAX nor this package's model code, only that
+    helper's arithmetic); rows at index >= the returned ``n_out`` are
+    computed from zero-masked features, slice them off.  Returns
+    ``(exported, wave_len)``.
     """
+    if pipeline.settings.mode != "windows":
+        # fused_conv probs route through a different graph with documented
+        # non-bit-parity numerics (inference.py _probs_fused_conv_device);
+        # exporting windows-mode bodies for such a pipeline would break
+        # this function's artifact==pipeline identity promise silently.
+        # Same guard as the streaming sessions (_StreamingBase).
+        raise ValueError(
+            f"export_bucket_pipeline supports mode='windows' only "
+            f"(pipeline has mode={pipeline.settings.mode!r})"
+        )
     featurize, chunk_probs, wave_len = pipeline._graphs(int16_in)
     bucket = pipeline.settings.bucket_frames
     chunk = pipeline.settings.chunk
@@ -116,10 +136,57 @@ def export_bucket_pipeline(
     return _export_jit(fn, spec, platforms), wave_len
 
 
+def bucket_inputs(wave, feat_cfg=None, settings=None):
+    """Host-side prep for the e2e artifact: yield ``(buf, valid, n_out)``
+    per bucket for a whole recording.
+
+    Pure numpy — mirrors ``LaughterPipeline.probs_for_waveform_device``'s
+    bucket loop exactly (Kaldi reflection padding via ``host_pad_waveform``,
+    ``k * bucket * shift`` slicing, zero-fill to ``wave_len``), so
+    ``concat(artifact.call(buf, valid)[:n_out] for each bucket)`` equals
+    the live pipeline's probabilities (pinned by tests/test_export.py).
+
+    ``buf`` preserves the input dtype (int16 stays int16 — feed it to an
+    int16 artifact); ``valid`` is the bucket's valid-frame count (int32);
+    ``n_out`` how many leading output rows are that bucket's frames.
+    """
+    import numpy as np
+
+    from laughter_detection_icsi_tpu.config import FEAT
+    from laughter_detection_icsi_tpu.inference import (
+        InferenceSettings,
+        _snip_cfg,
+        bucket_wave_len,
+        host_pad_waveform,
+    )
+
+    feat_cfg = feat_cfg if feat_cfg is not None else FEAT
+    settings = settings if settings is not None else InferenceSettings()
+    wave = np.asarray(wave)
+    if wave.dtype not in (np.int16, np.float32):
+        raise TypeError(
+            f"bucket_inputs wants int16 or float32 PCM, got {wave.dtype}"
+        )
+    padded, t = host_pad_waveform(wave, feat_cfg)
+    if t == 0:
+        return
+    wave_len = bucket_wave_len(settings, feat_cfg)
+    bucket = settings.bucket_frames
+    shift = _snip_cfg(feat_cfg).frame_shift_samples
+    for k in range(-(-t // bucket)):
+        lo = k * bucket * shift
+        buf = np.zeros(wave_len, dtype=wave.dtype)
+        src = padded[lo : lo + wave_len]
+        buf[: len(src)] = src
+        valid = min(t - k * bucket, bucket + settings.window - 1)
+        yield buf, np.int32(valid), min(bucket, t - k * bucket)
+
+
 def save(exported, path: str) -> int:
     """Serialize an ``jax.export.Exported`` to ``path``; returns the byte
-    count.  Atomic (tmp + rename): a crashed export must not leave a
-    truncated artifact that a serving binary would half-load."""
+    count.  Atomic and durable (tmp + fsync + rename, like
+    train/checkpoint.py): a crash or power loss mid-export must not leave
+    a truncated artifact that a serving binary would half-load."""
     import os
     import tempfile
 
@@ -129,6 +196,14 @@ def save(exported, path: str) -> int:
     try:
         with os.fdopen(fd, "wb") as f:
             f.write(blob)
+            f.flush()
+            os.fsync(f.fileno())
+            # mkstemp creates 0600; publish with the umask-honoring mode
+            # every other artifact this repo writes gets, or a serving
+            # user other than the exporting one cannot read it.
+            um = os.umask(0)
+            os.umask(um)
+            os.fchmod(f.fileno(), 0o666 & ~um)
         os.replace(tmp, path)
     except BaseException:
         try:

@@ -41,8 +41,9 @@ def test_window_classifier_symbolic_batch_roundtrip(small_model, tmp_path):
 
 
 def test_bucket_pipeline_artifact_matches_offline(small_model, tmp_path):
-    """The fused e2e artifact reproduces LaughterPipeline.probs_for_waveform
-    on a bucket's worth of int16 PCM (same buffer prep as the bucket loop)."""
+    """The fused e2e artifact + the numpy-only bucket_inputs host prep
+    reproduce LaughterPipeline.probs_for_waveform across MULTIPLE buckets
+    (16 s of int16 PCM through a 1024-frame-bucket graph = 2 buckets)."""
     model, params, state = small_model
     settings = inference.InferenceSettings(chunk=512, bucket_frames=1024)
     pipe = inference.LaughterPipeline(model, params, state, settings=settings)
@@ -53,20 +54,39 @@ def test_bucket_pipeline_artifact_matches_offline(small_model, tmp_path):
     back = export_lib.load(str(path))
 
     rng = np.random.default_rng(3)
-    wave = (rng.standard_normal(16000 * 8) * 3000).astype(np.int16)
+    wave = (rng.standard_normal(16000 * 16) * 3000).astype(np.int16)
     ref = pipe.probs_for_waveform(wave)
-    t = len(ref)
-    assert 0 < t <= settings.bucket_frames  # single-bucket fixture
+    assert len(ref) > settings.bucket_frames  # really spans two buckets
 
-    padded, t2 = inference.host_pad_waveform(wave, pipe.feat_cfg)
-    assert t2 == t
-    buf = np.zeros(wave_len, dtype=np.int16)
-    src = padded[:wave_len]
-    buf[: len(src)] = src
-    valid = min(t, settings.bucket_frames + settings.window - 1)
-    got = np.asarray(back.call(buf, np.int32(valid)))
-    assert got.shape == (settings.bucket_frames,)
-    np.testing.assert_allclose(got[:t], ref, atol=1e-6)
+    pieces = []
+    for buf, valid, n_out in export_lib.bucket_inputs(
+        wave, pipe.feat_cfg, settings
+    ):
+        assert buf.shape == (wave_len,) and buf.dtype == np.int16
+        pieces.append(np.asarray(back.call(buf, valid))[:n_out])
+    got = np.concatenate(pieces)
+    np.testing.assert_allclose(got, ref, atol=1e-6)
+
+
+def test_bucket_inputs_edge_cases():
+    assert list(export_lib.bucket_inputs(np.zeros(0, np.int16))) == []
+    with pytest.raises(TypeError, match="int16 or float32"):
+        list(export_lib.bucket_inputs(np.zeros(10, np.int32)))
+
+
+def test_export_rejects_fused_conv_pipeline(small_model):
+    """fused_conv probs are documented non-bit-parity with windows mode;
+    exporting its pipeline must fail loudly, not emit a mismatched
+    artifact (same guard as the streaming sessions)."""
+    model, params, state = small_model
+    pipe = inference.LaughterPipeline(
+        model, params, state,
+        settings=inference.InferenceSettings(
+            chunk=512, bucket_frames=1024, mode="fused_conv"
+        ),
+    )
+    with pytest.raises(ValueError, match="mode='windows'"):
+        export_lib.export_bucket_pipeline(pipe)
 
 
 def test_cross_platform_artifact(small_model):
@@ -107,3 +127,26 @@ def test_export_cli_rejects_missing_checkpoint(tmp_path):
     with pytest.raises(SystemExit, match="not found"):
         main(["--model_path", str(tmp_path / "nope"),
               "--out", str(tmp_path / "x.stablehlo")])
+
+
+def test_export_cli_rejects_inapplicable_flags_and_bad_platforms(tmp_path):
+    """Per-mode flag validation (visualise-CLI convention) and early,
+    named rejection of malformed --platforms values."""
+    from cli.export_model import main
+
+    out = str(tmp_path / "x.stablehlo")
+    with pytest.raises(SystemExit, match="--chunk only applies"):
+        main(["--random_init", "--what", "windows", "--chunk", "512",
+              "--out", out])
+    with pytest.raises(SystemExit, match="--batch only applies"):
+        main(["--random_init", "--what", "e2e", "--batch", "8", "--out", out])
+    with pytest.raises(SystemExit, match="unknown platform"):
+        main(["--random_init", "--platforms", "tpu, cpu x", "--out", out])
+    with pytest.raises(SystemExit, match="unknown platform"):
+        main(["--random_init", "--platforms", ",", "--out", out])
+    # 'tpu, cpu' with a space is natural shell quoting — normalized, not
+    # forwarded to jax.export as ' cpu'.
+    rc = main(["--random_init", "--batch", "2", "--platforms", "tpu, cpu",
+               "--out", out])
+    assert rc == 0
+    assert set(export_lib.load(out).platforms) == {"tpu", "cpu"}

@@ -87,10 +87,12 @@ def test_file_replay_events_match_offline(served, tmp_path, capsys):
 
 
 def test_stdin_short_reads_stay_frame_aligned(served, capsys, monkeypatch):
-    """An unbuffered/non-blocking stdin can short-read MID-SAMPLE; dropping
-    the partial frame would misalign every later 16-bit sample.  The carry
-    buffer must keep the stream aligned: same events and total seconds as
-    the aligned offline run."""
+    """An unbuffered/non-blocking stdin can short-read MID-SAMPLE (and
+    return None when no bytes are momentarily available); dropping the
+    partial frame would misalign every later 16-bit sample, and treating
+    None as EOF would truncate the stream at the first producer stall.
+    The loop must keep the stream aligned AND keep waiting: same events
+    and total seconds as the aligned offline run."""
     import types
 
     from cli import serve as serve_cli
@@ -106,6 +108,8 @@ def test_stdin_short_reads_stay_frame_aligned(served, capsys, monkeypatch):
             if self.pos >= len(self.buf):
                 return b""
             self.calls += 1
+            if self.calls % 3 == 0:
+                return None  # O_NONBLOCK stall: data coming, not EOF
             take = min(size, len(self.buf) - self.pos)
             if self.calls % 2 and take > 1 and take % 2 == 0:
                 take -= 1  # odd byte count: splits a sample mid-read
@@ -264,3 +268,13 @@ def test_file_replay_rejects_multichannel_flag(served, capsys):
                 "--channels", "2",
             ]
         )
+
+
+def test_rejects_nonpositive_channels():
+    """--channels 0 must fail at argument handling (before the model load),
+    not with a ZeroDivisionError deep in the stdin loop after warmup."""
+    from cli import serve as serve_cli
+
+    for bad in ("0", "-1"):
+        with pytest.raises(SystemExit, match="--channels must be >= 1"):
+            serve_cli.main(["--model_path", "/nonexistent", "--channels", bad])
