@@ -66,31 +66,9 @@ def build_parser() -> argparse.ArgumentParser:
 def main(argv: Optional[List[str]] = None) -> int:
     args = build_parser().parse_args(argv)
 
-    import jax
-
-    from laughter_detection_icsi_tpu import export as export_lib
-    from laughter_detection_icsi_tpu import models
-    from laughter_detection_icsi_tpu.config import MODEL_MAP
-    from laughter_detection_icsi_tpu.train import checkpoint as ckpt_lib
-
-    preset = MODEL_MAP[args.config]
-    model = models.build(
-        preset.model,
-        dropout_rate=0.0,
-        linear_layer_size=preset.linear_layer_size,
-        filter_sizes=preset.filter_sizes,
-    )
-    if args.random_init:
-        params, state = model.init(jax.random.PRNGKey(0))
-    else:
-        if args.model_path is None:
-            raise SystemExit("--model_path is required (or --random_init)")
-        found = ckpt_lib.resolve_checkpoint(args.model_path)
-        if found is None:
-            raise SystemExit(f"Model checkpoint not found at {args.model_path}")
-        loaded = ckpt_lib.load_checkpoint(found)
-        params, state = loaded["params"], loaded["state"]
-
+    # --- Arg-only validation FIRST: every check below needs no model, so
+    # it must fail before the (potentially multi-GB) checkpoint load and
+    # the heavy imports, not after.
     platforms = None
     if args.platforms:
         platforms = [s.strip() for s in args.platforms.split(",") if s.strip()]
@@ -98,7 +76,7 @@ def main(argv: Optional[List[str]] = None) -> int:
         bad = [s for s in platforms if s not in known]
         if bad or not platforms:
             # jax.export would reject ' cpu'/'' much later with an opaque
-            # error, after the checkpoint already loaded.
+            # error deep in lowering.
             raise SystemExit(
                 f"--platforms: unknown platform(s) {bad or ['(empty)']} "
                 f"(choose from {sorted(known)})"
@@ -117,6 +95,38 @@ def main(argv: Optional[List[str]] = None) -> int:
     elif args.batch is not None:
         raise SystemExit("--batch only applies to --what windows "
                          "(the e2e artifact has no batch dimension)")
+    for name, v in (("--batch", args.batch), ("--chunk", args.chunk),
+                    ("--bucket_frames", args.bucket_frames)):
+        # `is not None`, not truthiness: an explicit 0 must be rejected
+        # loudly, not silently swapped for the default; negatives would
+        # surface as an opaque concatenate-of-nothing error mid-trace.
+        if v is not None and v < 1:
+            raise SystemExit(f"{name} must be >= 1, got {v}")
+    if args.model_path is None and not args.random_init:
+        raise SystemExit("--model_path is required (or --random_init)")
+
+    import jax
+
+    from laughter_detection_icsi_tpu import export as export_lib
+    from laughter_detection_icsi_tpu import models
+    from laughter_detection_icsi_tpu.config import MODEL_MAP
+    from laughter_detection_icsi_tpu.train import checkpoint as ckpt_lib
+
+    preset = MODEL_MAP[args.config]
+    model = models.build(
+        preset.model,
+        dropout_rate=0.0,
+        linear_layer_size=preset.linear_layer_size,
+        filter_sizes=preset.filter_sizes,
+    )
+    if args.random_init:
+        params, state = model.init(jax.random.PRNGKey(0))
+    else:
+        found = ckpt_lib.resolve_checkpoint(args.model_path)
+        if found is None:
+            raise SystemExit(f"Model checkpoint not found at {args.model_path}")
+        loaded = ckpt_lib.load_checkpoint(found)
+        params, state = loaded["params"], loaded["state"]
 
     if args.what == "windows":
         exported = export_lib.export_window_classifier(
@@ -140,9 +150,11 @@ def main(argv: Optional[List[str]] = None) -> int:
             if platforms
             else jax.devices()[0].platform != "cpu"
         )
-        chunk = args.chunk or (6144 if target_accel else 1024)
-        bucket_frames = args.bucket_frames or 6144
-        wave_dtype = args.wave_dtype or "int16"
+        chunk = args.chunk if args.chunk is not None else (
+            6144 if target_accel else 1024)
+        bucket_frames = (args.bucket_frames
+                         if args.bucket_frames is not None else 6144)
+        wave_dtype = args.wave_dtype if args.wave_dtype is not None else "int16"
         pipe = inference.LaughterPipeline(
             model, params, state,
             settings=inference.InferenceSettings(

@@ -32,16 +32,30 @@ artifact must run on platforms without the Pallas TPU kernel.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp
 from jax import export as jax_export
 
+# Host-side prep for the e2e artifact, re-exported for discoverability.
+# It lives in the JAX-FREE host_prep module so a serving host that only
+# executes artifacts can `from laughter_detection_icsi_tpu import
+# host_prep` without jax installed — importing THIS module needs jax.
+from laughter_detection_icsi_tpu.host_prep import bucket_inputs  # noqa: F401
+
 
 def _export_jit(fn, args_spec: Sequence, platforms: Optional[Sequence[str]]):
     kwargs = {}
-    if platforms:
+    if platforms is not None:
+        if not platforms:
+            # Falling through would silently lower for the exporting host's
+            # platform only — a TPU-targeted deployment would get a
+            # cpu-only artifact that fails at serving load, not at export.
+            raise ValueError(
+                "platforms=[] is ambiguous; pass None for "
+                "'current backend only' or name the targets"
+            )
         kwargs["platforms"] = [str(p) for p in platforms]
     return jax_export.export(jax.jit(fn), **kwargs)(*args_spec)
 
@@ -99,11 +113,11 @@ def export_bucket_pipeline(
     on the left, mirrored tail on the right), offset by
     ``k * bucket_frames * frame_shift`` for bucket k and zero-filled to
     ``wave_len`` — exactly the buffers the live bucket loop builds.  Use
-    :func:`bucket_inputs` for the host-side prep (pure numpy — a serving
-    host needs neither JAX nor this package's model code, only that
-    helper's arithmetic); rows at index >= the returned ``n_out`` are
-    computed from zero-masked features, slice them off.  Returns
-    ``(exported, wave_len)``.
+    :func:`host_prep.bucket_inputs` for the host-side prep (that module is
+    importable WITHOUT jax — a serving host needs neither JAX nor this
+    package's model code, only the prep arithmetic); rows at index >= the
+    returned ``n_out`` are computed from zero-masked features, slice them
+    off.  Returns ``(exported, wave_len)``.
     """
     if pipeline.settings.mode != "windows":
         # fused_conv probs route through a different graph with documented
@@ -136,74 +150,24 @@ def export_bucket_pipeline(
     return _export_jit(fn, spec, platforms), wave_len
 
 
-def bucket_inputs(wave, feat_cfg=None, settings=None):
-    """Host-side prep for the e2e artifact: yield ``(buf, valid, n_out)``
-    per bucket for a whole recording.
-
-    Pure numpy — mirrors ``LaughterPipeline.probs_for_waveform_device``'s
-    bucket loop exactly (Kaldi reflection padding via ``host_pad_waveform``,
-    ``k * bucket * shift`` slicing, zero-fill to ``wave_len``), so
-    ``concat(artifact.call(buf, valid)[:n_out] for each bucket)`` equals
-    the live pipeline's probabilities (pinned by tests/test_export.py).
-
-    ``buf`` preserves the input dtype (int16 stays int16 — feed it to an
-    int16 artifact); ``valid`` is the bucket's valid-frame count (int32);
-    ``n_out`` how many leading output rows are that bucket's frames.
-    """
-    import numpy as np
-
-    from laughter_detection_icsi_tpu.config import FEAT
-    from laughter_detection_icsi_tpu.inference import (
-        InferenceSettings,
-        _snip_cfg,
-        bucket_wave_len,
-        host_pad_waveform,
-    )
-
-    feat_cfg = feat_cfg if feat_cfg is not None else FEAT
-    settings = settings if settings is not None else InferenceSettings()
-    wave = np.asarray(wave)
-    if wave.dtype not in (np.int16, np.float32):
-        raise TypeError(
-            f"bucket_inputs wants int16 or float32 PCM, got {wave.dtype}"
-        )
-    padded, t = host_pad_waveform(wave, feat_cfg)
-    if t == 0:
-        return
-    wave_len = bucket_wave_len(settings, feat_cfg)
-    bucket = settings.bucket_frames
-    shift = _snip_cfg(feat_cfg).frame_shift_samples
-    for k in range(-(-t // bucket)):
-        lo = k * bucket * shift
-        buf = np.zeros(wave_len, dtype=wave.dtype)
-        src = padded[lo : lo + wave_len]
-        buf[: len(src)] = src
-        valid = min(t - k * bucket, bucket + settings.window - 1)
-        yield buf, np.int32(valid), min(bucket, t - k * bucket)
-
-
 def save(exported, path: str) -> int:
     """Serialize an ``jax.export.Exported`` to ``path``; returns the byte
-    count.  Atomic and durable (tmp + fsync + rename, like
+    count.  Atomic and durable (named tmp + fsync + rename, same pattern as
     train/checkpoint.py): a crash or power loss mid-export must not leave
     a truncated artifact that a serving binary would half-load."""
     import os
-    import tempfile
 
     blob = exported.serialize()
-    d = os.path.dirname(os.path.abspath(path)) or "."
-    fd, tmp = tempfile.mkstemp(dir=d, suffix=".tmp")
+    # A named tmp opened with open() gets umask-honoring modes natively —
+    # no mkstemp 0600 + fchmod dance (mutating the process-wide umask to
+    # read it is thread-unsafe: any concurrent file creation, e.g. a
+    # training checkpoint in a sibling thread, would land world-writable).
+    tmp = f"{path}.tmp.{os.getpid()}"
     try:
-        with os.fdopen(fd, "wb") as f:
+        with open(tmp, "wb") as f:
             f.write(blob)
             f.flush()
             os.fsync(f.fileno())
-            # mkstemp creates 0600; publish with the umask-honoring mode
-            # every other artifact this repo writes gets, or a serving
-            # user other than the exporting one cannot read it.
-            um = os.umask(0)
-            os.umask(um)
-            os.fchmod(f.fileno(), 0o666 & ~um)
         os.replace(tmp, path)
     except BaseException:
         try:

@@ -26,6 +26,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from laughter_detection_icsi_tpu import host_prep
 from laughter_detection_icsi_tpu.config import FEAT, FeatConfig
 from laughter_detection_icsi_tpu.data import audio as audio_io
 from laughter_detection_icsi_tpu.models.zoo import Model
@@ -89,24 +90,11 @@ class InferenceSettings:
             )
 
 
-def _snip_cfg(cfg: FeatConfig) -> FeatConfig:
-    return dataclasses.replace(cfg, snip_edges=True)
-
-
-def bucket_wave_len(settings: "InferenceSettings", feat_cfg: FeatConfig) -> int:
-    """Samples one bucket's featurize graph reads: ``bucket + window - 1``
-    frames (the bucket plus its window-1 halo) under snip_edges geometry.
-
-    THE single owner of the halo formula.  The compiled graphs
-    (LaughterPipeline._graphs, parallel ShardedPipeline._graphs) size their
-    input buffers with it, and the streaming readiness check
-    (_StreamingBase) decides bucket finality with it — if the two ever
-    disagreed, streaming would zero-fill missing tail samples and the
-    documented streaming==offline bit-exactness would break silently.
-    """
-    cfg = _snip_cfg(feat_cfg)
-    ext = settings.bucket_frames + settings.window - 1
-    return (ext - 1) * cfg.frame_shift_samples + cfg.frame_length_samples
+# The halo formula and its snip twin live in the jax-free host_prep module
+# now (exported-artifact hosts need them without jax); these aliases keep
+# every in-repo call site and import path working.
+_snip_cfg = host_prep.snip_cfg
+bucket_wave_len = host_prep.bucket_wave_len
 
 
 def cast_tree_bf16(tree):
@@ -136,37 +124,7 @@ def int16_transfer_eligible(meta, settings) -> bool:
     )
 
 
-def host_pad_waveform(
-    wave: np.ndarray, cfg: FeatConfig = FEAT
-) -> Tuple[np.ndarray, int]:
-    """Apply Kaldi's snip_edges=False symmetric padding on host.
-
-    Returns (padded_wave, num_frames): framing the padded wave with simple
-    strides reproduces the exact reference frames.  Dtype-preserving (int16
-    PCM stays int16 for the cheap device transfer).
-    """
-    if cfg.snip_edges:
-        raise ValueError(
-            "host_pad_waveform implements snip_edges=False reflection "
-            "padding; a snip_edges=True FeatConfig must not reach it"
-        )
-    n = len(wave)
-    t = fbank_ops.num_frames(n, cfg)
-    if t == 0:
-        return np.zeros(0, dtype=wave.dtype), 0
-    left, right = fbank_ops.pad_amounts(n, cfg)
-    if right < 0:
-        # Short-frame geometry (flen <= 2*shift): the last frame ends before
-        # the waveform; Kaldi never reads the tail (see pad_amounts).
-        wave = wave[: n + right]
-        right = 0
-    # mode='symmetric' == Kaldi's edge mirroring (index -j-1 / 2n-1-j) for
-    # the normal case, and stays well-defined (repeated mirroring) when a
-    # pad exceeds the wave length — naive slicing (wave[:left][::-1]) would
-    # silently produce a SHORT pad for waves under ~frame_length and shift
-    # every frame.
-    padded = np.pad(wave, (left, right), mode="symmetric")
-    return padded, t
+host_pad_waveform = host_prep.host_pad_waveform
 
 
 class LaughterPipeline:

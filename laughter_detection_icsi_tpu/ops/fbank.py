@@ -157,37 +157,13 @@ def _effective_bases(cfg: FeatConfig) -> Tuple[np.ndarray, np.ndarray]:
 # --------------------------------------------------------------------------- #
 
 
-def num_frames(num_samples: int, cfg: FeatConfig = FEAT) -> int:
-    """Frame count for a waveform of ``num_samples`` samples."""
-    shift = cfg.frame_shift_samples
-    if cfg.snip_edges:
-        if num_samples < cfg.frame_length_samples:
-            return 0
-        return 1 + (num_samples - cfg.frame_length_samples) // shift
-    return (num_samples + shift // 2) // shift
-
-
-def pad_amounts(num_samples: int, cfg: FeatConfig = FEAT) -> Tuple[int, int]:
-    """(left, right) symmetric padding for snip_edges=False framing.
-
-    ``left`` follows Kaldi's FirstSampleOfFrame with PER-TERM integer
-    truncation: frame 0 begins at ``shift/2 - flen/2``, so the left pad is
-    ``flen//2 - shift//2`` — NOT ``(flen - shift)//2``, which is one sample
-    short when flen is even and shift odd (e.g. 400/5) and would shift
-    every frame vs Kaldi.
-
-    ``right`` may be NEGATIVE for short-frame geometries (flen <= 2*shift,
-    e.g. num_samples=50 -> shift 320 / flen 400): the last frame then ends
-    BEFORE the waveform does and Kaldi simply never reads the tail samples —
-    consumers must truncate to ``num_samples + right``, not pad.
-    """
-    shift = cfg.frame_shift_samples
-    flen = cfg.frame_length_samples
-    t = num_frames(num_samples, cfg)
-    new_len = (t - 1) * shift + flen
-    npad = new_len - num_samples
-    npad_left = flen // 2 - shift // 2
-    return npad_left, npad - npad_left
+# Moved to the jax-free host_prep module (serving hosts need the frame
+# geometry without jax); re-exported here because every featurizer caller
+# reads them as fbank_ops.num_frames / fbank_ops.pad_amounts.
+from laughter_detection_icsi_tpu.host_prep import (  # noqa: E402
+    num_frames,
+    pad_amounts,
+)
 
 
 # --------------------------------------------------------------------------- #

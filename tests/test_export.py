@@ -74,6 +74,87 @@ def test_bucket_inputs_edge_cases():
         list(export_lib.bucket_inputs(np.zeros(10, np.int32)))
 
 
+def test_bucket_inputs_input_guards_match_pipeline():
+    """bucket_inputs claims to mirror probs_for_waveform_device exactly, so
+    it must share that method's INPUT contract too: 2-D PCM fails loudly
+    (not an opaque np.pad broadcast error) and float64 — which the live
+    pipeline accepts and narrows — is narrowed the same way."""
+    with pytest.raises(ValueError, match="1-D PCM"):
+        list(export_lib.bucket_inputs(np.zeros((100, 2), np.float32)))
+    rng = np.random.default_rng(11)
+    w32 = rng.standard_normal(16000).astype(np.float32)
+    got64 = list(export_lib.bucket_inputs(w32.astype(np.float64)))
+    got32 = list(export_lib.bucket_inputs(w32))
+    assert len(got64) == len(got32) > 0
+    for (b64, v64, n64), (b32, v32, n32) in zip(got64, got32):
+        assert b64.dtype == np.float32  # narrowed, like the pipeline
+        np.testing.assert_array_equal(b64, b32)
+        assert (v64, n64) == (v32, n32)
+
+
+def test_bucket_geometry_defaults_match_inference_settings():
+    """host_prep.BucketGeometry is the jax-free stand-in for
+    InferenceSettings in bucket_inputs; if their (window, bucket_frames)
+    defaults ever diverged, a JAX-less serving host would silently build
+    buffers of the wrong length for a default-exported artifact."""
+    from laughter_detection_icsi_tpu import host_prep
+
+    g = host_prep.BucketGeometry()
+    s = inference.InferenceSettings()
+    assert (g.window, g.bucket_frames) == (s.window, s.bucket_frames)
+    assert export_lib.bucket_inputs is host_prep.bucket_inputs
+
+
+def test_host_prep_imports_without_jax():
+    """The documented serving-host contract: the host-prep arithmetic is
+    importable and usable with jax UNINSTALLED.  Simulated by poisoning
+    sys.modules['jax'] in a fresh interpreter (any `import jax` then
+    raises), then running the full bucket_inputs prep."""
+    import os
+    import subprocess
+
+    env = {
+        k: v
+        for k, v in os.environ.items()
+        # The axon plugin's sitecustomize registration imports jax at
+        # interpreter start when PALLAS_AXON_POOL_IPS is set — strip it so
+        # the child starts genuinely jax-free.
+        if k not in ("JAX_PLATFORMS", "PALLAS_AXON_POOL_IPS")
+    }
+    code = (
+        "import sys\n"
+        f"sys.path.insert(0, {str(REPO)!r})\n"
+        "assert 'jax' not in sys.modules\n"
+        "sys.modules['jax'] = None  # simulate a JAX-less serving host\n"
+        "from laughter_detection_icsi_tpu import host_prep\n"
+        "import numpy as np\n"
+        "wave = (np.linspace(-1, 1, 16000 * 3) * 20000).astype(np.int16)\n"
+        "geom = host_prep.BucketGeometry(bucket_frames=128)\n"
+        "bufs = list(host_prep.bucket_inputs(wave, settings=geom))\n"
+        "assert len(bufs) == 3, len(bufs)\n"
+        "wl = host_prep.bucket_wave_len(geom)\n"
+        "assert all(b.shape == (wl,) and b.dtype == np.int16"
+        " for b, _, _ in bufs)\n"
+        "print('JAXFREE_OK')\n"
+    )
+    proc = subprocess.run(
+        [sys.executable, "-c", code],
+        env=env, capture_output=True, text=True, timeout=120,
+    )
+    assert proc.returncode == 0, f"stdout={proc.stdout}\nstderr={proc.stderr}"
+    assert "JAXFREE_OK" in proc.stdout
+
+
+def test_export_rejects_empty_platforms(small_model):
+    """platforms=[] must fail at export, not silently lower a current-
+    backend-only artifact a TPU deployment then can't load."""
+    model, params, state = small_model
+    with pytest.raises(ValueError, match="platforms"):
+        export_lib.export_window_classifier(
+            model, params, state, batch=2, platforms=[]
+        )
+
+
 def test_export_rejects_fused_conv_pipeline(small_model):
     """fused_conv probs are documented non-bit-parity with windows mode;
     exporting its pipeline must fail loudly, not emit a mismatched
@@ -144,6 +225,18 @@ def test_export_cli_rejects_inapplicable_flags_and_bad_platforms(tmp_path):
         main(["--random_init", "--platforms", "tpu, cpu x", "--out", out])
     with pytest.raises(SystemExit, match="unknown platform"):
         main(["--random_init", "--platforms", ",", "--out", out])
+    # Explicit 0 / negatives are rejected loudly — not silently swapped
+    # for the default (0) or crashed deep in tracing (negative).
+    with pytest.raises(SystemExit, match="--chunk must be >= 1"):
+        main(["--random_init", "--what", "e2e", "--chunk", "0", "--out", out])
+    with pytest.raises(SystemExit, match="--batch must be >= 1"):
+        main(["--random_init", "--batch", "-3", "--out", out])
+    # Arg-only validation precedes the checkpoint load: with BOTH a bad
+    # flag and a missing checkpoint, the flag error wins (no multi-GB
+    # load just to report an argparse-level mistake).
+    with pytest.raises(SystemExit, match="--chunk only applies"):
+        main(["--model_path", str(tmp_path / "definitely-missing"),
+              "--what", "windows", "--chunk", "512", "--out", out])
     # 'tpu, cpu' with a space is natural shell quoting — normalized, not
     # forwarded to jax.export as ' cpu'.
     rc = main(["--random_init", "--batch", "2", "--platforms", "tpu, cpu",
