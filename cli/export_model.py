@@ -70,7 +70,12 @@ def main(argv: Optional[List[str]] = None) -> int:
     # it must fail before the (potentially multi-GB) checkpoint load and
     # the heavy imports, not after.
     platforms = None
-    if args.platforms:
+    if args.platforms is not None:
+        # `is not None`, not truthiness: --platforms "" (e.g. an unset
+        # $TARGET_PLATFORMS shell variable) must error here, not silently
+        # fall through to a current-backend-only artifact that a TPU
+        # deployment can't load — the same silent failure _export_jit
+        # rejects for platforms=[] one layer down.
         platforms = [s.strip() for s in args.platforms.split(",") if s.strip()]
         known = {"tpu", "cpu", "cuda", "rocm"}
         bad = [s for s in platforms if s not in known]
@@ -104,12 +109,21 @@ def main(argv: Optional[List[str]] = None) -> int:
             raise SystemExit(f"{name} must be >= 1, got {v}")
     if args.model_path is None and not args.random_init:
         raise SystemExit("--model_path is required (or --random_init)")
+    # MODEL_MAP lives in the jax-free config module, so an unknown preset
+    # is an arg-only error too — name it here instead of a raw KeyError
+    # after the heavy jax import (and potential checkpoint load).
+    from laughter_detection_icsi_tpu.config import MODEL_MAP
+
+    if args.config not in MODEL_MAP:
+        raise SystemExit(
+            f"--config: unknown preset {args.config!r} "
+            f"(choose from {sorted(MODEL_MAP)})"
+        )
 
     import jax
 
     from laughter_detection_icsi_tpu import export as export_lib
     from laughter_detection_icsi_tpu import models
-    from laughter_detection_icsi_tpu.config import MODEL_MAP
     from laughter_detection_icsi_tpu.train import checkpoint as ckpt_lib
 
     preset = MODEL_MAP[args.config]

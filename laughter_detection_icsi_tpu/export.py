@@ -162,7 +162,11 @@ def save(exported, path: str) -> int:
     # no mkstemp 0600 + fchmod dance (mutating the process-wide umask to
     # read it is thread-unsafe: any concurrent file creation, e.g. a
     # training checkpoint in a sibling thread, would land world-writable).
-    tmp = f"{path}.tmp.{os.getpid()}"
+    # pid alone is NOT unique within a process: two threads saving to the
+    # same path would interleave writes in one shared tmp and publish a
+    # corrupt blob — the random suffix restores mkstemp's per-call
+    # uniqueness (last replace wins, each with a complete artifact).
+    tmp = f"{path}.tmp.{os.getpid()}.{os.urandom(4).hex()}"
     try:
         with open(tmp, "wb") as f:
             f.write(blob)

@@ -18,7 +18,7 @@ bucket loop (inference.LaughterPipeline.probs_for_waveform_device) exactly
 from __future__ import annotations
 
 import dataclasses
-from typing import Tuple
+from typing import Optional, Tuple
 
 import numpy as np
 
@@ -140,7 +140,9 @@ def bucket_wave_len(settings, feat_cfg: FeatConfig = FEAT) -> int:
     return (ext - 1) * cfg.frame_shift_samples + cfg.frame_length_samples
 
 
-def bucket_inputs(wave, feat_cfg: FeatConfig = None, settings=None):
+def bucket_inputs(
+    wave, feat_cfg: Optional[FeatConfig] = None, settings=None
+):
     """Host-side prep for the e2e artifact: yield ``(buf, valid, n_out)``
     per bucket for a whole recording.
 

@@ -40,6 +40,44 @@ def test_window_classifier_symbolic_batch_roundtrip(small_model, tmp_path):
         assert got.shape == (b,)
 
 
+def test_save_concurrent_same_path_publishes_intact_artifact(
+    small_model, tmp_path
+):
+    """Two threads saving to the SAME path must each write their own tmp
+    file (per-call unique suffix): a shared tmp would interleave writes and
+    publish a corrupt blob.  Whichever replace wins, the published file
+    must deserialize and its size match one saver's full blob."""
+    import threading
+
+    model, params, state = small_model
+    exported = export_lib.export_window_classifier(model, params, state)
+    path = tmp_path / "race.stablehlo"
+    errs = []
+
+    sizes = []
+
+    def worker():
+        try:
+            for _ in range(5):
+                sizes.append(export_lib.save(exported, str(path)))
+        except BaseException as e:  # pragma: no cover - failure path
+            errs.append(e)
+
+    threads = [threading.Thread(target=worker) for _ in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs
+    # The published file is ONE complete save's blob (sizes are collected
+    # from save's return value rather than re-serializing, in case
+    # serialization is not byte-deterministic across calls).
+    assert path.stat().st_size in set(sizes)
+    export_lib.load(str(path))  # deserializes => not interleaved
+    leftovers = [p.name for p in tmp_path.iterdir() if p.name != path.name]
+    assert leftovers == []  # every tmp was renamed or cleaned up
+
+
 def test_bucket_pipeline_artifact_matches_offline(small_model, tmp_path):
     """The fused e2e artifact + the numpy-only bucket_inputs host prep
     reproduce LaughterPipeline.probs_for_waveform across MULTIPLE buckets
@@ -225,6 +263,14 @@ def test_export_cli_rejects_inapplicable_flags_and_bad_platforms(tmp_path):
         main(["--random_init", "--platforms", "tpu, cpu x", "--out", out])
     with pytest.raises(SystemExit, match="unknown platform"):
         main(["--random_init", "--platforms", ",", "--out", out])
+    # --platforms "" (an unset $TARGET_PLATFORMS shell var) must error,
+    # not silently export a current-backend-only artifact.
+    with pytest.raises(SystemExit, match="unknown platform"):
+        main(["--random_init", "--platforms", "", "--out", out])
+    # Unknown preset: named arg-only error BEFORE the jax import and
+    # checkpoint load, not a raw KeyError at MODEL_MAP lookup.
+    with pytest.raises(SystemExit, match="unknown preset 'resnet_bsae'"):
+        main(["--random_init", "--config", "resnet_bsae", "--out", out])
     # Explicit 0 / negatives are rejected loudly — not silently swapped
     # for the default (0) or crashed deep in tracing (negative).
     with pytest.raises(SystemExit, match="--chunk must be >= 1"):
