@@ -31,10 +31,17 @@ def main(argv: Optional[List[str]] = None) -> int:
 
     loaded = ckpt.load_checkpoint(args.src)
     if args.dest.endswith((".pth.tar", ".pth", ".pt")):
+        import os
+        import tempfile
+
+        import numpy as np
         import torch
 
         state_dict = {
-            k: torch.from_numpy(__import__("numpy").array(v))
+            # np.array (not ascontiguousarray): the copy guarantees a
+            # WRITABLE buffer — from_numpy on a read-only npz-backed array
+            # warns and yields a tensor with undefined write behavior.
+            k: torch.from_numpy(np.array(v))
             for k, v in ckpt.to_torch_state_dict(
                 loaded["params"], loaded["state"]
             ).items()
@@ -45,15 +52,23 @@ def main(argv: Optional[List[str]] = None) -> int:
             v = loaded.get(key)
             return default if v is None else v
 
-        torch.save(
-            {
-                "state_dict": state_dict,
-                "epoch": _get("epoch", 0),
-                "global_step": _get("global_step", 0),
-                "best_val_loss": _get("best_val_loss", float("inf")),
-            },
-            args.dest,
-        )
+        # tmp + replace, same as the npz branch below: an interrupt
+        # mid-torch.save must not leave a truncated .pth.tar where a
+        # valid file used to be.
+        with tempfile.TemporaryDirectory(
+            dir=os.path.dirname(args.dest) or "."
+        ) as tmp:
+            tmp_path = os.path.join(tmp, os.path.basename(args.dest))
+            torch.save(
+                {
+                    "state_dict": state_dict,
+                    "epoch": _get("epoch", 0),
+                    "global_step": _get("global_step", 0),
+                    "best_val_loss": _get("best_val_loss", float("inf")),
+                },
+                tmp_path,
+            )
+            os.replace(tmp_path, args.dest)
     else:
         import os
         import tempfile

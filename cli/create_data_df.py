@@ -72,10 +72,22 @@ def main(argv: Optional[List[str]] = None) -> int:
         if args.num_non_laugh_samples is not None
         else _env_int("NUM_OF_NON_LAUGH_SAMPLES", 1)
     )
+    def _env_bool(name: str, default: bool) -> bool:
+        # Strict true/false, like _env_int's strictness: '1'/'yes' silently
+        # mapping to False would hand the user deterministic sampling they
+        # believe they turned off.
+        raw = os.environ.get(name, "")
+        if not raw.strip():
+            return default
+        low = raw.strip().lower()
+        if low not in ("true", "false"):
+            raise SystemExit(f"{name}={raw!r} must be 'True' or 'False'")
+        return low == "true"
+
     random_sel = (
         args.random_selection
         if args.random_selection is not None
-        else os.environ.get("RANDOM_SELECTION", "False").lower() == "true"
+        else _env_bool("RANDOM_SELECTION", False)
     )
 
     store = transcript_lib.load(args.transcript_dir)

@@ -94,7 +94,9 @@ def _audio_files(audio_dir: str) -> Dict[str, str]:
             if stem in out:
                 # Silent overwrite would compare goldens against the WRONG
                 # audio file (e.g. a .sph and its converted .wav twin).
-                raise ValueError(
+                # SystemExit, matching this CLI's other user-input errors —
+                # a traceback would bury the (good) message.
+                raise SystemExit(
                     f"audio stems collide: {out[stem]} and {f} both flatten "
                     f"to {stem!r} — remove one or separate the directories"
                 )
@@ -144,9 +146,31 @@ def _pipeline(args, model, params, state):
 # --------------------------------------------------------------------------- #
 
 
+def _finish_compared(out: dict, n: int, missing: List[str], ok: bool) -> dict:
+    """Final status for a per-golden comparison check.
+
+    Goldens whose audio file is absent are EVIDENCE GAPS, not skips: a
+    "pass" computed from half the goldens would claim parity that was
+    never established, so any missing audio fails the check outright
+    (the per-check dict still lists which stems were unmatched).
+    Whole-check "skipped" is reserved for goldens that don't exist at all.
+    """
+    if missing:
+        out.update(
+            status="fail", missing_audio=missing,
+            reason=f"{len(missing)} golden(s) had no matching audio file "
+                   f"under --audio_dir — parity cannot be claimed from a "
+                   f"partial comparison",
+        )
+        return out
+    out["status"] = "pass" if (n and ok) else "fail"
+    return out
+
+
 def _check_features(gdir: Path, audio: Dict[str, str], atol: float) -> dict:
     import numpy as np
 
+    from laughter_detection_icsi_tpu.config import FEAT
     from laughter_detection_icsi_tpu.data import audio as audio_io
     from laughter_detection_icsi_tpu.data.feature_cache import (
         compute_track_features,
@@ -164,7 +188,18 @@ def _check_features(gdir: Path, audio: Dict[str, str], atol: float) -> dict:
             missing.append(stem)
             continue
         want = np.load(g)
-        wave, _sr = audio_io.read(audio[stem])
+        wave, sr = audio_io.read(audio[stem])
+        # The other checks route through probs_for_file, which rejects a
+        # wrong-rate file loudly; this one featurizes directly, and 16 kHz
+        # Kaldi geometry applied to e.g. 44.1 kHz audio would surface only
+        # as a confusing numeric mismatch (or, in --write_goldens, as
+        # garbage goldens that later self-consistently "pass").
+        if sr != FEAT.sampling_rate:
+            return {
+                "status": "fail", "stem": stem,
+                "reason": f"{audio[stem]} is {sr} Hz; the featurizer "
+                          f"expects {FEAT.sampling_rate} Hz",
+            }
         got = compute_track_features(wave)
         if got.shape != want.shape:
             return {
@@ -173,13 +208,8 @@ def _check_features(gdir: Path, audio: Dict[str, str], atol: float) -> dict:
             }
         worst = max(worst, float(np.max(np.abs(got - want))) if got.size else 0.0)
         n += 1
-    status = "pass" if (n and worst <= atol) else "fail"
-    out = {"status": status, "n": n, "max_abs_diff": worst, "atol": atol}
-    if missing:
-        out["missing_audio"] = missing
-    if not n:
-        out.update(status="skipped", reason="no golden had matching audio")
-    return out
+    out = {"n": n, "max_abs_diff": worst, "atol": atol}
+    return _finish_compared(out, n, missing, ok=worst <= atol)
 
 
 def _check_probs(gdir: Path, audio: Dict[str, str], pipe, atol: float) -> dict:
@@ -206,15 +236,8 @@ def _check_probs(gdir: Path, audio: Dict[str, str], pipe, atol: float) -> dict:
             }
         worst = max(worst, float(np.max(np.abs(got - want))) if got.size else 0.0)
         n += 1
-    if not n:
-        return {"status": "skipped", "reason": "no golden had matching audio"}
-    out = {
-        "status": "pass" if worst <= atol else "fail",
-        "n": n, "max_abs_diff": worst, "atol": atol,
-    }
-    if missing:
-        out["missing_audio"] = missing
-    return out
+    out = {"n": n, "max_abs_diff": worst, "atol": atol}
+    return _finish_compared(out, n, missing, ok=worst <= atol)
 
 
 def _check_textgrids(
@@ -250,16 +273,11 @@ def _check_textgrids(
         for (a0, a1), (b0, b1) in zip(got, want):
             worst = max(worst, abs(a0 - b0), abs(a1 - b1))
         n += 1
-    if not n:
-        return {"status": "skipped", "reason": "no golden had matching audio"}
     out = {
-        "status": "pass" if worst <= tol else "fail",
         "n": n, "max_boundary_diff_s": worst, "tol_s": tol,
         "threshold": thr, "min_length": min_len,
     }
-    if missing:
-        out["missing_audio"] = missing
-    return out
+    return _finish_compared(out, n, missing, ok=worst <= tol)
 
 
 def _run_sweep_stats(args, manifest: dict, workdir: Path) -> Path:
@@ -314,6 +332,14 @@ def _check_analyse(args, gdir: Path, manifest: dict, atol: float, workdir: Path)
         return {"status": "fail", "reason": str(e)}
     ours = pd.read_csv(ours_csv)
     want = pd.read_csv(golden_csv)
+    if not len(want):
+        # A headered-but-empty golden (e.g. a failed reference export)
+        # would otherwise pass vacuously: 0 merged == 0 golden rows, both
+        # metric loops skip, worst stays 0.0.
+        return {
+            "status": "fail",
+            "reason": f"golden {golden_csv} has a header but no data rows",
+        }
     # Join on ROUNDED grid keys: the reference export may carry float-repr
     # noise (np.arange thresholds like 0.30000000000000004) while our keys
     # round-trip through t_*/l_* directory names as exact short decimals —
@@ -370,6 +396,25 @@ def _check_analyse(args, gdir: Path, manifest: dict, atol: float, workdir: Path)
     return out
 
 
+def _run_pinned_batches(model, params, state, inputs, labels) -> List[float]:
+    """K train steps on the pinned batch stream from fresh Adam state;
+    returns the per-step losses.  THE single definition of the loss-curve
+    contract: _check_loss_curve and _write_goldens both call this, so
+    self-written goldens and the checker cannot drift (different rng,
+    optimizer config, ...) without failing together."""
+    from laughter_detection_icsi_tpu.train import Adam, Trainer
+
+    trainer = Trainer(model=model, optimizer=Adam())
+    p, s, o = params, state, trainer.optimizer.init(params)
+    losses = []
+    for k in range(inputs.shape[0]):
+        p, s, o, metrics = trainer.train_batch(
+            p, s, o, {"inputs": inputs[k], "is_laugh": labels[k]}, None
+        )
+        losses.append(float(metrics["loss"]))
+    return losses
+
+
 def _check_loss_curve(args, gdir: Path, model, params, state, atol: float) -> dict:
     import numpy as np
     import pandas as pd
@@ -380,20 +425,10 @@ def _check_loss_curve(args, gdir: Path, model, params, state, atol: float) -> di
         return {"status": "skipped", "reason": "no train/ goldens"}
     if params is None:
         return {"status": "skipped", "reason": "no --model_path"}
-    from laughter_detection_icsi_tpu.train import Adam, Trainer
-
     blob = np.load(batches_npz)
     inputs, labels = blob["inputs"], blob["labels"]
     want = pd.read_csv(curve_csv)["loss"].to_numpy()
-    trainer = Trainer(model=model, optimizer=Adam())
-    opt_state = trainer.optimizer.init(params)
-    losses = []
-    p, s, o = params, state, opt_state
-    for k in range(inputs.shape[0]):
-        batch = {"inputs": inputs[k], "is_laugh": labels[k]}
-        p, s, o, metrics = trainer.train_batch(p, s, o, batch, None)
-        losses.append(float(metrics["loss"]))
-    losses = np.asarray(losses)
+    losses = np.asarray(_run_pinned_batches(model, params, state, inputs, labels))
     if len(losses) != len(want):
         return {
             "status": "fail",
@@ -416,6 +451,7 @@ def _write_goldens(args, gdir: Path, audio: Dict[str, str]) -> dict:
     import numpy as np
     import pandas as pd
 
+    from laughter_detection_icsi_tpu.config import FEAT
     from laughter_detection_icsi_tpu.data import audio as audio_io
     from laughter_detection_icsi_tpu.data.feature_cache import (
         compute_track_features,
@@ -432,7 +468,14 @@ def _write_goldens(args, gdir: Path, audio: Dict[str, str]) -> dict:
     gdir.mkdir(parents=True, exist_ok=True)
     (gdir / "features").mkdir(exist_ok=True)
     for stem, path in audio.items():
-        wave, _sr = audio_io.read(path)
+        wave, sr = audio_io.read(path)
+        if sr != FEAT.sampling_rate:
+            # Featurizing a wrong-rate file here would write garbage
+            # goldens that later self-consistently "pass" the check.
+            raise SystemExit(
+                f"{path} is {sr} Hz; goldens must be "
+                f"{FEAT.sampling_rate} Hz audio"
+            )
         np.save(gdir / "features" / f"{stem}.npy", compute_track_features(wave))
 
     model, params, state = _load_model(args)
@@ -467,24 +510,16 @@ def _write_goldens(args, gdir: Path, audio: Dict[str, str]) -> dict:
                 src = _run_sweep_stats(args, manifest, Path(tmp))
                 (gdir / "sum_stats.csv").write_text(src.read_text())
         # Pinned batch stream + our loss curve
-        from laughter_detection_icsi_tpu.train import Adam, Trainer
-
         rng = np.random.default_rng(0)
         k, b = args.train_steps, 8
         inputs = rng.standard_normal((k, b, 100, 44)).astype(np.float32)
         labels = (rng.uniform(size=(k, b)) > 0.5).astype(np.float32)
         (gdir / "train").mkdir(exist_ok=True)
         np.savez(gdir / "train" / "batches.npz", inputs=inputs, labels=labels)
-        trainer = Trainer(model=model, optimizer=Adam())
-        o = trainer.optimizer.init(params)
-        p, s = params, state
-        rows = []
-        for i in range(k):
-            p, s, o, metrics = trainer.train_batch(
-                p, s, o, {"inputs": inputs[i], "is_laugh": labels[i]}, None
-            )
-            rows.append({"step": i, "loss": float(metrics["loss"])})
-        pd.DataFrame(rows).to_csv(gdir / "train" / "loss_curve.csv", index=False)
+        losses = _run_pinned_batches(model, params, state, inputs, labels)
+        pd.DataFrame(
+            [{"step": i, "loss": lo} for i, lo in enumerate(losses)]
+        ).to_csv(gdir / "train" / "loss_curve.csv", index=False)
 
     (gdir / "manifest.json").write_text(json.dumps(manifest, indent=2))
     return manifest
@@ -500,6 +535,16 @@ def main(argv: Optional[List[str]] = None) -> int:
 
     enable_compilation_cache()
     args = build_parser().parse_args(argv)
+    # Named arg-only error before any heavy work — not a raw KeyError at
+    # MODEL_MAP lookup after audio scanning already ran (config is
+    # jax-free; same convention as cli/export_model.py).
+    from laughter_detection_icsi_tpu.config import MODEL_MAP
+
+    if args.config not in MODEL_MAP:
+        raise SystemExit(
+            f"--config: unknown preset {args.config!r} "
+            f"(choose from {sorted(MODEL_MAP)})"
+        )
     gdir = Path(args.goldens)
     audio = _audio_files(args.audio_dir)
     if not audio:

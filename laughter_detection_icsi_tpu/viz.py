@@ -78,6 +78,17 @@ def _finish_pr_axes(fig, ax, out_path: Optional[str]):
     return fig
 
 
+def _match_min_len(df: pd.DataFrame, min_len: float) -> pd.DataFrame:
+    """Rows whose min_len equals ``min_len`` at 6-decimal precision.
+
+    Exact float equality would reject reference-exported grids carrying
+    float-repr noise (np.arange min_lens like 0.30000000000000004) even
+    though the 0.3 row visibly exists in the CSV — same normalization as
+    cli/parity.py's grid join.
+    """
+    return df[df["min_len"].round(6) == round(min_len, 6)]
+
+
 def plot_precision_recall(
     sum_stats_csv: str,
     out_path: Optional[str] = None,
@@ -89,7 +100,7 @@ def plot_precision_recall(
     sweep to a single smoothing setting (one curve)."""
     df = pd.read_csv(sum_stats_csv)
     if min_len is not None:
-        df = df[df["min_len"] == min_len]
+        df = _match_min_len(df, min_len)
         if df.empty:
             # An out-of-grid filter would render an empty (yet saved) figure.
             raise ValueError(
@@ -114,9 +125,11 @@ def plot_fp_confusion(
     setting; default shows each (threshold, min_len) as its own row."""
     df = pd.read_csv(eval_df_csv)
     if thresholds:
-        df = df[df["threshold"].isin(thresholds)]
+        # Same 6-decimal normalization as _match_min_len, for the same
+        # float-repr-noise reason.
+        df = df[df["threshold"].round(6).isin([round(t, 6) for t in thresholds])]
     if min_len is not None:
-        df = df[df["min_len"] == min_len]
+        df = _match_min_len(df, min_len)
     if df.empty:
         # A filter value outside the sweep grid would otherwise render a
         # blank heatmap and report success.
@@ -162,7 +175,7 @@ def plot_experiment_comparison(
     for name, path in sum_stats_csvs.items():
         df = pd.read_csv(path)
         if min_len is not None:
-            df = df[df["min_len"] == min_len]
+            df = _match_min_len(df, min_len)
             if df.empty:
                 # Silently skipping one experiment would produce a
                 # "comparison" missing a contender without any signal.

@@ -12,6 +12,7 @@ import sys
 from pathlib import Path
 
 import numpy as np
+import pytest
 
 REPO = Path(__file__).resolve().parent.parent
 
@@ -192,3 +193,22 @@ def test_create_data_df_and_compute_features_cli(synthetic_corpus, tmp_path):
     m, c = train_df.iloc[0][["meeting_id", "chan_id"]]
     track = cache.track(m, c)
     assert track.ndim == 2 and track.shape[1] == 44
+
+
+def test_create_data_df_rejects_invalid_random_selection_env(
+    tmp_path, monkeypatch
+):
+    """RANDOM_SELECTION=1/yes must fail naming the variable (like the
+    integer env vars), not silently mean False — a user who believes they
+    enabled random selection would otherwise get the deterministic
+    structured mix with no warning."""
+    from cli import create_data_df as cdd
+
+    monkeypatch.setenv("RANDOM_SELECTION", "1")
+    with pytest.raises(SystemExit, match="RANDOM_SELECTION='1'"):
+        cdd.main(
+            [
+                "--data_dfs_dir", str(tmp_path / "dfs"),
+                "--transcript_dir", str(tmp_path),  # never reached
+            ]
+        )

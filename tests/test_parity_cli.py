@@ -176,9 +176,10 @@ def test_missing_goldens_skip_not_fail(corpus, tmp_path):
     assert rc == 0  # nothing failed; everything skipped
 
 
-def test_probs_check_reports_missing_audio(corpus, goldens_written, tmp_path):
-    """A golden with no matching audio must be surfaced in the report, not
-    silently skipped — otherwise 'pass' overstates the parity evidence."""
+def test_probs_check_fails_on_missing_audio(corpus, goldens_written, tmp_path):
+    """A golden with no matching audio is an EVIDENCE GAP: the check must
+    fail (exit 1) and name the unmatched stems — a 'pass' computed from a
+    partial comparison would claim parity that was never established."""
     ghost = goldens_written / "probs" / "Zzz999__chanZ.npy"
     try:
         np.save(ghost, np.asarray([0.5], np.float32))
@@ -186,9 +187,11 @@ def test_probs_check_reports_missing_audio(corpus, goldens_written, tmp_path):
         rc = parity_cli.main(
             _base_args(corpus) + ["--configs", "probs", "--out", str(report_path)]
         )
-        assert rc == 0  # matched goldens still pass...
+        assert rc == 1
         report = json.loads(report_path.read_text())
+        assert report["configs"]["probs"]["status"] == "fail"
         assert report["configs"]["probs"]["missing_audio"] == ["Zzz999__chanZ"]
+        assert "partial comparison" in report["configs"]["probs"]["reason"]
     finally:
         ghost.unlink()
 
@@ -214,3 +217,71 @@ def test_analyse_join_tolerates_float_repr_noise(corpus, goldens_written, tmp_pa
         assert report["configs"]["analyse"]["status"] == "pass"
     finally:
         csv.write_text(orig)
+
+
+def test_features_check_rejects_wrong_sample_rate(tmp_path):
+    """A wrong-rate file must fail with the rate named — 16 kHz Kaldi
+    geometry silently applied to 8 kHz audio would surface only as a
+    confusing numeric mismatch (the probs/textgrids checks already get
+    this guard from probs_for_file; features featurizes directly)."""
+    gdir = tmp_path / "g"
+    (gdir / "features").mkdir(parents=True)
+    np.save(gdir / "features" / "m__c.npy", np.zeros((10, 44), np.float32))
+    wav = tmp_path / "m" / "c.wav"
+    wav.parent.mkdir()
+    audio_io.write_wav(str(wav), np.zeros(8000, np.float32), 8000)
+    r = parity_cli._check_features(gdir, {"m__c": str(wav)}, atol=1e-3)
+    assert r["status"] == "fail"
+    assert "8000 Hz" in r["reason"] and "16000" in r["reason"]
+
+
+def test_write_goldens_rejects_wrong_sample_rate(corpus, tmp_path):
+    """--write_goldens on wrong-rate audio must abort, not write garbage
+    goldens that later self-consistently 'pass'."""
+    bad_dir = tmp_path / "bad_audio" / "Xxx000"
+    bad_dir.mkdir(parents=True)
+    audio_io.write_wav(
+        str(bad_dir / "chanA.wav"), np.zeros(44100, np.float32), 44100
+    )
+    with pytest.raises(SystemExit, match="44100 Hz"):
+        parity_cli.main(
+            [
+                "--goldens", str(tmp_path / "g2"),
+                "--audio_dir", str(tmp_path / "bad_audio"),
+                "--write_goldens",
+            ]
+        )
+
+
+def test_analyse_fails_on_headered_empty_golden(corpus, monkeypatch, tmp_path):
+    """A header-only sum_stats.csv golden (failed reference export) must
+    fail, not pass vacuously with rows: 0."""
+    import pandas as pd
+
+    gdir = tmp_path / "g3"
+    gdir.mkdir()
+    pd.DataFrame(
+        columns=["threshold", "min_len", "precision", "recall"]
+    ).to_csv(gdir / "sum_stats.csv", index=False)
+    ours = tmp_path / "ours.csv"
+    pd.DataFrame(
+        {"threshold": [0.5], "min_len": [0.2],
+         "precision": [0.5], "recall": [0.5]}
+    ).to_csv(ours, index=False)
+    # The expensive sweep is irrelevant to the guard under test.
+    monkeypatch.setattr(
+        parity_cli, "_run_sweep_stats", lambda *a, **k: ours
+    )
+    args = parity_cli.build_parser().parse_args(
+        _base_args(corpus) + ["--goldens", str(gdir)]
+    )
+    r = parity_cli._check_analyse(args, gdir, {}, 1e-3, tmp_path)
+    assert r["status"] == "fail"
+    assert "no data rows" in r["reason"]
+
+
+def test_parity_cli_rejects_unknown_config(corpus):
+    with pytest.raises(SystemExit, match="unknown preset 'resnet_bsae'"):
+        parity_cli.main(
+            _base_args(corpus) + ["--config", "resnet_bsae"]
+        )

@@ -131,6 +131,27 @@ def test_visualise_cli_min_len_filtering(sum_stats_csv, metrics_csv, tmp_path):
         main(["pr", sum_stats_csv, "--out", str(out), "--title", "t"])
 
 
+def test_min_len_filter_tolerates_float_repr_noise(tmp_path):
+    """Reference-exported grids may carry np.arange float noise
+    (min_len 0.30000000000000004); --min_len 0.3 must still match the row
+    instead of raising 'no sweep rows' (same 6-decimal normalization as
+    the parity harness's grid join)."""
+    from cli.visualise import main
+
+    p = tmp_path / "noisy_stats.csv"
+    pd.DataFrame(
+        {
+            "threshold": [0.2, 0.5],
+            "min_len": [0.30000000000000004, 0.30000000000000004],
+            "precision": [0.4, 0.6],
+            "recall": [0.8, 0.5],
+        }
+    ).to_csv(p, index=False)
+    out = tmp_path / "pr.png"
+    assert main(["pr", str(p), "--out", str(out), "--min_len", "0.3"]) == 0
+    assert out.is_file()
+
+
 def test_laughs_to_wav_cli(tmp_path, rng):
     from cli.laughs_to_wav import main
 
