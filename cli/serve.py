@@ -41,7 +41,12 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
 def build_parser() -> argparse.ArgumentParser:
-    p = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    # `or ''` guard: under python -OO docstrings are stripped and __doc__
+    # is None — even --help would crash.
+    doc = (__doc__ or "").splitlines()
+    p = argparse.ArgumentParser(
+        description=doc[0] if doc else "Streaming laughter-detection server"
+    )
     p.add_argument("--model_path", type=str, required=True)
     p.add_argument("--config", type=str, default="resnet_base")
     p.add_argument("--input", type=str, default="-",
@@ -70,8 +75,18 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def _emit(obj: dict) -> None:
-    sys.stdout.write(json.dumps(obj) + "\n")
-    sys.stdout.flush()
+    try:
+        sys.stdout.write(json.dumps(obj) + "\n")
+        sys.stdout.flush()
+    except BrokenPipeError:
+        # The downstream NDJSON consumer exited (e.g. `... | head -5`) —
+        # a normal way for pipe-based serving to end, not a crash.  Point
+        # stdout at devnull so the interpreter's shutdown flush doesn't
+        # raise a second time, then exit quietly with the conventional
+        # SIGPIPE code.
+        devnull = os.open(os.devnull, os.O_WRONLY)
+        os.dup2(devnull, sys.stdout.fileno())
+        raise SystemExit(141)
 
 
 def main(argv: Optional[List[str]] = None) -> int:
@@ -85,6 +100,13 @@ def main(argv: Optional[List[str]] = None) -> int:
         # Fail before the expensive model load + warmup: 0 would otherwise
         # die with a ZeroDivisionError deep in the stdin loop.
         raise SystemExit(f"--channels must be >= 1 (got {args.channels})")
+    for name, v in (("--chunk", args.chunk),
+                    ("--bucket_frames", args.bucket_frames)):
+        # `is not None`: an explicit 0 must be rejected loudly here, not
+        # silently swapped for the default by `or`; negatives would crash
+        # deep in the jitted featurize after the expensive model load.
+        if v is not None and v < 1:
+            raise SystemExit(f"{name} must be >= 1, got {v}")
 
     import jax
     import numpy as np
@@ -108,8 +130,10 @@ def main(argv: Optional[List[str]] = None) -> int:
 
     on_accel = jax.devices()[0].platform != "cpu"
     settings = inference.InferenceSettings(
-        chunk=args.chunk or (6144 if on_accel else 512),
-        bucket_frames=args.bucket_frames or (6144 if on_accel else 1024),
+        chunk=args.chunk if args.chunk is not None
+        else (6144 if on_accel else 512),
+        bucket_frames=args.bucket_frames if args.bucket_frames is not None
+        else (6144 if on_accel else 1024),
         precision=args.precision or ("bfloat16" if on_accel else "float32"),
     )
     n_ch = args.channels
@@ -181,11 +205,16 @@ def main(argv: Optional[List[str]] = None) -> int:
     n_events = 0
     n_samples = 0
 
+    # Session index -> the channel number the event DESCRIBES: file replay
+    # runs one session (index 0) over source channel --channel N; emitting
+    # the raw index would attribute every event to channel 0.
+    chan_label = [args.channel] if wave is not None else list(range(n_ch))
+
     def emit_event(c: int, start: float, end: float) -> None:
         nonlocal n_events
         n_events += 1
         _emit(
-            {"type": "event", "channel": c,
+            {"type": "event", "channel": chan_label[c],
              "start": round(start, 3), "end": round(end, 3),
              "threshold": args.threshold}
         )
@@ -206,8 +235,16 @@ def main(argv: Optional[List[str]] = None) -> int:
     # float-path file replay needs the float32 graphs) or the first real
     # bucket pays the cold jit anyway.
     warm_dtype = np.int16 if wave is None else wave.dtype
+    # Exactly ONE bucket of audio: bucket_frames * frame_shift samples is
+    # num_frames == bucket_frames under the pipeline's snip_edges=False
+    # geometry, which warms the identical fixed-shape graphs.  (An earlier
+    # hand-derived `(bucket+window)*160+400` overshot into a second full
+    # bucket execution — doubling warmup while stdin backed up — and
+    # duplicated the halo geometry host_prep owns.)
+    from laughter_detection_icsi_tpu.config import FEAT
+
     warm = np.zeros(
-        (settings.bucket_frames + settings.window) * 160 + 400, dtype=warm_dtype
+        settings.bucket_frames * FEAT.frame_shift_samples, dtype=warm_dtype
     )
     if n_ch == 1:
         pipe.probs_for_waveform(warm)

@@ -76,6 +76,14 @@ class InferenceSettings:
     mode: str = "windows"
 
     def __post_init__(self):
+        for name in ("chunk", "bucket_frames", "window"):
+            v = getattr(self, name)
+            if v < 1:
+                # 0/negatives would crash far away with opaque errors (a
+                # negative jnp.pad inside the jitted featurize, an empty
+                # bucket range -> pieces[0] IndexError) — after the model
+                # already loaded.
+                raise ValueError(f"{name} must be >= 1, got {v}")
         if self.precision not in ("float32", "bfloat16"):
             raise ValueError(f"unknown precision {self.precision!r}")
         if self.mode not in ("windows", "fused_conv"):
@@ -243,7 +251,14 @@ class LaughterPipeline:
                 wave = wave.astype(jnp.float32) * (1.0 / 32768.0)
             return featurize_body(wave, valid_frames)
 
-        if use_shared:
+        if "chunk_probs" in self._jitted:
+            # chunk_probs is dtype-INdependent (the int16 scaling lives in
+            # featurize): share one jitted closure across the int16/float
+            # graph keys, or a pipeline that sees both input dtypes (e.g. a
+            # mixed PCM/ulaw directory) re-traces the whole conv net — the
+            # expensive compile — a second time for an identical graph.
+            chunk_probs = self._jitted["chunk_probs"]
+        elif use_shared:
 
             @jax.jit
             def chunk_probs(feats_tracks, start: jnp.ndarray) -> jnp.ndarray:
@@ -268,6 +283,7 @@ class LaughterPipeline:
                 wins = windows.extract_windows(feats, start, chunk, window)
                 return window_fn(wins)
 
+        self._jitted["chunk_probs"] = chunk_probs
         graphs = (featurize, chunk_probs, wave_len)
         self._jitted[int16_in] = graphs
         return graphs

@@ -286,3 +286,23 @@ def test_pipeline_rejects_2d_waveform(pipeline):
         pipeline.probs_for_waveform(np.zeros((2, 16000), np.float32))
     with pytest.raises(ValueError, match="1-D PCM"):
         pipeline.probs_for_waveform(np.zeros((16000, 2), np.float32))
+
+
+def test_settings_reject_nonpositive_geometry():
+    """chunk/bucket_frames/window < 1 must fail at construction with the
+    field named — not far away as an opaque jnp.pad/IndexError crash after
+    the model already loaded."""
+    import pytest
+
+    for kw in ({"chunk": 0}, {"bucket_frames": -1}, {"window": 0}):
+        (name,) = kw
+        with pytest.raises(ValueError, match=f"{name} must be >= 1"):
+            inference.InferenceSettings(**kw)
+
+
+def test_graphs_share_chunk_probs_across_input_dtypes(pipeline):
+    """chunk_probs is dtype-independent (int16 scaling lives in featurize):
+    the int16 and float graph keys must share ONE jitted closure, or a
+    pipeline that sees both input dtypes pays the whole conv-net cold
+    compile twice."""
+    assert pipeline._graphs(True)[1] is pipeline._graphs(False)[1]

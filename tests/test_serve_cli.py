@@ -278,3 +278,46 @@ def test_rejects_nonpositive_channels():
     for bad in ("0", "-1"):
         with pytest.raises(SystemExit, match="--channels must be >= 1"):
             serve_cli.main(["--model_path", "/nonexistent", "--channels", bad])
+
+
+def test_rejects_nonpositive_chunk_flags():
+    """--chunk/--bucket_frames 0 or negative must fail at argument handling
+    (0 must not be silently swapped for the default; negatives would crash
+    deep in the jitted featurize after the model load)."""
+    from cli import serve as serve_cli
+
+    with pytest.raises(SystemExit, match="--bucket_frames must be >= 1"):
+        serve_cli.main(
+            ["--model_path", "/nonexistent", "--bucket_frames", "0"]
+        )
+    with pytest.raises(SystemExit, match="--chunk must be >= 1"):
+        serve_cli.main(["--model_path", "/nonexistent", "--chunk", "-4"])
+
+
+def test_file_replay_events_carry_source_channel(served, tmp_path, capsys):
+    """Replaying channel N of a multichannel file must label events with N
+    — the raw session index would attribute every event to channel 0."""
+    from cli import serve as serve_cli
+
+    rng = np.random.default_rng(5)
+    stereo = np.zeros((16000 * 4, 2), np.float32)
+    stereo[:, 1] = (rng.standard_normal(16000 * 4) * 0.1).astype(np.float32)
+    p = tmp_path / "stereo.wav"
+    audio.write_wav(str(p), stereo, 16000)
+    rc = serve_cli.main(
+        [
+            "--model_path", str(served["ckpt"]),
+            "--input", str(p),
+            "--channel", "1",
+            # sigmoid probs are always > 0, so threshold 0 guarantees at
+            # least one event without depending on the random weights
+            "--threshold", "0.0",
+            "--min_length", "0.0",
+            "--chunk", "512",
+            "--bucket_frames", "1024",
+        ]
+    )
+    assert rc == 0
+    lines = [json.loads(l) for l in capsys.readouterr().out.splitlines()]
+    events = [l for l in lines if l["type"] == "event"]
+    assert events and all(e["channel"] == 1 for e in events)
