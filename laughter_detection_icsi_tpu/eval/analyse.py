@@ -23,6 +23,7 @@ Semantics mirrored:
 
 from __future__ import annotations
 
+import math
 import os
 import re
 from pathlib import Path
@@ -91,7 +92,10 @@ def get_params_from_path(path: str) -> Dict[str, object]:
         )
     return {
         "chan_id": chan_id,
-        "min_len": parts[-2].replace("l_", ""),
+        # float like threshold below: a str min_len next to a float
+        # threshold makes pred_df[pred_df['min_len'] == 0.2] silently
+        # match nothing.
+        "min_len": float(parts[-2].replace("l_", "")),
         "threshold": float(parts[-3].replace("t_", "")),
         "meeting_id": meeting_id,
     }
@@ -175,6 +179,13 @@ def laugh_match(
     silence = _overlap_sec(idx.silence, pred_laugh, meeting_id, part_id)
     noise = _overlap_sec(idx.noise, pred_laugh, meeting_id, part_id)
     remain = incorrect - speech - silence - noise
+    # One-sided on purpose: NEGATIVE remainders are expected and correct-by-
+    # parity — ICSI transcribes overlapping segments for one participant
+    # (see indices.Index.add on tot_len double counting), so a prediction
+    # frame can be counted against several fp_* categories at once, exactly
+    # as the reference's per-index overlap sums do (analyse.py:120-149).
+    # Only a POSITIVE remainder (predicted frames no ground-truth index
+    # covers) indicates broken accounting.
     assert remain < 0.001, (
         f"false-positive accounting does not close for {meeting_id}/{part_id}: "
         f"remainder {remain}"
@@ -231,6 +242,11 @@ def eval_preds(
                     num_valid_pred += 1
                 if limit is not None:
                     a, b = min(a, limit), min(b, limit)
+                # Mirror clamp at 0: Praat permits negative xmin, so a
+                # hand-edited/foreign TextGrid can start below time zero —
+                # those frames belong to no ground-truth index and would
+                # break the closure assert exactly like frames past EndTime.
+                a, b = max(a, 0), max(b, 0)
                 pairs.append((a, b))
             # Union once over all pairs (O(n log n)) — an incremental
             # per-row `|` re-normalizes the accumulated set every step
@@ -272,13 +288,20 @@ def eval_preds(
 
 
 def _prefixed_float(name: str, prefix: str) -> Optional[float]:
-    """float from ``<prefix><value>`` dir names; None when not parseable."""
+    """FINITE float from ``<prefix><value>`` dir names; None otherwise.
+
+    nan/inf parse as floats but must not pass the gate: a ``l_nan`` dir
+    would be evaluated and then silently dropped by calc_sum_stats'
+    groupby (NaN group keys vanish) — the eval CSV and sum stats would
+    disagree with no warning, the opposite of the loud-skip policy here.
+    """
     if not name.startswith(prefix):
         return None
     try:
-        return float(name[len(prefix):])
+        v = float(name[len(prefix):])
     except ValueError:
         return None
+    return v if math.isfinite(v) else None
 
 
 def create_evaluation_df(
@@ -294,6 +317,9 @@ def create_evaluation_df(
     if use_cache and out_path and os.path.isfile(out_path):
         return pd.read_csv(out_path)
     all_rows: List[List[object]] = []
+    # Hoisted: meeting_ids is a recomputing property (unique+sort per
+    # access) and list membership is O(n) — per-iteration cost for nothing.
+    known_meetings = set(store.meeting_ids)
     for meeting in sorted(os.listdir(preds_dir)):
         meeting_path = os.path.join(preds_dir, meeting)
         if not os.path.isdir(meeting_path):
@@ -305,7 +331,7 @@ def create_evaluation_df(
             if verbose:
                 print(f"skipping non-meeting entry {meeting_path}", flush=True)
             continue
-        if meeting not in store.meeting_ids:
+        if meeting not in known_meetings:
             # Meeting known to preambles but its .mrt transcript absent
             # (subset corpus): no index covers it, so every prediction would
             # trip the FP-accounting closure assert and abort the whole run.

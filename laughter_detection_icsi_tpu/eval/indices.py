@@ -97,9 +97,18 @@ class IndexStore:
     silence: Index
 
 
+def invalid_mask(df: pd.DataFrame, cfg: AnalysisConfig = ANALYSIS) -> pd.Series:
+    """THE laugh-validity rule, vectorized (reference preprocess.py:13-24):
+    a laugh is invalid when too short or a breath-laugh.  One definition —
+    ``seg_is_invalid`` and the index builder both evaluate this expression,
+    so the rule cannot silently diverge between the scalar and bulk paths.
+    """
+    return (df["length"] < cfg.min_length) | (df["laugh_type"] == "breath-laugh")
+
+
 def seg_is_invalid(row, cfg: AnalysisConfig = ANALYSIS) -> bool:
-    """Reference preprocess.py:13-24."""
-    return row["length"] < cfg.min_length or row["laugh_type"] == "breath-laugh"
+    """Scalar twin of :func:`invalid_mask` (reference preprocess.py:13-24)."""
+    return bool(invalid_mask(pd.DataFrame([dict(row)]), cfg).iloc[0])
 
 
 def index_from_df(df: pd.DataFrame) -> Index:
@@ -130,11 +139,9 @@ def laugh_index_from_df(
             # The reference pre-creates an (empty) entry per participant
             # (preprocess.py:76); matters for `part_id in index` checks.
             index.sets[meeting_id].setdefault(part_id, IntervalSet.empty())
-            # vectorized seg_is_invalid (one Python call per corpus laugh
-            # row adds up; add_many was rewritten for the same reason)
-            bad = (part_df["length"] < cfg.min_length) | (
-                part_df["laugh_type"] == "breath-laugh"
-            )
+            # vectorized (one Python call per corpus laugh row adds up;
+            # add_many was rewritten for the same reason)
+            bad = invalid_mask(part_df, cfg)
             if bool(bad.any()):
                 inv = part_df[bad]
                 invalid_index.add_many(
@@ -175,6 +182,14 @@ def silence_index_from(
 
 
 def build_indices(store: TranscriptStore, cfg: AnalysisConfig = ANALYSIS) -> IndexStore:
+    if cfg.frame_duration_ms != 1:
+        # to_frames is fixed at 1 ms; building anyway would return 1 ms
+        # indices PRESENTED as another resolution — wrong results with no
+        # error for any caller bypassing analyse()'s identical guard.
+        raise NotImplementedError(
+            "index construction is fixed at 1 ms interval resolution; "
+            f"got frame_duration_ms={cfg.frame_duration_ms}"
+        )
     invalid = index_from_df(store.invalid_df)
     laugh = laugh_index_from_df(store.laugh_only_df, invalid_index=invalid, cfg=cfg)
     speech = index_from_df(store.speech_df)
@@ -201,9 +216,10 @@ def _cache_key(transcript_dir: str, cfg: AnalysisConfig = None) -> str:
     cfg = cfg if cfg is not None else ANALYSIS
     h = hashlib.sha1()
     # The indices depend on the analysis config as well as the corpus:
-    # min_length moves laughs between the laugh and invalid indices, and
-    # frame_duration sets the interval resolution — a config change must
-    # miss the cache or evaluation silently runs on the wrong split.
+    # min_length moves laughs between the laugh and invalid indices — a
+    # config change must miss the cache or evaluation silently runs on the
+    # wrong split.  (frame_duration_ms stays in the key for forward compat,
+    # but build_indices currently rejects anything but 1 ms.)
     h.update(f"cfg:{cfg.min_length}:{cfg.frame_duration_ms}".encode())
     tdir = Path(transcript_dir)
     for p in sorted(tdir.glob("*.mrt")):
@@ -222,18 +238,30 @@ def load(
     cfg: AnalysisConfig = ANALYSIS,
 ) -> IndexStore:
     key = _cache_key(store.transcript_dir, cfg)
-    if not force_recompute and key in _INDEX_CACHE:
-        return _INDEX_CACHE[key]
+    # Same eviction discipline as transcript._STORE_CACHE: entries for the
+    # same transcript dir whose content key was superseded are dropped,
+    # otherwise every corpus update in a long-running process leaks a
+    # whole corpus-wide IndexStore in this module-global dict forever.
+    mem_prefix = f"{Path(store.transcript_dir).resolve()}#"
+    mem_key = mem_prefix + key
+    if not force_recompute and mem_key in _INDEX_CACHE:
+        return _INDEX_CACHE[mem_key]
+
+    def _publish(indices: IndexStore) -> None:
+        for old in [k for k in _INDEX_CACHE if k.startswith(mem_prefix)]:
+            del _INDEX_CACHE[old]
+        _INDEX_CACHE[mem_key] = indices
+
     cache_file = None
     if cache_dir is not None:
         cache_file = Path(cache_dir) / f"indices_{key}.pkl"
         if not force_recompute and cache_file.is_file():
             with open(cache_file, "rb") as f:
                 indices = pickle.load(f)
-            _INDEX_CACHE[key] = indices
+            _publish(indices)
             return indices
     indices = build_indices(store, cfg=cfg)
-    _INDEX_CACHE[key] = indices
+    _publish(indices)
     if cache_file is not None:
         cache_file.parent.mkdir(parents=True, exist_ok=True)
         # Atomic publish: a crash mid-dump must not leave a truncated pickle

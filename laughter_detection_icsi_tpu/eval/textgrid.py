@@ -124,7 +124,15 @@ _NUM = re.compile(r"[-+]?\d*\.?\d+(?:[eE][-+]?\d+)?")
 def read_textgrid(path: str) -> Dict[str, List[Interval]]:
     """Parse a TextGrid (long or short format) into
     {tier_name: [(xmin, xmax, text), ...]}."""
-    content = Path(path).read_text(encoding="utf-8", errors="replace")
+    raw = Path(path).read_bytes()
+    # Praat saves UTF-16 (with BOM) by default for any non-ASCII content;
+    # decoding that as UTF-8 interleaves NULs so 'ooTextFile' never matches
+    # and a perfectly valid TextGrid is rejected.  The replaced third-party
+    # 'textgrids' library sniffed encodings — match that capability.
+    if raw[:2] in (b"\xff\xfe", b"\xfe\xff"):
+        content = raw.decode("utf-16", errors="replace")
+    else:
+        content = raw.decode("utf-8-sig", errors="replace")
     if not content.strip():
         return {}
     if "ooTextFile" not in content.splitlines()[0]:

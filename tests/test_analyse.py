@@ -61,8 +61,8 @@ def test_get_params_from_path():
     p = an.get_params_from_path("preds/Bmr021/t_0.5/l_0.2/chan0.TextGrid")
     assert p == {
         "chan_id": "chan0",
-        "min_len": "0.2",
-        "threshold": 0.5,
+        "min_len": 0.2,  # float like threshold — str next to float breaks
+        "threshold": 0.5,  # numeric filters on pred_df
         "meeting_id": "Bmr021",
     }
     with pytest.raises(NameError):
@@ -376,3 +376,103 @@ def test_transcript_load_sees_content_changes(synthetic_corpus, tmp_path):
     mrt.write_text(mrt.read_text() + "\n<!-- edited -->\n")
     s2 = transcript_lib.load(str(tdir))
     assert s2 is not s1
+
+
+def test_negative_start_prediction_does_not_abort(store, idx, tmp_path):
+    """Praat permits negative xmin; a hand-edited/foreign TextGrid starting
+    below zero lies in NO index for the negative span and must be clamped
+    like frames past EndTime, not abort the run via the closure assert."""
+    d = tmp_path / "dev" / "Bmr021" / "t_0.5" / "l_0.2"
+    d.mkdir(parents=True)
+    (d / "chan0.TextGrid").write_text(
+        'File type = "ooTextFile"\n'
+        'Object class = "TextGrid"\n'
+        "xmin = -0.5\nxmax = 20\ntiers? <exists>\nsize = 1\n"
+        "item []:\n    item [1]:\n"
+        '        class = "IntervalTier"\n        name = "laughter"\n'
+        "        xmin = -0.5\n        xmax = 20\n"
+        "        intervals: size = 1\n"
+        "        intervals [1]:\n"
+        "            xmin = -0.5\n            xmax = 1.0\n"
+        '            text = "laugh"\n'
+    )
+    out = an.create_evaluation_df(str(tmp_path / "dev"), store, idx, verbose=False)
+    r = out[out.meeting == "Bmr021"].iloc[0]
+    # only the non-negative second of the prediction is accounted
+    assert r["tot_pred_time"] == pytest.approx(1.0)
+
+
+def test_nan_param_dirs_skipped(preds_dir, store, idx):
+    """'l_nan' parses as float but its eval rows would silently vanish from
+    calc_sum_stats' groupby — the walk must skip it loudly instead."""
+    d = preds_dir / "Bmr021" / "t_0.5" / "l_nan"
+    d.mkdir(parents=True, exist_ok=True)
+    tg.write_textgrid(str(d / "chan0.TextGrid"), [(1.0, 2.0)], xmax=10.0)
+    try:
+        out = an.create_evaluation_df(str(preds_dir), store, idx, verbose=False)
+        assert not out["min_len"].isna().any()
+    finally:
+        import shutil
+
+        shutil.rmtree(d)
+
+
+def test_pred_df_min_len_is_float(preds_dir, store):
+    """min_len must be parsed like threshold: a str column next to a float
+    one silently breaks numeric filters on pred_df."""
+    d = sorted((preds_dir / "Bmr021").glob("t_*/l_*"))[0]
+    df = an.textgrid_to_df(str(d), store)
+    assert df["min_len"].dtype.kind == "f"
+    assert df["threshold"].dtype.kind == "f"
+
+
+def test_seg_is_invalid_matches_invalid_mask():
+    """The scalar and vectorized validity predicates must be THE same rule."""
+    import pandas as pd
+
+    from laughter_detection_icsi_tpu.eval import indices as ind
+
+    df = pd.DataFrame(
+        {
+            "length": [0.1, 0.5, 3.0, 2.0],
+            "laugh_type": ["laugh", "breath-laugh", "laugh", "breath-laugh"],
+        }
+    )
+    mask = ind.invalid_mask(df)
+    for i, (_, row) in enumerate(df.iterrows()):
+        assert ind.seg_is_invalid(row) == bool(mask.iloc[i])
+
+
+def test_build_indices_rejects_unsupported_frame_duration(store):
+    from laughter_detection_icsi_tpu.config import AnalysisConfig
+    from laughter_detection_icsi_tpu.eval import indices as ind
+
+    with pytest.raises(NotImplementedError, match="1 ms"):
+        ind.build_indices(store, cfg=AnalysisConfig(frame_duration_ms=10))
+
+
+def test_index_cache_evicts_superseded_entries(synthetic_corpus, tmp_path):
+    """A corpus update must not leak the previous IndexStore in the
+    module-global cache (same eviction discipline as the store cache)."""
+    import shutil
+
+    from laughter_detection_icsi_tpu.eval import indices as ind
+    from laughter_detection_icsi_tpu.eval import transcript as tr
+
+    tdir = tmp_path / "transcripts"
+    shutil.copytree(synthetic_corpus.transcript_dir, tdir)
+    before = {k for k in ind._INDEX_CACHE}
+    store1 = tr.TranscriptStore(str(tdir))
+    ind.load(store1)
+    mine = [k for k in ind._INDEX_CACHE if k not in before]
+    assert len(mine) == 1
+    # touch a transcript -> new content key; old entry must be evicted
+    mrt = sorted(tdir.glob("*.mrt"))[0]
+    mrt.write_text(mrt.read_text())
+    import os as _os
+
+    _os.utime(mrt, ns=(123456789, 987654321123456789))
+    store2 = tr.TranscriptStore(str(tdir))
+    ind.load(store2)
+    after = [k for k in ind._INDEX_CACHE if k not in before]
+    assert len(after) == 1 and after != mine

@@ -186,3 +186,34 @@ def test_short_format_point_tier_keeps_alignment(tmp_path):
     path = tmp_path / "short_pt.TextGrid"
     path.write_text(content)
     assert tg.read_laughter_intervals(str(path)) == [(0.0, 1.5)]
+
+
+def test_utf16_textgrid_parses(tmp_path):
+    """Praat saves UTF-16 (BOM) by default for non-ASCII content; the
+    reader must sniff the BOM instead of rejecting the file as 'not a
+    TextGrid' after a garbled UTF-8 decode."""
+    p = tmp_path / "u16.TextGrid"
+    text = (
+        'File type = "ooTextFile"\n'
+        'Object class = "TextGrid"\n'
+        "xmin = 0\nxmax = 5\ntiers? <exists>\nsize = 1\n"
+        "item []:\n    item [1]:\n"
+        '        class = "IntervalTier"\n        name = "laughter"\n'
+        "        xmin = 0\n        xmax = 5\n"
+        "        intervals: size = 2\n"
+        "        intervals [1]:\n"
+        "            xmin = 1.0\n            xmax = 2.0\n"
+        '            text = "laugh"\n'
+        "        intervals [2]:\n"
+        "            xmin = 2.0\n            xmax = 3.0\n"
+        '            text = "é non-laugh"\n'  # the non-ASCII Praat saves as UTF-16 for
+    )
+    for enc in ("utf-16-le", "utf-16-be", "utf-8-sig"):
+        import codecs
+
+        bom = {"utf-16-le": codecs.BOM_UTF16_LE,
+               "utf-16-be": codecs.BOM_UTF16_BE,
+               "utf-8-sig": b""}[enc]
+        p.write_bytes(bom + text.encode(enc))
+        got = tg.read_laughter_intervals(str(p))
+        assert got == [(1.0, 2.0)], enc
