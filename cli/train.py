@@ -120,13 +120,37 @@ def main(argv: Optional[List[str]] = None) -> int:
         if getattr(args, flag) != parser.get_default(flag):
             print(f"note: --{flag} is accepted for compatibility and ignored")
 
+    # Named arg-only error before heavy imports (config is jax-free) —
+    # same convention as cli/export_model.py and cli/parity.py.
+    from laughter_detection_icsi_tpu.config import MODEL_MAP
+
+    if args.config not in MODEL_MAP:
+        parser.error(
+            f"--config: unknown preset {args.config!r} "
+            f"(choose from {sorted(MODEL_MAP)})"
+        )
+    if args.batch_size is not None:
+        # type=str for reference flag compatibility; parse + validate here
+        # ('0' is a truthy string, so a bare `or` default-swap would pass
+        # batch_size 0 through to a range()-step crash far away, and a
+        # negative value would silently train zero batches per epoch).
+        try:
+            bs = int(args.batch_size)
+        except ValueError:
+            parser.error(f"--batch_size: not an integer: {args.batch_size!r}")
+        if bs < 1:
+            parser.error(f"--batch_size must be >= 1, got {bs}")
+
     # Multi-host: join the pod runtime BEFORE the first backend touch so
     # jax.devices() spans all hosts (parallel/distributed.py; SURVEY §5.8).
-    if args.num_processes is not None and args.coordinator_address is None and args.process_id is None:
+    # ANY explicit multi-host flag needs the coordinator: without it,
+    # jax.distributed.initialize fails deep inside autodetection with a
+    # confusing internal error instead of this message.
+    if (
+        args.num_processes is not None or args.process_id is not None
+    ) and args.coordinator_address is None:
         parser.error(
-            "--num_processes requires --coordinator_address (and usually "
-            "--process_id); without them distributed init would be "
-            "silently skipped"
+            "--num_processes/--process_id require --coordinator_address"
         )
     if args.coordinator_address is not None or args.process_id is not None:
         from laughter_detection_icsi_tpu.parallel import distributed
@@ -141,12 +165,14 @@ def main(argv: Optional[List[str]] = None) -> int:
     import jax
 
     from laughter_detection_icsi_tpu import models
-    from laughter_detection_icsi_tpu.config import MODEL_MAP
     from laughter_detection_icsi_tpu.data import FeatureCache, LadDataset, load_split_df
     from laughter_detection_icsi_tpu.train import Adam, TrainLoop, Trainer
 
     preset = MODEL_MAP[args.config]
-    batch_size = int(args.batch_size or preset.batch_size)
+    batch_size = (
+        int(args.batch_size) if args.batch_size is not None
+        else preset.batch_size
+    )
     dropout = float(args.dropout_rate)
     grad_accum = int(args.gradient_accumulation_steps)
     ckpt_dir = Path(args.checkpoint_dir)

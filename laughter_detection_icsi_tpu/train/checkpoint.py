@@ -170,13 +170,23 @@ def save_checkpoint(
         # exact corruption the tmp+replace dance promises to prevent.
         f.flush()
         os.fsync(f.fileno())
-    os.replace(tmp, path)  # atomic: a crash never corrupts last.ckpt
     if is_best:
-        # same tmp+replace dance: a crash mid-copy must never leave a
-        # truncated best.ckpt (the one checkpoint model selection reads)
+        # Same tmp+fsync+replace dance (copyfile alone leaves the copied
+        # blocks unsynced — the rename could persist ahead of them and
+        # leave a truncated best.ckpt, the one checkpoint model selection
+        # reads).  Published BEFORE last.ckpt on purpose: last carries the
+        # newly-updated best_val_loss, and a kill between the two renames
+        # in the other order would leave best.ckpt stale while last records
+        # the new best — the strict `<` comparison on deterministic resume
+        # would then never refresh best.  The benign inverse (best newer
+        # than last's recorded best_val_loss) just re-copies on the next
+        # improvement.
         best_tmp = ckpt_dir / (BEST_NAME + f".tmp.{os.getpid()}")
-        shutil.copyfile(path, best_tmp)
+        shutil.copyfile(tmp, best_tmp)
+        with open(best_tmp, "rb+") as bf:
+            os.fsync(bf.fileno())
         os.replace(best_tmp, ckpt_dir / BEST_NAME)
+    os.replace(tmp, path)  # atomic: a crash never corrupts last.ckpt
     return str(path)
 
 

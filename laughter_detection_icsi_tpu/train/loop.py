@@ -644,6 +644,21 @@ class TrainLoop:
                     float(loss_sum) / num_batches if num_batches else 0.0
                 )
                 return params, state, opt_state, mean_loss
+        if skip > 0:
+            # The source ended before yielding even the epoch_step batches
+            # the checkpoint says were already trained — the batch
+            # partition changed since the save (e.g. a different
+            # --batch_size or a shrunk split).  Completing the "epoch"
+            # would count it as trained with zero (or wrongly-offset)
+            # optimizer steps and no warning.
+            raise RuntimeError(
+                f"mid-epoch resume: checkpoint records epoch_step="
+                f"{self.epoch_step} already-trained batches, but the batch "
+                f"source yielded only {self.epoch_step - skip} — the batch "
+                f"partition changed since the checkpoint (different batch "
+                f"size or dataset?); restart the epoch from scratch or "
+                f"restore the original configuration"
+            )
         # Accumulation groups never span epochs: a tail group smaller than
         # grad_accum applies HERE with its accumulated (1/grad_accum-scaled)
         # gradient.  The reference instead carries pending .grad buffers

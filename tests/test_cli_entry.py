@@ -212,3 +212,25 @@ def test_create_data_df_rejects_invalid_random_selection_env(
                 "--transcript_dir", str(tmp_path),  # never reached
             ]
         )
+
+
+def test_train_cli_arg_validation():
+    """Unknown preset, non-positive/non-integer --batch_size, and
+    multi-host flags without a coordinator must die as named argparse
+    errors before any heavy import — not as raw KeyErrors or range()
+    crashes deep in training."""
+    from cli import train as train_cli
+
+    base = ["--checkpoint_dir", "/tmp/nope", "--data_root", "/tmp/nope"]
+    cases = [
+        ["--config", "resnet_bsae"] + base,
+        ["--config", "resnet_base", "--batch_size", "0"] + base,
+        ["--config", "resnet_base", "--batch_size", "-8"] + base,
+        ["--config", "resnet_base", "--batch_size", "eight"] + base,
+        ["--config", "resnet_base", "--num_processes", "4"] + base,
+        ["--config", "resnet_base", "--process_id", "0"] + base,
+    ]
+    for argv in cases:
+        with pytest.raises(SystemExit) as ei:
+            train_cli.main(argv)
+        assert ei.value.code == 2, argv  # argparse error exit

@@ -628,3 +628,22 @@ def test_checkpoint_version_and_missing_meta_errors(tmp_path):
         np.savez(f, __meta__=json.dumps({"global_step": 0}))
     with pytest.raises(ValueError, match="missing keys"):
         ckpt.load_checkpoint(str(p))
+
+
+def test_resume_with_changed_batch_partition_raises(tiny_model, tmp_path):
+    """A mid-epoch resume whose batch source yields FEWER batches than the
+    checkpoint's epoch_step (e.g. a changed batch size) must fail loudly —
+    the old behavior consumed every batch as 'already trained', counted
+    the epoch complete with zero optimizer steps, and reported success."""
+    trainer = Trainer(model=tiny_model)
+    params, state, opt_state = trainer.init(jax.random.PRNGKey(0))
+    loop = TrainLoop(
+        trainer=trainer, checkpoint_dir=str(tmp_path / "r"), log_frequency=0
+    )
+    loop.epoch_step = 30  # checkpoint says 30 batches already trained
+    r = np.random.default_rng(3)
+    with pytest.raises(RuntimeError, match="yielded only 5"):
+        loop.run_epoch(
+            params, state, opt_state, _toy_batches(r, 5),
+            rng=jax.random.PRNGKey(1), verbose=False,
+        )
