@@ -109,10 +109,10 @@ class DataParallelTrainer:
             return {"x": x, "y": y}
         import numpy as np
 
-        # Host batches stay NUMPY until shard_batch's device_put: building
-        # device arrays here would make shard_batch's np.asarray a blocking
-        # D2H download + re-upload (the exact sync the resident branch's
-        # comment warns about).
+        # Host batches stay NUMPY until shard_batch's device_put (building
+        # device arrays here would just add an extra placement step;
+        # shard_batch itself now reshard-s jax.Array leaves device-to-device
+        # rather than bouncing them through host).
         x = np.asarray(inputs, dtype=np.float32)[:, None, :, :]
         y = np.asarray(batch["is_laugh"], dtype=np.float32)
         return mesh_lib.shard_batch({"x": x, "y": y}, self.mesh)

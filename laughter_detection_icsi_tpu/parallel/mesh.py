@@ -10,7 +10,7 @@ turns the mean-loss gradient into an ICI all-reduce.
 
 from __future__ import annotations
 
-from typing import Any, Optional, Sequence, Tuple
+from typing import Any, Optional
 
 import jax
 import numpy as np
@@ -53,7 +53,11 @@ def shard_batch(batch: PyTree, mesh: Mesh, axis_name: str = DATA_AXIS) -> PyTree
     n = mesh.devices.size
 
     def put(x):
-        arr = np.asarray(x)
+        # Device-resident leaves reshard device-to-device: np.asarray on a
+        # jax.Array would silently pay a blocking D2H download + re-upload
+        # (the mistake data_parallel._prep's comments warn about) — handle
+        # it HERE so every caller gets the cheap path.
+        arr = x if isinstance(x, jax.Array) else np.asarray(x)
         if arr.ndim == 0:
             return jax.device_put(arr, replicated(mesh))
         if arr.shape[0] % n:

@@ -18,7 +18,7 @@ channels (static shapes, SURVEY.md §7.1).
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Dict, List, Optional, Sequence, Tuple
+from typing import Any, Dict, List, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -60,8 +60,13 @@ class ShardedPipeline:
         self.params = jax.device_put(self.params, repl)
         self.state = jax.device_put(self.state, repl)
         # Heterogeneous cache: ('body', c) -> (fn, wave_len, sharding),
-        # ('win', ...) -> 4-tuple, ('pk', ...) -> jitted callable.
+        # ('win', ...) -> 4-tuple, ('chunk_probs', c) / ('pk', ...) ->
+        # jitted callables.
         self._jitted: Dict[tuple, Any] = {}
+        # Pipeline-lifetime packer pool (lazily created): a fresh
+        # ThreadPoolExecutor per bucket batch would pay thread
+        # creation/teardown on the dispatch critical path, once per bucket.
+        self._pack_pool = None
 
     @property
     def n_shards(self) -> int:
@@ -171,7 +176,15 @@ class ShardedPipeline:
 
         featurize = jax.jit(featurize, in_shardings=(ch, ch), out_shardings=ch)
 
-        if use_shared:
+        cp_key = ("chunk_probs", c_local)
+        if cp_key in self._jitted:
+            # chunk_probs depends only on c_local — the int16 scaling lives
+            # in featurize — so the int16 and float graph keys share ONE
+            # jitted closure (same guard as inference.LaughterPipeline._graphs:
+            # a mixed int16/float corpus must not pay the conv-net compile
+            # twice).
+            chunk_probs = self._jitted[cp_key]
+        elif use_shared:
             # Flatten each device's local channels into ONE window batch:
             # windows never straddle channels, so window w of local channel
             # c is just flat start c*T + w into the time-flattened arrays.
@@ -224,6 +237,7 @@ class ShardedPipeline:
                 out_shardings=ch,
             )
 
+        self._jitted[cp_key] = chunk_probs
         graphs = (featurize, chunk_probs, wave_len, chunk)
         self._jitted[key] = graphs
         return graphs
@@ -284,13 +298,20 @@ class ShardedPipeline:
             # releases the GIL, so pack the bucket's channels concurrently
             # (mirrors the per-channel decode pool in
             # probs_for_meeting_device) instead of serializing host work on
-            # the dispatch critical path.
-            from concurrent.futures import ThreadPoolExecutor
+            # the dispatch critical path.  The pool lives as long as the
+            # pipeline — this runs once per bucket, hundreds of times per
+            # meeting.
+            if self._pack_pool is None:
+                from concurrent.futures import ThreadPoolExecutor
 
-            with ThreadPoolExecutor(max_workers=min(8, len(batch))) as ex:
-                packs = list(
-                    ex.map(lambda row: pcm_pack.pack_pcm(row, mode="delta"), batch)
+                self._pack_pool = ThreadPoolExecutor(
+                    max_workers=8, thread_name_prefix="pcm-pack"
                 )
+            packs = list(
+                self._pack_pool.map(
+                    lambda row: pcm_pack.pack_pcm(row, mode="delta"), batch
+                )
+            )
         else:
             packs = [pcm_pack.pack_pcm(row, mode="delta") for row in batch]
         rows = [p.wire() for p in packs]
@@ -368,7 +389,10 @@ class ShardedPipeline:
         ON DEVICE, frame counts) — feed rows to on-device smoothing
         (ops/smoothing.instances_from_device_probs) so only run tables
         cross back to host.  (None, counts) when nothing to compute."""
-        if not waves:
+        if len(waves) == 0:
+            # len(), not truthiness: a [C, n] ndarray channel batch — the
+            # shape LaughterPipeline's 2-D error steers users here with —
+            # raises 'truth value of an array is ambiguous' under `not`.
             return None, []
         for w in waves:
             if np.asarray(w).ndim != 1:

@@ -280,3 +280,49 @@ def test_sharded_guards_and_fused_conv_shape(tmp_path, rng):
         sp.probs_for_meeting([str(p8)])
     with pytest.raises(ValueError, match="1-D PCM"):
         sp.probs_for_waveforms([np.zeros((2, 32000), np.float32)])
+
+
+def test_sharded_accepts_2d_ndarray_channel_batch(small_model, settings, rng):
+    """A [C, n] ndarray — the shape LaughterPipeline's 2-D error steers
+    users here with — must work like the equivalent list of rows, not die
+    on an ambiguous-truth-value emptiness check."""
+    sharded = ShardedPipeline(
+        model=small_model[0], params=small_model[1], state=small_model[2],
+        mesh=make_mesh(8), settings=settings,
+    )
+    batch = (rng.standard_normal((2, 16000)) * 0.1).astype(np.float32)
+    got = sharded.probs_for_waveforms(batch)
+    want = sharded.probs_for_waveforms([batch[0], batch[1]])
+    assert len(got) == 2
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(g, w)
+
+
+def test_sharded_graphs_share_chunk_probs_across_dtypes(small_model, settings):
+    """Same guard as the single-channel pipeline: chunk_probs depends only
+    on c_local, so int16 and float graph keys must share one jitted
+    closure instead of recompiling the conv net."""
+    sharded = ShardedPipeline(
+        model=small_model[0], params=small_model[1], state=small_model[2],
+        mesh=make_mesh(8), settings=settings,
+    )
+    assert sharded._graphs(True, 1)[1] is sharded._graphs(False, 1)[1]
+    # ...but a different c_local is a genuinely different graph
+    assert sharded._graphs(True, 2)[1] is not sharded._graphs(True, 1)[1]
+
+
+def test_shard_batch_reshards_device_resident_leaves():
+    """A jax.Array leaf must reshard device-to-device, not bounce through
+    np.asarray (blocking D2H + re-upload)."""
+    import jax as _jax
+
+    from laughter_detection_icsi_tpu.parallel import mesh as mesh_lib
+
+    mesh = make_mesh(8)
+    resident = _jax.device_put(
+        np.arange(32, dtype=np.float32).reshape(8, 4),
+        mesh_lib.replicated(mesh),
+    )
+    out = mesh_lib.shard_batch({"x": resident}, mesh)["x"]
+    assert out.sharding == mesh_lib.data_sharding(mesh)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(resident))
