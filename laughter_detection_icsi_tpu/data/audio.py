@@ -300,6 +300,30 @@ def _check_channel(path: str, meta: AudioInfo, channel: int) -> int:
     return channel
 
 
+def resolve_range(
+    num_samples: int,
+    sample_rate: int,
+    offset: float,
+    duration: Optional[float],
+) -> Tuple[int, int]:
+    """(start, count) sample range for an offset/duration request.
+
+    THE single owner of the range arithmetic — read()/read_int16() here and
+    runtime/native.py's C-backed read all call it, so the twins cannot
+    drift.  Negative offsets clamp to 0 like the C decoder: an unclamped
+    start seeked before the data chunk (OSError / header bytes decoded as
+    audio) on the PCM path and silently sliced from the ARRAY TAIL on the
+    shorten path.
+    """
+    start = max(int(round(offset * sample_rate)), 0)
+    count = (
+        num_samples - start
+        if duration is None
+        else min(int(round(duration * sample_rate)), num_samples - start)
+    )
+    return start, max(count, 0)
+
+
 def read(
     path: str,
     offset: float = 0.0,
@@ -316,13 +340,7 @@ def read(
     meta = info(path)
     channel = _check_channel(path, meta, channel)
     sr = meta.sample_rate
-    start = int(round(offset * sr))
-    count = (
-        meta.num_samples - start
-        if duration is None
-        else min(int(round(duration * sr)), meta.num_samples - start)
-    )
-    count = max(count, 0)
+    start, count = resolve_range(meta.num_samples, sr, offset, duration)
     if meta.encoding == "shorten":
         pcm = _decode_shorten_cached(path, meta)
         sl = pcm[start : start + count, channel]
@@ -387,13 +405,7 @@ def read_int16(
             f"(got {meta.encoding}/{meta.sample_bytes * 8}-bit)"
         )
     sr = meta.sample_rate
-    start = int(round(offset * sr))
-    count = (
-        meta.num_samples - start
-        if duration is None
-        else min(int(round(duration * sr)), meta.num_samples - start)
-    )
-    count = max(count, 0)
+    start, count = resolve_range(meta.num_samples, sr, offset, duration)
     if meta.encoding == "shorten":
         pcm = _decode_shorten_cached(path, meta)
         # .copy(), not ascontiguousarray: a mono slice is already contiguous
@@ -494,7 +506,7 @@ def write_sphere_shorten(
     ftype = _shorten.TYPE_S16HL if big_endian else _shorten.TYPE_S16LH
     byte_format = "10" if big_endian else "01"
 
-    def _header(coding: str, ckstr: str) -> bytes:
+    def _header(coding: str) -> bytes:
         lines = ["NIST_1A", f"{header_size:7d}"]
         lines += [
             f"channel_count -i {nchan}",
@@ -503,18 +515,16 @@ def write_sphere_shorten(
             "sample_n_bytes -i 2",
             f"sample_byte_format -s2 {byte_format}",
             f"sample_coding -s{len(coding)} {coding}",
+            "end_head",
         ]
-        if ckstr:
-            lines.append(ckstr)
-        lines.append("end_head")
         head = ("\n".join(lines) + "\n").encode("ascii")
         return head + b" " * (header_size - len(head))
 
     payload = _shorten.encode(
-        samples, blocksize=blocksize, ftype=ftype, verbatim=_header("pcm", "")
+        samples, blocksize=blocksize, ftype=ftype, verbatim=_header("pcm")
     )
     with open(path, "wb") as f:
-        f.write(_header("pcm,embedded-shorten-v2.00", ""))
+        f.write(_header("pcm,embedded-shorten-v2.00"))
         f.write(payload)
 
 

@@ -25,7 +25,7 @@ from __future__ import annotations
 import math
 import os
 from pathlib import Path
-from typing import Dict, List, Optional
+from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 import pandas as pd
@@ -80,13 +80,23 @@ class DataFrameSampler:
         # O(|df|) boolean filter per sampled row dominated table generation
         # (laughs x samples x |speech_df| scans).  Grouping preserves
         # within-meeting row order, so iloc-based draws are unchanged.
-        self._group_cache: Dict[int, Dict[str, pd.DataFrame]] = {}
+        # Each entry holds the SOURCE df alongside the groups: a bare
+        # id(df) key does not keep df alive, and CPython reuses freed
+        # addresses — a caller looping over temporary filtered frames could
+        # silently draw rows from a PREVIOUS iteration's table.  Storing
+        # the df pins the id, and the identity check below makes the key
+        # collision impossible even across unrelated caches.
+        self._group_cache: Dict[
+            int, Tuple[pd.DataFrame, Dict[str, pd.DataFrame]]
+        ] = {}
 
     def _meeting_rows(self, df: pd.DataFrame, meeting_id: str) -> pd.DataFrame:
-        groups = self._group_cache.get(id(df))
-        if groups is None:
+        hit = self._group_cache.get(id(df))
+        if hit is None or hit[0] is not df:
             groups = {k: g for k, g in df.groupby("meeting_id")}
-            self._group_cache[id(df)] = groups
+            self._group_cache[id(df)] = (df, groups)
+        else:
+            groups = hit[1]
         return groups.get(meeting_id, df.iloc[0:0])
 
     # ------------------------------------------------------------------ #

@@ -243,6 +243,16 @@ struct BitReader {
       nacc += 8;
     }
   }
+  // True once the decoder has CONSUMED bits past the end of the buffer.
+  // `overrun` alone only means fill() buffered ahead of the end — which is
+  // normal for the final gulp of a valid stream; consumed-bit accounting
+  // (pos*8 bytes pulled in, nacc still pending) is what distinguishes a
+  // truncated bitstream.  The old `pos > len + 8/16` guards were
+  // unreachable: uvar's early-return froze pos inside (len+8, len+16], so
+  // a truncated file silently decoded to a zero tail.
+  inline bool past_end() const {
+    return pos * 8 > len * 8 + (size_t)nacc;
+  }
   inline uint32_t bits(int n) {  // n <= 32
     if (nacc < n) fill();
     nacc -= n;
@@ -252,7 +262,7 @@ struct BitReader {
     uint32_t unary = 0;
     for (;;) {
       if (nacc == 0) fill();
-      if (overrun && pos > len + 8) return 0;  // zero tail: caller checks
+      if (past_end()) return 0;  // zero tail: caller checks past_end()
       // Count leading zeros in the pending bits in one step.
       uint64_t pending = acc & ((nacc == 64) ? ~0ull : ((1ull << nacc) - 1));
       if (pending == 0) { unary += nacc; nacc = 0; continue; }
@@ -326,7 +336,7 @@ static int64_t decode_stream(const uint8_t* data, size_t len, int16_t* out,
 
   for (;;) {
     long fn;
-    if (br.overrun && br.pos > br.len + 16) goto done_err;
+    if (br.past_end()) goto done_err;  // truncated bitstream
     fn = br.uvar(FNSIZE);
     if (fn == FN_QUIT) { rc = frames; break; }
     if (fn == FN_BLOCKSIZE) {
@@ -414,7 +424,7 @@ static int64_t decode_stream(const uint8_t* data, size_t len, int16_t* out,
           }
         }
       }
-      if (br.overrun && br.pos > br.len + 16) goto done_err;
+      if (br.past_end()) goto done_err;  // truncated bitstream
 
       if (nmean > 0) {
         long sum = blocksize / 2;

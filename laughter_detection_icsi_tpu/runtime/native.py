@@ -42,6 +42,18 @@ _ERRORS = {
 }
 
 
+def _raise_audio_error(label: str, rc: int) -> None:
+    msg = f"{label}: {_ERRORS.get(rc, f'error {rc}')}"
+    if rc == -4:
+        # Same exception type as the pure-Python parser's unsupported-format
+        # errors (data/audio.py raises NotImplementedError for e.g. 24-bit
+        # PCM): a caller skipping unsupported tracks with
+        # `except NotImplementedError` must behave identically whether or
+        # not a compiler was present.
+        raise NotImplementedError(msg)
+    raise ValueError(msg)
+
+
 class _AudioInfo(ctypes.Structure):
     _fields_ = [
         ("sample_rate", ctypes.c_int32),
@@ -218,7 +230,7 @@ def info(path: str):
     out = _AudioInfo()
     rc = lib.audio_info(path.encode(), ctypes.byref(out))
     if rc:
-        raise ValueError(f"{path}: {_ERRORS.get(rc, f'error {rc}')}")
+        _raise_audio_error(path, rc)
     return AudioInfo(
         sample_rate=out.sample_rate,
         num_samples=out.num_samples,
@@ -255,7 +267,7 @@ def decode_shorten(
         num_channels,
     )
     if got < 0:
-        raise ValueError(f"{path}: {_ERRORS.get(int(got), f'error {got}')}")
+        _raise_audio_error(path, int(got))
     if int(got) < num_frames:
         # a plain slice would be a VIEW pinning the full header-sized
         # allocation for the cache entry's lifetime
@@ -276,22 +288,25 @@ def read(
 
         return py_audio.read(path, offset=offset, duration=duration, channel=channel)
     meta = info(path)
+    from laughter_detection_icsi_tpu.data import audio as py_audio
+
+    # Channel range-check in Python BEFORE the C call: the C side folds
+    # bad-channel and unsupported-format into one AERR_UNSUPPORTED code,
+    # but the twins' contract distinguishes them (ValueError vs
+    # NotImplementedError) — validating here keeps -4 unambiguous.
+    channel = py_audio._check_channel(path, meta, channel)
     if meta.encoding == "shorten":
         # Sequential codec: the C ranged read re-decodes the WHOLE stream
         # per call, so windowed access (O(windows x file)) must go through
         # the Python twin's whole-file decode cache — which itself uses
         # decode_shorten() above for the heavy lifting when available.
-        from laughter_detection_icsi_tpu.data import audio as py_audio
-
         return py_audio.read(path, offset=offset, duration=duration, channel=channel)
     sr = meta.sample_rate
-    start = int(round(offset * sr))
-    count = (
-        meta.num_samples - start
-        if duration is None
-        else min(int(round(duration * sr)), meta.num_samples - start)
-    )
-    count = max(count, 0)
+    # Shared range arithmetic — the Python twin owns the clamp semantics
+    # (the two had already drifted once on negative offsets).
+    from laughter_detection_icsi_tpu.data.audio import resolve_range
+
+    start, count = resolve_range(meta.num_samples, sr, offset, duration)
     out = np.empty(count, dtype=np.float32)
     got = lib.audio_read_f32(
         path.encode(),
@@ -301,7 +316,7 @@ def read(
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
     )
     if got < 0:
-        raise ValueError(f"{path}: {_ERRORS.get(int(got), f'error {got}')}")
+        _raise_audio_error(path, int(got))
     return out[: int(got)], sr
 
 
@@ -326,6 +341,14 @@ def read_batch(
     if n == 0:
         return []
     metas = [info(p) for p in paths]
+    from laughter_detection_icsi_tpu.data import audio as py_audio
+
+    # Same pre-validation as read(): keep the C side's AERR_UNSUPPORTED
+    # unambiguous (see _raise_audio_error).
+    chans = [
+        py_audio._check_channel(p, m, c)
+        for p, m, c in zip(paths, metas, chans)
+    ]
     outs = [np.empty(m.num_samples, dtype=np.float32) for m in metas]
     c_paths = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
     c_starts = (ctypes.c_int64 * n)(*([0] * n))
@@ -349,6 +372,6 @@ def read_batch(
     for i in range(n):
         got = int(c_res[i])
         if got < 0:
-            raise ValueError(f"{paths[i]}: {_ERRORS.get(got, f'error {got}')}")
+            _raise_audio_error(paths[i], got)
         results.append((outs[i][:got], metas[i].sample_rate))
     return results

@@ -220,3 +220,30 @@ def test_shorten_cache_is_lru(tmp_path, rng):
     import os
     assert os.path.abspath(paths[0]) in cached
     assert os.path.abspath(paths[1]) not in cached
+
+
+def test_negative_offset_clamps_to_zero(tmp_path, rng):
+    """Negative offsets clamp to 0 like the C decoder: unclamped they
+    seeked before the data chunk (OSError) on the PCM path and silently
+    sliced from the ARRAY TAIL on the shorten path."""
+    wave = (rng.standard_normal(16000) * 2000).astype(np.int16)
+    wav = str(tmp_path / "n.wav")
+    audio.write_wav(wav, wave, 16000)
+    sph = str(tmp_path / "n.sph")
+    audio.write_sphere_shorten(sph, wave, 16000)
+    for path in (wav, sph):
+        want, _ = audio.read(path, offset=0.0, duration=0.02)
+        got, _ = audio.read(path, offset=-0.01, duration=0.02)
+        np.testing.assert_array_equal(got, want)
+        want16, _ = audio.read_int16(path, offset=0.0, duration=0.02)
+        got16, _ = audio.read_int16(path, offset=-0.01, duration=0.02)
+        np.testing.assert_array_equal(got16, want16)
+        # duration=None from a negative offset = the WHOLE file, not a tail
+        full, _ = audio.read_int16(path, offset=-0.01)
+        np.testing.assert_array_equal(full, wave)
+    from laughter_detection_icsi_tpu.runtime import native
+
+    if native.available():
+        got_n, _ = native.read(wav, offset=-0.01, duration=0.02)
+        want_n, _ = native.read(wav, offset=0.0, duration=0.02)
+        np.testing.assert_array_equal(got_n, want_n)

@@ -561,3 +561,26 @@ def test_batches_skip_assembly_placeholders(store, idx, populated_cache):
         for a, b in zip(full[2:], skipped[2:]):
             np.testing.assert_array_equal(a["inputs"], b["inputs"])
             np.testing.assert_array_equal(a["is_laugh"], b["is_laugh"])
+
+
+def test_sampler_group_cache_guards_id_reuse(synthetic_corpus):
+    """The per-df group cache keys on id(df); a freed frame's address can
+    be reused by a NEW frame, so the cache must verify identity (and pin
+    the source df) instead of trusting the bare id."""
+    from laughter_detection_icsi_tpu.eval import indices as indices_lib
+    from laughter_detection_icsi_tpu.eval import transcript as transcript_lib
+
+    store = transcript_lib.load(str(synthetic_corpus.transcript_dir))
+    idx = indices_lib.load(store)
+    sampler = DataFrameSampler(store, idx)
+    df = store.speech_df
+    meeting = df["meeting_id"].iloc[0]
+    rows = sampler._meeting_rows(df, meeting)
+    assert len(rows)
+    # simulate an address collision: a DIFFERENT frame under df's id
+    other = df[df["meeting_id"] != meeting]
+    sampler._group_cache[id(other)] = (df, {meeting: rows.iloc[0:0]})
+    fresh = sampler._meeting_rows(other, meeting)
+    # identity check must reject the stale entry and regroup from `other`
+    assert fresh.empty
+    assert sampler._group_cache[id(other)][0] is other

@@ -480,3 +480,21 @@ def test_ffmpeg_decodes_our_stereo_stream(ffmpeg_decoder, tmp_path, wave):
     enc = shorten.encode(st, verbatim=_wav_header(6000, nch=2), blocksize=256, nmean=4)
     got = _ffmpeg_decode(ffmpeg_decoder, enc, tmp_path).reshape(-1, 2)
     np.testing.assert_array_equal(got, st)
+
+
+@pytest.mark.skipif(not native.available(), reason="no native toolchain")
+def test_native_truncated_stream_rejected(tmp_path, wave):
+    """A truncated shorten payload must error like the Python twin.  The
+    old overrun guards (`pos > len + 16`) were unreachable — uvar's
+    early-return froze pos inside (len+8, len+16] — so the native decoder
+    silently returned the full header-declared length with a zero tail,
+    feeding corrupted audio downstream while compiler-less hosts raised."""
+    x = wave[:8000]
+    path = str(tmp_path / "trunc.sph")
+    _write_shorten_sphere(path, x)
+    full = open(path, "rb").read()
+    for frac in (0.3, 0.6, 0.9):
+        cut = 1024 + int((len(full) - 1024) * frac)
+        open(path, "wb").write(full[:cut])
+        with pytest.raises(ValueError):
+            native.decode_shorten(path, len(x), 1)
