@@ -40,15 +40,16 @@ from laughter_detection_icsi_tpu.models.layers import bn_eval_affine as _affine_
 PyTree = Any
 
 
-def _conv(x, w, f_stride, t_dil, bias=None):
-    """NCHW conv, 'same'-in-time padding scaled by the dilation.
+def _conv(x, w, f_stride, t_dil, bias=None, valid_t=False):
+    """NCHW conv, 'same' in frequency; time padding by mode.
 
     Time stride is fixed at 1 — the whole point of this module is replacing
     the reference's time strides with dilation, so a real time stride would
-    break the one-output-per-input-frame contract (like the sibling
-    _conv_valid_t)."""
+    break the one-output-per-input-frame contract.  ``valid_t`` switches to
+    VALID in time for the blocked path (the halo provides the context).
+    """
     kh = w.shape[2]
-    pad_t = t_dil * (kh // 2)
+    pad_t = 0 if valid_t else t_dil * (kh // 2)
     pad_f = w.shape[3] // 2
     out = jax.lax.conv_general_dilated(
         x,
@@ -68,7 +69,8 @@ def _bn4(x, params, state):
     return x * scale[None, :, None, None] + bias[None, :, None, None]
 
 
-def _block(x, params, state, f_stride, t_dil_in, replaced_stride):
+def _block(x, params, state, f_stride, t_dil_in, replaced_stride,
+           valid_t=False):
     """ResidualBlock with the time stride replaced by dilation.
 
     ``t_dil_in`` is the dilation entering the block; when the block's
@@ -76,15 +78,21 @@ def _block(x, params, state, f_stride, t_dil_in, replaced_stride):
     and every later conv (in this and following blocks) uses
     t_dil_in * replaced_stride.  NoBN blocks (reference models.py:43-79)
     simply have no ``bn*`` keys — every fold is skipped.
+
+    ONE implementation serves both paths (they used to be near-duplicate
+    twins, a silent-drift hazard for the blocked path's bit-exactness):
+    ``valid_t`` makes each conv consume its dilation of halo rows from
+    each side, and the 1x1 shortcut (no time context) is then sliced to
+    stay aligned.
     """
     t_dil_out = t_dil_in * replaced_stride
     out = _conv(x, params["conv1"]["weight"], f_stride, t_dil_in,
-                params["conv1"].get("bias"))
+                params["conv1"].get("bias"), valid_t)
     if "bn1" in params:
         out = _bn4(out, params["bn1"], state["bn1"])
     out = jax.nn.relu(out)
     out = _conv(out, params["conv2"]["weight"], 1, t_dil_out,
-                params["conv2"].get("bias"))
+                params["conv2"].get("bias"), valid_t)
     if "bn2" in params:
         out = _bn4(out, params["bn2"], state["bn2"])
     if "shortcut" in params:
@@ -102,55 +110,9 @@ def _block(x, params, state, f_stride, t_dil_in, replaced_stride):
             sc = _bn4(sc, params["shortcut"]["1"], state["shortcut"]["1"])
     else:
         sc = x
-    return jax.nn.relu(out + sc), t_dil_out
-
-
-def _conv_valid_t(x, w, f_stride, t_dil, bias=None):
-    """NCHW conv, VALID in time (the halo provides context), 'same' in F."""
-    pad_f = w.shape[3] // 2
-    out = jax.lax.conv_general_dilated(
-        x,
-        w,
-        window_strides=(1, f_stride),
-        padding=[(0, 0), (pad_f, pad_f)],
-        rhs_dilation=(t_dil, 1),
-        dimension_numbers=("NCHW", "OIHW", "NCHW"),
-    )
-    if bias is not None:
-        out = out + bias[None, :, None, None]
-    return out
-
-
-def _block_valid_t(x, params, state, f_stride, t_dil_in, replaced_stride):
-    """ResidualBlock like :func:`_block`, but valid-in-time (blocked path):
-    each conv consumes ``t_dil`` rows of halo from each side, and the 1x1
-    shortcut (no time context) is sliced to stay aligned."""
-    t_dil_out = t_dil_in * replaced_stride
-    out = _conv_valid_t(x, params["conv1"]["weight"], f_stride, t_dil_in,
-                        params["conv1"].get("bias"))
-    if "bn1" in params:
-        out = _bn4(out, params["bn1"], state["bn1"])
-    out = jax.nn.relu(out)
-    out = _conv_valid_t(out, params["conv2"]["weight"], 1, t_dil_out,
-                        params["conv2"].get("bias"))
-    if "bn2" in params:
-        out = _bn4(out, params["bn2"], state["bn2"])
-    off = t_dil_in + t_dil_out  # rows consumed from each side
-    if "shortcut" in params:
-        sc = jax.lax.conv_general_dilated(
-            x,
-            params["shortcut"]["0"]["weight"],
-            window_strides=(1, f_stride),
-            padding=[(0, 0), (0, 0)],
-            dimension_numbers=("NCHW", "OIHW", "NCHW"),
-        )
-        if "bias" in params["shortcut"]["0"]:
-            sc = sc + params["shortcut"]["0"]["bias"][None, :, None, None]
-        if "1" in params["shortcut"]:  # NoBN shortcut = conv only
-            sc = _bn4(sc, params["shortcut"]["1"], state["shortcut"]["1"])
-    else:
-        sc = x
-    sc = sc[:, :, off : sc.shape[2] - off, :]
+    if valid_t:
+        off = t_dil_in + t_dil_out  # rows the two convs consumed per side
+        sc = sc[:, :, off : sc.shape[2] - off, :]
     return jax.nn.relu(out + sc), t_dil_out
 
 
@@ -224,8 +186,8 @@ def fully_conv_probs_blocked(
     )
     xb = ptrack[idx][:, None, :, :]  # [nb, 1, block+halos, F]
 
-    x = _conv_valid_t(xb, params["conv1"]["weight"], 1, 1,
-                      params["conv1"].get("bias"))
+    x = _conv(xb, params["conv1"]["weight"], 1, 1,
+              params["conv1"].get("bias"), valid_t=True)
     if "bn1" in params:
         x = _bn4(x, params["bn1"], state["bn1"])
     x = jax.nn.relu(x)
@@ -234,8 +196,10 @@ def fully_conv_probs_blocked(
         # state.get: a torch-imported NoBN state tree is empty (no buffers)
         blk_p = params[f"block{i + 1}"]
         blk_s = state.get(f"block{i + 1}", {})
-        x, t_dil = _block_valid_t(x, blk_p["0"], blk_s.get("0", {}), s, t_dil, s)
-        x, _ = _block_valid_t(x, blk_p["1"], blk_s.get("1", {}), 1, t_dil, 1)
+        x, t_dil = _block(x, blk_p["0"], blk_s.get("0", {}), s, t_dil, s,
+                          valid_t=True)
+        x, _ = _block(x, blk_p["1"], blk_s.get("1", {}), 1, t_dil, 1,
+                      valid_t=True)
 
     # x: [nb, C, block + head_extent, Wf]; freq-pool like fully_conv_probs.
     c, wf = x.shape[1], x.shape[3]

@@ -67,7 +67,9 @@ class StreamingEventDetector:
         if self._done:
             raise RuntimeError("detector already finished")
         probs = _fix_over_underflow_np(np.asarray(probs, dtype=np.float32))
-        mask = probs > self.threshold
+        # float32 compare, matching get_laughter_instances and the device
+        # path (see the comment there).
+        mask = probs > np.float32(self.threshold)
         prev = np.int8(0 if self._open is None else 1)
         d = np.diff(np.concatenate([[prev], mask.astype(np.int8)]))
         starts = list(self._f + np.nonzero(d == 1)[0])
@@ -232,7 +234,14 @@ def get_laughter_instances(
 
     out: Dict[Tuple[float, float], List[Tuple[float, float]]] = {}
     for thr in thresholds:
-        mask = probs > thr
+        # Compare in float32 like the device path (instances_from_device_probs
+        # casts its thr table to float32): a raw Python/np.float64 threshold
+        # would promote the comparison to float64, and a prob bit-equal to
+        # float32(thr) would then classify differently on host vs device —
+        # breaking the documented exact equivalence (and making the
+        # max_events overflow fallback disagree with device-computed
+        # thresholds in the same result dict).
+        mask = probs > np.float32(thr)
         d = np.diff(mask.astype(np.int8))
         starts = np.nonzero(d == 1)[0] + 1
         lasts = np.nonzero(d == -1)[0]

@@ -179,3 +179,21 @@ def test_instances_from_device_probs_overflow_fallback(rng):
     )
     assert got == want
     assert len(got[(0.5, 0.0)]) == 300  # 2-frame runs survive strict > 0.0
+
+
+def test_host_threshold_comparison_is_float32():
+    """A prob bit-equal to float32(thr) must classify the same whatever
+    numeric type the threshold arrives as: the device path compares in
+    float32, so the host paths must too (float64 promotion made
+    float32(0.3) read as above-threshold on host only, shifting run
+    boundaries for the max_events overflow fallback)."""
+    p = np.float32(0.3)  # == float32(0.3); > 0.3 when promoted to float64
+    probs = np.array([0.0, p, p, p, 0.0], np.float32)
+    for t in (0.3, np.float64(0.3), np.float32(0.3)):
+        inst = smoothing.get_laughter_instances(
+            probs, thresholds=[t], min_lengths=[0.0], fps=100.0
+        )
+        assert inst[(float(t), 0.0)] == []  # strict >, equal in float32
+        det = smoothing.StreamingEventDetector(t, min_length=0.0, fps=100.0)
+        events = det.feed(probs) + det.finish()
+        assert events == []
