@@ -142,6 +142,8 @@ def bench_train() -> None:
                 "value": round(samples_per_s, 1),
                 "unit": "samples_per_sec_per_chip",
                 "vs_baseline": None,
+                # See the inference record: mark what actually ran.
+                "platform": jax.devices()[0].platform,
             }
         )
     )
@@ -283,7 +285,14 @@ def main() -> None:
         "value": round(x_realtime, 2),
         "unit": "x_realtime_per_chip",
         "vs_baseline": round(x_realtime / 500.0, 4),
+        # Always record WHAT ran: a fast-failing accelerator plugin leaves
+        # jax on the CPU fallback with returncode 0, and a CPU number with
+        # no platform marker would read as a catastrophic framework
+        # regression rather than a fallback run.
+        "platform": platform,
     }
+    if not on_accel:
+        out["cpu_fallback"] = True
     if not healthy:
         # Surface a sick tunnel in the record: without this flag a
         # degraded-link number is indistinguishable from a framework

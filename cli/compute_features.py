@@ -92,6 +92,17 @@ def main(argv: Optional[List[str]] = None) -> int:
                 f"unknown meetings: {', '.join(sorted(unknown))} "
                 f"(known: {', '.join(store.meeting_ids)})"
             )
+        # A KNOWN meeting outside the selected splits is the same silent
+        # no-op (e.g. --meetings Bmr021 --splits train when Bmr021 is dev):
+        # the guard must check the split-filtered set, not just existence.
+        in_splits = {
+            m for m in wanted_meetings if split_of_meeting(m) in splits
+        }
+        if not in_splits:
+            raise SystemExit(
+                f"none of the requested meetings belong to splits "
+                f"{sorted(splits)}; pass --splits all or the right split"
+            )
     cache = FeatureCache(output_dir)
     dtype = np.float16 if args.dtype == "float16" else np.float32
 

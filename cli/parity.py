@@ -128,15 +128,10 @@ def _load_model(args):
 
 
 def _pipeline(args, model, params, state):
-    import jax
-
     from laughter_detection_icsi_tpu import inference
 
-    on_accel = jax.devices()[0].platform != "cpu"
-    settings = inference.InferenceSettings(
-        chunk=args.chunk or (6144 if on_accel else 1024),
-        bucket_frames=args.bucket_frames or (6144 if on_accel else 1024),
-        precision="bfloat16" if on_accel else "float32",
+    settings = inference.settings_from_flags(
+        chunk=args.chunk, bucket_frames=args.bucket_frames
     )
     return inference.LaughterPipeline(model, params, state, settings=settings)
 

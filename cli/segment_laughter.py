@@ -120,6 +120,11 @@ def main(argv: Optional[List[str]] = None) -> int:
 
     from laughter_detection_icsi_tpu.config import parse_float_list
 
+    if args.config not in MODEL_MAP:
+        raise SystemExit(
+            f"--config: unknown preset {args.config!r} "
+            f"(choose from {sorted(MODEL_MAP)})"
+        )
     preset = MODEL_MAP[args.config]
     thresholds = parse_float_list(args.thresholds, "--thresholds")
     min_lengths = parse_float_list(args.min_lengths, "--min_lengths")
@@ -141,11 +146,10 @@ def main(argv: Optional[List[str]] = None) -> int:
         loaded = ckpt_lib.load_checkpoint(best)
         params, state = loaded["params"], loaded["state"]
 
-    on_accel = jax.devices()[0].platform != "cpu"
-    settings = inference.InferenceSettings(
-        chunk=args.chunk or (6144 if on_accel else 1024),
-        bucket_frames=args.bucket_frames or 6144,
-        precision=args.precision or ("bfloat16" if on_accel else "float32"),
+    settings = inference.settings_from_flags(
+        chunk=args.chunk,
+        bucket_frames=args.bucket_frames,
+        precision=args.precision,
         mode=args.mode,
         transfer_codec=args.transfer_codec,
     )

@@ -128,13 +128,12 @@ def main(argv: Optional[List[str]] = None) -> int:
         raise SystemExit(f"Model checkpoint not found at {args.model_path}")
     loaded = ckpt_lib.load_checkpoint(best)
 
-    on_accel = jax.devices()[0].platform != "cpu"
-    settings = inference.InferenceSettings(
-        chunk=args.chunk if args.chunk is not None
-        else (6144 if on_accel else 512),
-        bucket_frames=args.bucket_frames if args.bucket_frames is not None
-        else (6144 if on_accel else 1024),
-        precision=args.precision or ("bfloat16" if on_accel else "float32"),
+    # cpu_chunk=512: lower per-dispatch latency for the live-serving path.
+    settings = inference.settings_from_flags(
+        chunk=args.chunk,
+        bucket_frames=args.bucket_frames,
+        precision=args.precision,
+        cpu_chunk=512,
     )
     n_ch = args.channels
     # Event times divide frame indices by this; for file replay it is set

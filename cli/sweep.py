@@ -87,12 +87,45 @@ def main(argv: Optional[List[str]] = None) -> int:
     from laughter_detection_icsi_tpu.parallel import ShardedPipeline, make_mesh
     from laughter_detection_icsi_tpu.train import checkpoint as ckpt_lib
 
+    if args.config not in MODEL_MAP:
+        raise SystemExit(
+            f"--config: unknown preset {args.config!r} "
+            f"(choose from {sorted(MODEL_MAP)})"
+        )
     preset = MODEL_MAP[args.config]
     from laughter_detection_icsi_tpu.config import parse_float_list
 
     thresholds = parse_float_list(args.thresholds, "--thresholds")
     min_lengths = parse_float_list(args.min_lengths, "--min_lengths")
 
+    store = transcript_lib.load(args.transcript_dir)
+    wanted = (
+        {m.strip() for m in args.meetings.split(",") if m.strip()}
+        if args.meetings
+        else None
+    )
+    if wanted:
+        unknown = wanted - set(store.meeting_ids)
+        if unknown:
+            raise SystemExit(
+                f"unknown meetings: {', '.join(sorted(unknown))} "
+                f"(known: {', '.join(store.meeting_ids)})"
+            )
+    meetings = [
+        m
+        for m in store.meeting_ids
+        if (args.split == "all" or split_of_meeting(m) == args.split)
+        and (wanted is None or m in wanted)
+    ]
+    if not meetings:
+        # A typo'd/empty selection (or a --meetings value outside --split)
+        # must not sweep nothing and exit 0 looking successful — a chained
+        # --analyse would then evaluate an empty preds dir.
+        raise SystemExit(
+            f"no meetings selected (split={args.split!r}, "
+            f"meetings={sorted(wanted) if wanted else 'all'}) — check that "
+            f"the requested meetings belong to the requested split"
+        )
     model = models.build(
         preset.model,
         dropout_rate=0.0,
@@ -104,11 +137,10 @@ def main(argv: Optional[List[str]] = None) -> int:
         raise SystemExit(f"Model checkpoint not found at {args.model_path}")
     loaded = ckpt_lib.load_checkpoint(ckpt)
 
-    on_accel = jax.devices()[0].platform != "cpu"
-    settings = inference.InferenceSettings(
-        chunk=args.chunk or (6144 if on_accel else 1024),
-        bucket_frames=args.bucket_frames or 6144,
-        precision=args.precision or ("bfloat16" if on_accel else "float32"),
+    settings = inference.settings_from_flags(
+        chunk=args.chunk,
+        bucket_frames=args.bucket_frames,
+        precision=args.precision,
         mode=args.mode,
         transfer_codec=args.transfer_codec,
     )
@@ -120,19 +152,19 @@ def main(argv: Optional[List[str]] = None) -> int:
         settings=settings,
     )
 
-    store = transcript_lib.load(args.transcript_dir)
-    wanted = (
-        {m.strip() for m in args.meetings.split(",") if m.strip()}
-        if args.meetings
-        else None
-    )
-    meetings = [
-        m
-        for m in store.meeting_ids
-        if (args.split == "all" or split_of_meeting(m) == args.split)
-        and (wanted is None or m in wanted)
-    ]
     from laughter_detection_icsi_tpu.utils.profiling import ThroughputMeter, trace
+
+    # Warm the compile OFF the clock for every distinct channel count in
+    # the selection (the sharded graphs key on channels-per-device): cold
+    # jit is tens of seconds and was billed to the first meeting's span,
+    # making its printed rtf — and the 'inference-only' summary —
+    # meaningless.  bench.py warms off the clock for the same reason.
+    counts = {
+        max(1, int((store.info_df.meeting_id == m).sum())) for m in meetings
+    }
+    warm_len = settings.bucket_frames * pipe.feat_cfg.frame_shift_samples
+    for n_ch in sorted(counts):
+        pipe.probs_for_waveforms([np.zeros(warm_len, np.int16)] * n_ch)
 
     out_root = Path(args.output_dir) / args.split
     meter = ThroughputMeter(n_chips=len(jax.devices()))

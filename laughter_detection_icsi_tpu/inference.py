@@ -105,6 +105,44 @@ _snip_cfg = host_prep.snip_cfg
 bucket_wave_len = host_prep.bucket_wave_len
 
 
+def settings_from_flags(
+    chunk: Optional[int] = None,
+    bucket_frames: Optional[int] = None,
+    precision: Optional[str] = None,
+    cpu_chunk: int = 1024,
+    cpu_bucket_frames: int = 1024,
+    **kwargs,
+) -> "InferenceSettings":
+    """THE shared CLI defaults block (segment_laughter / sweep / serve /
+    parity): accelerator probe + per-flag defaulting.
+
+    The CLIs used to copy-paste these eight lines and their CPU defaults
+    drifted (bucket_frames 6144 vs 1024, chunk 1024 vs 512) — the same
+    pipeline compiled different graph shapes depending on which CLI
+    launched it.  ``is not None``, not ``or``: an explicit 0 must reach
+    InferenceSettings' validation and fail loudly, not be silently
+    swapped for the default.  ``cpu_chunk`` stays overridable for
+    latency-sensitive callers (serve uses 512).
+    """
+    import jax
+
+    on_accel = jax.devices()[0].platform != "cpu"
+    return InferenceSettings(
+        chunk=chunk if chunk is not None else (6144 if on_accel else cpu_chunk),
+        bucket_frames=(
+            bucket_frames
+            if bucket_frames is not None
+            else (6144 if on_accel else cpu_bucket_frames)
+        ),
+        precision=(
+            precision
+            if precision is not None
+            else ("bfloat16" if on_accel else "float32")
+        ),
+        **kwargs,
+    )
+
+
 def cast_tree_bf16(tree):
     """Cast a params/state tree's float leaves to bfloat16.
 

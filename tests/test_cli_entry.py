@@ -234,3 +234,32 @@ def test_train_cli_arg_validation():
         with pytest.raises(SystemExit) as ei:
             train_cli.main(argv)
         assert ei.value.code == 2, argv  # argparse error exit
+
+
+def test_sweep_and_compute_features_reject_empty_selection(synthetic_corpus, tmp_path):
+    """A selection that matches nothing (typo'd meeting, or a meeting
+    outside the requested split) must error, not run zero work and exit 0
+    looking successful."""
+    from cli import compute_features as cf
+    from cli import sweep as sweep_cli
+
+    tdir = str(synthetic_corpus.transcript_dir)
+    with pytest.raises(SystemExit, match="unknown meetings"):
+        sweep_cli.main(
+            ["--audio_dir", str(tmp_path), "--transcript_dir", tdir,
+             "--output_dir", str(tmp_path / "o"), "--model_path",
+             str(tmp_path / "nope"), "--meetings", "Zzz999"]
+        )
+    with pytest.raises(SystemExit, match="no meetings selected"):
+        sweep_cli.main(
+            ["--audio_dir", str(tmp_path), "--transcript_dir", tdir,
+             "--output_dir", str(tmp_path / "o"), "--model_path",
+             str(tmp_path / "nope"), "--meetings", "Btr001",
+             "--split", "dev"]  # Btr001 is train
+        )
+    with pytest.raises(SystemExit, match="belong to splits"):
+        cf.main(
+            ["--audio_dir", str(tmp_path), "--transcript_dir", tdir,
+             "--output_dir", str(tmp_path / "f"), "--meetings", "Btr001",
+             "--splits", "dev"]  # Btr001 is train
+        )
