@@ -205,6 +205,11 @@ def load_env(env_file: str = ".env", override: bool = False) -> Dict[str, str]:
         key, _, value = line.partition("=")
         key = key.strip()
         value = value.strip()
+        if not key:
+            # '=value' / 'export =x': python-dotenv skips these; setting
+            # os.environ[''] raises OSError(EINVAL) and would abort every
+            # CLI on an otherwise-valid .env file.
+            continue
         m = re.match(r"""(['"])(.*?)\1\s*(?:#.*)?$""", value)
         if m:
             # Quoted (optionally followed by an inline comment): keep the

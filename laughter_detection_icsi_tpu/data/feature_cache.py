@@ -40,10 +40,10 @@ def compute_track_features(
 
     ``use_pallas=None`` auto-selects the fused Pallas kernel on TPU and the
     XLA featurizer elsewhere (same numerics to ~2e-5, like inference)."""
-    import dataclasses as _dc
-
     import jax
     import jax.numpy as jnp
+
+    from laughter_detection_icsi_tpu import host_prep
 
     n = len(wave)
     t = fbank_ops.num_frames(n, cfg)
@@ -55,19 +55,17 @@ def compute_track_features(
     )
 
     featurize = fbank_pallas_jit if resolve_use_pallas(use_pallas) else fbank_ops.fbank_jit
-    snip = _dc.replace(cfg, snip_edges=True)
-    # pad_amounts converts snip_edges=False framing to the padded snip=True
-    # layout the bucket indexing below assumes; a cfg already in snip mode
-    # needs no padding (pad_amounts would return a negative right pad).
-    left, right = (0, 0) if cfg.snip_edges else fbank_ops.pad_amounts(n, cfg)
-    if right < 0:
-        # Short-frame geometry (flen <= 2*shift): the last frame ends
-        # before the waveform; drop the tail Kaldi never reads.
-        wave = wave[: n + right]
-        right = 0
-    # symmetric == Kaldi edge mirroring; stays correct when a pad exceeds
-    # the wave length (see inference.host_pad_waveform).
-    padded = np.pad(wave, (left, right), mode="symmetric").astype(np.float32)
+    snip = host_prep.snip_cfg(cfg)
+    if cfg.snip_edges:
+        # Already in the padded-snip layout the bucket indexing assumes.
+        padded = np.asarray(wave, dtype=np.float32)
+    else:
+        # host_prep owns the snip_edges=False -> padded-snip conversion
+        # (Kaldi left-pad arithmetic, short-frame negative-right-pad
+        # truncation, symmetric mirroring); an inline copy here was a
+        # third version of that geometry waiting to drift.
+        padded, _t = host_prep.host_pad_waveform(np.asarray(wave), cfg)
+        padded = padded.astype(np.float32)
 
     shift = snip.frame_shift_samples
     flen = snip.frame_length_samples
@@ -112,11 +110,18 @@ class FeatureCache:
         return Path(self.cache_dir) / meeting_id / f"{chan_id}.npy"
 
     def has(self, meeting_id: str, chan_id: str, dtype=None) -> bool:
-        """Track present — and, when ``dtype`` is given, stored in that
-        dtype (a float32 cache does NOT satisfy a float16 request: rerun
-        semantics would otherwise silently no-op a dtype change)."""
+        """Track present, with the cache's feature width and (when
+        ``dtype`` is given) storage dtype.
+
+        Both checks exist for the same rerun semantics: a cache built
+        under a different FeatConfig (e.g. 44 -> 40 mel filters) must NOT
+        satisfy the request, or compute_features silently no-ops and
+        training later crashes with an opaque broadcast error (or —
+        worse — cut() silently serves wrong-width features)."""
         entry = self._manifest.get(self._key(meeting_id, chan_id))
         if entry is None:
+            return False
+        if entry.get("num_filters") != int(self.cfg.num_filters):
             return False
         if dtype is not None and entry.get("dtype") != str(np.dtype(dtype)):
             return False

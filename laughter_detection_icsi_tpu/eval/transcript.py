@@ -88,9 +88,24 @@ def parse_preambles(
         ):
             chan_map[part.get("Channel")] = part.get("Name")
         chan_to_part[session] = chan_map
-    part_to_chan = {
-        mid: {p: c for c, p in cmap.items()} for mid, cmap in chan_to_part.items()
-    }
+    part_to_chan: Dict[str, Dict[str, str]] = {}
+    for mid, cmap in chan_to_part.items():
+        inv: Dict[str, str] = {}
+        for c, p in cmap.items():
+            if p in inv:
+                # A participant listed on TWO channels (mic switch) makes
+                # the inversion ambiguous: last-one-wins would silently
+                # attribute ALL their segments to one channel and score
+                # the other channel's real laughs as false positives.
+                # Surface it; keep the first listing (document order).
+                print(
+                    f"WARNING: {mid}: participant {p!r} listed on channels "
+                    f"{inv[p]} and {c}; segments attributed to {inv[p]}",
+                    flush=True,
+                )
+                continue
+            inv[p] = c
+        part_to_chan[mid] = inv
     return chan_to_part, part_to_chan
 
 
@@ -268,7 +283,12 @@ def count_laugh_segments(transcript_dir: str) -> Dict[str, Tuple[int, int]]:
         " and count(./*) < 2])"
     )
     for path in sorted(Path(transcript_dir).glob("*.mrt")):
-        if path.name == "preambles.mrt":
+        # Same membership rule as TranscriptStore.__init__ (exactly
+        # '<6 chars>.mrt'): a stray 'Bmr001.orig.mrt' backup is excluded
+        # from the store, and counting it here would make these totals
+        # stop reconciling with the store-derived laugh_only_df counts
+        # for the same directory.
+        if len(path.name) != len("Xxx000.mrt") or path.name == "preambles.mrt":
             continue
         tree = etree.parse(str(path))
         out[path.stem] = (int(tree.xpath(all_xp)), int(tree.xpath(only_xp)))

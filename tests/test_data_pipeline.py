@@ -584,3 +584,33 @@ def test_sampler_group_cache_guards_id_reuse(synthetic_corpus):
     # identity check must reject the stale entry and regroup from `other`
     assert fresh.empty
     assert sampler._group_cache[id(other)][0] is other
+
+
+def test_feature_cache_rejects_other_num_filters(tmp_path, rng):
+    """A cache built under one mel-filter count must not satisfy a request
+    under another FeatConfig: has() returning True would silently no-op
+    the re-featurization and feed wrong-width features downstream."""
+    import dataclasses
+
+    from laughter_detection_icsi_tpu.config import FEAT
+    from laughter_detection_icsi_tpu.data.feature_cache import FeatureCache
+
+    cache = FeatureCache(str(tmp_path))
+    wave = (rng.standard_normal(16000) * 0.05).astype(np.float32)
+    cache.add_track("Bxx001", "chan0", wave)
+    assert cache.has("Bxx001", "chan0")
+    other = FeatureCache(str(tmp_path), cfg=dataclasses.replace(FEAT, num_filters=40))
+    assert not other.has("Bxx001", "chan0")
+
+
+def test_load_env_skips_empty_keys(tmp_path, monkeypatch):
+    """'=value' lines (empty key) must be skipped like python-dotenv does —
+    os.environ[''] raises OSError and would abort every CLI."""
+    from laughter_detection_icsi_tpu.config import load_env
+
+    f = tmp_path / ".env"
+    f.write_text("=oops\nexport = x\nGOOD_KEY=fine\n")
+    monkeypatch.delenv("GOOD_KEY", raising=False)
+    parsed = load_env(str(f))
+    assert parsed.get("GOOD_KEY") == "fine"
+    assert "" not in parsed

@@ -4,6 +4,7 @@ import pytest
 
 from laughter_detection_icsi_tpu.eval import indices as idx_mod
 from laughter_detection_icsi_tpu.eval.intervals import IntervalSet
+from laughter_detection_icsi_tpu.eval import transcript
 from laughter_detection_icsi_tpu.eval.transcript import TranscriptStore
 
 
@@ -202,3 +203,37 @@ def test_stray_dotted_mrt_not_double_parsed(tmp_path, synthetic_corpus):
     got = tl.TranscriptStore(str(tdir))
     assert len(got.laugh_only_df) == len(base.laugh_only_df)
     assert len(got.info_df) == len(base.info_df)
+
+
+def test_duplicate_participant_channels_warn_first_wins(tmp_path, capsys):
+    """A participant listed on two channels makes the part->chan inversion
+    ambiguous; it must be surfaced (first listing wins), not silently
+    last-one-wins."""
+    (tmp_path / "preambles.mrt").write_text(
+        '<?xml version="1.0"?>\n<Meetings>\n'
+        '<Meeting Session="Bxx001">\n<Preamble>\n<Participants>\n'
+        '<Participant Name="me013" Channel="chan0"/>\n'
+        '<Participant Name="me013" Channel="chan1"/>\n'
+        "</Participants>\n</Preamble>\n</Meeting>\n</Meetings>\n"
+    )
+    chan_to_part, part_to_chan = transcript.parse_preambles(
+        str(tmp_path / "preambles.mrt")
+    )
+    out = capsys.readouterr().out
+    assert "me013" in out and "WARNING" in out
+    assert part_to_chan["Bxx001"]["me013"] == "chan0"
+    assert set(chan_to_part["Bxx001"]) == {"chan0", "chan1"}
+
+
+def test_count_laugh_segments_matches_store_membership(synthetic_corpus, tmp_path):
+    """A stray 'Bmr021.orig.mrt' backup is excluded from the store, so the
+    xmllint-equivalent counter must exclude it too or the two totals stop
+    reconciling for the same directory."""
+    import shutil
+
+    tdir = tmp_path / "t"
+    shutil.copytree(synthetic_corpus.transcript_dir, tdir)
+    want = transcript.count_laugh_segments(str(tdir))
+    shutil.copyfile(tdir / "Bmr021.mrt", tdir / "Bmr021.orig.mrt")
+    got = transcript.count_laugh_segments(str(tdir))
+    assert got == want  # the backup contributed nothing
