@@ -503,6 +503,14 @@ def encode(
     if ftype not in _SUPPORTED_FTYPES:
         raise NotImplementedError(f"shorten: ftype {ftype} unsupported")
     n, nchan = samples.shape
+    # Mirror decode()'s bounds: blocksize <= 0 spins the encode loop
+    # forever (pos never advances), and out-of-range blocksize/nchan would
+    # encode "successfully" into a stream this decoder and the C++ twin
+    # both reject — an undecodable fixture written with no error.
+    if not 0 < blocksize <= _MAX_BLOCKSIZE:
+        raise ValueError(f"shorten: bad blocksize {blocksize}")
+    if not 0 < nchan <= _MAX_CHANNELS:
+        raise ValueError(f"shorten: bad channel count {nchan}")
     data = samples.astype(np.int64)
     if bitshift:
         if not 0 < bitshift <= 15:

@@ -30,7 +30,6 @@ together.
 
 from __future__ import annotations
 
-import dataclasses
 import functools
 
 import jax
@@ -39,6 +38,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from laughter_detection_icsi_tpu import host_prep
 from laughter_detection_icsi_tpu.config import FEAT, FeatConfig
 from laughter_detection_icsi_tpu.ops import fbank as fbank_ref
 
@@ -138,7 +138,9 @@ def fbank_pallas(
         raise NotImplementedError(
             "dither != 0 is not implemented (features are deterministic)"
         )
-    cfg_snip = dataclasses.replace(cfg, snip_edges=True)
+    # host_prep owns the snip-twin transform; a second inline replace()
+    # here was the drift hazard its docstring warns about.
+    cfg_snip = host_prep.snip_cfg(cfg)
     shift = cfg_snip.frame_shift_samples
     flen = cfg_snip.frame_length_samples
     tail = flen - 2 * shift

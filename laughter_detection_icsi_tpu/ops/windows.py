@@ -16,30 +16,20 @@ import jax
 import jax.numpy as jnp
 
 
-def num_windows(num_frames: int) -> int:
-    """One window per feature frame (reference datasets.py:82-83)."""
-    return num_frames
-
-
 def extract_windows(
     feats: jnp.ndarray, start: jnp.ndarray, count: int, window: int = 100
 ) -> jnp.ndarray:
-    """Gather ``count`` consecutive sliding windows from ``feats``.
+    """Gather ``count`` consecutive sliding windows from ``feats``
+    (one window per feature frame, reference datasets.py:82-92).
 
     feats: [T, F] with every gathered index in range: the last one is
-    ``start + count + window - 2``, so the caller needs
-    ``start + count + window - 1 <= T`` — exactly what :func:`pad_tail`'s
-    ``window - 1`` tail padding provides for the full sweep.
+    ``start + count + window - 2``, so the caller must supply a
+    ``window - 1`` zero-padded tail (the bucket graphs size their feature
+    buffers with exactly that slack — see inference._graphs feat_rows).
     Returns [count, window, F].
     """
     idx = start + jnp.arange(count)[:, None] + jnp.arange(window)[None, :]
     return feats[idx]
-
-
-def pad_tail(feats: jnp.ndarray, window: int = 100) -> jnp.ndarray:
-    """Zero-pad the time axis so every window is fully in range
-    (mirrors the per-item tail padding at reference datasets.py:87-92)."""
-    return jnp.pad(feats, ((0, window - 1), (0, 0)))
 
 
 def windowed_map(

@@ -8,7 +8,6 @@ reference datasets.py:72-93) against our converted checkpoint."""
 
 import json
 
-import jax
 import numpy as np
 import pytest
 import torch

@@ -498,3 +498,15 @@ def test_native_truncated_stream_rejected(tmp_path, wave):
         open(path, "wb").write(full[:cut])
         with pytest.raises(ValueError):
             native.decode_shorten(path, len(x), 1)
+
+
+def test_encode_rejects_out_of_bounds_params(wave):
+    """encode() must mirror decode()'s bounds: blocksize<=0 used to spin
+    the encode loop forever, and out-of-range blocksize/nchan encoded
+    streams every decoder rejects."""
+    with pytest.raises(ValueError, match="blocksize"):
+        shorten.encode(wave[:100], blocksize=0)
+    with pytest.raises(ValueError, match="blocksize"):
+        shorten.encode(wave[:100], blocksize=70000)
+    with pytest.raises(ValueError, match="channel"):
+        shorten.encode(np.zeros((10, 65), np.int16))

@@ -3,7 +3,6 @@
 import pytest
 
 from laughter_detection_icsi_tpu.eval import indices as idx_mod
-from laughter_detection_icsi_tpu.eval.intervals import IntervalSet
 from laughter_detection_icsi_tpu.eval import transcript
 from laughter_detection_icsi_tpu.eval.transcript import TranscriptStore
 
