@@ -42,9 +42,18 @@ def _is_network_error(e: BaseException) -> bool:
     """URLError covers only connect-time failures; a body-read stall raises
     socket.timeout/OSError inside copyfileobj and a premature server close
     raises http.client.IncompleteRead — all of them are 'network
-    unavailable', not programming errors to traceback on."""
+    unavailable', not programming errors to traceback on.
+
+    LOCAL filesystem OSErrors (disk full, permission, read-only fs) are
+    carved back out: reporting ENOSPC as 'network unavailable' sends the
+    user debugging the wrong thing.
+    """
+    import errno
     import http.client
 
+    local = {errno.ENOSPC, errno.EACCES, errno.EROFS, errno.EDQUOT}
+    if isinstance(e, OSError) and e.errno in local:
+        return False
     return isinstance(
         e, (urllib.error.URLError, OSError, http.client.HTTPException)
     )
@@ -84,7 +93,17 @@ def main(argv: Optional[List[str]] = None) -> int:
         f"{args.mirror}/{m}/{c}.sph" for m in meetings for c in chan_names
     ]
     if args.print_urls:
-        print("\n".join(urls))
+        import os
+
+        try:
+            print("\n".join(urls))
+        except BrokenPipeError:
+            # `... --print_urls | head -3` is the invited usage; exit
+            # quietly with the conventional SIGPIPE code instead of a
+            # traceback (stdout redirected to devnull so the shutdown
+            # flush can't raise again).
+            os.dup2(os.open(os.devnull, os.O_WRONLY), sys.stdout.fileno())
+            return 141
         return 0
 
     audio_dir = Path(args.audio_dir)
@@ -119,29 +138,48 @@ def main(argv: Optional[List[str]] = None) -> int:
                 )
                 return 1
     if args.transcript_dir:
+        import zipfile
+
         tdir = Path(args.transcript_dir)
         tdir.mkdir(parents=True, exist_ok=True)
         dest = tdir / "ICSI_original_transcripts.zip"
-        if not dest.exists():
+
+        def _extract(zip_path: Path) -> None:
+            with zipfile.ZipFile(zip_path) as z:
+                z.extractall(tdir)
+
+        if dest.exists() and not any(tdir.rglob("*.mrt")):
+            # A manually mirrored zip (the --print_urls air-gapped
+            # workflow) is not a done-marker until its transcripts are
+            # extracted: skipping on mere existence left zero .mrt files
+            # behind a 'done' message.  Extraction errors here are local
+            # and traceback as themselves.
+            _extract(dest)
+            print(f"transcripts (from mirrored zip) -> {tdir}")
+        elif not dest.exists():
             part = dest.with_suffix(".zip.part")
             try:
                 _fetch(TRANSCRIPTS_URL, part)
-                import zipfile
-
-                # Extract from the .part BEFORE the rename: the final name
-                # is the done-marker, so a crash mid-extract must leave the
-                # rerun able to retry (renaming first made any extraction
-                # failure permanently skip extraction while printing done).
-                with zipfile.ZipFile(part) as z:
-                    z.extractall(tdir)
-                part.replace(dest)
-                print(f"transcripts -> {tdir}")
             except BaseException as e:
+                # Only the DOWNLOAD can be a network problem; discard the
+                # partial file so a rerun restarts cleanly.
                 part.unlink(missing_ok=True)
                 if not _is_network_error(e):
                     raise
                 print(f"network unavailable for transcripts ({e})")
                 return 1
+            # Extraction failures (disk full, Ctrl-C) are LOCAL: keep the
+            # fully-downloaded archive under its final name so the rerun
+            # re-enters the extract-only branch above without re-fetching
+            # hundreds of MB, and let the real error traceback instead of
+            # a bogus 'network unavailable' diagnosis.
+            try:
+                _extract(part)
+            except BaseException:
+                part.replace(dest)
+                raise
+            part.replace(dest)
+            print(f"transcripts -> {tdir}")
     print(f"done ({fetched} files fetched, {missing} absent channels skipped)")
     return 0
 

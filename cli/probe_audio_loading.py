@@ -41,6 +41,10 @@ def main(argv: Optional[List[str]] = None) -> int:
           f"decoder {'native' if native.available() else 'python'})")
     for off in (float(o) for o in args.offsets.split(",")):
         if off >= meta.duration:
+            # Say so: with the default offsets (0,60,600,1800) a short
+            # file would otherwise print one row and silently drop three
+            # probe points.
+            print(f"offset {off:7.1f}s: skipped (past end of file)")
             continue
         t0 = time.perf_counter()
         wav, _ = native.read(

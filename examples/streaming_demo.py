@@ -57,14 +57,17 @@ def main() -> None:
     t0 = time.perf_counter()
     chunk = sr // 4
     frames_out = 0
+    streamed = []
     for lo in range(0, len(wave), chunk):
         probs = session.feed(wave[lo:lo + chunk])
+        streamed.append(np.asarray(probs))
         frames_out += len(probs)
         for s, e in detector.feed(probs):
             now = (lo + chunk) / sr
             print(f"  t={now:5.1f}s  event closed: {s:.2f}-{e:.2f}s "
                   f"(latency {now - e:.1f}s)")
     tail = session.finish()
+    streamed.append(np.asarray(tail))
     frames_out += len(tail)
     for s, e in detector.feed(tail):
         print(f"  finish: event {s:.2f}-{e:.2f}s")
@@ -75,10 +78,18 @@ def main() -> None:
           f"in {took:.1f}s ({len(wave)/sr/took:.1f}x realtime, "
           f"latency budget ~{pipe.settings.bucket_frames/100:.0f}s)")
 
-    # sanity: streaming == offline
-    offline = pipe.probs_for_waveform(wave)
-    assert frames_out == len(offline)
-    print("== streaming output length matches offline pipeline")
+    # Sanity: streaming == offline, by VALUE (the headline claim).  An
+    # explicit check, not a bare assert: length-only comparison missed
+    # value regressions, and `python -O` compiles asserts away entirely.
+    offline = np.asarray(pipe.probs_for_waveform(wave))
+    got = np.concatenate(streamed) if streamed else np.zeros(0, np.float32)
+    if got.shape != offline.shape or not np.array_equal(got, offline):
+        raise RuntimeError(
+            f"streaming output diverged from offline: shapes {got.shape} vs "
+            f"{offline.shape}, max diff "
+            f"{np.max(np.abs(got - offline)) if got.shape == offline.shape else 'n/a'}"
+        )
+    print("== streaming probabilities are bit-identical to the offline pipeline")
 
 
 if __name__ == "__main__":

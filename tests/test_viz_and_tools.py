@@ -210,3 +210,25 @@ def test_get_icsi_unknown_meeting_rejected(capsys):
     assert rc == 0
     out = capsys.readouterr().out
     assert "Bmr021/chan0.sph" in out and "Bns001/chan0.sph" in out
+
+
+def test_get_icsi_mirrored_zip_is_extracted(tmp_path):
+    """Air-gapped workflow: a manually mirrored transcript zip must be
+    EXTRACTED on the next run, not treated as a done-marker while the
+    transcript dir holds zero .mrt files."""
+    import zipfile
+
+    from cli.get_icsi_data import main
+
+    tdir = tmp_path / "transcripts"
+    tdir.mkdir()
+    with zipfile.ZipFile(tdir / "ICSI_original_transcripts.zip", "w") as z:
+        z.writestr("transcripts/Bmr021.mrt", "<Meeting/>")
+    audio = tmp_path / "audio" / "Bmr021"
+    audio.mkdir(parents=True)
+    for c in list(range(10)) + list("ABCDEF"):
+        (audio / f"chan{c}.sph").write_bytes(b"x")  # nothing to fetch
+    rc = main(["--audio_dir", str(tmp_path / "audio"), "--meetings",
+               "Bmr021", "--transcript_dir", str(tdir)])
+    assert rc == 0
+    assert list(tdir.rglob("*.mrt"))

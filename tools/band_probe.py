@@ -25,7 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def band_flops(b: int, window: int = 100, f: int = 44, c: int = 64) -> float:
+def band_flops(b: int, f: int = 44, c: int = 64) -> float:
     """Analytic FLOPs of _band_stem for BOTH edges at batch b (identity
     stage-1 shortcuts, resnet_base plan)."""
     per_edge = 0.0
@@ -44,22 +44,29 @@ def stem_flops(t: int, f: int = 44, c: int = 64) -> float:
     return total
 
 
+# Distinct input sets kept resident per timing run: enough to defeat the
+# tunnel's content-dedup (re-timing one wave reports the cache), small
+# enough to bound HBM — at --chunks 12288 each set is ~150 MB in bf16, so
+# iters+warmup sets (~3.5 GB at the defaults) could OOM the probe itself.
+INPUT_POOL = 6
+
+
 def time_op(fn, make_input, iters: int, warmup: int = 3) -> float:
-    """Median ms/iter with DISTINCT inputs per call (content-dedup guard);
-    inputs derived on device.  Synchronous: includes per-dispatch latency
-    (~26 ms on the tunnel) — read the MARGINAL slope across sizes for
-    compute cost."""
-    xs = [make_input(i) for i in range(iters + warmup)]
+    """Median ms/iter with a rotating pool of distinct inputs
+    (content-dedup guard); inputs derived on device.  Synchronous:
+    includes per-dispatch latency (~26 ms on the tunnel) — read the
+    MARGINAL slope across sizes for compute cost."""
+    xs = [make_input(i) for i in range(min(INPUT_POOL, iters + warmup))]
     for x in xs:
         jax.block_until_ready(x)
     outs = []
     for i in range(warmup):
-        outs.append(fn(*xs[i]))
+        outs.append(fn(*xs[i % len(xs)]))
     jax.block_until_ready(outs[-1])
     times = []
     for i in range(warmup, warmup + iters):
         t0 = time.perf_counter()
-        jax.block_until_ready(fn(*xs[i]))
+        jax.block_until_ready(fn(*xs[i % len(xs)]))
         times.append((time.perf_counter() - t0) * 1e3)
     return float(np.median(times))
 
@@ -67,12 +74,12 @@ def time_op(fn, make_input, iters: int, warmup: int = 3) -> float:
 def time_op_pipelined(fn, make_input, iters: int, warmup: int = 3) -> float:
     """ms/iter with all dispatches in flight (block only at the end) —
     the steady-state device-side number; per-dispatch latency overlaps."""
-    xs = [make_input(i) for i in range(iters + warmup)]
+    xs = [make_input(i) for i in range(min(INPUT_POOL, iters + warmup))]
     for x in xs:
         jax.block_until_ready(x)
-    jax.block_until_ready([fn(*xs[i]) for i in range(warmup)])
+    jax.block_until_ready([fn(*xs[i % len(xs)]) for i in range(warmup)])
     t0 = time.perf_counter()
-    outs = [fn(*xs[i]) for i in range(warmup, warmup + iters)]
+    outs = [fn(*xs[i % len(xs)]) for i in range(warmup, warmup + iters)]
     jax.block_until_ready(outs)
     return (time.perf_counter() - t0) * 1e3 / iters
 
