@@ -54,7 +54,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="windows per device step (default: 6144 on "
                         "accelerators, 1024 on CPU)")
     p.add_argument("--bucket_frames", type=int, default=None,
-                   help="jit shape bucket in frames (default: 6144)")
+                   help="jit shape bucket in frames (default: 6144 on "
+                        "accelerators, 1024 on CPU)")
     p.add_argument("--mode", type=str, default="windows",
                    choices=["windows", "fused_conv"],
                    help="'windows' = reference-exact per-window conv; "

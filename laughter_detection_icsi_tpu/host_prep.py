@@ -120,6 +120,15 @@ class BucketGeometry:
     window: int = 100
     bucket_frames: int = 6144
 
+    def __post_init__(self):
+        # Same guard its jax-side twin InferenceSettings has: 0/negatives
+        # would crash far away (ZeroDivisionError in the bucket loop, a
+        # silently wrong wave_len buffer) instead of at construction.
+        for name in ("window", "bucket_frames"):
+            v = getattr(self, name)
+            if v < 1:
+                raise ValueError(f"{name} must be >= 1, got {v}")
+
 
 def bucket_wave_len(settings, feat_cfg: FeatConfig = FEAT) -> int:
     """Samples one bucket's featurize graph reads: ``bucket + window - 1``
@@ -163,6 +172,10 @@ def bucket_inputs(
     ``settings`` is anything with ``bucket_frames``/``window`` attributes;
     default :class:`BucketGeometry` (== InferenceSettings' defaults).
     """
+    # Plain function wrapping an inner generator: the input validation
+    # fires at CALL time like probs_for_waveform_device's (a generator
+    # would defer it to first iteration — after the expensive artifact
+    # load, or never, if the consumer zips against an empty iterable).
     feat_cfg = feat_cfg if feat_cfg is not None else FEAT
     settings = settings if settings is not None else BucketGeometry()
     wave = np.asarray(wave)
@@ -178,16 +191,20 @@ def bucket_inputs(
             f"bucket_inputs wants int16 or float32/float64 PCM, "
             f"got {wave.dtype}"
         )
-    padded, t = host_pad_waveform(wave, feat_cfg)
-    if t == 0:
-        return
-    wave_len = bucket_wave_len(settings, feat_cfg)
-    bucket = settings.bucket_frames
-    shift = snip_cfg(feat_cfg).frame_shift_samples
-    for k in range(-(-t // bucket)):
-        lo = k * bucket * shift
-        buf = np.zeros(wave_len, dtype=wave.dtype)
-        src = padded[lo : lo + wave_len]
-        buf[: len(src)] = src
-        valid = min(t - k * bucket, bucket + settings.window - 1)
-        yield buf, np.int32(valid), min(bucket, t - k * bucket)
+
+    def _buckets():
+        padded, t = host_pad_waveform(wave, feat_cfg)
+        if t == 0:
+            return
+        wave_len = bucket_wave_len(settings, feat_cfg)
+        bucket = settings.bucket_frames
+        shift = snip_cfg(feat_cfg).frame_shift_samples
+        for k in range(-(-t // bucket)):
+            lo = k * bucket * shift
+            buf = np.zeros(wave_len, dtype=wave.dtype)
+            src = padded[lo : lo + wave_len]
+            buf[: len(src)] = src
+            valid = min(t - k * bucket, bucket + settings.window - 1)
+            yield buf, np.int32(valid), min(bucket, t - k * bucket)
+
+    return _buckets()

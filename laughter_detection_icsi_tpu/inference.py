@@ -20,7 +20,7 @@ from __future__ import annotations
 
 import dataclasses
 import time
-from typing import Callable, Dict, List, Optional, Sequence, Tuple
+from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -124,8 +124,6 @@ def settings_from_flags(
     swapped for the default.  ``cpu_chunk`` stays overridable for
     latency-sensitive callers (serve uses 512).
     """
-    import jax
-
     on_accel = jax.devices()[0].platform != "cpu"
     return InferenceSettings(
         chunk=chunk if chunk is not None else (6144 if on_accel else cpu_chunk),
@@ -193,7 +191,11 @@ class LaughterPipeline:
         else:
             self.params = params
             self.state = state
-        self._jitted: Dict[int, Callable] = {}
+        # Heterogeneous cache: bool key -> (featurize, chunk_probs,
+        # wave_len) graph tuples; 'body' -> (featurize_body, wave_len);
+        # 'chunk_probs' -> the dtype-shared jitted closure; ('pk', ...) /
+        # ('fc', ...) tuple keys -> jitted callables.
+        self._jitted: Dict[Any, Any] = {}
 
     # ------------------------------------------------------------------ #
 

@@ -289,3 +289,18 @@ def test_export_cli_rejects_inapplicable_flags_and_bad_platforms(tmp_path):
                "--out", out])
     assert rc == 0
     assert set(export_lib.load(out).platforms) == {"tpu", "cpu"}
+
+
+def test_bucket_geometry_and_inputs_validate_eagerly():
+    """BucketGeometry rejects non-positive geometry at construction (like
+    its jax-side twin), and bucket_inputs validates its input at CALL time
+    — a lazy generator deferred the 2-D error to first iteration, after
+    the expensive artifact load (or never)."""
+    from laughter_detection_icsi_tpu import host_prep
+
+    with pytest.raises(ValueError, match="bucket_frames must be >= 1"):
+        host_prep.BucketGeometry(bucket_frames=0)
+    with pytest.raises(ValueError, match="window must be >= 1"):
+        host_prep.BucketGeometry(window=-1)
+    with pytest.raises(ValueError, match="1-D PCM"):
+        host_prep.bucket_inputs(np.zeros((100, 2), np.float32))  # no iteration
