@@ -81,10 +81,20 @@ def batch_norm(
         raise ValueError(f"batch_norm expects 2D or 4D input, got {x.ndim}D")
 
     if train:
+        n = x.size // x.shape[1 if x.ndim == 4 else -1]
+        if n <= 1:
+            # torch raises exactly here ('Expected more than 1 value per
+            # channel when training'); silently continuing would compute a
+            # zero 'unbiased' variance for the single sample and quietly
+            # decay running_var toward 0 — a crash-vs-silent train-parity
+            # divergence.  n is shape-derived, so this fires at trace time.
+            raise ValueError(
+                f"batch_norm(train=True) needs more than 1 value per "
+                f"channel, got {n} (size-1 tail batch? use drop_remainder)"
+            )
         mean = jnp.mean(x, axis=axes)
         var = jnp.mean((x - mean.reshape(shape)) ** 2, axis=axes)
-        n = x.size // x.shape[1 if x.ndim == 4 else -1]
-        unbiased = var * (n / max(n - 1, 1))
+        unbiased = var * (n / (n - 1))
         new_state = {
             "running_mean": (1 - BN_MOMENTUM) * state["running_mean"]
             + BN_MOMENTUM * mean,

@@ -292,16 +292,18 @@ def _block2_first_nhcw(x, params, state, with_bn):
 
 
 def tail_probs(
-    params, state, x: jnp.ndarray, nhcw: bool = False, first_stage: int = 2
+    params, state, x: jnp.ndarray, first_stage: int = 2
 ) -> jnp.ndarray:
     """Stages ``first_stage``..4 + head on a spliced stage-(first_stage-1)
-    output — [B, C, H, F] NCHW, or [B, H, C, F] with ``nhcw=True`` (mirrors
-    zoo.apply_fn from that stage on, train=False)."""
+    output, in the splice's native [B, H, C, F] NHCW layout (mirrors
+    zoo.apply_fn from that stage on, train=False).  An NCHW entry flag
+    used to exist but had zero callers or tests — an unexercised path in
+    a bit-exactness module rots silently, so it was removed."""
     with_bn = "bn1" in params
     first = True
     for i in range(first_stage, 5):
         key = f"block{i}"
-        if nhcw and first:
+        if first:
             x = _block2_first_nhcw(
                 x, params[key]["0"], state.get(key, {}).get("0", {}), with_bn
             )
@@ -375,7 +377,7 @@ def chunk_probs_from_track(
     to_hcf = lambda b: jnp.transpose(b, (0, 2, 1, 3))  # [B, d, C, F] (tiny)
 
     x = jnp.concatenate([to_hcf(top), interior, to_hcf(bot)], axis=1)
-    return tail_probs(params, state, x, nhcw=True)
+    return tail_probs(params, state, x)
 
 
 def supports_track2(window: int) -> bool:
@@ -406,6 +408,16 @@ def chunk_probs_from_track2(
     (= ``stem_track2(params, state, track1)``) and only the DEPTH2-row edge
     bands run per window.  ``start`` may be a [count] vector like
     :func:`chunk_probs_from_track`.  Requires ``supports_track2(window)``."""
+    if not supports_track2(window):
+        # Enforce the precondition here, not just at the callers: an odd
+        # window runs CLEAN (splice height off by one, downstream shapes
+        # coincide) and returns silently wrong probabilities; small even
+        # windows make the bottom-strip start negative and the gather
+        # wraps to the track END.  Free at trace time.
+        raise ValueError(
+            f"chunk_probs_from_track2 requires supports_track2(window) "
+            f"(even, window // 2 > {2 * DEPTH2}); got window={window}"
+        )
     d, d2 = DEPTH, DEPTH2
     h2 = window // 2
     w0 = _window_starts(start, count)
@@ -429,4 +441,4 @@ def chunk_probs_from_track2(
 
     to_hcf = lambda b: jnp.transpose(b, (0, 2, 1, 3))
     x = jnp.concatenate([to_hcf(band2t), interior, to_hcf(band2b)], axis=1)
-    return tail_probs(params, state, x, nhcw=True, first_stage=3)
+    return tail_probs(params, state, x, first_stage=3)

@@ -148,6 +148,15 @@ def _resnet_family(
     with_bn: bool,
 ) -> Model:
     filter_sizes = list(filter_sizes)
+    if len(filter_sizes) != 4:
+        # The family is a fixed 4-stage network: extra entries would be
+        # SILENTLY dropped (the worst outcome — a different net than the
+        # config states, possibly running clean on a coinciding head
+        # size), and fewer died as a bare IndexError inside init.
+        raise ValueError(
+            f"{name} needs exactly 4 filter_sizes (one per stage), "
+            f"got {len(filter_sizes)}: {tuple(filter_sizes)}"
+        )
     strides = [1, 2, 2, 2]
     chans = [stem_channels] + filter_sizes
 

@@ -225,3 +225,15 @@ def test_torch_pth_tar_checkpoint_loads(tmp_path, torch_model):
     x = np.zeros((2, 1, 100, 44), dtype=np.float32)
     probs, _ = jm.apply(loaded["params"], loaded["state"], x, train=False)
     assert probs.shape == (2,)
+
+
+def test_resnet_family_rejects_wrong_length_filter_plan():
+    """Extra filter_sizes entries were silently dropped (a different net
+    than configured, possibly running clean on a coinciding head size);
+    fewer died as a bare IndexError inside init."""
+    for bad in ((8, 8, 8, 8, 999), (8, 8, 8)):
+        with pytest.raises(ValueError, match="exactly 4 filter_sizes"):
+            models.build(
+                "ResNetBigger", dropout_rate=0.0,
+                linear_layer_size=24, filter_sizes=bad,
+            )

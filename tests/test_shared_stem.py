@@ -131,3 +131,77 @@ def test_forced_shared_stem_validates():
     assert shared_stem.resolve_shared_stem(True, "ResNetBigger", 100)
     assert not shared_stem.resolve_shared_stem(None, "MLPModel", 100)
     assert not shared_stem.resolve_shared_stem(False, "ResNetBigger", 100)
+
+
+def _flat_size(window: int, c: int = 8) -> int:
+    """Head linear size for a ResNetBigger with (8,8,8,8) at this window."""
+    h = window
+    for s in (1, 2, 2, 2):
+        h = (h - 1) // s + 1
+    return c * (h // 4)
+
+
+@pytest.mark.parametrize("window", [26, 28, 34])
+def test_track2_matches_naive_general_windows(rng, window):
+    """The band/splice formulas are window-dependent (blo, strip lengths,
+    t0pad phase); pinning only window=100 would let an edit that is right
+    at 100 but wrong elsewhere ship silently-wrong probabilities."""
+    model = models.build(
+        "ResNetBigger", dropout_rate=0.0,
+        linear_layer_size=_flat_size(window), filter_sizes=(8, 8, 8, 8),
+    )
+    params, state = model.init(jax.random.PRNGKey(1))
+    assert shared_stem.supports_track2(window)
+    T, count = 120, 8
+    feats = jnp.asarray(rng.standard_normal((T, 44)), jnp.float32)
+    track1 = shared_stem.stem_track(params, state, feats)
+    track2 = shared_stem.stem_track2(params, state, track1)
+    for start in (0, 3, T - window - count):
+        got = shared_stem.chunk_probs_from_track2(
+            params, state, track1, track2, feats,
+            jnp.asarray(start), count, window=window,
+        )
+        wins = windows.extract_windows(
+            feats, jnp.asarray(start), count, window
+        )[:, None]
+        want, _ = model.apply(params, state, wins, train=False)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_track1_matches_naive_odd_window(rng):
+    """track1 sharing has no evenness requirement; pin an odd window."""
+    window = 27
+    model = models.build(
+        "ResNetBigger", dropout_rate=0.0,
+        linear_layer_size=_flat_size(window), filter_sizes=(8, 8, 8, 8),
+    )
+    params, state = model.init(jax.random.PRNGKey(2))
+    T, count = 90, 8
+    feats = jnp.asarray(rng.standard_normal((T, 44)), jnp.float32)
+    track1 = shared_stem.stem_track(params, state, feats)
+    got = shared_stem.chunk_probs_from_track(
+        params, state, track1, feats, jnp.asarray(5), count, window
+    )
+    wins = windows.extract_windows(feats, jnp.asarray(5), count, window)[:, None]
+    want, _ = model.apply(params, state, wins, train=False)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_track2_rejects_unsupported_windows(rng):
+    """An odd window runs CLEAN through track2 splicing (shapes coincide)
+    and returns silently wrong probabilities; small even windows wrap the
+    bottom-strip gather to the track end — both must raise."""
+    model = models.build(
+        "ResNetBigger", dropout_rate=0.0,
+        linear_layer_size=24, filter_sizes=(8, 8, 8, 8),
+    )
+    params, state = model.init(jax.random.PRNGKey(3))
+    feats = jnp.asarray(rng.standard_normal((200, 44)), jnp.float32)
+    track1 = shared_stem.stem_track(params, state, feats)
+    track2 = shared_stem.stem_track2(params, state, track1)
+    for bad in (27, 24):
+        with pytest.raises(ValueError, match="supports_track2"):
+            shared_stem.chunk_probs_from_track2(
+                params, state, track1, track2, feats,
+                jnp.asarray(0), 4, window=bad,
+            )

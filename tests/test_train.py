@@ -647,3 +647,25 @@ def test_resume_with_changed_batch_partition_raises(tiny_model, tmp_path):
             params, state, opt_state, _toy_batches(r, 5),
             rng=jax.random.PRNGKey(1), verbose=False,
         )
+
+
+def test_bn_train_rejects_single_value_per_channel():
+    """torch raises 'Expected more than 1 value per channel when training'
+    on a size-1 batch; silently continuing computed a zero 'unbiased'
+    variance and quietly decayed running_var — a crash-vs-silent
+    train-parity divergence.  (Needs a BN model — the MLP tiny_model has
+    no batch norm.)"""
+    from laughter_detection_icsi_tpu import models as _models
+
+    bn_model = _models.build(
+        "ResNetBigger", dropout_rate=0.0, linear_layer_size=24,
+        filter_sizes=(8, 8, 8, 8),
+    )
+    trainer = Trainer(model=bn_model)
+    params, state, opt_state = trainer.init(jax.random.PRNGKey(0))
+    batch = {
+        "inputs": np.zeros((1, 100, 44), np.float32),
+        "is_laugh": np.zeros(1, np.float32),
+    }
+    with pytest.raises(ValueError, match="more than 1 value per channel"):
+        trainer.train_batch(params, state, opt_state, batch, None)
