@@ -235,6 +235,27 @@ def _epoch_slices(
     return slices
 
 
+def resolve_transfer_dtype(transfer_dtype):
+    """(host_dtype, itemsize) for a transfer_dtype flag.
+
+    THE one accepted set — ResidentLadDataset.__init__ and
+    estimated_nbytes both call it, so the HBM budget check and the actual
+    builder cannot drift when a dtype is added.  A typo ('bf16',
+    'float16') must fail eagerly: silently storing float32 would double
+    the planned footprint and OOM a memory-tight run.
+    """
+    if transfer_dtype == "bfloat16":
+        import ml_dtypes
+
+        return ml_dtypes.bfloat16, 2
+    if transfer_dtype is None or transfer_dtype == "float32":
+        return np.float32, 4
+    raise ValueError(
+        f"unknown transfer_dtype {transfer_dtype!r}; "
+        "use 'bfloat16' or 'float32'/None"
+    )
+
+
 class ResidentLadDataset:
     """The whole split resident in device HBM; batches are device gathers.
 
@@ -273,19 +294,7 @@ class ResidentLadDataset:
         n_pad = -(-max(n, 1) // pad_rows_to) * pad_rows_to
         w = dataset.window_frames
         nf = dataset.cache.cfg.num_filters
-        if transfer_dtype == "bfloat16":
-            import ml_dtypes
-
-            host_dtype = ml_dtypes.bfloat16
-        elif transfer_dtype is None or transfer_dtype == "float32":
-            host_dtype = np.float32
-        else:
-            # A typo ('bf16', 'float16') silently storing float32 would
-            # double the planned HBM footprint and OOM a memory-tight run.
-            raise ValueError(
-                f"unknown transfer_dtype {transfer_dtype!r}; "
-                "use 'bfloat16' or 'float32'/None"
-            )
+        host_dtype, _ = resolve_transfer_dtype(transfer_dtype)
         feats = np.zeros((n_pad, w, nf), dtype=host_dtype)
         lens = np.zeros(n_pad, dtype=np.int32)
         labels = np.zeros(n_pad, dtype=np.float32)
@@ -332,12 +341,7 @@ class ResidentLadDataset:
         dataset: LadDataset, transfer_dtype: Optional[str] = None
     ) -> int:
         """HBM footprint of :class:`ResidentLadDataset` before building it."""
-        if transfer_dtype not in (None, "float32", "bfloat16"):
-            raise ValueError(
-                f"unknown transfer_dtype {transfer_dtype!r}; "
-                "use 'bfloat16' or 'float32'/None"
-            )
-        itemsize = 2 if transfer_dtype == "bfloat16" else 4
+        _, itemsize = resolve_transfer_dtype(transfer_dtype)
         return (
             len(dataset)
             * dataset.window_frames

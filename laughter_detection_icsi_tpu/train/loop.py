@@ -179,6 +179,14 @@ class Trainer:
     transfer_dtype: Optional[str] = None
 
     def __post_init__(self):
+        if self.transfer_dtype not in (None, "float32", "bfloat16"):
+            # Same eager rejection as ResidentLadDataset: a typo ('bf16',
+            # 'float16') silently fell through to the float32 path, losing
+            # the halved transfer bytes the flag exists for with no error.
+            raise ValueError(
+                f"unknown transfer_dtype {self.transfer_dtype!r}; "
+                "use 'bfloat16' or 'float32'/None"
+            )
         model, optimizer = self.model, self.optimizer
         (
             loss_fn,
@@ -511,15 +519,34 @@ class TrainLoop:
         # end; the sum costs one sync total.
         loss_sum: Optional[jnp.ndarray] = None
         num_batches = 0
+        stale = self.trainer.pending_micro_steps
+        if stale:
+            # A previous run_epoch aborted mid-accumulation-group (an
+            # exception escaped between apply boundaries — e.g. a prefetch
+            # assembly error or an escalated KeyboardInterrupt): entry
+            # here must BE a boundary, or the stale micro-gradients would
+            # silently fold into this epoch's first apply and every later
+            # boundary (and the epoch_step >= pending rollback invariant)
+            # would shift.  Roll the counters back exactly like the
+            # preemption path and drop the stale group.
+            self.global_step -= stale
+            self.epoch_step = max(self.epoch_step - stale, 0)
+            self.trainer.drop_pending_group()
         skip = self.epoch_step  # mid-epoch resume: already-trained batches
         # Model state (BN running stats) at the last optimizer-apply
         # boundary: grad_step updates state on every micro-batch, so a
         # preemption mid-accumulation-group must also roll state back or the
         # replayed micro-batches would be absorbed twice (exact resume would
-        # hold for params but not BN stats).  Entry here IS a boundary:
-        # groups never span run_epoch calls (flushed at epoch end, dropped
-        # at preemption), so initializing from `state` is exact.
+        # hold for params but not BN stats).  Entry here IS a boundary
+        # (groups from an aborted previous call were just dropped), so
+        # initializing from `state` is exact.
         state_at_boundary = state
+        # Loss accounting at the same boundary: the preemption path rolls
+        # counters/state back to it, and the returned mean must count ONLY
+        # batches whose updates survive — the resumed run replays (and
+        # re-counts) the rolled-back micro-batches.
+        loss_at_boundary: Optional[jnp.ndarray] = None
+        nb_at_boundary = 0
         t0 = time.perf_counter()
         for batch in train_batches:
             if skip > 0:
@@ -561,6 +588,8 @@ class TrainLoop:
                 # accumulation but no `_accum_count` would silently capture
                 # post-group BN stats as the "boundary" state.
                 state_at_boundary = state
+                loss_at_boundary = loss_sum
+                nb_at_boundary = num_batches
             if self.log_frequency and self.global_step % self.log_frequency == 0:
                 # ONE device->host transfer for the metrics dict (per-value
                 # float() would pay four blocking round-trips; same rule as
@@ -628,6 +657,12 @@ class TrainLoop:
                     # so interrupted+resumed ≡ uninterrupted holds for the
                     # full train state, not just params/opt.
                     state = state_at_boundary
+                    # And the loss accounting: the rolled-back micro-batch
+                    # losses belong to the RESUMED run (which replays and
+                    # re-counts them); keeping them here would double-count
+                    # across the interrupted+resumed pair.
+                    loss_sum = loss_at_boundary
+                    num_batches = nb_at_boundary
                 self._save(params, state, opt_state, is_best=False)
                 # Metrics too: the docstring contract is save + flush +
                 # return, and the grace period may end in SIGKILL before

@@ -669,3 +669,48 @@ def test_bn_train_rejects_single_value_per_channel():
     }
     with pytest.raises(ValueError, match="more than 1 value per channel"):
         trainer.train_batch(params, state, opt_state, batch, None)
+
+
+def test_trainer_rejects_unknown_transfer_dtype(tiny_model):
+    """Same eager rejection as ResidentLadDataset: 'bf16' silently fell
+    through to the float32 path, losing the halved transfer bytes the
+    flag exists for with no error."""
+    with pytest.raises(ValueError, match="transfer_dtype"):
+        Trainer(model=tiny_model, transfer_dtype="bf16")
+
+
+def test_run_epoch_entry_drops_stale_accum_group(tiny_model):
+    """An exception escaping run_epoch mid-accumulation-group must not let
+    stale micro-gradients fold into the NEXT run_epoch's first apply (or
+    shift its counters): entry re-establishes the apply boundary."""
+    trainer = Trainer(model=tiny_model, grad_accum=4)
+    params, state, opt_state = trainer.init(jax.random.PRNGKey(0))
+    loop = TrainLoop(trainer=trainer, checkpoint_dir=None, log_frequency=0)
+    r = np.random.default_rng(5)
+
+    def exploding(n_good):
+        for i, b in enumerate(_toy_batches(r, n_good + 1)):
+            if i == n_good:
+                raise RuntimeError("assembly error")
+            yield b
+
+    with pytest.raises(RuntimeError, match="assembly error"):
+        loop.run_epoch(params, state, opt_state, exploding(2),
+                       rng=jax.random.PRNGKey(1), verbose=False)
+    assert trainer.pending_micro_steps == 2  # dirty, as the abort left it
+    assert loop.global_step == 2 and loop.epoch_step == 2
+    # A fresh epoch on the SAME loop must start from a clean boundary and
+    # produce the same params as a run that never saw the aborted epoch.
+    r2 = np.random.default_rng(9)
+    p1, s1, o1, _ = loop.run_epoch(params, state, opt_state,
+                                   _toy_batches(r2, 8),
+                                   rng=jax.random.PRNGKey(2), verbose=False)
+    assert trainer.pending_micro_steps == 0
+    trainer_c = Trainer(model=tiny_model, grad_accum=4)
+    loop_c = TrainLoop(trainer=trainer_c, checkpoint_dir=None, log_frequency=0)
+    r3 = np.random.default_rng(9)
+    p2, s2, o2, _ = loop_c.run_epoch(params, state, opt_state,
+                                     _toy_batches(r3, 8),
+                                     rng=jax.random.PRNGKey(2), verbose=False)
+    for a, b in zip(jax.tree_util.tree_leaves(p1), jax.tree_util.tree_leaves(p2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
