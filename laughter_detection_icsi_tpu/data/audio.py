@@ -393,11 +393,17 @@ def read_int16(
     offset: float = 0.0,
     duration: Optional[float] = None,
     channel: int = 0,
+    meta: Optional[AudioInfo] = None,
 ) -> Tuple[np.ndarray, int]:
     """Raw int16 PCM samples (no float scaling) — the cheap device-transfer
     path: scale-by-1/32768 happens on device and matches :func:`read`
-    bit-for-bit.  Only valid for 16-bit PCM sources."""
-    meta = info(path)
+    bit-for-bit.  Only valid for 16-bit PCM sources.
+
+    ``meta``: pass the already-parsed :func:`info` result to skip the
+    second header parse (batch callers parse headers for the transfer-
+    eligibility check first).
+    """
+    meta = meta if meta is not None else info(path)
     channel = _check_channel(path, meta, channel)
     if meta.encoding not in ("pcm", "shorten") or meta.sample_bytes != 2:
         raise ValueError(

@@ -25,6 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
+from laughter_detection_icsi_tpu import host_prep
 from laughter_detection_icsi_tpu.config import FEAT, FeatConfig
 from laughter_detection_icsi_tpu.inference import (
     InferenceSettings,
@@ -119,7 +120,7 @@ class ShardedPipeline:
         key = ("win", int16_in, c_local)
         if key in self._jitted:
             return self._jitted[key]
-        cfg = dataclasses.replace(self.feat_cfg, snip_edges=True)
+        cfg = host_prep.snip_cfg(self.feat_cfg)
         bucket = self.settings.bucket_frames
         window = self.settings.window
         from laughter_detection_icsi_tpu.inference import bucket_wave_len
@@ -302,11 +303,18 @@ class ShardedPipeline:
             # pipeline — this runs once per bucket, hundreds of times per
             # meeting.
             if self._pack_pool is None:
+                import weakref
                 from concurrent.futures import ThreadPoolExecutor
 
-                self._pack_pool = ThreadPoolExecutor(
+                pool = ThreadPoolExecutor(
                     max_workers=8, thread_name_prefix="pcm-pack"
                 )
+                # Shut the pool down when the pipeline is garbage-collected:
+                # idle non-daemon workers otherwise survive every discarded
+                # pipeline until interpreter exit (+8 stray threads per
+                # model reload in a long-lived process).
+                weakref.finalize(self, pool.shutdown, wait=False)
+                self._pack_pool = pool
             packs = list(
                 self._pack_pool.map(
                     lambda row: pcm_pack.pack_pcm(row, mode="delta"), batch
@@ -334,7 +342,7 @@ class ShardedPipeline:
             fully_conv_probs_blocked,
         )
 
-        cfg = dataclasses.replace(self.feat_cfg, snip_edges=True)
+        cfg = host_prep.snip_cfg(self.feat_cfg)
         shift = cfg.frame_shift_samples
         flen = cfg.frame_length_samples
         wave_len = (total_frames - 1) * shift + flen
@@ -450,7 +458,7 @@ class ShardedPipeline:
         wave_len = self._graphs(int16_in, c_local)[2]
         bucket = self.settings.bucket_frames
         window = self.settings.window
-        shift = dataclasses.replace(self.feat_cfg, snip_edges=True).frame_shift_samples
+        shift = host_prep.snip_cfg(self.feat_cfg).frame_shift_samples
 
         pieces = []
         for k in range(-(-t_max // bucket)):
@@ -541,8 +549,12 @@ class ShardedPipeline:
             with ThreadPoolExecutor(max_workers=min(8, len(audio_paths))) as ex:
                 decoded = list(
                     ex.map(
-                        lambda p: audio_io.read_int16(p, channel=channel),
-                        audio_paths,
+                        # Pass the parsed meta: the eligibility check above
+                        # already paid the header parse per file.
+                        lambda pm: audio_io.read_int16(
+                            pm[0], channel=channel, meta=pm[1]
+                        ),
+                        zip(audio_paths, metas),
                     )
                 )
         else:
