@@ -135,11 +135,19 @@ def main(argv: Optional[List[str]] = None) -> int:
     )
     if args.random_init:
         params, state = model.init(jax.random.PRNGKey(0))
+        # Lowering bakes closed-over leaves into the module by reading
+        # their HOST value; pull the freshly-initialized device tree back
+        # once here rather than leaf-by-leaf inside MLIR constant emission.
+        params, state = jax.device_get((params, state))
     else:
         found = ckpt_lib.resolve_checkpoint(args.model_path)
         if found is None:
             raise SystemExit(f"Model checkpoint not found at {args.model_path}")
-        loaded = ckpt_lib.load_checkpoint(found)
+        # host=True: keep weights as numpy.  jax.export reads every
+        # closed-over leaf's host value at lowering; device-resident leaves
+        # would cost one device->host transfer per parameter — minutes per
+        # leaf whenever the tunneled accelerator's D2H path degrades.
+        loaded = ckpt_lib.load_checkpoint(found, host=True)
         params, state = loaded["params"], loaded["state"]
 
     if args.what == "windows":

@@ -148,9 +148,11 @@ def cast_tree_bf16(tree):
     AND state (BN running stats) must drop to bf16 or the first BN
     re-promotes activations to f32 and the next conv sees mixed dtypes.
     """
+    # result_type, not jnp.asarray(x).dtype: the probe must not device-put
+    # every leaf (host-resident numpy trees — e.g. export's — stay host).
     cast = lambda x: (
         x.astype(jnp.bfloat16)
-        if jnp.issubdtype(jnp.asarray(x).dtype, jnp.floating)
+        if jnp.issubdtype(jnp.result_type(x), jnp.floating)
         else x
     )
     return jax.tree_util.tree_map(cast, tree)

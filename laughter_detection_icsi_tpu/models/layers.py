@@ -96,15 +96,22 @@ def batch_norm(
         var = jnp.mean((x - mean.reshape(shape)) ** 2, axis=axes)
         unbiased = var * (n / (n - 1))
         new_state = {
-            "running_mean": (1 - BN_MOMENTUM) * state["running_mean"]
+            # jnp.asarray as in the eval branch: a host-numpy running stat
+            # would otherwise update under numpy promotion rules.
+            "running_mean": (1 - BN_MOMENTUM) * jnp.asarray(state["running_mean"])
             + BN_MOMENTUM * mean,
-            "running_var": (1 - BN_MOMENTUM) * state["running_var"]
+            "running_var": (1 - BN_MOMENTUM) * jnp.asarray(state["running_var"])
             + BN_MOMENTUM * unbiased,
             "num_batches_tracked": state["num_batches_tracked"] + 1,
         }
     else:
-        mean = state["running_mean"]
-        var = state["running_var"]
+        # jnp.asarray: host-resident (numpy) trees must not run `var + eps`
+        # under NUMPY promotion rules — ml_dtypes bf16 + python float
+        # promotes to float32 there, while jnp's weak-type rules keep bf16;
+        # the mismatch explodes at the next conv (hit by export's host
+        # trees and any bf16 pipeline built from load_checkpoint(host=True)).
+        mean = jnp.asarray(state["running_mean"])
+        var = jnp.asarray(state["running_var"])
         new_state = state
 
     inv = jax.lax.rsqrt(var + BN_EPS)
@@ -123,9 +130,11 @@ def bn_eval_affine(params: Params, state: Params) -> Tuple[jnp.ndarray, jnp.ndar
     paths that must stay bit-exact with the reference windows pipeline
     (models/shared_stem.py) deliberately call :func:`batch_norm` instead.
     """
-    inv = jax.lax.rsqrt(state["running_var"] + BN_EPS)
+    # jnp.asarray for the same host-numpy-tree reason as batch_norm's eval
+    # branch: numpy would promote bf16 + python-float eps to float32.
+    inv = jax.lax.rsqrt(jnp.asarray(state["running_var"]) + BN_EPS)
     scale = params["weight"] * inv
-    return scale, params["bias"] - state["running_mean"] * scale
+    return scale, params["bias"] - jnp.asarray(state["running_mean"]) * scale
 
 
 def bn_init(num_features: int) -> Tuple[Params, Params]:

@@ -19,6 +19,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import warnings
 from pathlib import Path
 from typing import Any, Dict, Optional, Tuple
 
@@ -52,14 +53,23 @@ def flatten_tree(tree: PyTree, prefix: str = "") -> Dict[str, np.ndarray]:
     return out
 
 
-def unflatten_tree(flat: Dict[str, np.ndarray]) -> PyTree:
+def unflatten_tree(flat: Dict[str, np.ndarray], *, host: bool = False) -> PyTree:
+    """``host=True`` keeps leaves as host numpy instead of device arrays.
+
+    Export needs this: ``jax.export`` bakes closed-over arrays into the
+    StableHLO module by reading their HOST value, so a device-resident leaf
+    costs one device->host transfer per parameter at lowering time — a
+    multi-minute stall per leaf when the tunneled link's D2H path degrades
+    (the condition bench.py's health probe exists for).  Numpy leaves lower
+    from host memory directly; the normal jit paths accept them unchanged
+    (closures become runtime-arg consts either way)."""
     tree: Dict[str, Any] = {}
     for key, val in flat.items():
         parts = key.split(".")
         d = tree
         for p in parts[:-1]:
             d = d.setdefault(p, {})
-        d[parts[-1]] = jnp.asarray(val)
+        d[parts[-1]] = np.asarray(val) if host else jnp.asarray(val)
     return tree
 
 
@@ -69,7 +79,7 @@ def unflatten_tree(flat: Dict[str, np.ndarray]) -> PyTree:
 
 
 def from_torch_state_dict(
-    state_dict: Dict[str, Any],
+    state_dict: Dict[str, Any], *, host: bool = False,
 ) -> Tuple[PyTree, PyTree]:
     """Torch ``state_dict`` -> (params, state) pytrees.
 
@@ -91,7 +101,10 @@ def from_torch_state_dict(
             state_flat[key] = arr
         else:
             params_flat[key] = arr.astype(np.float32)
-    return unflatten_tree(params_flat), unflatten_tree(state_flat)
+    return (
+        unflatten_tree(params_flat, host=host),
+        unflatten_tree(state_flat, host=host),
+    )
 
 
 def to_torch_state_dict(params: PyTree, state: PyTree) -> Dict[str, np.ndarray]:
@@ -101,14 +114,14 @@ def to_torch_state_dict(params: PyTree, state: PyTree) -> Dict[str, np.ndarray]:
     return out
 
 
-def load_reference_checkpoint(path: str) -> Dict[str, Any]:
+def load_reference_checkpoint(path: str, *, host: bool = False) -> Dict[str, Any]:
     """Read a reference ``.pth.tar`` checkpoint (reference
     utils/torch_utils.py:55-85).  Returns a dict with keys 'params', 'state',
     'epoch', 'global_step', 'best_val_loss' (counters None when absent)."""
     import torch  # CPU torch is available in the image; gate the import
 
     ckpt = torch.load(path, map_location="cpu", weights_only=False)
-    params, state = from_torch_state_dict(ckpt["state_dict"])
+    params, state = from_torch_state_dict(ckpt["state_dict"], host=host)
     return {
         "params": params,
         "state": state,
@@ -190,11 +203,13 @@ def save_checkpoint(
     return str(path)
 
 
-def load_checkpoint(path: str) -> Dict[str, Any]:
+def load_checkpoint(path: str, *, host: bool = False) -> Dict[str, Any]:
     """Load a native checkpoint file (or a reference .pth.tar, detected by
-    suffix) into {'params', 'state', 'opt_state', counters}."""
+    suffix) into {'params', 'state', 'opt_state', counters}.  ``host=True``
+    keeps leaves as numpy (see unflatten_tree — required for jax.export,
+    which reads every closed-over leaf's host value at lowering time)."""
     if str(path).endswith((".pth.tar", ".pth", ".pt")):
-        out = load_reference_checkpoint(path)
+        out = load_reference_checkpoint(path, host=host)
         out["opt_state"] = None
         return out
     import zipfile
@@ -230,9 +245,9 @@ def load_checkpoint(path: str) -> Dict[str, Any]:
     if missing:
         raise ValueError(f"{path}: checkpoint meta missing keys {missing}")
     return {
-        "params": unflatten_tree(trees["params"]),
-        "state": unflatten_tree(trees["state"]),
-        "opt_state": unflatten_tree(trees["opt"]) if trees["opt"] else None,
+        "params": unflatten_tree(trees["params"], host=host),
+        "state": unflatten_tree(trees["state"], host=host),
+        "opt_state": unflatten_tree(trees["opt"], host=host) if trees["opt"] else None,
         "epoch": meta["epoch"],
         "global_step": meta["global_step"],
         "best_val_loss": meta["best_val_loss"],
@@ -262,7 +277,25 @@ def find_best_checkpoint(checkpoint_dir: str) -> Optional[str]:
 
 def resolve_checkpoint(model_path: str) -> Optional[str]:
     """A checkpoint FILE as given, or the best checkpoint inside a
-    directory — the one --model_path resolution rule every CLI shares."""
+    directory — the one --model_path resolution rule every CLI shares.
+
+    Falls back (with a warning) to the ``last`` checkpoint when the
+    directory has no ``best`` one: best.ckpt only materializes at a
+    validation log point (reference train.py:408-412 cadence), so a run
+    shorter than log_frequency steps would otherwise train a model the
+    inference CLIs refuse to load — the reference crashed here
+    (segment_laughter.py:63 hardcodes best.pth.tar)."""
     if os.path.isfile(model_path):
         return model_path
-    return find_best_checkpoint(model_path)
+    best = find_best_checkpoint(model_path)
+    if best is not None:
+        return best
+    last = find_resume_checkpoint(model_path)
+    if last is not None:
+        warnings.warn(
+            f"no best checkpoint in {model_path}; falling back to {last} "
+            "(train long enough to reach a validation log point to get "
+            "best.ckpt.npz)",
+            stacklevel=2,
+        )
+    return last

@@ -182,6 +182,29 @@ def test_bfloat16_pipeline_close(small_model, wave):
     assert np.abs(a - b).max() < 0.05
 
 
+def test_host_numpy_trees_match_device_trees(small_model, wave):
+    """Pipelines built from HOST numpy trees (load_checkpoint(host=True),
+    the export path) must match device-tree pipelines bit-for-bit — in
+    bf16 the BN eval branch once ran `var + eps` under NUMPY promotion
+    (ml_dtypes bf16 + python float -> float32) and crashed the next conv."""
+    model, params, state = small_model
+    hp, hs = jax.device_get((params, state))
+    assert all(
+        isinstance(l, np.ndarray) for l in jax.tree_util.tree_leaves((hp, hs))
+    )
+    for precision in ("float32", "bfloat16"):
+        settings = inference.InferenceSettings(
+            chunk=256, bucket_frames=512, precision=precision
+        )
+        a = inference.LaughterPipeline(
+            model, hp, hs, settings=settings
+        ).probs_for_waveform(wave)
+        b = inference.LaughterPipeline(
+            model, params, state, settings=settings
+        ).probs_for_waveform(wave)
+        np.testing.assert_array_equal(a, b)
+
+
 def test_packed_transfer_codec_bit_exact(small_model, wave):
     """'packed' (on-device pcm_pack decode) must give EXACTLY the probs of
     'raw' int16 upload — the codec is lossless, so the featurize graph sees

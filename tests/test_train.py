@@ -611,6 +611,49 @@ def test_missing_checkpoint_path_is_file_not_found(tmp_path):
         ckpt_lib.load_checkpoint(str(tmp_path / "nope" / "last.ckpt.npz"))
 
 
+def test_load_checkpoint_host_keeps_numpy_leaves(tiny_model, tmp_path):
+    """host=True must return numpy leaves: jax.export reads every
+    closed-over leaf's HOST value at lowering, so device-resident params
+    cost one D2H transfer per parameter (a multi-minute stall each on a
+    degraded tunneled link — the export CLI hang this option fixed)."""
+    import numpy as np
+
+    from laughter_detection_icsi_tpu.train import checkpoint as ckpt_lib
+
+    params, state = tiny_model.init(jax.random.PRNGKey(0))
+    ckpt_lib.save_checkpoint(str(tmp_path), params, state)
+    loaded = ckpt_lib.load_checkpoint(str(tmp_path / ckpt_lib.LAST_NAME), host=True)
+    for tree in (loaded["params"], loaded["state"]):
+        for leaf in jax.tree_util.tree_leaves(tree):
+            assert isinstance(leaf, np.ndarray), type(leaf)
+    # default stays device-backed
+    loaded_dev = ckpt_lib.load_checkpoint(str(tmp_path / ckpt_lib.LAST_NAME))
+    assert any(
+        isinstance(leaf, jax.Array)
+        for leaf in jax.tree_util.tree_leaves(loaded_dev["params"])
+    )
+
+
+def test_resolve_checkpoint_falls_back_to_last(tmp_path):
+    """A dir holding only last.ckpt (run shorter than log_frequency, so no
+    validation point ever wrote best.ckpt) must still resolve — with a
+    warning — instead of refusing inference on a freshly trained model
+    (the reference crashed here: segment_laughter.py:63)."""
+    from laughter_detection_icsi_tpu.train import checkpoint as ckpt_lib
+
+    assert ckpt_lib.resolve_checkpoint(str(tmp_path)) is None  # empty dir
+    last = tmp_path / ckpt_lib.LAST_NAME
+    last.write_bytes(b"")
+    with pytest.warns(UserWarning, match="falling back"):
+        assert ckpt_lib.resolve_checkpoint(str(tmp_path)) == str(last)
+    best = tmp_path / ckpt_lib.BEST_NAME
+    best.write_bytes(b"")
+    # best present: no fallback, no warning
+    assert ckpt_lib.resolve_checkpoint(str(tmp_path)) == str(best)
+    # a FILE path is returned verbatim
+    assert ckpt_lib.resolve_checkpoint(str(last)) == str(last)
+
+
 def test_checkpoint_version_and_missing_meta_errors(tmp_path):
     import json
 
