@@ -75,6 +75,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "metadata autodetection)")
     p.add_argument("--process_id", type=int, default=None,
                    help="multi-host: this process's rank")
+    p.add_argument("--cpu_collectives", type=str, default=None,
+                   choices=("gloo", "mpi"),
+                   help="multi-host on CPU hosts: cross-process collectives "
+                        "implementation (TPU pods ignore this — their "
+                        "collectives ride ICI/DCN)")
     p.add_argument("--trace_dir", type=str, default=None,
                    help="capture a jax.profiler trace of the training run")
     return p
@@ -159,6 +164,7 @@ def main(argv: Optional[List[str]] = None) -> int:
             coordinator_address=args.coordinator_address,
             num_processes=args.num_processes,
             process_id=args.process_id,
+            cpu_collectives=args.cpu_collectives,
         )
         print(distributed.process_info(), flush=True)
 

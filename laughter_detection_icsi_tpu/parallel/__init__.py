@@ -14,6 +14,7 @@ from laughter_detection_icsi_tpu.parallel.mesh import (  # noqa: F401
     make_mesh,
     replicated,
     shard_batch,
+    shard_local_batch,
 )
 from laughter_detection_icsi_tpu.parallel.data_parallel import (  # noqa: F401
     DataParallelTrainer,

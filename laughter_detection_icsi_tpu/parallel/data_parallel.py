@@ -140,6 +140,36 @@ class DataParallelTrainer:
             params, state, opt_state, sharded["x"], sharded["y"], rng
         )
 
+    def _prep_local(self, local_batch):
+        import numpy as np
+
+        x = np.asarray(local_batch["inputs"], dtype=np.float32)[:, None, :, :]
+        y = np.asarray(local_batch["is_laugh"], dtype=np.float32)
+        return mesh_lib.shard_local_batch({"x": x, "y": y}, self.mesh)
+
+    def train_batch_local(
+        self, params, state, opt_state, local_batch, rng: Optional[jax.Array] = None
+    ):
+        """Multi-host train step: each process passes only ITS OWN rows.
+
+        The global batch is the processes' rows concatenated in process
+        order (mesh_lib.shard_local_batch); each host's rows land on its
+        addressable shards with no cross-host data movement, then the step
+        itself is the ordinary data-parallel step — XLA's grad all-reduce
+        and global-BN psums now ride the inter-process collectives.  On a
+        single-process mesh this IS train_batch.
+        """
+        sharded = self._prep_local(local_batch)
+        return self._train_step(
+            params, state, opt_state, sharded["x"], sharded["y"], rng
+        )
+
+    def eval_batch_local(self, params, state, local_batch):
+        """Multi-host eval step over per-process local rows (see
+        train_batch_local)."""
+        sharded = self._prep_local(local_batch)
+        return self._eval_step(params, state, sharded["x"], sharded["y"])
+
     def train_batch_resident(self, params, state, opt_state, resident, idx, key, step):
         """TrainLoop's fused resident hook (same contract as
         train.Trainer.train_batch_resident): ``resident`` must hold

@@ -9,8 +9,11 @@ rides ICI within a slice and DCN across slices, inserted by XLA from the
 same sharding annotations used single-host.
 
 Single-chip and CPU-mesh runs never need this module; it is the entry hook
-for real pods (cannot be exercised in a 1-chip environment — kept minimal
-and side-effect free until called).
+for real pods.  The path IS exercised end-to-end in this environment:
+tests/test_distributed_multiprocess.py spawns two coordinator-joined
+processes over XLA's Gloo TCP CPU collectives (``cpu_collectives='gloo'``)
+and pins a cross-process data-parallel training step numerically equal to
+the single-process big-batch step.
 """
 
 from __future__ import annotations
@@ -22,6 +25,7 @@ def initialize(
     coordinator_address: Optional[str] = None,
     num_processes: Optional[int] = None,
     process_id: Optional[int] = None,
+    cpu_collectives: Optional[str] = None,
 ) -> None:
     """Join the multi-host JAX runtime (``jax.distributed.initialize``).
 
@@ -29,8 +33,19 @@ def initialize(
     (the normal path on Cloud TPU VMs).  Explicit arguments support
     non-TPU-metadata clusters: a coordinator ``host:port``, world size, and
     this process's rank.
+
+    ``cpu_collectives`` selects the CPU backend's cross-process collectives
+    implementation (``'gloo'`` or ``'mpi'``) — the substrate that lets the
+    full multi-host path (coordinator, global mesh, psum over process
+    boundaries) run on CPU hosts, e.g. for pre-pod integration testing.  It
+    must be set before the first backend touch, so pass it here rather than
+    flipping the config flag after the fact.  TPU pods ignore it (their
+    collectives ride ICI/DCN natively).
     """
     import jax
+
+    if cpu_collectives is not None:
+        jax.config.update("jax_cpu_collectives_implementation", cpu_collectives)
 
     kwargs = {}
     if coordinator_address is not None:

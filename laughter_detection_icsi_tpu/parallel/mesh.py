@@ -67,3 +67,34 @@ def shard_batch(batch: PyTree, mesh: Mesh, axis_name: str = DATA_AXIS) -> PyTree
         return jax.device_put(arr, sharding)
 
     return jax.tree_util.tree_map(put, batch)
+
+
+def shard_local_batch(
+    local_batch: PyTree, mesh: Mesh, axis_name: str = DATA_AXIS
+) -> PyTree:
+    """Assemble a GLOBAL batch from per-process LOCAL rows (multi-host).
+
+    The multi-host twin of :func:`shard_batch`: each participating process
+    passes only the rows it loaded itself, and the global batch is their
+    concatenation in process order (``jax.make_array_from_process_local_data``
+    semantics) — process ``i``'s rows land directly on its addressable
+    shards, so no cross-host data movement happens at placement time.
+    Leaves must be host arrays (each process's local rows); scalars
+    replicate.  On a single-process mesh this degenerates to
+    :func:`shard_batch` exactly.
+
+    This is the idiomatic feed for ``jax.distributed``-initialized training
+    (each host reads its own slice of the dataset); see
+    parallel/distributed.py for the runtime entry hook.
+    """
+    if len({d.process_index for d in mesh.devices.flat}) == 1:
+        return shard_batch(local_batch, mesh, axis_name)
+    sharding = data_sharding(mesh, axis_name)
+
+    def put(x):
+        arr = np.asarray(x)
+        if arr.ndim == 0:
+            return jax.device_put(arr, replicated(mesh))
+        return jax.make_array_from_process_local_data(sharding, arr)
+
+    return jax.tree_util.tree_map(put, local_batch)
