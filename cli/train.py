@@ -228,6 +228,13 @@ def main(argv: Optional[List[str]] = None) -> int:
         linear_layer_size=preset.linear_layer_size,
         filter_sizes=preset.filter_sizes,
     )
+    multi_process = jax.process_count() > 1
+    local_rows = None
+    if multi_process and not args.data_parallel:
+        raise SystemExit(
+            "multi-host runs require --data_parallel: without it each "
+            "process would train its own divergent copy"
+        )
     if args.data_parallel:
         from laughter_detection_icsi_tpu.parallel import DataParallelTrainer, make_mesh
 
@@ -240,6 +247,17 @@ def main(argv: Optional[List[str]] = None) -> int:
             raise SystemExit("--gradient_accumulation_steps requires single-device mode")
         trainer = DataParallelTrainer(model=model, mesh=mesh, optimizer=Adam())
         print(f"data-parallel over {n_dev} devices")
+        if multi_process:
+            # Each process assembles/feeds only ITS OWN rows of every
+            # batch; the step reassembles the global batch on the mesh
+            # (data.LadDataset local_rows / parallel.mesh.shard_local_batch).
+            # batch_size is a multiple of n_dev, and process count divides
+            # n_dev (uniform local device counts), so the split is even.
+            local_rows = (jax.process_index(), jax.process_count())
+            print(
+                f"multi-host: process {local_rows[0]} feeds "
+                f"{batch_size // local_rows[1]} of {batch_size} rows/batch"
+            )
         if args.transfer_dtype and not use_cache:
             # With --device_cache the value IS honored (it sets the
             # resident cache dtype below) — only the streamed DP path
@@ -279,6 +297,12 @@ def main(argv: Optional[List[str]] = None) -> int:
 
     print(f"The model has {count_parameters(params):,} trainable parameters")
 
+    if multi_process:
+        from laughter_detection_icsi_tpu.parallel import distributed
+
+        sync_preempt = distributed.make_preemption_sync()
+    else:
+        sync_preempt = None
     loop = TrainLoop(
         trainer=trainer,
         checkpoint_dir=str(ckpt_dir),
@@ -287,8 +311,19 @@ def main(argv: Optional[List[str]] = None) -> int:
         # lets the preemption path flush metric rows before the grace
         # period can end in SIGKILL
         metrics_path=str(ckpt_dir / "metrics.csv"),
+        # multi-host: the coordinator is the one writer; all processes
+        # stop at the SAME step boundary on preemption
+        write_artifacts=not multi_process or jax.process_index() == 0,
+        sync_preempt=sync_preempt,
     )
     params, state, opt_state = loop.resume_if_possible(params, state, opt_state)
+    if multi_process:
+        # Processes whose local disk has no checkpoint (only the
+        # coordinator writes) adopt the coordinator's resume state; all
+        # enter the epoch loop at the same step.
+        params, state, opt_state = distributed.sync_resume(
+            loop, params, state, opt_state
+        )
     if loop.global_step:
         print(f"resumed from step {loop.global_step} (epoch {loop.epoch})")
     loop.install_preemption_handler()  # checkpoint + clean exit on SIGTERM
@@ -303,17 +338,23 @@ def main(argv: Optional[List[str]] = None) -> int:
         out = []
         # Resident dev split: index batches become ONE fused gather+eval
         # dispatch each (trainer.eval_batch resident path).
-        batches_fn = (
-            dev_ds.index_batches
-            if isinstance(dev_ds, ResidentLadDataset)
-            else dev_ds.batches
-        )
-        it = batches_fn(
-            batch_size,
-            shuffle=True,
-            seed=loop.global_step,
-            drop_remainder=args.data_parallel,
-        )
+        if isinstance(dev_ds, ResidentLadDataset):
+            # Resident rows are already mesh-sharded (multi-host: each
+            # process uploaded its own block); the index batches are global.
+            it = dev_ds.index_batches(
+                batch_size,
+                shuffle=True,
+                seed=loop.global_step,
+                drop_remainder=args.data_parallel,
+            )
+        else:
+            it = dev_ds.batches(
+                batch_size,
+                shuffle=True,
+                seed=loop.global_step,
+                drop_remainder=args.data_parallel,
+                local_rows=local_rows,
+            )
         for _ in range(n):
             try:
                 out.append(next(it))
@@ -352,6 +393,8 @@ def main(argv: Optional[List[str]] = None) -> int:
                     # Mid-epoch resume: don't assemble the already-trained
                     # batches run_epoch skips (placeholders instead).
                     skip_assembly=loop.epoch_step,
+                    # Multi-host: this process's rows only.
+                    local_rows=local_rows,
                 )
             params, state, opt_state, mean_loss = loop.run_epoch(
                 params,

@@ -145,6 +145,7 @@ class LadDataset:
         drop_remainder: bool = False,
         prefetch: int = 2,
         skip_assembly: int = 0,
+        local_rows: Optional[tuple] = None,
     ) -> Iterator[Dict[str, np.ndarray]]:
         """One epoch of batches.  With ``drop_remainder`` the tail partial
         batch is dropped (use for pjit static shapes).  ``prefetch`` > 0
@@ -155,10 +156,37 @@ class LadDataset:
         placeholders instead of paying host feature assembly for batches
         the resuming caller (train.loop.run_epoch's epoch_step skip)
         discards unseen — resume is near-instant instead of minutes of
-        dead I/O near a late log boundary."""
+        dead I/O near a late log boundary.
+
+        ``local_rows=(process_id, num_processes)`` (multi-host training):
+        every process computes the SAME seeded global batch order, then
+        assembles only its own contiguous ``batch_size/num_processes``-row
+        slice of each batch — process order matches the global batch's row
+        order, which is exactly how parallel.mesh.shard_local_batch
+        reassembles the global batch on the mesh.  Each host pays I/O and
+        assembly only for the rows it feeds.  Requires ``drop_remainder``
+        (every batch must split evenly) and ``num_processes | batch_size``.
+        """
         slices = _epoch_slices(
             len(self.df), batch_size, shuffle, seed, drop_remainder
         )
+        if local_rows is not None:
+            pid, nproc = int(local_rows[0]), int(local_rows[1])
+            if not 0 <= pid < nproc:
+                raise ValueError(f"local_rows: bad process id {pid}/{nproc}")
+            if nproc > 1:
+                if not drop_remainder:
+                    raise ValueError(
+                        "local_rows needs drop_remainder=True: a ragged tail "
+                        "batch cannot split evenly across processes"
+                    )
+                if batch_size % nproc:
+                    raise ValueError(
+                        f"local_rows: batch_size {batch_size} not divisible "
+                        f"by num_processes {nproc}"
+                    )
+                k = batch_size // nproc
+                slices = [s[pid * k : (pid + 1) * k] for s in slices]
         if skip_assembly:
             k = min(skip_assembly, len(slices))
             for _ in range(k):
@@ -256,6 +284,38 @@ def resolve_transfer_dtype(transfer_dtype):
     )
 
 
+def _addressable_row_block(sharding, global_shape) -> tuple:
+    """[lo, hi) rows of a row-sharded global array owned by THIS process.
+
+    Derived from the sharding's own device→index map (never from assumed
+    device ordering), and required to be one contiguous block — true for a
+    1-D ``data``-axis mesh built over ``jax.devices()`` (globally ordered by
+    process), and asserted rather than trusted.
+    """
+    import jax
+
+    mine = [
+        idx[0]
+        for d, idx in sharding.devices_indices_map(tuple(global_shape)).items()
+        if d.process_index == jax.process_index()
+    ]
+    if not mine:
+        raise ValueError("sharding places no rows on this process")
+    n_rows = global_shape[0]
+    spans = sorted(
+        (s.start or 0, n_rows if s.stop is None else s.stop) for s in mine
+    )
+    lo, hi = spans[0][0], spans[-1][1]
+    covered = sum(b - a for a, b in spans)
+    if covered != hi - lo:
+        raise ValueError(
+            f"this process's rows are not one contiguous block: {spans} "
+            "(build the mesh over jax.devices() so device order follows "
+            "process order)"
+        )
+    return lo, hi
+
+
 class ResidentLadDataset:
     """The whole split resident in device HBM; batches are device gathers.
 
@@ -295,15 +355,27 @@ class ResidentLadDataset:
         w = dataset.window_frames
         nf = dataset.cache.cfg.num_filters
         host_dtype, _ = resolve_transfer_dtype(transfer_dtype)
-        feats = np.zeros((n_pad, w, nf), dtype=host_dtype)
-        lens = np.zeros(n_pad, dtype=np.int32)
-        labels = np.zeros(n_pad, dtype=np.float32)
-        for lo in range(0, n, assemble_chunk):
-            idx = np.arange(lo, min(lo + assemble_chunk, n))
+
+        # Multi-host sharding: assemble ONLY the rows that land on this
+        # process's devices — each host pays feature I/O and upload for its
+        # own 1/num_processes of the split, never the whole thing.
+        row_lo, row_hi = 0, n_pad
+        local_build = False
+        if sharding is not None:
+            procs = {d.process_index for d in sharding.mesh.devices.flat}
+            if len(procs) > 1:
+                local_build = True
+                row_lo, row_hi = _addressable_row_block(sharding, (n_pad, w, nf))
+
+        feats = np.zeros((row_hi - row_lo, w, nf), dtype=host_dtype)
+        lens = np.zeros(row_hi - row_lo, dtype=np.int32)
+        labels = np.zeros(row_hi - row_lo, dtype=np.float32)
+        for lo in range(row_lo, min(row_hi, n), assemble_chunk):
+            idx = np.arange(lo, min(lo + assemble_chunk, row_hi, n))
             batch = dataset._assemble(idx)
-            feats[idx] = batch["inputs"].astype(host_dtype)
-            lens[idx] = batch["input_lens"]
-            labels[idx] = batch["is_laugh"]
+            feats[idx - row_lo] = batch["inputs"].astype(host_dtype)
+            lens[idx - row_lo] = batch["input_lens"]
+            labels[idx - row_lo] = batch["is_laugh"]
         if sharding is None:
             self.feats = jnp.asarray(feats)  # one upload for the whole split
             self.lens = jnp.asarray(lens)
@@ -313,9 +385,22 @@ class ResidentLadDataset:
 
             row_axis = sharding.spec[0] if len(sharding.spec) else None
             one_d = NamedSharding(sharding.mesh, PartitionSpec(row_axis))
-            self.feats = jax.device_put(feats, sharding)
-            self.lens = jax.device_put(lens, one_d)
-            self.labels = jax.device_put(labels, one_d)
+            if local_build:
+                # Local rows -> this process's addressable shards, no
+                # cross-host movement (same mechanics as shard_local_batch).
+                self.feats = jax.make_array_from_process_local_data(
+                    sharding, feats, (n_pad, w, nf)
+                )
+                self.lens = jax.make_array_from_process_local_data(
+                    one_d, lens, (n_pad,)
+                )
+                self.labels = jax.make_array_from_process_local_data(
+                    one_d, labels, (n_pad,)
+                )
+            else:
+                self.feats = jax.device_put(feats, sharding)
+                self.lens = jax.device_put(lens, one_d)
+                self.labels = jax.device_put(labels, one_d)
 
         @jax.jit
         def gather(data, lens_d, labels_d, idx):

@@ -45,6 +45,12 @@ class DataParallelTrainer:
     def __post_init__(self):
         repl = mesh_lib.replicated(self.mesh)
         dp = mesh_lib.data_sharding(self.mesh)
+        # Multi-host mesh: host batches are interpreted as THIS PROCESS'S
+        # rows (shard_local_batch) — on a multi-controller mesh no single
+        # host ever holds the global batch, so local rows are the only
+        # coherent host-batch semantics.  Single-process meshes keep the
+        # plain global-batch contract.
+        self._multi_process = mesh_lib.process_span(self.mesh) > 1
 
         def constrain(x, y):
             # The resident steps gather rows sharded over the 'data' axis;
@@ -112,10 +118,16 @@ class DataParallelTrainer:
         # Host batches stay NUMPY until shard_batch's device_put (building
         # device arrays here would just add an extra placement step;
         # shard_batch itself now reshard-s jax.Array leaves device-to-device
-        # rather than bouncing them through host).
+        # rather than bouncing them through host).  On a multi-process mesh
+        # the rows are this process's LOCAL slice of the global batch
+        # (see __post_init__).
         x = np.asarray(inputs, dtype=np.float32)[:, None, :, :]
         y = np.asarray(batch["is_laugh"], dtype=np.float32)
-        return mesh_lib.shard_batch({"x": x, "y": y}, self.mesh)
+        shard = (
+            mesh_lib.shard_local_batch if self._multi_process
+            else mesh_lib.shard_batch
+        )
+        return shard({"x": x, "y": y}, self.mesh)
 
     # No gradient accumulation in the DP trainer: every train_batch applies,
     # so the loop is always at an optimizer-apply boundary.  Trivial
@@ -140,13 +152,6 @@ class DataParallelTrainer:
             params, state, opt_state, sharded["x"], sharded["y"], rng
         )
 
-    def _prep_local(self, local_batch):
-        import numpy as np
-
-        x = np.asarray(local_batch["inputs"], dtype=np.float32)[:, None, :, :]
-        y = np.asarray(local_batch["is_laugh"], dtype=np.float32)
-        return mesh_lib.shard_local_batch({"x": x, "y": y}, self.mesh)
-
     def train_batch_local(
         self, params, state, opt_state, local_batch, rng: Optional[jax.Array] = None
     ):
@@ -157,18 +162,17 @@ class DataParallelTrainer:
         addressable shards with no cross-host data movement, then the step
         itself is the ordinary data-parallel step — XLA's grad all-reduce
         and global-BN psums now ride the inter-process collectives.  On a
-        single-process mesh this IS train_batch.
+        multi-process mesh :meth:`train_batch` already has these semantics
+        (``_prep`` routes host batches through shard_local_batch — that is
+        what lets TrainLoop drive multi-host runs unchanged); this explicit
+        spelling exists for call sites that want the contract in the name.
         """
-        sharded = self._prep_local(local_batch)
-        return self._train_step(
-            params, state, opt_state, sharded["x"], sharded["y"], rng
-        )
+        return self.train_batch(params, state, opt_state, local_batch, rng)
 
     def eval_batch_local(self, params, state, local_batch):
         """Multi-host eval step over per-process local rows (see
         train_batch_local)."""
-        sharded = self._prep_local(local_batch)
-        return self._eval_step(params, state, sharded["x"], sharded["y"])
+        return self.eval_batch(params, state, local_batch)
 
     def train_batch_resident(self, params, state, opt_state, resident, idx, key, step):
         """TrainLoop's fused resident hook (same contract as

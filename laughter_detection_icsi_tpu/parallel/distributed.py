@@ -10,10 +10,17 @@ same sharding annotations used single-host.
 
 Single-chip and CPU-mesh runs never need this module; it is the entry hook
 for real pods.  The path IS exercised end-to-end in this environment:
-tests/test_distributed_multiprocess.py spawns two coordinator-joined
-processes over XLA's Gloo TCP CPU collectives (``cpu_collectives='gloo'``)
-and pins a cross-process data-parallel training step numerically equal to
-the single-process big-batch step.
+tests/test_distributed_multiprocess.py spawns coordinator-joined processes
+over XLA's Gloo TCP CPU collectives (``cpu_collectives='gloo'``) and pins
+
+- a cross-process data-parallel training step numerically equal to the
+  single-process big-batch step (each process feeding only its local rows),
+- the full TrainLoop story: coordinator-only artifact writes, preemption
+  AGREED across processes (:func:`make_preemption_sync`), resume broadcast
+  from the coordinator's checkpoint (:func:`sync_resume`), and
+  interrupted+resumed == uninterrupted on the same topology,
+- the device-resident dataset (--device_cache) with each host uploading
+  only its addressable row block.
 """
 
 from __future__ import annotations
@@ -61,6 +68,83 @@ def is_multi_process() -> bool:
     import jax
 
     return jax.process_count() > 1
+
+
+def make_preemption_sync():
+    """A ``TrainLoop.sync_preempt`` hook: processes AGREE on preemption.
+
+    SIGTERM lands on one host; if that process alone stopped at a step
+    boundary while the others entered the next step's collectives, the pod
+    would deadlock inside XLA's all-reduce.  The returned callable
+    all-gathers each process's local flag and returns the disjunction, so
+    every process observes the stop at the SAME step boundary and the
+    checkpoint the coordinator writes is the state all of them hold.
+
+    Cost: one tiny cross-process all-gather + host sync per train step —
+    noise next to the step's gradient all-reduce on the same interconnect.
+    """
+    import jax
+    import numpy as np
+    from jax.experimental import multihost_utils
+
+    if jax.process_count() == 1:
+        return lambda flag: flag
+
+    def sync(flag: bool) -> bool:
+        flags = multihost_utils.process_allgather(
+            np.asarray(bool(flag), dtype=np.bool_)
+        )
+        return bool(np.asarray(flags).any())
+
+    return sync
+
+
+def sync_resume(loop, params, state, opt_state):
+    """Align a multi-host resume on the COORDINATOR's checkpoint.
+
+    Each process calls ``TrainLoop.resume_if_possible`` against its own
+    checkpoint_dir; on pods with host-local disks only the coordinator
+    (which is the one process that writes artifacts) finds a checkpoint, and
+    without agreement the processes would enter the epoch loop at different
+    steps — divergent collectives, deadlock.  This broadcasts process 0's
+    entire resume state — params, model state, optimizer state, and the
+    loop counters (epoch / global_step / epoch_step / best_val_loss) — so
+    every process continues from the coordinator's checkpoint exactly.
+    Single-process: identity.
+
+    Returns the (params, state, opt_state) to train with; mutates ``loop``'s
+    counters in place.
+    """
+    import jax
+    import numpy as np
+    from jax.experimental import multihost_utils
+
+    if jax.process_count() == 1:
+        return params, state, opt_state
+
+    counters = np.asarray(
+        [loop.epoch, loop.global_step, loop.epoch_step], dtype=np.int32
+    )
+    # float32 round-trip is lossless here: best_val_loss originates as a
+    # float32 device loss (or +inf before any validation).
+    best = np.asarray(loop.best_val_loss, dtype=np.float32)
+    params, state, opt, counters, best = multihost_utils.broadcast_one_to_all(
+        (
+            params,
+            state,
+            (opt_state.step, opt_state.mu, opt_state.nu),
+            counters,
+            best,
+        )
+    )
+    from laughter_detection_icsi_tpu.train.optim import AdamState
+
+    opt_state = AdamState(step=opt[0], mu=opt[1], nu=opt[2])
+    loop.epoch = int(counters[0])
+    loop.global_step = int(counters[1])
+    loop.epoch_step = int(counters[2])
+    loop.best_val_loss = float(best)
+    return params, state, opt_state
 
 
 def process_info() -> str:

@@ -34,6 +34,12 @@ def make_mesh(
     return Mesh(np.asarray(devices[:n]), (axis_name,))
 
 
+def process_span(mesh: Mesh) -> int:
+    """Number of distinct host processes the mesh's devices live on (1 on
+    any single-controller mesh; > 1 only under ``jax.distributed``)."""
+    return len({d.process_index for d in mesh.devices.flat})
+
+
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
@@ -87,7 +93,7 @@ def shard_local_batch(
     (each host reads its own slice of the dataset); see
     parallel/distributed.py for the runtime entry hook.
     """
-    if len({d.process_index for d in mesh.devices.flat}) == 1:
+    if process_span(mesh) == 1:
         return shard_batch(local_batch, mesh, axis_name)
     sharding = data_sharding(mesh, axis_name)
 

@@ -402,6 +402,18 @@ class TrainLoop:
     #: path also flushes so a SIGKILL after the grace period cannot lose
     #: the run's logged metrics (the checkpoint alone would survive).
     metrics_path: Optional[str] = None
+    #: multi-host: only the coordinator process persists checkpoints and
+    #: metrics (replicated training makes every process's copy identical;
+    #: N processes racing the same path — or scattering checkpoints over
+    #: host-local disks — serves nobody).  Resume READING is unaffected;
+    #: parallel.distributed.sync_resume broadcasts the coordinator's
+    #: checkpoint to processes whose local dir has none.
+    write_artifacts: bool = True
+    #: multi-host: called at every step boundary with this process's local
+    #: preemption flag; returns the pod-wide disjunction so all processes
+    #: stop at the SAME boundary (parallel.distributed.make_preemption_sync).
+    #: None (single-host) keeps the local flag.
+    sync_preempt: Optional[Callable[[bool], bool]] = None
 
     global_step: int = 0
     epoch: int = 0
@@ -479,6 +491,8 @@ class TrainLoop:
         points at the last optimizer-apply boundary without mutating the
         live counters (groups never span epochs, so the boundary is always
         inside the current epoch and both counters stay >= 0)."""
+        if not self.write_artifacts:
+            return
         ckpt_lib.save_checkpoint(
             self.checkpoint_dir,
             params,
@@ -642,6 +656,11 @@ class TrainLoop:
                 if verbose:
                     msg = " ".join(f"{k}={v:.4f}" for k, v in row.items() if k != "global_step")
                     print(f"step {self.global_step}: {msg}", flush=True)
+            if self.sync_preempt is not None:
+                # Multi-host: agree on the flag BEFORE acting on it, so no
+                # process stops at a boundary the others sailed past into
+                # the next step's collectives.
+                self.preempted = self.sync_preempt(self.preempted)
             if self.preempted:
                 # Graceful eviction: save at the step boundary and hand
                 # control back without completing (or counting) the epoch.
@@ -717,6 +736,12 @@ class TrainLoop:
         return params, state, opt_state, mean_loss
 
     def flush_metrics(self, path: Optional[str] = None) -> None:
+        if not self.write_artifacts:
+            # Non-coordinator processes compute identical replicated metrics;
+            # drop the rows (instead of accreting them forever) and write
+            # nothing — the coordinator's flush is the run's record.
+            self.metrics_rows = []
+            return
         path = path or self.metrics_path
         if self.metrics_rows and path:
             update_metrics_on_disk(self.metrics_rows, path)

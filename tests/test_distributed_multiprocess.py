@@ -27,10 +27,55 @@ REPO = Path(__file__).resolve().parent.parent
 WORKER = REPO / "tests" / "fixtures" / "dist_worker.py"
 
 
+TRAIN_WORKER = REPO / "tests" / "fixtures" / "dist_train_worker.py"
+RESIDENT_WORKER = REPO / "tests" / "fixtures" / "dist_resident_worker.py"
+
+
 def _free_port() -> int:
     with socket.socket() as s:
         s.bind(("127.0.0.1", 0))
         return s.getsockname()[1]
+
+
+def _spawn_workers(worker, n, extra_args, local_devices=2, timeout=600):
+    """Run ``n`` coordinator-joined worker processes to completion.
+
+    Returns [(rc, stdout, stderr), ...]; asserts nothing — callers own the
+    checks so failures print the logs they need.
+    """
+    env = {
+        k: v
+        for k, v in os.environ.items()
+        # Strip the axon tunnel plugin (registers via sitecustomize when
+        # PALLAS_AXON_POOL_IPS is set, overrides JAX_PLATFORMS, and blocks
+        # backend init while the tunnel is unreachable).
+        if k not in ("XLA_FLAGS", "JAX_PLATFORMS", "PALLAS_AXON_POOL_IPS")
+    }
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = f"--xla_force_host_platform_device_count={local_devices}"
+    port = _free_port()
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(worker), str(i), str(n), str(port)]
+            + [str(a) for a in extra_args(i)],
+            env=env,
+            cwd=REPO,
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+            text=True,
+        )
+        for i in range(n)
+    ]
+    logs = []
+    for p in procs:
+        try:
+            out, err = p.communicate(timeout=timeout)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        logs.append((p.returncode, out, err))
+    return logs
 
 
 def _single_process_expectation():
@@ -57,39 +102,8 @@ def _single_process_expectation():
 
 
 def test_two_process_gloo_dp_training_matches_single_process(tmp_path):
-    env = {
-        k: v
-        for k, v in os.environ.items()
-        # Strip the axon tunnel plugin (registers via sitecustomize when
-        # PALLAS_AXON_POOL_IPS is set, overrides JAX_PLATFORMS, and blocks
-        # backend init while the tunnel is unreachable).
-        if k not in ("XLA_FLAGS", "JAX_PLATFORMS", "PALLAS_AXON_POOL_IPS")
-    }
-    env["JAX_PLATFORMS"] = "cpu"
-    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
-    port = _free_port()
-
     outs = [tmp_path / f"w{i}.json" for i in range(2)]
-    procs = [
-        subprocess.Popen(
-            [sys.executable, str(WORKER), str(i), "2", str(port), str(outs[i])],
-            env=env,
-            cwd=REPO,
-            stdout=subprocess.PIPE,
-            stderr=subprocess.PIPE,
-            text=True,
-        )
-        for i in range(2)
-    ]
-    logs = []
-    for p in procs:
-        try:
-            out, err = p.communicate(timeout=600)
-        except subprocess.TimeoutExpired:
-            for q in procs:
-                q.kill()
-            raise
-        logs.append((p.returncode, out, err))
+    logs = _spawn_workers(WORKER, 2, lambda i: [outs[i]])
     assert all(rc == 0 for rc, _, _ in logs), logs
 
     reports = [json.loads(o.read_text()) for o in outs]
@@ -112,3 +126,215 @@ def test_two_process_gloo_dp_training_matches_single_process(tmp_path):
     expected = _single_process_expectation()
     for got, want in zip(reports[0]["losses"], expected):
         assert got == pytest.approx(want, rel=1e-5)
+
+
+def _uninterrupted_twin(tmp_path):
+    """Single-process TrainLoop twin of the workers' 2-epoch run."""
+    from tests.fixtures import dist_common as C
+
+    from laughter_detection_icsi_tpu.parallel import DataParallelTrainer, make_mesh
+    from laughter_detection_icsi_tpu.train import TrainLoop
+
+    trainer = DataParallelTrainer(model=C.build_model(), mesh=make_mesh(4))
+    params, state, opt_state = trainer.init(jax.random.PRNGKey(0))
+    loop = TrainLoop(
+        trainer=trainer,
+        checkpoint_dir=str(tmp_path / "twin"),
+        log_frequency=3,
+        val_batches_per_log=C.N_VAL_BATCHES,
+        metrics_path=str(tmp_path / "twin" / "metrics.csv"),
+    )
+    (tmp_path / "twin").mkdir(exist_ok=True)
+    mean_losses = []
+    for epoch in range(2):
+        params, state, opt_state, mean_loss = loop.run_epoch(
+            params, state, opt_state,
+            C.epoch_batches(epoch),
+            val_batches_fn=lambda n: C.val_batches()[:n],
+            verbose=False,
+        )
+        mean_losses.append(float(mean_loss))
+    return {
+        "mean_losses": mean_losses,
+        "param_checksum": C.param_checksum(params),
+        "best_val_loss": float(loop.best_val_loss),
+    }
+
+
+def test_multihost_trainloop_preempt_resume_equals_uninterrupted(tmp_path):
+    """The full multi-host TrainLoop story in one run: phase 1 preempts ONE
+    process mid-epoch (sync_preempt must stop both at the same boundary,
+    write_artifacts must confine persistence to the coordinator); phase 2
+    starts fresh processes where only the coordinator's dir holds the
+    checkpoint (sync_resume must broadcast it) and finishes the run.  The
+    result must equal the uninterrupted single-process twin."""
+    from tests.fixtures.dist_train_worker import PREEMPT_AT_BATCH
+    from tests.fixtures import dist_common as C
+
+    ckpts = [tmp_path / f"ckpt_p{i}" for i in range(2)]
+    for d in ckpts:
+        d.mkdir()
+
+    # ---- phase 1: preemption lands on process 1 only ----
+    outs1 = [tmp_path / f"p1_w{i}.json" for i in range(2)]
+    logs = _spawn_workers(
+        TRAIN_WORKER, 2, lambda i: [outs1[i], ckpts[i], 1]
+    )
+    assert all(rc == 0 for rc, _, _ in logs), logs
+    r1 = [json.loads(o.read_text()) for o in outs1]
+    # Both processes stopped at the SAME step boundary, one past the flag.
+    for r in r1:
+        assert r["stopped"]["preempted"] is True
+        assert r["stopped"]["global_step"] == PREEMPT_AT_BATCH + 1
+        assert r["stopped"]["epoch"] == 0
+    # Only the coordinator persisted anything.
+    assert any(ckpts[0].iterdir()), "coordinator wrote no checkpoint"
+    assert not any(ckpts[1].iterdir()), "non-coordinator wrote artifacts"
+
+    # ---- phase 2: fresh processes; only ckpts[0] holds the checkpoint ----
+    outs2 = [tmp_path / f"p2_w{i}.json" for i in range(2)]
+    logs = _spawn_workers(
+        TRAIN_WORKER, 2, lambda i: [outs2[i], ckpts[i], 2]
+    )
+    assert all(rc == 0 for rc, _, _ in logs), logs
+    r2 = [json.loads(o.read_text()) for o in outs2]
+    # sync_resume broadcast the coordinator's checkpoint: BOTH processes
+    # re-entered the interrupted epoch at the same mid-epoch position.
+    for r in r2:
+        assert r["resumed_at"] == {
+            "epoch": 0,
+            "global_step": PREEMPT_AT_BATCH + 1,
+            "epoch_step": PREEMPT_AT_BATCH + 1,
+        }
+        assert r["stopped"]["epoch"] == 2
+        assert r["stopped"]["preempted"] is False
+    assert r2[0]["param_checksum"] == r2[1]["param_checksum"]
+
+    # ---- phase 3 (control): same two-process run, never interrupted ----
+    ckpts3 = [tmp_path / f"ckpt3_p{i}" for i in range(2)]
+    for d in ckpts3:
+        d.mkdir()
+    outs3 = [tmp_path / f"p3_w{i}.json" for i in range(2)]
+    logs = _spawn_workers(
+        TRAIN_WORKER, 2, lambda i: [outs3[i], ckpts3[i], 3]
+    )
+    assert all(rc == 0 for rc, _, _ in logs), logs
+    r3 = [json.loads(o.read_text()) for o in outs3]
+
+    # interrupted + resumed == uninterrupted ON THE SAME TOPOLOGY: the
+    # checkpoint round-trip and the resume broadcast are exact, so this
+    # comparison is tight — it isolates the multi-host resume machinery
+    # from cross-topology collective float noise.
+    assert r2[0]["param_checksum"] == pytest.approx(
+        r3[0]["param_checksum"], rel=1e-6
+    )
+    assert r2[0]["best_val_loss"] == pytest.approx(
+        r3[0]["best_val_loss"], rel=1e-6
+    )
+    assert r2[0]["mean_losses"][-1] == pytest.approx(
+        r3[0]["mean_losses"][-1], rel=1e-6
+    )
+
+    # ---- and both equal the single-process twin, within the float noise
+    # cross-topology reduction order accumulates over 16 Adam steps ----
+    twin = _uninterrupted_twin(tmp_path)
+    assert r2[0]["param_checksum"] == pytest.approx(
+        twin["param_checksum"], rel=2e-3
+    )
+    assert r2[0]["best_val_loss"] == pytest.approx(
+        twin["best_val_loss"], rel=1e-3
+    )
+    # Epoch 1 (the post-resume full epoch) mean loss matches the twin's.
+    assert r2[0]["mean_losses"][-1] == pytest.approx(
+        twin["mean_losses"][-1], rel=1e-3
+    )
+    # The coordinator's metrics.csv carries the merged run's log points.
+    metrics = (ckpts[0] / "metrics.csv").read_text().strip().splitlines()
+    twin_metrics = (
+        (tmp_path / "twin" / "metrics.csv").read_text().strip().splitlines()
+    )
+    steps = [line.split(",")[0] for line in metrics[1:]]
+    twin_steps = [line.split(",")[0] for line in twin_metrics[1:]]
+    assert steps == twin_steps
+
+
+def _single_process_resident_expectation():
+    """4-device single-process twin of the resident workers' run."""
+    import numpy as np
+
+    from tests.fixtures import dist_common as C
+    from tests.fixtures.dist_resident_worker import BATCH, N_ROWS, STEPS
+
+    from laughter_detection_icsi_tpu.data.dataset import ResidentLadDataset
+    from laughter_detection_icsi_tpu.parallel import DataParallelTrainer, make_mesh
+    from laughter_detection_icsi_tpu.parallel import mesh as mesh_lib
+
+    mesh = make_mesh(4)
+    resident = ResidentLadDataset(
+        C.toy_lad_dataset(N_ROWS),
+        sharding=mesh_lib.data_sharding(mesh),
+        pad_rows_to=int(mesh.devices.size),
+    )
+    trainer = DataParallelTrainer(model=C.build_model(), mesh=mesh)
+    params, state, opt_state = trainer.init(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(5)
+    losses = []
+    for step in range(STEPS):
+        idx = rng.permutation(N_ROWS)[:BATCH]
+        params, state, opt_state, m = trainer.train_batch_resident(
+            params, state, opt_state, resident, idx, jax.random.PRNGKey(9), step
+        )
+        losses.append(float(m["loss"]))
+    ev = trainer.eval_batch(
+        params, state, {"resident": resident, "idx": np.arange(BATCH)}
+    )
+    return losses, float(ev["loss"])
+
+
+def test_multihost_resident_dataset_matches_single_process(tmp_path):
+    """--device_cache across processes: each host uploads only its
+    addressable row block; the fused gather+step crosses process boundaries
+    over the interconnect and must equal the single-process resident run."""
+    outs = [tmp_path / f"w{i}.json" for i in range(2)]
+    logs = _spawn_workers(RESIDENT_WORKER, 2, lambda i: [outs[i]])
+    assert all(rc == 0 for rc, _, _ in logs), logs
+
+    reports = [json.loads(o.read_text()) for o in outs]
+    assert reports[0]["losses"] == reports[1]["losses"]
+    assert reports[0]["param_checksum"] == reports[1]["param_checksum"]
+
+    losses, eval_loss = _single_process_resident_expectation()
+    for got, want in zip(reports[0]["losses"], losses):
+        assert got == pytest.approx(want, rel=1e-5)
+    assert reports[0]["eval_loss"] == pytest.approx(eval_loss, rel=1e-5)
+
+
+def test_local_rows_partition_reassembles_global_batches():
+    """dist_common.local_rows / LadDataset.batches(local_rows=...): the
+    process slices concatenated in process order ARE the global batch —
+    the contract shard_local_batch's reassembly relies on."""
+    import numpy as np
+
+    from tests.fixtures import dist_common as C
+
+    ds = C.toy_lad_dataset(n_rows=32)
+    full = list(ds.batches(8, shuffle=True, seed=3, drop_remainder=True,
+                           prefetch=0))
+    parts = [
+        list(ds.batches(8, shuffle=True, seed=3, drop_remainder=True,
+                        prefetch=0, local_rows=(pid, 2)))
+        for pid in range(2)
+    ]
+    assert len(full) == len(parts[0]) == len(parts[1]) == 4
+    for b_full, b0, b1 in zip(full, parts[0], parts[1]):
+        for k in ("inputs", "input_lens", "is_laugh"):
+            np.testing.assert_array_equal(
+                b_full[k], np.concatenate([b0[k], b1[k]], axis=0)
+            )
+
+    with pytest.raises(ValueError, match="drop_remainder"):
+        next(ds.batches(8, drop_remainder=False, local_rows=(0, 2)))
+    with pytest.raises(ValueError, match="divisible"):
+        next(ds.batches(9, drop_remainder=True, local_rows=(0, 2)))
+    with pytest.raises(ValueError, match="bad process id"):
+        next(ds.batches(8, drop_remainder=True, local_rows=(2, 2)))

@@ -172,6 +172,53 @@ def test_grad_accum_matches_big_batch(tiny_model, rng):
     assert max(jax.tree_util.tree_leaves(moved)) > 0
 
 
+def test_write_artifacts_false_persists_nothing(tiny_model, rng, tmp_path):
+    """Multi-host non-coordinator processes (TrainLoop.write_artifacts=False)
+    must write NO checkpoints or metrics — and must not accrete metric rows
+    in memory either."""
+    trainer = Trainer(model=tiny_model)
+    params, state, opt_state = trainer.init(jax.random.PRNGKey(0))
+    loop = TrainLoop(
+        trainer=trainer,
+        checkpoint_dir=str(tmp_path),
+        log_frequency=5,
+        metrics_path=str(tmp_path / "metrics.csv"),
+        write_artifacts=False,
+    )
+    loop.run_epoch(
+        params, state, opt_state, _toy_batches(rng, 10),
+        val_batches_fn=lambda n: _toy_batches(rng, 2), verbose=False,
+    )
+    loop.flush_metrics()
+    assert list(tmp_path.iterdir()) == []
+    assert loop.metrics_rows == []
+    # best_val_loss tracking still runs (it feeds the is_best decision the
+    # coordinator acts on; metrics are replicated so the value is shared)
+    assert loop.best_val_loss != float("inf")
+
+
+def test_sync_preempt_stops_loop_from_remote_flag(tiny_model, rng, tmp_path):
+    """A preemption observed only through the sync hook (another host's
+    SIGTERM) must stop this loop at the same step boundary and checkpoint."""
+    calls = []
+
+    def sync(local_flag):
+        calls.append(local_flag)
+        return local_flag or len(calls) >= 4  # "remote" flag raised at step 4
+
+    trainer = Trainer(model=tiny_model)
+    params, state, opt_state = trainer.init(jax.random.PRNGKey(0))
+    loop = TrainLoop(
+        trainer=trainer, checkpoint_dir=str(tmp_path), log_frequency=100,
+        sync_preempt=sync,
+    )
+    loop.run_epoch(params, state, opt_state, _toy_batches(rng, 10), verbose=False)
+    assert loop.preempted
+    assert loop.global_step == 4
+    assert calls == [False, False, False, False]  # consulted every boundary
+    assert any(tmp_path.iterdir())  # boundary checkpoint written
+
+
 def test_checkpoint_resume_roundtrip(tiny_model, rng, tmp_path):
     trainer = Trainer(model=tiny_model)
     params, state, opt_state = trainer.init(jax.random.PRNGKey(0))
