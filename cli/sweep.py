@@ -65,6 +65,22 @@ def build_parser() -> argparse.ArgumentParser:
                    help="run the evaluator on the sweep output afterwards")
     p.add_argument("--trace_dir", type=str, default=None,
                    help="capture a jax.profiler trace of the sweep here")
+    # Multi-host (same flags as cli/train.py): every host runs the SAME
+    # command; each decodes/uploads only its own channels of every meeting
+    # and writes only their TextGrids.  --output_dir should be shared
+    # storage when chaining --analyse.
+    p.add_argument("--coordinator_address", type=str, default=None,
+                   help="multi-host: coordinator host:port "
+                        "(jax.distributed.initialize)")
+    p.add_argument("--num_processes", type=int, default=None,
+                   help="multi-host: world size (omit on TPU pods with "
+                        "metadata autodetection)")
+    p.add_argument("--process_id", type=int, default=None,
+                   help="multi-host: this process's rank")
+    p.add_argument("--cpu_collectives", type=str, default=None,
+                   choices=("gloo", "mpi"),
+                   help="multi-host on CPU hosts: cross-process collectives "
+                        "implementation (TPU pods ignore this)")
     return p
 
 
@@ -74,7 +90,27 @@ def main(argv: Optional[List[str]] = None) -> int:
     )
 
     enable_compilation_cache()
-    args = build_parser().parse_args(argv)
+    parser = build_parser()
+    args = parser.parse_args(argv)
+
+    # Multi-host: join the pod runtime BEFORE the first backend touch
+    # (same contract as cli/train.py).
+    if (
+        args.num_processes is not None or args.process_id is not None
+    ) and args.coordinator_address is None:
+        parser.error(
+            "--num_processes/--process_id require --coordinator_address"
+        )
+    if args.coordinator_address is not None or args.process_id is not None:
+        from laughter_detection_icsi_tpu.parallel import distributed
+
+        distributed.initialize(
+            coordinator_address=args.coordinator_address,
+            num_processes=args.num_processes,
+            process_id=args.process_id,
+            cpu_collectives=args.cpu_collectives,
+        )
+        print(distributed.process_info(), flush=True)
 
     import jax
     import numpy as np
@@ -164,7 +200,11 @@ def main(argv: Optional[List[str]] = None) -> int:
     }
     warm_len = settings.bucket_frames * pipe.feat_cfg.frame_shift_samples
     for n_ch in sorted(counts):
-        pipe.probs_for_waveforms([np.zeros(warm_len, np.int16)] * n_ch)
+        warm_dev, _ = pipe.probs_for_waveforms_device(
+            [np.zeros(warm_len, np.int16)] * n_ch
+        )
+        if warm_dev is not None:
+            jax.block_until_ready(warm_dev)
 
     out_root = Path(args.output_dir) / args.split
     meter = ThroughputMeter(n_chips=len(jax.devices()))
@@ -199,13 +239,22 @@ def main(argv: Optional[List[str]] = None) -> int:
             rtf = meter.stop(float(np.sum(durations)))
             print(f"  {rtf:.1f}x realtime", flush=True)
             total_audio_s += float(np.sum(durations))
-            for i, (chan_id, duration) in enumerate(zip(chans, durations)):
+            # Multi-host: each process postprocesses/writes ONLY its own
+            # channel rows (single-device shard data — no cross-process
+            # coordination in the smoothing jits).  Single-process:
+            # local_channels is every row.
+            if probs_dev is not None:
+                rows = pipe.local_channels(probs_dev, len(chans))
+            else:
+                rows = [(i, None) for i in range(len(chans))]
+            for i, row_probs in rows:
+                chan_id, duration = chans[i], durations[i]
                 # On-device threshold x min-length sweep per channel row —
                 # probabilities never leave HBM, only run tables do.
                 t_i = ts[i]
                 fps = t_i / duration if duration > 0 else 100.0
                 instances = smoothing.instances_from_device_probs(
-                    probs_dev[i, :t_i] if probs_dev is not None else np.zeros(0),
+                    row_probs[:t_i] if row_probs is not None else np.zeros(0),
                     thresholds=thresholds, min_lengths=min_lengths, fps=fps,
                 )
                 for (thr, min_len), insts in instances.items():
@@ -225,7 +274,19 @@ def main(argv: Optional[List[str]] = None) -> int:
         # Unconditional, like train.py: the trace exists even when no audio
         # was processed.
         print(f"profiler trace written to {args.trace_dir}")
-    if args.analyse:
+    multi = jax.process_count() > 1
+    if multi:
+        # Every host must finish writing its TextGrids before anyone
+        # evaluates them.
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices("sweep_textgrids_done")
+    if args.analyse and (not multi or jax.process_index() == 0):
+        if multi:
+            print(
+                "analyse on coordinator (NOTE: --output_dir must be shared "
+                "storage for the evaluation to see every host's TextGrids)"
+            )
         from laughter_detection_icsi_tpu.eval.analyse import analyse
 
         stats = analyse(str(out_root), transcript_dir=args.transcript_dir, force=True)

@@ -284,38 +284,6 @@ def resolve_transfer_dtype(transfer_dtype):
     )
 
 
-def _addressable_row_block(sharding, global_shape) -> tuple:
-    """[lo, hi) rows of a row-sharded global array owned by THIS process.
-
-    Derived from the sharding's own device→index map (never from assumed
-    device ordering), and required to be one contiguous block — true for a
-    1-D ``data``-axis mesh built over ``jax.devices()`` (globally ordered by
-    process), and asserted rather than trusted.
-    """
-    import jax
-
-    mine = [
-        idx[0]
-        for d, idx in sharding.devices_indices_map(tuple(global_shape)).items()
-        if d.process_index == jax.process_index()
-    ]
-    if not mine:
-        raise ValueError("sharding places no rows on this process")
-    n_rows = global_shape[0]
-    spans = sorted(
-        (s.start or 0, n_rows if s.stop is None else s.stop) for s in mine
-    )
-    lo, hi = spans[0][0], spans[-1][1]
-    covered = sum(b - a for a, b in spans)
-    if covered != hi - lo:
-        raise ValueError(
-            f"this process's rows are not one contiguous block: {spans} "
-            "(build the mesh over jax.devices() so device order follows "
-            "process order)"
-        )
-    return lo, hi
-
-
 class ResidentLadDataset:
     """The whole split resident in device HBM; batches are device gathers.
 
@@ -364,8 +332,12 @@ class ResidentLadDataset:
         if sharding is not None:
             procs = {d.process_index for d in sharding.mesh.devices.flat}
             if len(procs) > 1:
+                from laughter_detection_icsi_tpu.parallel.mesh import (
+                    addressable_row_block,
+                )
+
                 local_build = True
-                row_lo, row_hi = _addressable_row_block(sharding, (n_pad, w, nf))
+                row_lo, row_hi = addressable_row_block(sharding, (n_pad, w, nf))
 
         feats = np.zeros((row_hi - row_lo, w, nf), dtype=host_dtype)
         lens = np.zeros(row_hi - row_lo, dtype=np.int32)

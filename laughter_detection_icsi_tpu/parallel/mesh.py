@@ -49,6 +49,38 @@ def data_sharding(mesh: Mesh, axis_name: str = DATA_AXIS) -> NamedSharding:
     return NamedSharding(mesh, P(axis_name))
 
 
+def addressable_row_block(sharding, global_shape) -> tuple:
+    """[lo, hi) rows of a row-sharded global array owned by THIS process.
+
+    Derived from the sharding's own device→index map (never from assumed
+    device ordering), and required to be one contiguous block — true for a
+    1-D ``data``-axis mesh built over ``jax.devices()`` (globally ordered by
+    process), and asserted rather than trusted.  The host-side planning
+    primitive behind every "each process loads only its own rows" path
+    (data.ResidentLadDataset, ShardedPipeline's multi-host channel batches).
+    """
+    mine = [
+        idx[0]
+        for d, idx in sharding.devices_indices_map(tuple(global_shape)).items()
+        if d.process_index == jax.process_index()
+    ]
+    if not mine:
+        raise ValueError("sharding places no rows on this process")
+    n_rows = global_shape[0]
+    spans = sorted(
+        (s.start or 0, n_rows if s.stop is None else s.stop) for s in mine
+    )
+    lo, hi = spans[0][0], spans[-1][1]
+    covered = sum(b - a for a, b in spans)
+    if covered != hi - lo:
+        raise ValueError(
+            f"this process's rows are not one contiguous block: {spans} "
+            "(build the mesh over jax.devices() so device order follows "
+            "process order)"
+        )
+    return lo, hi
+
+
 def shard_batch(batch: PyTree, mesh: Mesh, axis_name: str = DATA_AXIS) -> PyTree:
     """Place a host batch onto the mesh, leading dim sharded over ``data``.
 

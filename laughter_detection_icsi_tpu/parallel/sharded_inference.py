@@ -13,6 +13,14 @@ Channels of one ICSI meeting share a length, so a meeting is naturally one
 static-shape batch; across meetings, lengths bucket to ``bucket_frames``
 multiples.  The channel axis pads up to a mesh-size multiple with silent
 channels (static shapes, SURVEY.md §7.1).
+
+Multi-host (``jax.distributed``-joined processes): the same program scales
+across hosts — every process passes the same path list to
+:meth:`ShardedPipeline.probs_for_meeting_device` but decodes/uploads only
+its own channel block (header parses are global and cheap; they fix the
+program shape), and postprocesses only its rows via
+:meth:`ShardedPipeline.local_channels`.  Exercised as real two-process runs
+in tests/test_distributed_multiprocess.py.
 """
 
 from __future__ import annotations
@@ -60,6 +68,14 @@ class ShardedPipeline:
         repl = mesh_lib.replicated(self.mesh)
         self.params = jax.device_put(self.params, repl)
         self.state = jax.device_put(self.state, repl)
+        # Multi-host mesh: host channel batches are interpreted as THIS
+        # PROCESS'S rows (parallel.mesh.shard_local_batch — the same
+        # local-feed contract as DataParallelTrainer); each host decodes and
+        # uploads only its own channels of a meeting.
+        self._multi = mesh_lib.process_span(self.mesh) > 1
+        self._shard = (
+            mesh_lib.shard_local_batch if self._multi else mesh_lib.shard_batch
+        )
         # Heterogeneous cache: ('body', c) -> (fn, wave_len, sharding),
         # ('win', ...) -> 4-tuple, ('chunk_probs', c) / ('pk', ...) ->
         # jitted callables.
@@ -72,6 +88,42 @@ class ShardedPipeline:
     @property
     def n_shards(self) -> int:
         return int(self.mesh.devices.size)
+
+    def _rows_slice(self, c_pad: int) -> Tuple[int, int]:
+        """[lo, hi) global channel rows THIS process builds/uploads.
+
+        Single-process: all of them.  Multi-host: the contiguous block the
+        channel sharding places on this process's devices."""
+        if not self._multi:
+            return 0, c_pad
+        return mesh_lib.addressable_row_block(
+            mesh_lib.data_sharding(self.mesh), (c_pad, 1)
+        )
+
+    def local_channels(self, probs_dev, c: int):
+        """Per-channel device rows THIS process can postprocess locally.
+
+        Returns [(global_channel_row, probs_row)], where each probs_row is a
+        SINGLE-DEVICE array (an addressable shard's data) — safe to feed
+        process-local work like ops.smoothing.instances_from_device_probs
+        without any cross-process coordination.  Single-process: every row.
+        Multi-host: only this process's channels (each host then writes only
+        its own TextGrids — cli/sweep.py).
+        """
+        if not self._multi:
+            return [(i, probs_dev[i]) for i in range(c)]
+        out, seen = [], set()
+        for shard in probs_dev.addressable_shards:
+            row0 = shard.index[0].start or 0
+            data = shard.data
+            for j in range(data.shape[0]):
+                row = row0 + j
+                # Dedup: a replicated/resharded result can expose the same
+                # global row on several local devices.
+                if row < c and row not in seen:
+                    seen.add(row)
+                    out.append((row, data[j]))
+        return sorted(out, key=lambda t: t[0])
 
     def _use_pallas(self) -> bool:
         from laughter_detection_icsi_tpu.ops.fbank_pallas import resolve_use_pallas
@@ -282,6 +334,22 @@ class ShardedPipeline:
         codec = self.settings.transfer_codec
         if codec == "raw":
             return None
+        if self._multi:
+            # wire_len is content-dependent (compression), so each process
+            # would compile a DIFFERENT featurize_packed program — SPMD
+            # requires every process to launch the same executable.  Raw
+            # upload multi-host; agreeing on a global wire_len is future
+            # work if a pod's host links ever want the codec.
+            if codec == "packed":
+                import warnings
+
+                warnings.warn(
+                    "transfer_codec='packed' is single-process only "
+                    "(content-dependent wire shapes diverge across hosts); "
+                    "uploading raw",
+                    stacklevel=3,
+                )
+            return None
         if batch.dtype != np.int16:
             if codec == "packed":
                 import warnings
@@ -387,6 +455,17 @@ class ShardedPipeline:
         probs, ts = self.probs_for_waveforms_device(waves)
         if probs is None:
             return [np.zeros(0, dtype=np.float32) for _ in waves]
+        if self._multi:
+            # np.asarray on a multi-host global array would raise (rows on
+            # other hosts are not addressable here) — and silently gathering
+            # them would defeat the sharding.  Multi-host callers handle
+            # per-process rows explicitly.
+            raise RuntimeError(
+                "probs_for_waveforms returns ALL channels to one host, which "
+                "a multi-process mesh cannot do; use "
+                "probs_for_waveforms_device + local_channels (each process "
+                "postprocesses its own rows)"
+            )
         # One device->host transfer for the whole batch (transfer latency
         # dominates small reads through a tunneled chip).
         host = np.asarray(probs)
@@ -433,27 +512,40 @@ class ShardedPipeline:
             p, t = host_pad_waveform(w.astype(dtype), self.feat_cfg)
             padded_list.append(p)
             ts.append(t)
+        return self._probs_padded_device(padded_list, ts, int16_in), ts
+
+    def _probs_padded_device(self, padded_list, ts, int16_in: bool):
+        """[C, t_max] device probabilities from host-padded channel buffers.
+
+        ``padded_list[r]`` may be None on a multi-host mesh for rows outside
+        this process's channel block (probs_for_meeting_device decodes only
+        local channels); ``ts`` must still be the GLOBAL per-channel frame
+        counts — t_max and the bucket count are program shape, and every
+        process must run the same program (SPMD)."""
+        dtype = np.int16 if int16_in else np.float32
         t_max = max(ts)
         if t_max == 0:
-            return None, ts
-        c = len(waves)
+            return None
+        c = len(ts)
         c_pad = -(-c // self.n_shards) * self.n_shards
+        row_lo, row_hi = self._rows_slice(c_pad)
         if self.settings.mode == "fused_conv":
             b = self.settings.bucket_frames
             total = max(b, -(-t_max // b) * b)
             graph, wave_len = self._fc_graph(total, int16_in)
-            batch = np.zeros((c_pad, wave_len), dtype=dtype)
-            valid = np.zeros(c_pad, dtype=np.int32)
-            for i, (p, t) in enumerate(zip(padded_list, ts)):
-                batch[i, : len(p)] = p
-                valid[i] = t
-            sharded = mesh_lib.shard_batch({"w": batch, "v": valid}, self.mesh)
+            batch = np.zeros((row_hi - row_lo, wave_len), dtype=dtype)
+            valid = np.zeros(row_hi - row_lo, dtype=np.int32)
+            for r in range(row_lo, min(row_hi, c)):
+                if padded_list[r] is not None:
+                    batch[r - row_lo, : len(padded_list[r])] = padded_list[r]
+                valid[r - row_lo] = ts[r]
+            sharded = self._shard({"w": batch, "v": valid}, self.mesh)
             # Slice to the documented [C, t_max]: the graph computes the
             # bucket-rounded frame count, and the masked-zero tail carries
             # a fully-conv bias-leak CONSTANT (~0.48 at init scale), not 0 —
             # a device consumer trusting the contract would smooth phantom
             # laughter past the end of the audio.
-            return graph(sharded["w"], sharded["v"])[:c, :t_max], ts
+            return graph(sharded["w"], sharded["v"])[:c, :t_max]
         c_local = c_pad // self.n_shards
         wave_len = self._graphs(int16_in, c_local)[2]
         bucket = self.settings.bucket_frames
@@ -463,15 +555,19 @@ class ShardedPipeline:
         pieces = []
         for k in range(-(-t_max // bucket)):
             lo = k * bucket * shift
-            batch = np.zeros((c_pad, wave_len), dtype=dtype)
-            valid = np.zeros(c_pad, dtype=np.int32)
-            for i, (p, t) in enumerate(zip(padded_list, ts)):
-                src = p[lo : lo + wave_len]
-                batch[i, : len(src)] = src
-                valid[i] = int(np.clip(t - k * bucket, 0, bucket + window - 1))
+            batch = np.zeros((row_hi - row_lo, wave_len), dtype=dtype)
+            valid = np.zeros(row_hi - row_lo, dtype=np.int32)
+            for r in range(row_lo, min(row_hi, c)):
+                p = padded_list[r]
+                if p is not None:
+                    src = p[lo : lo + wave_len]
+                    batch[r - row_lo, : len(src)] = src
+                valid[r - row_lo] = int(
+                    np.clip(ts[r] - k * bucket, 0, bucket + window - 1)
+                )
             probs = self._bucket_probs_batch(batch, valid, c_local)
             pieces.append(probs[:, : min(bucket, t_max - k * bucket)])
-        return jnp.concatenate(pieces, axis=1)[:c], ts  # [C, t_max] on device
+        return jnp.concatenate(pieces, axis=1)[:c]  # [C, t_max] on device
 
     def _bucket_probs_batch(
         self, batch: np.ndarray, valid: np.ndarray, c_local: int
@@ -486,10 +582,10 @@ class ShardedPipeline:
         if packed is not None:
             wires, delta = packed
             featurize_pk = self._packed_featurize(wires.shape[1], c_local, delta)
-            sharded = mesh_lib.shard_batch({"w": wires, "v": valid}, self.mesh)
+            sharded = self._shard({"w": wires, "v": valid}, self.mesh)
             feats = featurize_pk(sharded["w"], sharded["v"])
         else:
-            sharded = mesh_lib.shard_batch({"w": batch, "v": valid}, self.mesh)
+            sharded = self._shard({"w": batch, "v": valid}, self.mesh)
             feats = featurize(sharded["w"], sharded["v"])
         n_chunks = -(-self.settings.bucket_frames // chunk)
         outs = [
@@ -509,6 +605,12 @@ class ShardedPipeline:
         )
         if probs_dev is None:
             return [np.zeros(0, dtype=np.float32) for _ in ts], durations
+        if self._multi:
+            raise RuntimeError(
+                "probs_for_meeting returns ALL channels to one host, which a "
+                "multi-process mesh cannot do; use probs_for_meeting_device "
+                "+ local_channels (each process postprocesses its own rows)"
+            )
         host = np.asarray(probs_dev)
         return [host[i, : ts[i]] for i in range(len(ts))], durations
 
@@ -538,7 +640,19 @@ class ShardedPipeline:
                     f"{p}: sample rate {m.sample_rate} != featurizer rate "
                     f"{self.feat_cfg.sampling_rate}"
                 )
-        if all(int16_transfer_eligible(m, self.settings) for m in metas):
+        int16_in = all(int16_transfer_eligible(m, self.settings) for m in metas)
+        # Multi-host: this process decodes ONLY its channel block.  Header
+        # parses above were global (cheap) — the frame counts they yield are
+        # program shape, identical on every process; the decode below is the
+        # expensive part and scales 1/num_processes per host.
+        c = len(audio_paths)
+        c_pad = -(-c // self.n_shards) * self.n_shards
+        row_lo, row_hi = self._rows_slice(c_pad)
+        mine = [r for r in range(row_lo, min(row_hi, c))]
+        my_paths = [audio_paths[r] for r in mine]
+        my_metas = [metas[r] for r in mine]
+
+        if int16_in:
             # 16-bit sources (incl. decoded shorten) ship to the device raw
             # (half the transfer bytes, scaled on device — same numerics).
             # Channels decode concurrently: the native decoder releases the
@@ -546,7 +660,9 @@ class ShardedPipeline:
             # meeting's host decode like native.read_batch's pthread pool.
             from concurrent.futures import ThreadPoolExecutor
 
-            with ThreadPoolExecutor(max_workers=min(8, len(audio_paths))) as ex:
+            with ThreadPoolExecutor(
+                max_workers=min(8, max(1, len(my_paths)))
+            ) as ex:
                 decoded = list(
                     ex.map(
                         # Pass the parsed meta: the eligibility check above
@@ -554,16 +670,31 @@ class ShardedPipeline:
                         lambda pm: audio_io.read_int16(
                             pm[0], channel=channel, meta=pm[1]
                         ),
-                        zip(audio_paths, metas),
+                        zip(my_paths, my_metas),
                     )
                 )
-        else:
+        elif my_paths:
             decoded = native.read_batch(
-                audio_paths, channels=[channel] * len(audio_paths)
+                my_paths, channels=[channel] * len(my_paths)
             )
-        waves = [w for w, _sr in decoded]
-        durations = [len(w) / sr for w, sr in decoded]
-        return self.probs_for_waveforms_device(waves), durations
+        else:
+            decoded = []
+        # Global frame counts / durations from the headers (identical on
+        # every process); decoded waves fill only this process's rows.
+        ts = [host_prep.num_frames(m.num_samples, self.feat_cfg) for m in metas]
+        durations = [m.duration for m in metas]
+        dtype = np.int16 if int16_in else np.float32
+        padded_list: List = [None] * c
+        for r, (w, _sr) in zip(mine, decoded):
+            p, t = host_pad_waveform(np.asarray(w).astype(dtype), self.feat_cfg)
+            if t != ts[r]:
+                raise RuntimeError(
+                    f"{audio_paths[r]}: decoded frame count {t} != header-"
+                    f"derived {ts[r]} (truncated file or header mismatch?)"
+                )
+            padded_list[r] = p
+        probs = self._probs_padded_device(padded_list, ts, int16_in)
+        return (probs, ts), durations
 
 
 class ShardedStreamingSession(_StreamingBase):
@@ -584,6 +715,16 @@ class ShardedStreamingSession(_StreamingBase):
     """
 
     def __init__(self, pipeline: ShardedPipeline, n_channels: int):
+        if pipeline._multi:
+            # The streaming state machine holds per-channel host buffers for
+            # ALL channels; multi-host live serving would need a local-feed
+            # session (each host buffering only its channels).  Batch sweeps
+            # (probs_for_meeting_device) are the multi-host path today.
+            raise NotImplementedError(
+                "ShardedStreamingSession is single-process; run live "
+                "serving on one host's mesh, or use the batched "
+                "probs_for_meeting_device across hosts"
+            )
         super().__init__(pipeline, n_streams=n_channels)
 
     @property

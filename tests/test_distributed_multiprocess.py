@@ -29,6 +29,7 @@ WORKER = REPO / "tests" / "fixtures" / "dist_worker.py"
 
 TRAIN_WORKER = REPO / "tests" / "fixtures" / "dist_train_worker.py"
 RESIDENT_WORKER = REPO / "tests" / "fixtures" / "dist_resident_worker.py"
+SWEEP_WORKER = REPO / "tests" / "fixtures" / "dist_sweep_worker.py"
 
 
 def _free_port() -> int:
@@ -307,6 +308,50 @@ def test_multihost_resident_dataset_matches_single_process(tmp_path):
     for got, want in zip(reports[0]["losses"], losses):
         assert got == pytest.approx(want, rel=1e-5)
     assert reports[0]["eval_loss"] == pytest.approx(eval_loss, rel=1e-5)
+
+
+def test_multihost_sharded_inference_matches_single_process(tmp_path):
+    """Meeting sweep across processes: each host decodes only its channel
+    block and postprocesses only its rows; together they must cover every
+    channel exactly once, with probabilities and swept instances equal to
+    the single-process run."""
+    audio_dir = tmp_path / "audio"
+    audio_dir.mkdir()
+    outs = [tmp_path / f"w{i}.json" for i in range(2)]
+    logs = _spawn_workers(
+        SWEEP_WORKER, 2, lambda i: [outs[i], audio_dir], timeout=900
+    )
+    assert all(rc == 0 for rc, _, _ in logs), logs
+    reports = [json.loads(o.read_text()) for o in outs]
+
+    # Channel partition: disjoint, together covering all channels.
+    from tests.fixtures.dist_sweep_worker import (
+        N_CHANNELS,
+        run_pipeline,
+        write_meeting,
+    )
+
+    rows0, rows1 = set(reports[0]), set(reports[1])
+    assert rows0.isdisjoint(rows1)
+    assert rows0 | rows1 == {str(i) for i in range(N_CHANNELS)}
+
+    # Single-process twin over the same meeting files.
+    from laughter_detection_icsi_tpu.parallel import make_mesh
+
+    paths = write_meeting(str(audio_dir))  # overwrite with identical bytes
+    single = run_pipeline(make_mesh(4), paths)
+    assert set(single) == rows0 | rows1
+    merged = {**reports[0], **reports[1]}
+    for ch, want in single.items():
+        got = merged[ch]
+        assert got["t"] == want["t"]
+        assert got["duration"] == pytest.approx(want["duration"])
+        for a, b in zip(got["probs_head"], want["probs_head"]):
+            assert a == pytest.approx(b, abs=1e-5)
+        assert got["probs_sum"] == pytest.approx(want["probs_sum"], rel=1e-4)
+        # The swept (threshold, min_length) instance tables — the sweep's
+        # actual product — must agree exactly at TextGrid rounding.
+        assert got["instances"] == want["instances"]
 
 
 def test_local_rows_partition_reassembles_global_batches():
