@@ -246,7 +246,12 @@ def main(argv: Optional[List[str]] = None) -> int:
             if probs_dev is not None:
                 rows = pipe.local_channels(probs_dev, len(chans))
             else:
-                rows = [(i, None) for i in range(len(chans))]
+                # All-empty meeting (zero frames): still honor the ownership
+                # partition — N hosts concurrently writing the same empty
+                # TextGrid paths would interleave on shared storage.
+                rows = [
+                    (i, None) for i in pipe.local_channel_indices(len(chans))
+                ]
             for i, row_probs in rows:
                 chan_id, duration = chans[i], durations[i]
                 # On-device threshold x min-length sweep per channel row —

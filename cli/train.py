@@ -328,11 +328,14 @@ def main(argv: Optional[List[str]] = None) -> int:
         print(f"resumed from step {loop.global_step} (epoch {loop.epoch})")
     loop.install_preemption_handler()  # checkpoint + clean exit on SIGTERM
 
-    # train_params.csv (reference train.py:314-322)
-    with open(ckpt_dir / "train_params.csv", "w", newline="") as f:
-        w = csv.writer(f)
-        w.writerow(["num_train_samples", "num_dev_samples", "batch_size", "log_freq"])
-        w.writerow([len(train_ds), len(dev_ds), batch_size, preset.log_frequency])
+    # train_params.csv (reference train.py:314-322) — coordinator-only,
+    # like every other artifact: N processes truncate-writing the same
+    # shared path would interleave.
+    if loop.write_artifacts:
+        with open(ckpt_dir / "train_params.csv", "w", newline="") as f:
+            w = csv.writer(f)
+            w.writerow(["num_train_samples", "num_dev_samples", "batch_size", "log_freq"])
+            w.writerow([len(train_ds), len(dev_ds), batch_size, preset.log_frequency])
 
     def val_batches(n: int):
         out = []

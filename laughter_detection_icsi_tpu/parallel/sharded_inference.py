@@ -100,30 +100,52 @@ class ShardedPipeline:
             mesh_lib.data_sharding(self.mesh), (c_pad, 1)
         )
 
-    def local_channels(self, probs_dev, c: int):
-        """Per-channel device rows THIS process can postprocess locally.
+    def local_channel_indices(self, c: int) -> List[int]:
+        """The global channel rows THIS process OWNS out of ``c`` channels.
 
-        Returns [(global_channel_row, probs_row)], where each probs_row is a
-        SINGLE-DEVICE array (an addressable shard's data) — safe to feed
-        process-local work like ops.smoothing.instances_from_device_probs
-        without any cross-process coordination.  Single-process: every row.
-        Multi-host: only this process's channels (each host then writes only
-        its own TextGrids — cli/sweep.py).
+        The deterministic cross-process partition (from the channel
+        sharding's addressable row block): disjoint across processes,
+        together covering every channel exactly once — the ownership rule
+        multi-host postprocessing/writes key on.  Single-process: all rows.
+        """
+        if not self._multi:
+            return list(range(c))
+        c_pad = -(-c // self.n_shards) * self.n_shards
+        lo, hi = self._rows_slice(c_pad)
+        return list(range(lo, min(hi, c)))
+
+    def local_channels(self, probs_dev, c: int):
+        """Per-channel device rows THIS process postprocesses locally.
+
+        Returns [(global_channel_row, probs_row)] for exactly the rows in
+        :meth:`local_channel_indices` (the deterministic ownership
+        partition — NOT whatever happens to be addressable, which XLA's
+        output resharding could replicate onto several hosts at once).
+        Each probs_row is a SINGLE-DEVICE array (an addressable shard's
+        data) — safe to feed process-local work like
+        ops.smoothing.instances_from_device_probs without any cross-process
+        coordination.
         """
         if not self._multi:
             return [(i, probs_dev[i]) for i in range(c)]
-        out, seen = [], set()
+        owned = self.local_channel_indices(c)
+        found: Dict[int, Any] = {}
         for shard in probs_dev.addressable_shards:
             row0 = shard.index[0].start or 0
             data = shard.data
             for j in range(data.shape[0]):
                 row = row0 + j
-                # Dedup: a replicated/resharded result can expose the same
-                # global row on several local devices.
-                if row < c and row not in seen:
-                    seen.add(row)
-                    out.append((row, data[j]))
-        return sorted(out, key=lambda t: t[0])
+                if row in found:
+                    continue  # replicated/resharded duplicate
+                found[row] = data[j]
+        missing = [r for r in owned if r not in found]
+        if missing:
+            raise RuntimeError(
+                f"rows {missing} owned by this process are not addressable "
+                "here — the result's output sharding moved them off-host; "
+                "keep the channel axis sharded through the final ops"
+            )
+        return [(r, found[r]) for r in owned]
 
     def _use_pallas(self) -> bool:
         from laughter_detection_icsi_tpu.ops.fbank_pallas import resolve_use_pallas
@@ -452,20 +474,21 @@ class ShardedPipeline:
         together through fixed-size frame buckets ('windows' mode) or run
         through one whole-track dilated-conv graph ('fused_conv' mode).
         """
-        probs, ts = self.probs_for_waveforms_device(waves)
-        if probs is None:
-            return [np.zeros(0, dtype=np.float32) for _ in waves]
         if self._multi:
-            # np.asarray on a multi-host global array would raise (rows on
-            # other hosts are not addressable here) — and silently gathering
-            # them would defeat the sharding.  Multi-host callers handle
-            # per-process rows explicitly.
+            # Guard BEFORE any compute: np.asarray on a multi-host global
+            # array would raise anyway (rows on other hosts are not
+            # addressable here), but only after paying the full upload +
+            # inference — and an all-empty batch (probs None) would dodge
+            # the error entirely and "succeed" on every process at once.
             raise RuntimeError(
                 "probs_for_waveforms returns ALL channels to one host, which "
                 "a multi-process mesh cannot do; use "
                 "probs_for_waveforms_device + local_channels (each process "
                 "postprocesses its own rows)"
             )
+        probs, ts = self.probs_for_waveforms_device(waves)
+        if probs is None:
+            return [np.zeros(0, dtype=np.float32) for _ in waves]
         # One device->host transfer for the whole batch (transfer latency
         # dominates small reads through a tunneled chip).
         host = np.asarray(probs)
@@ -600,17 +623,18 @@ class ShardedPipeline:
         """All channels of one meeting in one batch.  Returns (probs per
         channel, durations).  Decode goes through the native C++ runtime's
         thread pool when available (runtime/native.py)."""
-        (probs_dev, ts), durations = self.probs_for_meeting_device(
-            audio_paths, channel=channel
-        )
-        if probs_dev is None:
-            return [np.zeros(0, dtype=np.float32) for _ in ts], durations
         if self._multi:
+            # Before any decode/compute — see probs_for_waveforms.
             raise RuntimeError(
                 "probs_for_meeting returns ALL channels to one host, which a "
                 "multi-process mesh cannot do; use probs_for_meeting_device "
                 "+ local_channels (each process postprocesses its own rows)"
             )
+        (probs_dev, ts), durations = self.probs_for_meeting_device(
+            audio_paths, channel=channel
+        )
+        if probs_dev is None:
+            return [np.zeros(0, dtype=np.float32) for _ in ts], durations
         host = np.asarray(probs_dev)
         return [host[i, : ts[i]] for i in range(len(ts))], durations
 
@@ -646,9 +670,7 @@ class ShardedPipeline:
         # program shape, identical on every process; the decode below is the
         # expensive part and scales 1/num_processes per host.
         c = len(audio_paths)
-        c_pad = -(-c // self.n_shards) * self.n_shards
-        row_lo, row_hi = self._rows_slice(c_pad)
-        mine = [r for r in range(row_lo, min(row_hi, c))]
+        mine = self.local_channel_indices(c)
         my_paths = [audio_paths[r] for r in mine]
         my_metas = [metas[r] for r in mine]
 

@@ -424,9 +424,18 @@ class TrainLoop:
     epoch_step: int = 0
     best_val_loss: float = float("inf")
     metrics_rows: List[Dict[str, Any]] = dataclasses.field(default_factory=list)
-    #: set asynchronously (signal handler) to request a graceful stop; the
-    #: epoch loop checkpoints and returns at the next step boundary.
+    #: the ACTED-ON stop decision: once True, the epoch loop checkpoints and
+    #: returns at the next step boundary.  Multi-host, this is only ever set
+    #: from the sync_preempt AGREEMENT (or synchronously by the caller
+    #: between batches), so it is identical on every process when run_epoch
+    #: returns — callers branch on it, and divergent branches would desync
+    #: the pod's collectives.
     preempted: bool = dataclasses.field(default=False, init=False)
+    #: the RAW local signal (set by the SIGTERM handler, possibly mid-vote):
+    #: read — never cleared — at each step boundary.  Keeping it separate
+    #: means a signal landing DURING the sync_preempt all-gather is not
+    #: clobbered by that vote's stale result; it simply joins the next vote.
+    _preempt_pending: bool = dataclasses.field(default=False, init=False)
 
     def install_preemption_handler(self, signals=None) -> None:
         """Checkpoint-on-SIGTERM: schedulers (Borg/GKE/Slurm) signal before
@@ -447,12 +456,18 @@ class TrainLoop:
             signals = (signal_mod.SIGTERM, signal_mod.SIGINT)
 
         def _handler(signum, frame):
-            if self.preempted:  # second signal: stop being graceful
+            if self._preempt_pending:  # second signal: stop being graceful
                 for s in signals:
                     signal_mod.signal(s, signal_mod.SIG_DFL)
                 if signum == signal_mod.SIGINT:
                     raise KeyboardInterrupt
-            self.preempted = True
+            self._preempt_pending = True
+            if self.sync_preempt is None:
+                # Single-host: the local signal IS the decision — raise the
+                # acted-on flag immediately (callers may consult it outside
+                # run_epoch too).  Multi-host leaves it to the step-boundary
+                # vote so every process raises it at the same boundary.
+                self.preempted = True
 
         for s in signals:
             signal_mod.signal(s, _handler)
@@ -656,11 +671,17 @@ class TrainLoop:
                 if verbose:
                     msg = " ".join(f"{k}={v:.4f}" for k, v in row.items() if k != "global_step")
                     print(f"step {self.global_step}: {msg}", flush=True)
+            # Snapshot the raw local signal, then (multi-host) agree on it
+            # BEFORE acting, so no process stops at a boundary the others
+            # sailed past into the next step's collectives.  A signal
+            # landing during the vote itself stays in _preempt_pending and
+            # joins the NEXT boundary's vote — `preempted` is only ever
+            # raised by an agreed decision (never lowered), keeping it
+            # identical across processes.
+            flag = self._preempt_pending or self.preempted
             if self.sync_preempt is not None:
-                # Multi-host: agree on the flag BEFORE acting on it, so no
-                # process stops at a boundary the others sailed past into
-                # the next step's collectives.
-                self.preempted = self.sync_preempt(self.preempted)
+                flag = self.sync_preempt(flag)
+            self.preempted = self.preempted or flag
             if self.preempted:
                 # Graceful eviction: save at the step boundary and hand
                 # control back without completing (or counting) the epoch.

@@ -326,3 +326,56 @@ def test_shard_batch_reshards_device_resident_leaves():
     out = mesh_lib.shard_batch({"x": resident}, mesh)["x"]
     assert out.sharding == mesh_lib.data_sharding(mesh)
     np.testing.assert_array_equal(np.asarray(out), np.asarray(resident))
+
+
+def test_local_channel_indices_ownership_partition(small_model, settings):
+    """The ownership partition: single-process owns every row; multi-host
+    owns exactly the contiguous block the channel sharding places here —
+    disjoint across processes, covering each real channel once."""
+    sharded = ShardedPipeline(
+        model=small_model[0], params=small_model[1], state=small_model[2],
+        mesh=make_mesh(8), settings=settings,
+    )
+    assert sharded.local_channel_indices(3) == [0, 1, 2]
+
+    # Simulate a 2-process / 8-shard pipeline: rows [4, 8) live here.
+    sharded._multi = True
+    sharded._rows_slice = lambda c_pad: (4, 8)
+    # 6 real channels pad to 8; this process owns rows 4 and 5 only (6, 7
+    # are padding).
+    assert sharded.local_channel_indices(6) == [4, 5]
+    # With <= 4 real channels every owned row is padding -> owns nothing.
+    assert sharded.local_channel_indices(4) == []
+
+
+def test_local_channels_enforces_ownership(small_model, settings):
+    """local_channels must return exactly the OWNED rows (not whatever is
+    addressable) and fail loudly when an owned row moved off-host."""
+    import types
+
+    sharded = ShardedPipeline(
+        model=small_model[0], params=small_model[1], state=small_model[2],
+        mesh=make_mesh(8), settings=settings,
+    )
+    sharded._multi = True
+    sharded._rows_slice = lambda c_pad: (2, 4)
+
+    def fake_probs(rows):
+        shards = [
+            types.SimpleNamespace(
+                index=(slice(r, r + 1), slice(None)),
+                data=np.full((1, 5), float(r), np.float32),
+            )
+            for r in rows
+        ]
+        return types.SimpleNamespace(addressable_shards=shards)
+
+    # Addressable rows are a superset of owned (resharding replicated row 0
+    # here too): only owned rows 2 and 3 come back, in order.
+    got = sharded.local_channels(fake_probs([0, 2, 3, 2]), 4)
+    assert [r for r, _ in got] == [2, 3]
+    assert all(float(row[0]) == r for r, row in got)
+
+    # An owned row missing from the addressable shards is a hard error.
+    with pytest.raises(RuntimeError, match="owned by this process"):
+        sharded.local_channels(fake_probs([0, 2]), 4)

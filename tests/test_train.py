@@ -219,6 +219,37 @@ def test_sync_preempt_stops_loop_from_remote_flag(tiny_model, rng, tmp_path):
     assert any(tmp_path.iterdir())  # boundary checkpoint written
 
 
+def test_preempt_signal_during_vote_joins_next_vote(tiny_model, rng, tmp_path):
+    """A SIGTERM landing DURING the sync_preempt all-gather must not be
+    clobbered by that vote's stale result: it stays pending and joins the
+    NEXT boundary's vote, where all processes then agree to stop."""
+    loop_box = {}
+    votes = []
+
+    def sync(flag):
+        votes.append(flag)
+        if len(votes) == 3:
+            # The signal handler fires mid-allgather: it sets the RAW
+            # pending flag while this vote is already in flight...
+            loop_box["loop"]._preempt_pending = True
+            return False  # ...and the in-flight vote returns stale False.
+        return flag
+
+    trainer = Trainer(model=tiny_model)
+    params, state, opt_state = trainer.init(jax.random.PRNGKey(0))
+    loop = TrainLoop(
+        trainer=trainer, checkpoint_dir=str(tmp_path), log_frequency=100,
+        sync_preempt=sync,
+    )
+    loop_box["loop"] = loop
+    loop.run_epoch(params, state, opt_state, _toy_batches(rng, 10), verbose=False)
+    # The stale vote (step 3) did NOT stop the loop — that would desync a
+    # pod — but the pending signal joined step 4's vote and stopped it.
+    assert votes == [False, False, False, True]
+    assert loop.preempted
+    assert loop.global_step == 4
+
+
 def test_checkpoint_resume_roundtrip(tiny_model, rng, tmp_path):
     trainer = Trainer(model=tiny_model)
     params, state, opt_state = trainer.init(jax.random.PRNGKey(0))
