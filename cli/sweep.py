@@ -65,22 +65,14 @@ def build_parser() -> argparse.ArgumentParser:
                    help="run the evaluator on the sweep output afterwards")
     p.add_argument("--trace_dir", type=str, default=None,
                    help="capture a jax.profiler trace of the sweep here")
-    # Multi-host (same flags as cli/train.py): every host runs the SAME
-    # command; each decodes/uploads only its own channels of every meeting
-    # and writes only their TextGrids.  --output_dir should be shared
-    # storage when chaining --analyse.
-    p.add_argument("--coordinator_address", type=str, default=None,
-                   help="multi-host: coordinator host:port "
-                        "(jax.distributed.initialize)")
-    p.add_argument("--num_processes", type=int, default=None,
-                   help="multi-host: world size (omit on TPU pods with "
-                        "metadata autodetection)")
-    p.add_argument("--process_id", type=int, default=None,
-                   help="multi-host: this process's rank")
-    p.add_argument("--cpu_collectives", type=str, default=None,
-                   choices=("gloo", "mpi"),
-                   help="multi-host on CPU hosts: cross-process collectives "
-                        "implementation (TPU pods ignore this)")
+    # Multi-host (same flags as cli/train.py — parallel/distributed.py
+    # add_cli_args): every host runs the SAME command; each decodes/uploads
+    # only its own channels of every meeting and writes only their
+    # TextGrids.  --output_dir should be shared storage when chaining
+    # --analyse.
+    from laughter_detection_icsi_tpu.parallel import distributed
+
+    distributed.add_cli_args(p)
     return p
 
 
@@ -95,22 +87,9 @@ def main(argv: Optional[List[str]] = None) -> int:
 
     # Multi-host: join the pod runtime BEFORE the first backend touch
     # (same contract as cli/train.py).
-    if (
-        args.num_processes is not None or args.process_id is not None
-    ) and args.coordinator_address is None:
-        parser.error(
-            "--num_processes/--process_id require --coordinator_address"
-        )
-    if args.coordinator_address is not None or args.process_id is not None:
-        from laughter_detection_icsi_tpu.parallel import distributed
+    from laughter_detection_icsi_tpu.parallel import distributed
 
-        distributed.initialize(
-            coordinator_address=args.coordinator_address,
-            num_processes=args.num_processes,
-            process_id=args.process_id,
-            cpu_collectives=args.cpu_collectives,
-        )
-        print(distributed.process_info(), flush=True)
+    distributed.initialize_from_args(args, parser)
 
     import jax
     import numpy as np
@@ -190,14 +169,65 @@ def main(argv: Optional[List[str]] = None) -> int:
 
     from laughter_detection_icsi_tpu.utils.profiling import ThroughputMeter, trace
 
-    # Warm the compile OFF the clock for every distinct channel count in
-    # the selection (the sharded graphs key on channels-per-device): cold
-    # jit is tens of seconds and was billed to the first meeting's span,
-    # making its printed rtf — and the 'inference-only' summary —
-    # meaningless.  bench.py warms off the clock for the same reason.
-    counts = {
-        max(1, int((store.info_df.meeting_id == m).sum())) for m in meetings
-    }
+    # Resolve every meeting's channel audio UP FRONT (not inside the sweep
+    # loop): (a) the warm-up below must warm the channel counts actually
+    # swept — a meeting with missing audio files has fewer channels than
+    # the transcript metadata says, and warming the metadata count would
+    # leave the real count cold-compiling on the clock; (b) multi-host runs
+    # are SPMD — every process must batch the SAME channels per meeting, so
+    # the resolved lists are compared across processes below and a
+    # divergence (audio present on one host, missing on another) fails
+    # loudly here instead of deadlocking inside mismatched collectives.
+    from laughter_detection_icsi_tpu.data.audio import find_track_audio
+
+    resolved = []  # (meeting_id, [chan_id], [path])
+    for meeting_id in meetings:
+        info = store.info_df[store.info_df.meeting_id == meeting_id]
+        chans, paths = [], []
+        for _, row in info.iterrows():
+            path = find_track_audio(args.audio_dir, meeting_id, row.chan_id)
+            if path is None:
+                print(f"missing audio: {meeting_id}/{row.chan_id}.sph (and .wav)")
+                continue
+            chans.append(row.chan_id)
+            paths.append(path)
+        resolved.append((meeting_id, chans, paths))
+
+    if jax.process_count() > 1:
+        # Agreement check: a fingerprint of (meeting, channel) selections,
+        # allgathered.  make_array_from_process_local_data derives global
+        # shapes from local uploads, so differing channel lists would build
+        # differing jitted graphs per process — a hang or an opaque XLA
+        # shape error far from the cause.
+        import hashlib
+
+        from jax.experimental import multihost_utils
+
+        digest = hashlib.sha256(
+            "\n".join(
+                f"{m}:{','.join(ch)}" for m, ch, _ in resolved
+            ).encode()
+        ).digest()[:16]
+        all_digests = np.asarray(
+            multihost_utils.process_allgather(
+                np.frombuffer(digest, dtype=np.uint8)
+            )
+        ).reshape(jax.process_count(), -1)
+        if not (all_digests == all_digests[0]).all():
+            raise SystemExit(
+                "multi-host sweep: the resolved (meeting, channel) audio "
+                "lists differ across processes — every host must see the "
+                "same files under --audio_dir (a file missing on one host "
+                "would desynchronize the SPMD channel batches); sync the "
+                "audio or restrict --meetings to commonly-available ones"
+            )
+
+    # Warm the compile OFF the clock for every distinct RESOLVED channel
+    # count (the sharded graphs key on channels-per-device): cold jit is
+    # tens of seconds and was billed to the first meeting's span, making
+    # its printed rtf — and the 'inference-only' summary — meaningless.
+    # bench.py warms off the clock for the same reason.
+    counts = {len(paths) for _, _, paths in resolved if paths}
     warm_len = settings.bucket_frames * pipe.feat_cfg.frame_shift_samples
     for n_ch in sorted(counts):
         warm_dev, _ = pipe.probs_for_waveforms_device(
@@ -212,21 +242,7 @@ def main(argv: Optional[List[str]] = None) -> int:
     t0 = time.perf_counter()
     # `with` so any exception still finalizes the profiler trace.
     with trace(args.trace_dir):
-        for meeting_id in meetings:
-            info = store.info_df[store.info_df.meeting_id == meeting_id]
-            chans, paths = [], []
-            for _, row in info.iterrows():
-                from laughter_detection_icsi_tpu.data.audio import find_track_audio
-
-                path = find_track_audio(args.audio_dir, meeting_id, row.chan_id)
-                if path is None:
-                    print(
-                        f"missing audio: {meeting_id}/{row.chan_id}"
-                        ".sph (and .wav)"
-                    )
-                    continue
-                chans.append(row.chan_id)
-                paths.append(path)
+        for meeting_id, chans, paths in resolved:
             if not paths:
                 continue
             print(f"{meeting_id}: {len(paths)} channels ...", flush=True)

@@ -66,20 +66,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="max HBM the 'auto' device cache may claim")
     p.add_argument("--val_batches_per_log", type=int, default=10)
     p.add_argument("--seed", type=int, default=0)
-    p.add_argument("--coordinator_address", type=str, default=None,
-                   help="multi-host: coordinator host:port for "
-                        "jax.distributed.initialize (with --data_parallel, "
-                        "the mesh then spans the pod; SURVEY §5.8)")
-    p.add_argument("--num_processes", type=int, default=None,
-                   help="multi-host: world size (omit on TPU pods with "
-                        "metadata autodetection)")
-    p.add_argument("--process_id", type=int, default=None,
-                   help="multi-host: this process's rank")
-    p.add_argument("--cpu_collectives", type=str, default=None,
-                   choices=("gloo", "mpi"),
-                   help="multi-host on CPU hosts: cross-process collectives "
-                        "implementation (TPU pods ignore this — their "
-                        "collectives ride ICI/DCN)")
+    from laughter_detection_icsi_tpu.parallel import distributed
+
+    distributed.add_cli_args(p)
     p.add_argument("--trace_dir", type=str, default=None,
                    help="capture a jax.profiler trace of the training run")
     return p
@@ -148,25 +137,9 @@ def main(argv: Optional[List[str]] = None) -> int:
 
     # Multi-host: join the pod runtime BEFORE the first backend touch so
     # jax.devices() spans all hosts (parallel/distributed.py; SURVEY §5.8).
-    # ANY explicit multi-host flag needs the coordinator: without it,
-    # jax.distributed.initialize fails deep inside autodetection with a
-    # confusing internal error instead of this message.
-    if (
-        args.num_processes is not None or args.process_id is not None
-    ) and args.coordinator_address is None:
-        parser.error(
-            "--num_processes/--process_id require --coordinator_address"
-        )
-    if args.coordinator_address is not None or args.process_id is not None:
-        from laughter_detection_icsi_tpu.parallel import distributed
+    from laughter_detection_icsi_tpu.parallel import distributed
 
-        distributed.initialize(
-            coordinator_address=args.coordinator_address,
-            num_processes=args.num_processes,
-            process_id=args.process_id,
-            cpu_collectives=args.cpu_collectives,
-        )
-        print(distributed.process_info(), flush=True)
+    distributed.initialize_from_args(args, parser)
 
     import jax
 
@@ -193,8 +166,27 @@ def main(argv: Optional[List[str]] = None) -> int:
     cache = FeatureCache(feats_dir)
     train_df = load_split_df(data_dfs_dir, "train")
     dev_df = load_split_df(data_dfs_dir, "dev")
-    _ensure_features(cache, train_df, signals_dir)
-    _ensure_features(cache, dev_df, signals_dir)
+    if jax.process_count() > 1:
+        # Multi-host: featurize on the coordinator FIRST, everyone else
+        # after a barrier.  On shared storage this removes both the N-fold
+        # duplicate featurization and concurrent manifest writes (the
+        # non-coordinators re-read the published manifest and find nothing
+        # missing); on host-local disks each process still fills its own
+        # cache — the post-barrier _ensure_features covers whatever is
+        # still absent locally.
+        from jax.experimental import multihost_utils
+
+        if jax.process_index() == 0:
+            _ensure_features(cache, train_df, signals_dir)
+            _ensure_features(cache, dev_df, signals_dir)
+        multihost_utils.sync_global_devices("train_features_ready")
+        if jax.process_index() != 0:
+            cache = FeatureCache(feats_dir)  # re-read coordinator's manifest
+            _ensure_features(cache, train_df, signals_dir)
+            _ensure_features(cache, dev_df, signals_dir)
+    else:
+        _ensure_features(cache, train_df, signals_dir)
+        _ensure_features(cache, dev_df, signals_dir)
     train_ds = LadDataset(train_df, cache)
     dev_ds = LadDataset(dev_df, cache)
 

@@ -177,7 +177,12 @@ class FeatureCache:
 
     def _flush_manifest(self) -> None:
         self._manifest_path.parent.mkdir(parents=True, exist_ok=True)
-        tmp = str(self._manifest_path) + ".tmp"
+        # pid-unique tmp, like the track tmp above: two processes sharing a
+        # cache dir (e.g. multi-host training on shared storage) would
+        # interleave json.dump writes in ONE shared tmp file and os.replace
+        # would publish garbage; with per-pid tmps the last atomic replace
+        # wins with a self-consistent manifest.
+        tmp = f"{self._manifest_path}.tmp.{os.getpid()}"
         with open(tmp, "w") as f:
             json.dump(self._manifest, f, indent=1, sort_keys=True)
         os.replace(tmp, self._manifest_path)

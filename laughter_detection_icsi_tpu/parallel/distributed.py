@@ -64,6 +64,90 @@ def initialize(
     jax.distributed.initialize(**kwargs)
 
 
+def add_cli_args(parser) -> None:
+    """The multi-host flag set shared by every CLI (train, sweep).
+
+    One definition so the flags, their help text, and the validation in
+    :func:`initialize_from_args` cannot drift between entry points.
+    """
+    parser.add_argument(
+        "--distributed",
+        action="store_true",
+        help="multi-host: join the pod runtime via "
+        "jax.distributed.initialize() autodetection (TPU pod metadata / "
+        "SLURM env); use the explicit flags below on clusters without it",
+    )
+    parser.add_argument(
+        "--coordinator_address",
+        type=str,
+        default=None,
+        help="multi-host: coordinator host:port for "
+        "jax.distributed.initialize (the mesh then spans the pod; "
+        "SURVEY §5.8)",
+    )
+    parser.add_argument(
+        "--num_processes",
+        type=int,
+        default=None,
+        help="multi-host: world size (omit on TPU pods with metadata "
+        "autodetection)",
+    )
+    parser.add_argument(
+        "--process_id", type=int, default=None,
+        help="multi-host: this process's rank",
+    )
+    parser.add_argument(
+        "--cpu_collectives",
+        type=str,
+        default=None,
+        choices=("gloo", "mpi"),
+        help="multi-host on CPU hosts: cross-process collectives "
+        "implementation (TPU pods ignore this — their collectives ride "
+        "ICI/DCN)",
+    )
+
+
+def initialize_from_args(args, parser) -> bool:
+    """Validate the :func:`add_cli_args` flags and join the pod runtime.
+
+    Returns True when the runtime was initialized.  Must run BEFORE the
+    first backend touch (jax.devices()/jit), so call it straight after
+    parse_args.  Validation failures go through ``parser.error`` so the
+    user sees a usage message, not a deep jax internal error:
+
+    - --num_processes/--process_id need --coordinator_address (without it,
+      jax.distributed autodetection fails with a confusing internal error);
+    - --cpu_collectives alone is rejected rather than silently ignored: it
+      only takes effect when the runtime is actually joined, so accepting
+      it without --coordinator_address/--distributed would leave the user
+      believing Gloo/MPI collectives are active when nothing happened;
+    - bare --distributed runs jax.distributed.initialize() autodetection
+      (the normal path on Cloud TPU pods).
+    """
+    explicit = (
+        args.coordinator_address is not None or args.process_id is not None
+    )
+    if (
+        args.num_processes is not None or args.process_id is not None
+    ) and args.coordinator_address is None:
+        parser.error("--num_processes/--process_id require --coordinator_address")
+    if args.cpu_collectives is not None and not (explicit or args.distributed):
+        parser.error(
+            "--cpu_collectives has no effect without --coordinator_address "
+            "or --distributed (the runtime is never joined)"
+        )
+    if not (explicit or args.distributed):
+        return False
+    initialize(
+        coordinator_address=args.coordinator_address,
+        num_processes=args.num_processes,
+        process_id=args.process_id,
+        cpu_collectives=args.cpu_collectives,
+    )
+    print(process_info(), flush=True)
+    return True
+
+
 def is_multi_process() -> bool:
     import jax
 
@@ -80,8 +164,11 @@ def make_preemption_sync():
     every process observes the stop at the SAME step boundary and the
     checkpoint the coordinator writes is the state all of them hold.
 
-    Cost: one tiny cross-process all-gather + host sync per train step —
-    noise next to the step's gradient all-reduce on the same interconnect.
+    Cost: one tiny cross-process all-gather + HOST sync per vote.  The
+    host block is why TrainLoop votes every ``preempt_vote_every`` steps
+    (default 10) rather than every step: between votes the dispatch
+    pipeline stays async, and detection latency is bounded at K steps —
+    far inside any scheduler's grace period.
     """
     import jax
     import numpy as np

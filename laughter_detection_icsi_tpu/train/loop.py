@@ -409,11 +409,25 @@ class TrainLoop:
     #: parallel.distributed.sync_resume broadcasts the coordinator's
     #: checkpoint to processes whose local dir has none.
     write_artifacts: bool = True
-    #: multi-host: called at every step boundary with this process's local
-    #: preemption flag; returns the pod-wide disjunction so all processes
-    #: stop at the SAME boundary (parallel.distributed.make_preemption_sync).
-    #: None (single-host) keeps the local flag.
+    #: multi-host: called at voting step boundaries with this process's
+    #: local preemption flag; returns the pod-wide disjunction so all
+    #: processes stop at the SAME boundary
+    #: (parallel.distributed.make_preemption_sync).  None (single-host)
+    #: keeps the local flag.
     sync_preempt: Optional[Callable[[bool], bool]] = None
+    #: multi-host vote cadence: the sync_preempt all-gather blocks the host
+    #: on a cross-process round-trip, and doing that EVERY step would
+    #: forfeit the async-dispatch pipelining the loop otherwise preserves
+    #: (see the loss_sum comment in run_epoch).  Voting every K steps keeps
+    #: the host async between votes and bounds preemption-detection latency
+    #: at K steps — scheduler grace periods are seconds, many multiples of
+    #: any sane K·step_time.  Votes happen when global_step % K == 0 (the
+    #: step counter is identical across processes, so every process votes
+    #: at the same boundaries) plus once unconditionally at epoch end, so a
+    #: signal near the epoch tail cannot leak past run_epoch un-agreed.
+    #: Single-host (sync_preempt None) is unaffected: the local flag is
+    #: checked every step for free.
+    preempt_vote_every: int = 10
 
     global_step: int = 0
     epoch: int = 0
@@ -675,14 +689,25 @@ class TrainLoop:
             # BEFORE acting, so no process stops at a boundary the others
             # sailed past into the next step's collectives.  A signal
             # landing during the vote itself stays in _preempt_pending and
-            # joins the NEXT boundary's vote — `preempted` is only ever
-            # raised by an agreed decision (never lowered), keeping it
-            # identical across processes.
-            flag = self._preempt_pending or self.preempted
-            if self.sync_preempt is not None:
-                flag = self.sync_preempt(flag)
-            self.preempted = self.preempted or flag
-            if self.preempted:
+            # joins the NEXT vote — the acted-on decision is only ever an
+            # agreed one, keeping it identical across processes.  Votes run
+            # every preempt_vote_every steps (not every step: the
+            # all-gather blocks the host and would stall the dispatch
+            # pipeline); between votes a locally-set flag simply waits —
+            # acting on it unilaterally would desert the pod's collectives.
+            local_flag = self._preempt_pending or self.preempted
+            if self.sync_preempt is None:
+                act = local_flag
+            elif self.global_step % max(1, self.preempt_vote_every) == 0:
+                act = self.sync_preempt(local_flag)
+            else:
+                # Not a voting boundary: do NOT act even on a local
+                # `preempted = True` set by the caller — unilateral exit
+                # would desert the pod's collectives; the flag joins the
+                # next vote (whose OR-reduction makes everyone see it).
+                act = False
+            self.preempted = self.preempted or act
+            if act:
                 # Graceful eviction: save at the step boundary and hand
                 # control back without completing (or counting) the epoch.
                 # Micro-batches of a partially accumulated gradient group
@@ -746,6 +771,24 @@ class TrainLoop:
         params, opt_state = self.trainer.flush_pending_group(params, opt_state)
         self.epoch += 1
         self.epoch_step = 0
+        if self.sync_preempt is not None:
+            # Epoch-end vote, UNCONDITIONAL (every process reaches here
+            # after the same number of batches, so the collective is safe):
+            # with preempt_vote_every > 1 a signal landing after the last
+            # in-epoch vote would otherwise leak out of run_epoch agreed by
+            # nobody — this process's caller would stop while the others
+            # started the next epoch's collectives.  The epoch is complete,
+            # so an agreed stop here saves the NEXT epoch's clean boundary.
+            if self.sync_preempt(self._preempt_pending or self.preempted):
+                self.preempted = True
+                self._save(params, state, opt_state, is_best=False)
+                self.flush_metrics()
+                if verbose:
+                    print(
+                        f"preempted at epoch boundary {self.epoch}; "
+                        "checkpoint saved",
+                        flush=True,
+                    )
         if verbose:
             dt = time.perf_counter() - t0
             print(

@@ -75,6 +75,11 @@ def main() -> None:
         metrics_path=str(Path(ckpt_dir) / "metrics.csv"),
         write_artifacts=pid == 0,
         sync_preempt=distributed.make_preemption_sync(),
+        # Tightest cadence: this fixture pins boundary-exact agreement (the
+        # test asserts both processes stop at PREEMPT_AT_BATCH + 1); the
+        # cadence/epoch-end-vote mechanics have their own unit tests
+        # (test_train.py test_preempt_vote_cadence*).
+        preempt_vote_every=1,
     )
     params, state, opt_state = loop.resume_if_possible(params, state, opt_state)
     params, state, opt_state = distributed.sync_resume(

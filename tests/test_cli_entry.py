@@ -229,6 +229,9 @@ def test_train_cli_arg_validation():
         ["--config", "resnet_base", "--batch_size", "eight"] + base,
         ["--config", "resnet_base", "--num_processes", "4"] + base,
         ["--config", "resnet_base", "--process_id", "0"] + base,
+        # --cpu_collectives only takes effect when the runtime is joined;
+        # accepting it alone would silently configure nothing.
+        ["--config", "resnet_base", "--cpu_collectives", "gloo"] + base,
     ]
     for argv in cases:
         with pytest.raises(SystemExit) as ei:

@@ -210,12 +210,13 @@ def test_sync_preempt_stops_loop_from_remote_flag(tiny_model, rng, tmp_path):
     params, state, opt_state = trainer.init(jax.random.PRNGKey(0))
     loop = TrainLoop(
         trainer=trainer, checkpoint_dir=str(tmp_path), log_frequency=100,
-        sync_preempt=sync,
+        sync_preempt=sync, preempt_vote_every=1,
     )
     loop.run_epoch(params, state, opt_state, _toy_batches(rng, 10), verbose=False)
     assert loop.preempted
     assert loop.global_step == 4
-    assert calls == [False, False, False, False]  # consulted every boundary
+    # cadence 1: consulted at every boundary up to the agreed stop
+    assert calls == [False, False, False, False]
     assert any(tmp_path.iterdir())  # boundary checkpoint written
 
 
@@ -239,7 +240,7 @@ def test_preempt_signal_during_vote_joins_next_vote(tiny_model, rng, tmp_path):
     params, state, opt_state = trainer.init(jax.random.PRNGKey(0))
     loop = TrainLoop(
         trainer=trainer, checkpoint_dir=str(tmp_path), log_frequency=100,
-        sync_preempt=sync,
+        sync_preempt=sync, preempt_vote_every=1,
     )
     loop_box["loop"] = loop
     loop.run_epoch(params, state, opt_state, _toy_batches(rng, 10), verbose=False)
@@ -248,6 +249,89 @@ def test_preempt_signal_during_vote_joins_next_vote(tiny_model, rng, tmp_path):
     assert votes == [False, False, False, True]
     assert loop.preempted
     assert loop.global_step == 4
+
+
+def test_preempt_vote_cadence_skips_non_voting_boundaries(tiny_model, rng, tmp_path):
+    """With preempt_vote_every=K the sync hook runs only at global_step
+    multiples of K (the all-gather blocks the host; voting every step would
+    stall the dispatch pipeline) — and an agreed stop lands at a voting
+    boundary."""
+    votes = []  # global_step at each vote
+
+    def sync(flag):
+        votes.append(loop.global_step)
+        return flag or len(votes) >= 2  # "remote" flag raised at 2nd vote
+
+    trainer = Trainer(model=tiny_model)
+    params, state, opt_state = trainer.init(jax.random.PRNGKey(0))
+    loop = TrainLoop(
+        trainer=trainer, checkpoint_dir=str(tmp_path), log_frequency=100,
+        sync_preempt=sync, preempt_vote_every=3,
+    )
+    loop.run_epoch(params, state, opt_state, _toy_batches(rng, 10), verbose=False)
+    assert votes == [3, 6]
+    assert loop.preempted
+    assert loop.global_step == 6
+
+
+def test_preempt_local_flag_waits_for_voting_boundary(tiny_model, rng, tmp_path):
+    """A locally-set `preempted = True` between votes must NOT stop the loop
+    unilaterally (that would desert the pod's collectives); it is acted on
+    at the next voting boundary, where the vote's OR makes every process
+    see it."""
+    trainer = Trainer(model=tiny_model)
+    params, state, opt_state = trainer.init(jax.random.PRNGKey(0))
+    loop = TrainLoop(
+        trainer=trainer, checkpoint_dir=str(tmp_path), log_frequency=100,
+        sync_preempt=lambda flag: flag, preempt_vote_every=4,
+    )
+
+    def batches():
+        for i, b in enumerate(_toy_batches(rng, 10)):
+            if i == 1:  # "SIGTERM" lands after batch 1 (global_step 2)
+                loop.preempted = True
+            yield b
+
+    loop.run_epoch(params, state, opt_state, batches(), verbose=False)
+    assert loop.preempted
+    assert loop.global_step == 4  # next multiple of the cadence, not 2
+
+
+def test_preempt_epoch_end_vote_catches_tail_signal(tiny_model, rng, tmp_path):
+    """A signal landing after the last in-epoch vote must be agreed at the
+    unconditional epoch-end vote — not leak out of run_epoch acted on by
+    one process only.  The epoch is complete, so the checkpoint records the
+    next epoch's clean boundary."""
+    votes = []
+
+    def sync(flag):
+        votes.append((loop.global_step, flag))
+        return flag
+
+    trainer = Trainer(model=tiny_model)
+    params, state, opt_state = trainer.init(jax.random.PRNGKey(0))
+    loop = TrainLoop(
+        trainer=trainer, checkpoint_dir=str(tmp_path), log_frequency=100,
+        sync_preempt=sync, preempt_vote_every=100,  # never votes in-epoch
+    )
+
+    def batches():
+        for i, b in enumerate(_toy_batches(rng, 6)):
+            if i == 4:
+                loop.preempted = True
+            yield b
+
+    loop.run_epoch(params, state, opt_state, batches(), verbose=False)
+    assert votes == [(6, True)]  # only the epoch-end vote ran
+    assert loop.preempted
+    assert loop.epoch == 1 and loop.epoch_step == 0  # epoch completed
+    assert any(tmp_path.iterdir())  # epoch-boundary checkpoint written
+    from laughter_detection_icsi_tpu.train import checkpoint as ckpt_lib
+
+    loaded = ckpt_lib.load_checkpoint(
+        ckpt_lib.resolve_checkpoint(str(tmp_path))
+    )
+    assert loaded["epoch"] == 1 and loaded["epoch_step"] == 0
 
 
 def test_checkpoint_resume_roundtrip(tiny_model, rng, tmp_path):
