@@ -265,6 +265,31 @@ def test_train_cli_wires_distributed_init(monkeypatch):
     ]
 
 
+def test_train_cli_distributed_autodetect_flag(monkeypatch):
+    """Bare --distributed (no explicit coordinator flags) must call
+    jax.distributed.initialize() with NO kwargs — the TPU-pod/SLURM
+    autodetection path (parallel/distributed.py initialize_from_args)."""
+    from cli import train as train_cli
+
+    calls = []
+
+    def stub(**kw):
+        calls.append(kw)
+        raise SystemExit(42)  # stop before any real training
+
+    monkeypatch.setattr(jax.distributed, "initialize", stub)
+    with pytest.raises(SystemExit):
+        train_cli.main(
+            [
+                "--config", "resnet_base",
+                "--checkpoint_dir", "/tmp/nope",
+                "--data_root", "/tmp/nope",
+                "--distributed",
+            ]
+        )
+    assert calls == [{}]
+
+
 def test_dp_resident_matches_dp_streamed(tmp_path, rng):
     """The mesh-sharded resident path (rows sharded over 'data', batch
     gather over the mesh, fused step) must reproduce the host-streamed
