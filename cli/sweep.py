@@ -33,6 +33,30 @@ DEFAULT_THRESHOLDS = ",".join(
 DEFAULT_MIN_LENGTHS = "0,0.1,0.2"
 
 
+def selection_fingerprint(resolved) -> str:
+    """Canonical text form of a resolved sweep selection, for cross-process
+    agreement checks.
+
+    ``resolved`` is the list of (meeting_id, [chan_id], [path]) the sweep
+    built.  The fingerprint covers the selection AND each file's header
+    identity (sample count / rate / encoding) — multi-host SPMD sweeps
+    derive per-track shapes and transfer dtypes from each host's own
+    headers, so a same-named but truncated or re-encoded copy on one host
+    must be caught here, not just a missing file."""
+    from laughter_detection_icsi_tpu.data.audio import info as audio_info
+
+    lines = []
+    for m, ch, paths in resolved:
+        metas = [audio_info(p) for p in paths]
+        lines.append(
+            f"{m}:" + ",".join(
+                f"{c}={i.num_samples}/{i.sample_rate}/{i.encoding}"
+                for c, i in zip(ch, metas)
+            )
+        )
+    return "\n".join(lines)
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--audio_dir", type=str, required=True,
@@ -194,19 +218,21 @@ def main(argv: Optional[List[str]] = None) -> int:
         resolved.append((meeting_id, chans, paths))
 
     if jax.process_count() > 1:
-        # Agreement check: a fingerprint of (meeting, channel) selections,
-        # allgathered.  make_array_from_process_local_data derives global
-        # shapes from local uploads, so differing channel lists would build
-        # differing jitted graphs per process — a hang or an opaque XLA
-        # shape error far from the cause.
+        # Agreement check: a fingerprint of the (meeting, channel)
+        # selections AND each file's header identity (sample count / rate /
+        # encoding), allgathered.  make_array_from_process_local_data
+        # derives global shapes from local uploads and the pipeline derives
+        # track lengths + transfer dtypes from each host's own headers, so
+        # a same-named but truncated/re-encoded copy on one host would
+        # build a differently-shaped jitted graph there — a hang or an
+        # opaque XLA shape error far from the cause.  Hashing the header
+        # fields catches that, not just missing files.
         import hashlib
 
         from jax.experimental import multihost_utils
 
         digest = hashlib.sha256(
-            "\n".join(
-                f"{m}:{','.join(ch)}" for m, ch, _ in resolved
-            ).encode()
+            selection_fingerprint(resolved).encode()
         ).digest()[:16]
         all_digests = np.asarray(
             multihost_utils.process_allgather(
@@ -216,10 +242,11 @@ def main(argv: Optional[List[str]] = None) -> int:
         if not (all_digests == all_digests[0]).all():
             raise SystemExit(
                 "multi-host sweep: the resolved (meeting, channel) audio "
-                "lists differ across processes — every host must see the "
-                "same files under --audio_dir (a file missing on one host "
-                "would desynchronize the SPMD channel batches); sync the "
-                "audio or restrict --meetings to commonly-available ones"
+                "lists or file headers differ across processes — every "
+                "host must see the same files under --audio_dir (a file "
+                "missing, truncated, or re-encoded on one host would "
+                "desynchronize the SPMD channel batches); sync the audio "
+                "or restrict --meetings to commonly-available ones"
             )
 
     # Warm the compile OFF the clock for every distinct RESOLVED channel

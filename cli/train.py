@@ -166,6 +166,13 @@ def main(argv: Optional[List[str]] = None) -> int:
     cache = FeatureCache(feats_dir)
     train_df = load_split_df(data_dfs_dir, "train")
     dev_df = load_split_df(data_dfs_dir, "dev")
+    if jax.process_count() > 1 and not args.data_parallel:
+        # Validate BEFORE featurizing: the cold-cache featurization below
+        # can take hours, and this misconfiguration is knowable now.
+        raise SystemExit(
+            "multi-host runs require --data_parallel: without it each "
+            "process would train its own divergent copy"
+        )
     if jax.process_count() > 1:
         # Multi-host: featurize on the coordinator FIRST, everyone else
         # after a barrier.  On shared storage this removes both the N-fold
@@ -220,13 +227,8 @@ def main(argv: Optional[List[str]] = None) -> int:
         linear_layer_size=preset.linear_layer_size,
         filter_sizes=preset.filter_sizes,
     )
-    multi_process = jax.process_count() > 1
+    multi_process = jax.process_count() > 1  # --data_parallel validated above
     local_rows = None
-    if multi_process and not args.data_parallel:
-        raise SystemExit(
-            "multi-host runs require --data_parallel: without it each "
-            "process would train its own divergent copy"
-        )
     if args.data_parallel:
         from laughter_detection_icsi_tpu.parallel import DataParallelTrainer, make_mesh
 

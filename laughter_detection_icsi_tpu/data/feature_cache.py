@@ -28,6 +28,19 @@ from laughter_detection_icsi_tpu.ops import fbank as fbank_ops
 MANIFEST_NAME = "manifest.json"
 
 
+def _writer_tag() -> str:
+    """Unique-per-writer suffix for atomic-publish tmp files.
+
+    pid alone is NOT unique across hosts sharing the cache dir over network
+    storage (identical containers on pod workers routinely get the same
+    pid), so a same-named tmp could still be opened by two writers and the
+    interleaved bytes published by os.replace.  A fresh uuid4 per write is
+    unique across hosts, processes, and retries."""
+    import uuid
+
+    return f"{os.getpid()}.{uuid.uuid4().hex[:8]}"
+
+
 def compute_track_features(
     wave: np.ndarray,
     cfg: FeatConfig = FEAT,
@@ -147,7 +160,7 @@ class FeatureCache:
         # still-valid-looking) manifest entry reports as present — a rerun
         # would then skip recomputing the corrupt track.
         # (the .npy suffix matters: np.save appends one to any other name)
-        tmp = path.with_name(f"{path.stem}.tmp.{os.getpid()}.npy")
+        tmp = path.with_name(f"{path.stem}.tmp.{_writer_tag()}.npy")
         np.save(tmp, feats)
         os.replace(tmp, path)
         # Drop any cached mmap of the overwritten file: a stale view keeps
@@ -177,12 +190,12 @@ class FeatureCache:
 
     def _flush_manifest(self) -> None:
         self._manifest_path.parent.mkdir(parents=True, exist_ok=True)
-        # pid-unique tmp, like the track tmp above: two processes sharing a
-        # cache dir (e.g. multi-host training on shared storage) would
+        # Writer-unique tmp, like the track tmp above: two processes sharing
+        # a cache dir (e.g. multi-host training on shared storage) would
         # interleave json.dump writes in ONE shared tmp file and os.replace
-        # would publish garbage; with per-pid tmps the last atomic replace
-        # wins with a self-consistent manifest.
-        tmp = f"{self._manifest_path}.tmp.{os.getpid()}"
+        # would publish garbage; with writer-unique tmps the last atomic
+        # replace wins with a self-consistent manifest.
+        tmp = f"{self._manifest_path}.tmp.{_writer_tag()}"
         with open(tmp, "w") as f:
             json.dump(self._manifest, f, indent=1, sort_keys=True)
         os.replace(tmp, self._manifest_path)

@@ -144,6 +144,17 @@ class DataParallelTrainer:
         return params, opt_state
 
     def train_batch(self, params, state, opt_state, batch, rng: Optional[jax.Array] = None):
+        """One data-parallel train step.
+
+        Multi-host contract: on a multi-process mesh each process passes
+        only ITS OWN rows — the global batch is the processes' rows
+        concatenated in process order (``_prep`` routes host batches
+        through mesh_lib.shard_local_batch, so each host's rows land on
+        its addressable shards with no cross-host data movement), and
+        XLA's grad all-reduce and global-BN psums ride the inter-process
+        collectives.  That is what lets TrainLoop drive multi-host runs
+        unchanged.  ``eval_batch`` has the same local-rows semantics.
+        """
         # rng=None disables dropout (layers.dropout no-ops without a key) —
         # the same contract as train.Trainer.  Substituting a fixed key here
         # would silently apply the IDENTICAL dropout mask every step.
@@ -151,28 +162,6 @@ class DataParallelTrainer:
         return self._train_step(
             params, state, opt_state, sharded["x"], sharded["y"], rng
         )
-
-    def train_batch_local(
-        self, params, state, opt_state, local_batch, rng: Optional[jax.Array] = None
-    ):
-        """Multi-host train step: each process passes only ITS OWN rows.
-
-        The global batch is the processes' rows concatenated in process
-        order (mesh_lib.shard_local_batch); each host's rows land on its
-        addressable shards with no cross-host data movement, then the step
-        itself is the ordinary data-parallel step — XLA's grad all-reduce
-        and global-BN psums now ride the inter-process collectives.  On a
-        multi-process mesh :meth:`train_batch` already has these semantics
-        (``_prep`` routes host batches through shard_local_batch — that is
-        what lets TrainLoop drive multi-host runs unchanged); this explicit
-        spelling exists for call sites that want the contract in the name.
-        """
-        return self.train_batch(params, state, opt_state, local_batch, rng)
-
-    def eval_batch_local(self, params, state, local_batch):
-        """Multi-host eval step over per-process local rows (see
-        train_batch_local)."""
-        return self.eval_batch(params, state, local_batch)
 
     def train_batch_resident(self, params, state, opt_state, resident, idx, key, step):
         """TrainLoop's fused resident hook (same contract as

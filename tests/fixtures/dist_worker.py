@@ -4,7 +4,8 @@ Each process joins the coordinator over Gloo TCP CPU collectives (the
 CPU-host stand-in for a TPU pod's ICI/DCN — parallel/distributed.py), sees
 a GLOBAL device view (2 local x 2 processes = 4 devices), builds the
 framework's own mesh/trainer, feeds only ITS OWN rows of a deterministic
-global batch through ``DataParallelTrainer.train_batch_local``, and writes
+global batch through ``DataParallelTrainer.train_batch`` (whose multi-host
+contract is local rows per process), and writes
 its observed losses + a parameter checksum to a JSON file for the parent
 test to compare across processes and against the single-process big-batch
 run.
@@ -35,12 +36,12 @@ def main() -> None:
     # scrubbed the axon tunnel plugin out of the environment).
     jax.config.update("jax_platforms", "cpu")
 
-    from laughter_detection_icsi_tpu import models
     from laughter_detection_icsi_tpu.parallel import (
         DataParallelTrainer,
         distributed,
         make_mesh,
     )
+    from tests.fixtures import dist_common as C
 
     distributed.initialize(
         coordinator_address=f"127.0.0.1:{port}",
@@ -51,40 +52,30 @@ def main() -> None:
     assert distributed.is_multi_process()
     info = distributed.process_info()
 
-    import numpy as np
-
     n_global = jax.device_count()
     n_local = jax.local_device_count()
     mesh = make_mesh()  # all GLOBAL devices
 
-    model = models.MLPModel(
-        linear_layer_size=12 * 8, hid_dim1=32, hid_dim2=16, dropout_rate=0.0
-    )
-    dp = DataParallelTrainer(model=model, mesh=mesh)
+    dp = DataParallelTrainer(model=C.build_model(), mesh=mesh)
     params, state, opt_state = dp.init(jax.random.PRNGKey(0))
 
-    # The SAME deterministic global batch the parent computes its
-    # single-process expectation from; this worker feeds only its rows.
+    import numpy as np
+
+    # The SAME deterministic global batches the parent computes its
+    # single-process expectation from (dist_common recipe, seed 123); this
+    # worker feeds only its rows.
     rng = np.random.default_rng(123)
     losses = []
     for _ in range(2):
-        y = (rng.uniform(size=16) > 0.5).astype(np.float32)
-        x = rng.standard_normal((16, 12, 8)).astype(np.float32) * 0.1
-        x[y > 0.5, :, :3] += 2.0
-        lo, hi = pid * 8, (pid + 1) * 8
-        local = {"inputs": x[lo:hi], "is_laugh": y[lo:hi]}
-        params, state, opt_state, m = dp.train_batch_local(
+        batch = C.toy_batch(rng)
+        local = C.local_rows(batch, pid, nproc)
+        params, state, opt_state, m = dp.train_batch(
             params, state, opt_state, local, None
         )
         losses.append(float(m["loss"]))
 
-    ev = dp.eval_batch_local(
-        params, state, {"inputs": x[pid * 8 : (pid + 1) * 8],
-                        "is_laugh": y[pid * 8 : (pid + 1) * 8]}
-    )
-    checksum = float(
-        sum(np.float64(np.asarray(p).sum()) for p in jax.tree_util.tree_leaves(params))
-    )
+    ev = dp.eval_batch(params, state, local)
+    checksum = C.param_checksum(params)
     with open(out_path, "w") as f:
         json.dump(
             {

@@ -266,3 +266,61 @@ def test_sweep_and_compute_features_reject_empty_selection(synthetic_corpus, tmp
              "--output_dir", str(tmp_path / "f"), "--meetings", "Btr001",
              "--splits", "dev"]  # Btr001 is train
         )
+
+
+def test_sweep_selection_fingerprint_covers_headers(tmp_path):
+    """The multi-host agreement fingerprint must change when a same-named
+    audio file differs in LENGTH or encoding across hosts (per-host headers
+    drive jitted-graph shapes; a name-only fingerprint would pass and the
+    pod would hang in mismatched collectives), and must be stable for
+    identical files."""
+    from cli.sweep import selection_fingerprint
+    from laughter_detection_icsi_tpu.data import audio as audio_io
+
+    rng = np.random.default_rng(0)
+    a = tmp_path / "hostA" / "chan0.wav"
+    b = tmp_path / "hostB" / "chan0.wav"
+    a.parent.mkdir()
+    b.parent.mkdir()
+    w = (rng.standard_normal(16000) * 0.05).astype(np.float32)
+    audio_io.write_wav(str(a), w, 16000)
+    audio_io.write_wav(str(b), w, 16000)
+
+    fp = selection_fingerprint([("M0", ["chan0"], [str(a)])])
+    same = selection_fingerprint([("M0", ["chan0"], [str(b)])])
+    assert fp == same  # identical bytes, different paths: paths don't leak
+
+    audio_io.write_wav(str(b), w[:8000], 16000)  # truncated twin
+    truncated = selection_fingerprint([("M0", ["chan0"], [str(b)])])
+    assert truncated != fp
+
+    missing = selection_fingerprint([("M0", [], [])])
+    assert missing != fp
+
+
+def test_train_cli_multihost_requires_data_parallel_before_featurize(
+    tmp_path, monkeypatch
+):
+    """A multi-host run missing --data_parallel must fail BEFORE the
+    featurization pass (cold-cache featurize can take hours; the
+    misconfiguration is knowable immediately after the pod joins)."""
+    import jax
+
+    from cli import train as train_cli
+
+    root = _mini_train_root(tmp_path)
+    featurize_calls = []
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+    monkeypatch.setattr(
+        train_cli, "_ensure_features",
+        lambda *a, **k: featurize_calls.append(a),
+    )
+    with pytest.raises(SystemExit, match="require --data_parallel"):
+        train_cli.main(
+            [
+                "--config", "resnet_base",
+                "--checkpoint_dir", str(tmp_path / "ck"),
+                "--data_root", str(root),
+            ]
+        )
+    assert featurize_calls == []  # validated before any featurize work

@@ -6,7 +6,7 @@ argument-forwarding stub test, this spawns TWO coordinator-joined processes
 over Gloo TCP CPU collectives (the CPU-host stand-in for a pod's ICI/DCN)
 and runs the framework's own DataParallelTrainer across them: global mesh
 spanning both processes, each feeding only its local rows
-(``train_batch_local`` / ``shard_local_batch``), gradients and global-BN
+(``train_batch``'s multi-host contract / ``shard_local_batch``), gradients and global-BN
 batch stats reduced ACROSS PROCESS BOUNDARIES by XLA's inserted
 collectives.  The observed losses must equal the single-process big-batch
 run — the same invariant test_parallel.py pins within one process.
@@ -80,23 +80,21 @@ def _spawn_workers(worker, n, extra_args, local_devices=2, timeout=600):
 
 
 def _single_process_expectation():
-    """The 4-device single-process twin of the workers' 2-step run."""
-    from laughter_detection_icsi_tpu import models
+    """The 4-device single-process twin of the workers' 2-step run (the
+    SAME dist_common batch recipe and seed the worker uses — one source of
+    truth for the batch bytes)."""
+    from tests.fixtures import dist_common as C
+
     from laughter_detection_icsi_tpu.parallel import DataParallelTrainer, make_mesh
 
-    model = models.MLPModel(
-        linear_layer_size=12 * 8, hid_dim1=32, hid_dim2=16, dropout_rate=0.0
-    )
-    dp = DataParallelTrainer(model=model, mesh=make_mesh(4))
+    dp = DataParallelTrainer(model=C.build_model(), mesh=make_mesh(4))
     params, state, opt_state = dp.init(jax.random.PRNGKey(0))
     rng = np.random.default_rng(123)
     losses = []
     for _ in range(2):
-        y = (rng.uniform(size=16) > 0.5).astype(np.float32)
-        x = rng.standard_normal((16, 12, 8)).astype(np.float32) * 0.1
-        x[y > 0.5, :, :3] += 2.0
+        batch = C.toy_batch(rng)
         params, state, opt_state, m = dp.train_batch(
-            params, state, opt_state, {"inputs": x, "is_laugh": y}, None
+            params, state, opt_state, batch, None
         )
         losses.append(float(m["loss"]))
     return losses
