@@ -263,20 +263,34 @@ def main() -> None:
     healthy = _wait_for_healthy_d2h() if on_accel else True
     # Distinct waveform CONTENTS per run (different seeds, same generator and
     # length): the tunnel dedups repeated identical uploads/executions, so
-    # re-timing one wave can report the cache, not the hardware.  All waves
-    # are generated off the clock.
-    iters = 3 if healthy else 1
-    waves = [speech_like_pcm(audio_seconds, seed=23 + i) for i in range(iters + 1)]
-    pipe.probs_for_waveform(waves[0])  # warmup: compile both graphs
+    # re-timing one wave can report the cache, not the hardware.  Waves are
+    # generated off the clock (before each timed run starts).
+    pipe.probs_for_waveform(speech_like_pcm(audio_seconds, seed=23))  # warmup
 
-    # Best-of-N: the tunneled link's transfer rate fluctuates by >10x
-    # minute to minute; the fastest run reflects the hardware, the mean
-    # reflects the tunnel's mood.
+    # Best-of-N, adaptive N: the tunneled link's transfer rate fluctuates by
+    # >10x minute to minute; the fastest run reflects the hardware, the mean
+    # reflects the tunnel's mood.  A fixed N=3 can land entirely inside one
+    # slow window (observed: 748x vs 1274x minutes apart on identical code),
+    # so keep measuring — up to max_iters or the time budget — until the
+    # best time has gone two consecutive runs without improving.
+    min_iters = 3 if healthy else 1
+    max_iters = 10 if healthy else 1
+    budget_s = 150.0
     dt = float("inf")
-    for i in range(iters):
+    since_improve = 0
+    t_budget0 = time.perf_counter()
+    for i in range(max_iters):
+        wave = speech_like_pcm(audio_seconds, seed=24 + i)  # off the clock
         t0 = time.perf_counter()
-        probs = pipe.probs_for_waveform(waves[1 + i])
-        dt = min(dt, time.perf_counter() - t0)
+        probs = pipe.probs_for_waveform(wave)
+        d = time.perf_counter() - t0
+        since_improve = 0 if d < dt * 0.98 else since_improve + 1
+        dt = min(dt, d)
+        done_enough = i + 1 >= min_iters
+        if done_enough and (
+            since_improve >= 2 or time.perf_counter() - t_budget0 > budget_s
+        ):
+            break
     assert probs.shape[0] == audio_seconds * 100
 
     x_realtime = audio_seconds / dt
