@@ -56,3 +56,112 @@ def test_wait_for_backend_retries_failures_then_succeeds(monkeypatch):
     monkeypatch.setattr(bench.time, "sleep", lambda s: None)
     bench._wait_for_backend(total_wait_s=60.0)
     assert state["n"] == 3
+
+
+# --------------------------------------------------------------------------- #
+# Round-3 emission guarantee: a JSON record on EVERY exit path (the round-2
+# artifact was lost to a driver timeout — BENCH_r02.json rc=124, parsed null).
+# --------------------------------------------------------------------------- #
+
+import json
+import os
+import signal
+import subprocess as sp
+import time
+
+
+def _reset_state():
+    bench._STATE.update(
+        phase="startup",
+        emitted=False,
+        record=None,
+        metric="e2e_inference_throughput",
+        unit="x_realtime_per_chip",
+    )
+
+
+def test_emit_final_diagnostic_when_no_record(capsys):
+    _reset_state()
+    bench._STATE["phase"] = "warmup"
+    bench._emit_final()
+    rec = json.loads(capsys.readouterr().out.strip())
+    assert rec["value"] is None
+    assert "warmup" in rec["error"]
+    assert rec["metric"] == "e2e_inference_throughput"
+    # Idempotent: the first emitter wins, later calls print nothing.
+    bench._emit_final({"metric": "x", "value": 1})
+    assert capsys.readouterr().out == ""
+    _reset_state()
+
+
+def test_emit_final_prefers_stored_record(capsys):
+    _reset_state()
+    bench._STATE["record"] = {"metric": "e2e_inference_throughput", "value": 42.0}
+    bench._emit_final()
+    rec = json.loads(capsys.readouterr().out.strip())
+    assert rec["value"] == 42.0
+    _reset_state()
+
+
+def _last_json_line(out: bytes):
+    lines = [ln for ln in out.decode().strip().splitlines() if ln.strip()]
+    return json.loads(lines[-1])
+
+
+def test_budget_exhaustion_emits_diagnostic_record():
+    """Guard thread fires at the (tiny) budget while the main thread is
+    still importing jax: the process must still print a parsable record."""
+    env = dict(os.environ, JAX_PLATFORMS="cpu", BENCH_TOTAL_BUDGET_S="3")
+    r = sp.run(
+        [sys.executable, "bench.py"],
+        cwd="/root/repo",
+        env=env,
+        capture_output=True,
+        timeout=120,
+    )
+    assert r.returncode == 3
+    rec = _last_json_line(r.stdout)
+    assert rec["value"] is None
+    assert "budget 3s" in rec["error"]
+
+
+def test_sigterm_emits_diagnostic_record():
+    """An external kill (the driver's timeout sends SIGTERM) must still
+    yield a parsable record, not an empty artifact."""
+    env = dict(os.environ, JAX_PLATFORMS="cpu", BENCH_TOTAL_BUDGET_S="600")
+    p = sp.Popen(
+        [sys.executable, "bench.py"],
+        cwd="/root/repo",
+        env=env,
+        stdout=sp.PIPE,
+        stderr=sp.DEVNULL,
+    )
+    time.sleep(8)
+    p.send_signal(signal.SIGTERM)
+    out, _ = p.communicate(timeout=60)
+    assert p.returncode == 3
+    rec = _last_json_line(out)
+    assert rec["value"] is None
+    assert "no measurement" in rec["error"]
+
+
+def test_cpu_end_to_end_emits_decomposed_record():
+    """Full forced-CPU bench run: ONE JSON line carrying the e2e number plus
+    the decomposed fields (upload_s, device_x_realtime,
+    fused_conv_device_x_realtime) the driver artifact records."""
+    env = dict(os.environ, JAX_PLATFORMS="cpu", BENCH_TOTAL_BUDGET_S="600")
+    r = sp.run(
+        [sys.executable, "bench.py"],
+        cwd="/root/repo",
+        env=env,
+        capture_output=True,
+        timeout=550,
+    )
+    assert r.returncode == 0, r.stderr.decode()[-2000:]
+    rec = _last_json_line(r.stdout)
+    assert rec["metric"] == "e2e_inference_throughput"
+    assert rec["value"] > 0
+    assert rec["platform"] == "cpu"
+    assert rec["upload_s"] >= 0
+    assert rec["device_x_realtime"] > 0
+    assert rec["fused_conv_device_x_realtime"] > 0

@@ -1,5 +1,6 @@
 """Profiling utilities + checkpoint converter CLI."""
 
+import os
 import sys
 import time
 from pathlib import Path
@@ -100,9 +101,23 @@ def test_enable_compilation_cache(tmp_path, monkeypatch):
         enable_compilation_cache,
     )
 
+    from laughter_detection_icsi_tpu.utils.compile_cache import host_fingerprint
+
     d = str(tmp_path / "jc")
-    assert enable_compilation_cache(d) == d
-    assert jax.config.jax_compilation_cache_dir == d
+    # The cache lives under a host-fingerprinted subdirectory: XLA:CPU AOT
+    # artifacts bake in the compiling host's CPU features, so hosts with
+    # different feature sets (or a forced-CPU child vs a TPU parent) must
+    # never share entries (MULTICHIP_r02 cpu_aot_loader feature mismatches).
+    used = enable_compilation_cache(d)
+    assert used == os.path.join(d, host_fingerprint())
+    assert os.path.isdir(used)
+    assert jax.config.jax_compilation_cache_dir == used
+    # Fingerprint is stable on one host, changes with the platform hint.
+    fp = host_fingerprint()
+    assert host_fingerprint() == fp
+    monkeypatch.setenv("JAX_PLATFORMS", "something_else")
+    assert host_fingerprint() != fp
+    monkeypatch.delenv("JAX_PLATFORMS")
     # env-var disable
     monkeypatch.setenv("LAD_JAX_CACHE_DIR", "off")
     assert enable_compilation_cache() is None
