@@ -47,3 +47,42 @@ def rng():
     never shift the random stream another test consumes (a session-scoped
     generator made borderline assertions flake when new tests landed)."""
     return np.random.default_rng(23)
+
+
+# --------------------------------------------------------------------------- #
+# Smoke tier: one fast test per subsystem, the pre-commit gate (the full
+# suite is the round gate; it costs ~30 min on the 1-core build host).
+# Run with:  python -m pytest -m smoke -q   (target: <=2 min)
+# Centralised here so the tier is one auditable list, not scattered marks.
+# --------------------------------------------------------------------------- #
+
+_SMOKE_NODE_IDS = {
+    # fbank featurizer vs analytic oracle
+    "tests/test_fbank.py::test_matches_oracle",
+    # model zoo: twin differential (always) + literal reference oracle (gated)
+    "tests/test_zoo_parity.py::test_eval_forward_parity[MLPModel]",
+    "tests/test_reference_module_parity.py::"
+    "test_forward_parity_from_reference_weights[ResNetBigger]",
+    # post-processing / smoothing
+    "tests/test_smoothing.py::test_matches_naive_scan[0]",
+    # interval algebra
+    "tests/test_intervals.py::test_randomized_against_bruteforce[0]",
+    # transcript parsing
+    "tests/test_transcript.py::test_segment_classification",
+    # checkpoint interop
+    "tests/test_utils_and_convert.py::test_convert_checkpoint_roundtrip",
+    # inference pipeline
+    "tests/test_inference.py::test_probs_match_reference_computation",
+    # audio IO
+    "tests/test_audio.py::test_wav_roundtrip",
+    # CLI flag/validation surface (no compile)
+    "tests/test_cli_entry.py::test_sweep_and_compute_features_reject_empty_selection",
+    # bench emission guarantee
+    "tests/test_bench.py::test_emit_final_diagnostic_when_no_record",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if item.nodeid in _SMOKE_NODE_IDS:
+            item.add_marker(pytest.mark.smoke)
