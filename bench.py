@@ -44,9 +44,6 @@ import numpy as np
 
 _T0 = time.monotonic()
 _BUDGET_S = float(os.environ.get("BENCH_TOTAL_BUDGET_S", "240"))
-# Wall-clock reserved at the tail of every phase so the guard always has
-# room to emit before an external (driver) kill follows our own deadline.
-_RESERVE_S = 10.0
 
 _EMIT_LOCK = threading.Lock()
 _STATE = {
@@ -102,6 +99,31 @@ def _emit_final(record: dict = None) -> None:
                 ),
             }
         print(json.dumps(rec), flush=True)
+        if os.environ.get("BENCH_HISTORY", "on") == "off":
+            return
+        try:
+            # Every reading (including diagnostics) also lands in the
+            # repo-local history file, so bench numbers are committed
+            # artifacts instead of README lore.  Best-effort: history
+            # must never break the stdout contract.  BENCH_HISTORY=off
+            # disables it (the test suite's subprocess runs set this so
+            # synthetic CPU/diagnostic records never pollute the file).
+            import datetime
+
+            entry = {
+                "ts": datetime.datetime.now(datetime.timezone.utc).isoformat(
+                    timespec="seconds"
+                ),
+                **rec,
+            }
+            path = os.environ.get(
+                "BENCH_HISTORY_PATH",
+                os.path.join(os.path.dirname(__file__) or ".", "bench_runs.jsonl"),
+            )
+            with open(path, "a") as f:
+                f.write(json.dumps(entry) + "\n")
+        except Exception:
+            pass
 
 
 def _budget_guard() -> None:
@@ -426,7 +448,7 @@ def _device_metrics(pipe, model, audio_seconds: int) -> dict:
     wave_len = pipe._graphs(True)[2]
 
     # Bucket buffers exactly as probs_for_waveform builds them.
-    bufs, valids, keeps = [], [], []
+    bufs, valids = [], []
     for k in range(-(-t // bucket)):
         lo = k * bucket * shift
         buf = np.zeros(wave_len, dtype=np.int16)
@@ -434,7 +456,6 @@ def _device_metrics(pipe, model, audio_seconds: int) -> dict:
         buf[: len(src)] = src
         bufs.append(buf)
         valids.append(min(t - k * bucket, bucket + pipe.settings.window - 1))
-        keeps.append(min(bucket, t - k * bucket))
 
     t0 = time.perf_counter()
     devs = [jax.device_put(b) for b in bufs]

@@ -111,7 +111,12 @@ def _last_json_line(out: bytes):
 def test_budget_exhaustion_emits_diagnostic_record():
     """Guard thread fires at the (tiny) budget while the main thread is
     still importing jax: the process must still print a parsable record."""
-    env = dict(os.environ, JAX_PLATFORMS="cpu", BENCH_TOTAL_BUDGET_S="3")
+    env = dict(
+        os.environ,
+        JAX_PLATFORMS="cpu",
+        BENCH_TOTAL_BUDGET_S="3",
+        BENCH_HISTORY="off",
+    )
     r = sp.run(
         [sys.executable, "bench.py"],
         cwd="/root/repo",
@@ -128,7 +133,12 @@ def test_budget_exhaustion_emits_diagnostic_record():
 def test_sigterm_emits_diagnostic_record():
     """An external kill (the driver's timeout sends SIGTERM) must still
     yield a parsable record, not an empty artifact."""
-    env = dict(os.environ, JAX_PLATFORMS="cpu", BENCH_TOTAL_BUDGET_S="600")
+    env = dict(
+        os.environ,
+        JAX_PLATFORMS="cpu",
+        BENCH_TOTAL_BUDGET_S="600",
+        BENCH_HISTORY="off",
+    )
     p = sp.Popen(
         [sys.executable, "bench.py"],
         cwd="/root/repo",
@@ -149,7 +159,12 @@ def test_cpu_end_to_end_emits_decomposed_record():
     """Full forced-CPU bench run: ONE JSON line carrying the e2e number plus
     the decomposed fields (upload_s, device_x_realtime,
     fused_conv_device_x_realtime) the driver artifact records."""
-    env = dict(os.environ, JAX_PLATFORMS="cpu", BENCH_TOTAL_BUDGET_S="600")
+    env = dict(
+        os.environ,
+        JAX_PLATFORMS="cpu",
+        BENCH_TOTAL_BUDGET_S="600",
+        BENCH_HISTORY="off",
+    )
     r = sp.run(
         [sys.executable, "bench.py"],
         cwd="/root/repo",
@@ -165,3 +180,22 @@ def test_cpu_end_to_end_emits_decomposed_record():
     assert rec["upload_s"] >= 0
     assert rec["device_x_realtime"] > 0
     assert rec["fused_conv_device_x_realtime"] > 0
+
+
+def test_emit_final_appends_history(tmp_path, monkeypatch, capsys):
+    """Emissions append a timestamped copy to the history file so bench
+    numbers are artifacts, not README lore; BENCH_HISTORY=off disables."""
+    hist = tmp_path / "runs.jsonl"
+    monkeypatch.setenv("BENCH_HISTORY_PATH", str(hist))
+    _reset_state()
+    bench._emit_final({"metric": "e2e_inference_throughput", "value": 7.0})
+    capsys.readouterr()
+    (entry,) = [json.loads(ln) for ln in hist.read_text().splitlines()]
+    assert entry["value"] == 7.0
+    assert "ts" in entry
+    _reset_state()
+    monkeypatch.setenv("BENCH_HISTORY", "off")
+    bench._emit_final({"metric": "e2e_inference_throughput", "value": 8.0})
+    capsys.readouterr()
+    assert len(hist.read_text().splitlines()) == 1
+    _reset_state()
