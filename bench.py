@@ -45,7 +45,11 @@ import numpy as np
 _T0 = time.monotonic()
 _BUDGET_S = float(os.environ.get("BENCH_TOTAL_BUDGET_S", "240"))
 
-_EMIT_LOCK = threading.Lock()
+# Reentrant: a SIGTERM can land while the main thread is INSIDE
+# _emit_final (holding the lock during the final print / history append);
+# the handler then re-enters, sees 'emitted', and returns instead of
+# deadlocking on its own lock.
+_EMIT_LOCK = threading.RLock()
 _STATE = {
     "phase": "startup",
     "emitted": False,
@@ -302,16 +306,17 @@ def bench_train() -> None:
 
     samples_per_s = batch * iters / dt
     _set_phase("done")
-    _emit_final(
-        {
-            "metric": "train_step_throughput",
-            "value": round(samples_per_s, 1),
-            "unit": "samples_per_sec_per_chip",
-            "vs_baseline": None,
-            # See the inference record: mark what actually ran.
-            "platform": jax.devices()[0].platform,
-        }
-    )
+    # Store BEFORE emitting: a signal/budget expiry racing the final print
+    # must report the completed measurement (exit 0), not 'no measurement'.
+    _STATE["record"] = {
+        "metric": "train_step_throughput",
+        "value": round(samples_per_s, 1),
+        "unit": "samples_per_sec_per_chip",
+        "vs_baseline": None,
+        # See the inference record: mark what actually ran.
+        "platform": jax.devices()[0].platform,
+    }
+    _emit_final()
 
 
 def _apply_platform_env() -> None:
@@ -418,7 +423,7 @@ def _backend_watchdog(timeout_s: float = None):
     return done.set
 
 
-def _device_metrics(pipe, model, audio_seconds: int) -> dict:
+def _device_metrics(pipe, audio_seconds: int) -> dict:
     """Decompose the e2e number: upload cost vs device-side compute.
 
     Returns fields to merge into the ONE output record:
@@ -430,32 +435,22 @@ def _device_metrics(pipe, model, audio_seconds: int) -> dict:
     Device-resident timing makes device-side regressions visible even when
     the tunnel's minute-to-minute transfer rate swamps the e2e number
     (BENCH_r01 vs README history: 748x..1430x on identical code)."""
-    import dataclasses
-
     import jax
     import jax.numpy as jnp
 
-    from laughter_detection_icsi_tpu.inference import (
-        _snip_cfg,
-        host_pad_waveform,
-    )
+    from laughter_detection_icsi_tpu.inference import host_pad_waveform
 
     out = {}
     wave = speech_like_pcm(audio_seconds, seed=97)
     padded, t = host_pad_waveform(wave, pipe.feat_cfg)
-    shift = _snip_cfg(pipe.feat_cfg).frame_shift_samples
     bucket = pipe.settings.bucket_frames
-    wave_len = pipe._graphs(True)[2]
 
-    # Bucket buffers exactly as probs_for_waveform builds them.
+    # The pipeline's OWN bucket plan (shared with probs_for_waveform), so
+    # the decomposition can never desynchronize from the measured path.
     bufs, valids = [], []
-    for k in range(-(-t // bucket)):
-        lo = k * bucket * shift
-        buf = np.zeros(wave_len, dtype=np.int16)
-        src = padded[lo : lo + wave_len]
-        buf[: len(src)] = src
+    for buf, valid, _keep in pipe.bucket_buffers(padded, t):
         bufs.append(buf)
-        valids.append(min(t - k * bucket, bucket + pipe.settings.window - 1))
+        valids.append(valid)
 
     t0 = time.perf_counter()
     devs = [jax.device_put(b) for b in bufs]
@@ -487,17 +482,12 @@ def _device_metrics(pipe, model, audio_seconds: int) -> dict:
         out["device_x_realtime"] = round(audio_seconds / dt, 2)
 
     # fused_conv: featurize + dilated conv stack in ONE jit over the track.
+    # _fc_graph is keyed only on (total_frames, dtype) — it reads
+    # precision/window but not settings.mode — so the windows-mode pipeline
+    # builds it directly; no second pipeline needed.
     if _remaining() > 40.0:
-        fc_pipe_settings = dataclasses.replace(pipe.settings, mode="fused_conv")
-        fc_pipe = type(pipe)(
-            model,
-            pipe.params,
-            pipe.state,
-            feat_cfg=pipe.feat_cfg,
-            settings=fc_pipe_settings,
-        )
         total = max(bucket, -(-t // bucket) * bucket)
-        graph, fc_wave_len = fc_pipe._fc_graph(total, True)
+        graph, fc_wave_len = pipe._fc_graph(total, True)
         fbuf = np.zeros(fc_wave_len, dtype=np.int16)
         fbuf[: len(padded)] = padded
         fdev = jax.device_put(fbuf)
@@ -528,7 +518,11 @@ def main() -> None:
     # Persistent compile cache: repeat rounds skip the 20-40 s jit, which is
     # most of a healthy run's budget.  Safe across hosts since the cache dir
     # is fingerprinted by platform+CPU features (utils/compile_cache.py).
-    enable_compilation_cache()
+    # NOT on forced-CPU runs: XLA:CPU AOT cache hits warn 'could lead to
+    # SIGILL' on every load even same-host (see __graft_entry__), and the
+    # CPU path is the self-test, not the round record.
+    if os.environ.get("JAX_PLATFORMS", "").strip().lower() != "cpu":
+        enable_compilation_cache()
 
     preset = MODEL_MAP["resnet_base"]
     model = models.build(
@@ -622,7 +616,7 @@ def main() -> None:
     if _remaining() > 45.0:
         _set_phase("decompose")
         try:
-            out.update(_device_metrics(pipe, model, audio_seconds))
+            out.update(_device_metrics(pipe, audio_seconds))
         except Exception as e:  # pragma: no cover - defensive
             out["decompose_error"] = f"{type(e).__name__}: {e}"
     else:

@@ -508,20 +508,29 @@ class LaughterPipeline:
             return jnp.zeros(0, dtype=jnp.float32)
         if self.settings.mode == "fused_conv":
             return self._probs_fused_conv_device(padded, t)
-        wave_len = self._graphs(int16_in)[2]
+        pieces = []
+        for buf, valid, keep in self.bucket_buffers(padded, t):
+            probs = self._bucket_probs(buf, valid)
+            pieces.append(probs[:keep])
+        return jnp.concatenate(pieces) if len(pieces) > 1 else pieces[0]
+
+    def bucket_buffers(self, padded: np.ndarray, t: int):
+        """Yield ``(buf, valid_frames, keep_frames)`` per bucket — the exact
+        fixed-size buffers, valid-frame counts and kept-frame counts the
+        windows-mode offline loop executes.  The single source of the bucket
+        plan: :meth:`probs_for_waveform_device` runs it, and bench.py's
+        device-side decomposition iterates the same generator, so the
+        decomposition can never desynchronize from the measured path."""
+        wave_len = self._graphs(padded.dtype == np.int16)[2]
         bucket = self.settings.bucket_frames
         shift = _snip_cfg(self.feat_cfg).frame_shift_samples
-
-        pieces = []
         for k in range(-(-t // bucket)):
             lo = k * bucket * shift
-            buf = np.zeros(wave_len, dtype=wave.dtype)
+            buf = np.zeros(wave_len, dtype=padded.dtype)
             src = padded[lo : lo + wave_len]
             buf[: len(src)] = src
             valid = min(t - k * bucket, bucket + self.settings.window - 1)
-            probs = self._bucket_probs(buf, valid)
-            pieces.append(probs[: min(bucket, t - k * bucket)])
-        return jnp.concatenate(pieces) if len(pieces) > 1 else pieces[0]
+            yield buf, valid, min(bucket, t - k * bucket)
 
     def probs_for_file(
         self, audio_path: str, channel: int = 0, device: bool = False

@@ -70,6 +70,14 @@ import subprocess as sp
 import time
 
 
+@pytest.fixture(autouse=True)
+def _isolate_bench_history(tmp_path, monkeypatch):
+    """No test may touch the committed bench_runs.jsonl: in-process
+    _emit_final calls would otherwise append junk records to the repo
+    artifact on every (smoke) run."""
+    monkeypatch.setenv("BENCH_HISTORY_PATH", str(tmp_path / "bench_runs.jsonl"))
+
+
 def _reset_state():
     bench._STATE.update(
         phase="startup",
@@ -162,9 +170,12 @@ def test_cpu_end_to_end_emits_decomposed_record():
     env = dict(
         os.environ,
         JAX_PLATFORMS="cpu",
-        BENCH_TOTAL_BUDGET_S="600",
+        BENCH_TOTAL_BUDGET_S="450",
         BENCH_HISTORY="off",
     )
+    # The inner budget (450 s) sits comfortably below the outer timeout
+    # (550 s): a slow run must yield bench's own diagnostic record, never
+    # a TimeoutExpired test error.
     r = sp.run(
         [sys.executable, "bench.py"],
         cwd="/root/repo",

@@ -54,8 +54,9 @@ def ref():
     return mod
 
 
-def _cases(ref):
-    """name -> (reference model, our model, input shape).
+def _case(ref, name):
+    """name -> (reference model, our model, input shape) — constructed
+    lazily, only the requested pair (the suite runs on a 1-core host).
 
     Geometries follow the reference's own constraints: the heads are sized
     by ``linear_layer_size`` which must equal the flattened feature count
@@ -63,28 +64,29 @@ def _cases(ref):
     a (100, 44) log-mel window gives 48 flat features for the
     ResNetBigger/ResNetNoBN topology and (100, 128) gives 192 for ResNet's
     fixed stem."""
-    return {
-        "ResNetBigger": (
+    makers = {
+        "ResNetBigger": lambda: (
             ref.ResNetBigger(dropout_rate=0.5, linear_layer_size=48),
             models.build("ResNetBigger", dropout_rate=0.0, linear_layer_size=48),
             (8, 1, 100, 44),
         ),
-        "ResNet": (
+        "ResNet": lambda: (
             ref.ResNet(dropout_rate=0.5),
             models.build("ResNet", dropout_rate=0.0, linear_layer_size=192),
             (8, 1, 100, 128),
         ),
-        "ResNetNoBN": (
+        "ResNetNoBN": lambda: (
             ref.ResNetNoBN(dropout_rate=0.5, linear_layer_size=48),
             models.build("ResNetNoBN", dropout_rate=0.0, linear_layer_size=48),
             (8, 1, 100, 44),
         ),
-        "MLPModel": (
+        "MLPModel": lambda: (
             ref.MLPModel(linear_layer_size=100 * 44, dropout_rate=0.5),
             models.MLPModel(linear_layer_size=100 * 44, dropout_rate=0.0),
             (8, 1, 100, 44),
         ),
     }
+    return makers[name]()
 
 
 _NAMES = ["ResNetBigger", "ResNet", "ResNetNoBN", "MLPModel"]
@@ -96,7 +98,7 @@ def _x(shape, seed=11):
 
 @pytest.mark.parametrize("name", _NAMES)
 def test_state_dict_layout_matches_reference(ref, name):
-    tm, jm, _ = _cases(ref)[name]
+    tm, jm, _ = _case(ref, name)
     params, state = jm.init(jax.random.PRNGKey(0))
     ours = ckpt.to_torch_state_dict(params, state)
     theirs = tm.state_dict()
@@ -111,7 +113,7 @@ def test_state_dict_layout_matches_reference(ref, name):
 @pytest.mark.parametrize("name", _NAMES)
 def test_forward_parity_from_reference_weights(ref, name):
     """Reference-initialized weights -> our pytrees -> identical probs."""
-    tm, jm, shape = _cases(ref)[name]
+    tm, jm, shape = _case(ref, name)
     tm.eval()
     params, state = ckpt.from_torch_state_dict(tm.state_dict())
     x = _x(shape)
@@ -125,7 +127,7 @@ def test_forward_parity_from_reference_weights(ref, name):
 def test_our_checkpoint_loads_into_reference_module(ref, name):
     """Our init -> torch state_dict -> reference module (strict=True) ->
     identical probs: exported checkpoints work in the reference code."""
-    tm, jm, shape = _cases(ref)[name]
+    tm, jm, shape = _case(ref, name)
     params, state = jm.init(jax.random.PRNGKey(7))
     flat = ckpt.to_torch_state_dict(params, state)
     tm.load_state_dict(
