@@ -325,15 +325,13 @@ def bench_train() -> None:
 
 
 def _apply_platform_env() -> None:
-    """Honor JAX_PLATFORMS even under the axon plugin, which registers from
-    sitecustomize and ignores the env var (same workaround as
-    tests/conftest.py): pin the platform via the config.  Lets the CPU
-    self-test run without touching the real chip."""
-    import jax
+    """Honor JAX_PLATFORMS even under the axon plugin (shared helper —
+    lets the CPU self-test run without touching the real chip)."""
+    from laughter_detection_icsi_tpu.utils.platform_env import (
+        apply_platform_env,
+    )
 
-    p = os.environ.get("JAX_PLATFORMS")
-    if p:
-        jax.config.update("jax_platforms", p)
+    apply_platform_env()
 
 
 def _wait_for_backend(total_wait_s: float = None) -> None:

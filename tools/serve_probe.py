@@ -12,21 +12,24 @@ closest analogue is re-running segment_laughter.py per file
 (/root/reference/segment_laughter.py:85-117); this probe documents what
 replacing that with a resident streaming session costs per chunk.
 
+Both sessions use DISTINCT chunk contents (the tunnel dedups
+identical-content uploads/executions — bench.py — so a measured session
+replaying the warmup's bytes would get cache-flattered latencies).
+
 Measured 2026-08-20 on the tunneled v5e (dispatch-dominated — a
 PCIe-attached chip pays ~1000x less per dispatch, tools/band_probe.py):
 
-  bucket= 512: exec p50  62ms / p95  67ms, buffer-feed p95  82us, 1 stream
-  bucket=1024: exec p50  64ms / p95  74ms, buffer-feed p95  48us
-  bucket=2048: exec p50 131ms / p95 187ms
+  bucket= 512: exec p50  79ms / p95 100ms, buffer-feed p95  56us, 1 stream
+  bucket=1024: exec p50  88ms / p95 115ms, buffer-feed p95  24us
+  bucket=2048: exec p50 143ms / p95 209ms
 
-So with 5.12 s buckets (512 frames) a single live stream sees at most a
-~70 ms stall every ~5 s of audio through a TUNNELED chip.
+So with 5.12 s buckets (512 frames) a single live stream sees a
+~80-100 ms stall every ~5 s of audio through a TUNNELED chip.
 
 Usage: python tools/serve_probe.py [--buckets 512,1024,2048] [--seconds 120]
 """
 
 import argparse
-import os
 import sys
 import time
 from pathlib import Path
@@ -36,10 +39,9 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 import jax
 import numpy as np
 
-if os.environ.get("JAX_PLATFORMS"):
-    # The axon tunnel plugin ignores the env var (registers from
-    # sitecustomize); pin via config like tests/conftest.py and bench.py.
-    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+from laughter_detection_icsi_tpu.utils.platform_env import apply_platform_env
+
+apply_platform_env()
 
 
 def main() -> None:
@@ -70,12 +72,20 @@ def main() -> None:
     params, state = model.init(jax.random.PRNGKey(0))
 
     sr = 16000
-    rng = np.random.default_rng(5)
     n_chunks = int(args.seconds / args.chunk_s)
-    chunks = [
-        (rng.standard_normal(int(sr * args.chunk_s)) * 0.05).astype(np.float32)
-        for _ in range(n_chunks)
-    ]
+
+    def make_chunks(seed):
+        # Distinct seeds for the warmup and measured sessions: the tunnel
+        # dedups identical-content uploads+executions (bench.py), and a
+        # measured session replaying the warmup's bytes would get its
+        # first bucket execution served from cache.
+        rng = np.random.default_rng(seed)
+        return [
+            (rng.standard_normal(int(sr * args.chunk_s)) * 0.05).astype(
+                np.float32
+            )
+            for _ in range(n_chunks)
+        ]
 
     def pct(a, p):
         return a[min(len(a) - 1, int(p * len(a)))] if a else float("nan")
@@ -88,12 +98,15 @@ def main() -> None:
         )
         pipe = inference.LaughterPipeline(model, params, state, settings=settings)
         # Warmup session: compile both the bucket graphs and finish()'s
-        # tail path off the clock.
+        # tail path off the clock (its own chunk contents — see make_chunks).
         warm = inference.StreamingSession(pipe)
-        for c in chunks[: int(2 * bucket / 100 / args.chunk_s) + 4]:
+        for c in make_chunks(seed=1000 + bucket)[
+            : int(2 * bucket / 100 / args.chunk_s) + 4
+        ]:
             warm.feed(c)
         warm.finish()
 
+        chunks = make_chunks(seed=bucket)
         sess = inference.StreamingSession(pipe)
         lats = []
         t0_all = time.perf_counter()
@@ -112,7 +125,8 @@ def main() -> None:
             f"p95={pct(exec_lats, 0.95) * 1e3:7.1f}ms "
             f"max={max(exec_lats) * 1e3 if exec_lats else 0:7.1f}ms "
             f"buffer-feed p95={pct(buf_lats, 0.95) * 1e6:6.0f}us "
-            f"RTF={args.seconds / t_all:8.1f}x"
+            # Audio actually fed, not args.seconds (which n_chunks rounds).
+            f"RTF={n_chunks * args.chunk_s / t_all:8.1f}x"
         )
 
 
