@@ -27,13 +27,22 @@ Measured 2026-08-20 on the tunneled v5e (bf16, T=60000 frames = 600 s):
   marginal slope               : ~38 ms/eval  (~15,900x realtime device-marginal)
   effective                    : ~29 TFLOP/s = ~15% of v5e bf16 peak (197)
 
-~15% of peak is the honest ceiling story for this graph: the late stages
-run 3x3 convs at 16-32 channels over a 6-11-wide frequency axis — far
-below the 128x128 MXU tile — so utilization is bounded by shape, not by
-scheduling.  (The windows-mode chunk path, whose effective batch is much
-larger, measures ~100 TFLOP/s marginal — tools/band_probe.py.)  At
-~15,900x realtime marginal the fused_conv path is still >5x the e2e
-link-bound ceiling, so the kernel is not the system bottleneck anywhere.
+Where the time goes (slope-measured per stage, N-delta 80): the
+FLOP-dominant 64-channel convs run at ~70 TFLOP/s (36% of peak), the
+small late stages cost ~0.05 ms each (a banded-Toeplitz matmul
+reformulation was prototyped — numerically exact, zero speedup, because
+those stages were never the cost), and the gap between 70 per-conv and
+~30 graph-average is HBM-bound elementwise traffic (BN/relu/residual
+passes over the ~400 MB stage-1 tensors).  Remaining theoretical lever:
+a Pallas megakernel fusing elementwise into the convs, bounded at ~2x on
+an opt-in path already >14x above the e2e link-bound ceiling — not worth
+the numerics risk.
+
+Tunnel measurement lore (how this probe got fooled twice): any single
+dispatch through the tunnel carries a ~30 ms wall floor, so short
+(N<=8) loops read as a fake ~3-4 ms/iteration "cost" — only large-N
+slopes are trustworthy; and an `acc + p[0]`-style consumer lets XLA
+dead-code-eliminate the track down to one receptive field.
 
 Usage: python tools/fused_conv_probe.py [--frames 60000] [--n 20]
 """
