@@ -2,14 +2,16 @@
 
 The reference classifies every 10 ms frame by running the FULL conv stack on
 a 100-frame window per output — adjacent windows overlap 99% and recompute
-~700 MFLOPs each (reference datasets.py:72-93 + models.py:181-244).  This
+~1.4 GFLOP each (XLA cost model, batch-amortized; reference
+datasets.py:72-93 + models.py:181-244).  This
 module evaluates the same weights ONCE over the whole feature track using
 the standard dilation trick: every stride-2-in-time conv becomes a
 stride-1 conv with doubled time dilation (frequency keeps its stride), so
 the network stays at full time resolution and output t of the final map
 equals the strided network's row for the window starting at t.  The
 AvgPool + flatten + linear head becomes twelve shifted adds over the final
-map plus a [T, 48] matmul.  ~150x fewer FLOPs per output frame.
+map plus a [T, 48] matmul.  75x fewer FLOPs per output frame (XLA
+cost model: 18.5 vs 1,389 MFLOP).
 
 Numerics: for a window with silence around it the paths agree up to the
 *bias leak* — a zero track region carries ``relu(bias)``/BN-affine
