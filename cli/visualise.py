@@ -15,15 +15,21 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("what", choices=["train", "pr", "confusion", "compare"])
+    p.add_argument("what", choices=["train", "pr", "confusion", "compare",
+                                    "lengthdist", "ratiodist"])
     p.add_argument("inputs", nargs="+",
                    help="train: metrics.csv | pr: sum_stats CSV | "
-                        "confusion: per-meeting eval_df CSV | "
+                        "confusion/lengthdist/ratiodist: per-meeting "
+                        "eval_df CSV | "
                         "compare: name=path pairs of sum_stats CSVs")
     p.add_argument("--out", type=str, required=True, help="output PNG path")
     p.add_argument("--min_len", type=float, default=None,
-                   help="filter pr/confusion/compare to one smoothing "
-                        "setting (rejected for train)")
+                   help="filter pr/confusion/compare/lengthdist/ratiodist "
+                        "to one smoothing setting (rejected for train)")
+    p.add_argument("--threshold", type=float, default=None,
+                   help="prediction threshold for lengthdist/ratiodist "
+                        "(required there, rejected elsewhere; reference "
+                        "analyse.py:303-411 plots one threshold per figure)")
     p.add_argument("--title", type=str, default=None,
                    help="figure title (train only)")
     return p
@@ -41,12 +47,18 @@ _REQUIRED_COLUMNS = {
     "compare": ("threshold", "min_len", "precision", "recall"),
     "confusion": ("threshold", "min_len", "tot_fp_speech_time",
                   "tot_fp_noise_time", "tot_fp_silence_time"),
+    "lengthdist": ("threshold", "min_len", "tot_pred_time",
+                   "tot_transc_laugh_time"),
+    "ratiodist": ("threshold", "min_len", "tot_pred_time",
+                  "tot_transc_laugh_time", "corr_pred_time"),
 }
 _INPUT_KIND = {
     "train": "a training metrics.csv",
     "pr": "a sweep sum_stats CSV (analyse --sum_stats output)",
     "compare": "sweep sum_stats CSVs (analyse --sum_stats outputs)",
     "confusion": "a per-meeting eval_df CSV (analyse output)",
+    "lengthdist": "a per-meeting eval_df CSV (analyse output)",
+    "ratiodist": "a per-meeting eval_df CSV (analyse output)",
 }
 
 
@@ -87,6 +99,11 @@ def main(argv: Optional[List[str]] = None) -> int:
         raise SystemExit("--min_len does not apply to 'train'")
     if args.title is not None and args.what != "train":
         raise SystemExit(f"--title does not apply to {args.what!r}")
+    if args.what in ("lengthdist", "ratiodist"):
+        if args.threshold is None:
+            raise SystemExit(f"{args.what!r} requires --threshold")
+    elif args.threshold is not None:
+        raise SystemExit(f"--threshold does not apply to {args.what!r}")
     if args.what == "train":
         _check_columns("train", args.inputs[0])
         viz.plot_train_metrics(args.inputs[0], out_path=args.out, title=args.title)
@@ -99,6 +116,18 @@ def main(argv: Optional[List[str]] = None) -> int:
         _check_columns("confusion", args.inputs[0])
         viz.plot_fp_confusion(
             args.inputs[0], out_path=args.out, min_len=args.min_len
+        )
+    elif args.what == "lengthdist":
+        _check_columns("lengthdist", args.inputs[0])
+        viz.plot_aggregated_laughter_length_dist(
+            args.inputs[0], args.threshold, out_path=args.out,
+            min_len=args.min_len,
+        )
+    elif args.what == "ratiodist":
+        _check_columns("ratiodist", args.inputs[0])
+        viz.plot_agg_pred_time_ratio_dist(
+            args.inputs[0], args.threshold, out_path=args.out,
+            min_len=args.min_len,
         )
     else:
         bad = [s for s in args.inputs if "=" not in s]

@@ -438,6 +438,148 @@ def average_precision(sum_stats: pd.DataFrame, min_len: float) -> float:
     return ap
 
 
+# --------------------------------------------------------------------------- #
+# Auxiliary analysis surface (reference analyse.py:420-506)
+# --------------------------------------------------------------------------- #
+
+
+def laugh_df_to_csv(
+    df: pd.DataFrame, out_path: str, laugh_type: str = "breath-laugh"
+) -> int:
+    """Export the subset of laughter events of one ``laugh_type`` to CSV
+    (reference analyse.py:420-428, which hard-codes 'breath-laugh' and the
+    output name; ours takes both).  Typical input: a TranscriptStore's
+    ``laugh_only_df``.  Returns the number of rows written so callers can
+    tell an empty subset from a populated one (the reference wrote silently).
+
+    The CSV feeds ``cli/laughs_to_wav.py`` for listening audits, same as the
+    reference's output_processing workflow.
+    """
+    if "laugh_type" not in df.columns:
+        raise ValueError(
+            "laugh_df_to_csv needs a 'laugh_type' column (got "
+            f"{list(df.columns)}) — pass a transcript segment DataFrame"
+        )
+    subset = df[df["laugh_type"] == laugh_type]
+    subset.to_csv(out_path, index=False)
+    return int(subset.shape[0])
+
+
+def create_csvs_for_meeting(
+    meeting_id: str,
+    preds_dir: str,
+    store: TranscriptStore,
+    out_dir: str = ".",
+    thresholds: Tuple[float, ...] = (0.2, 0.4, 0.6, 0.8),
+    min_len: float = 0.2,
+) -> Tuple[str, str]:
+    """Write ``<meeting>_transc.csv`` (transcribed laughs) and
+    ``<meeting>_preds.csv`` (predictions at several thresholds, duplicates
+    across thresholds possible by design) for external analysis
+    (reference analyse.py:481-506).
+
+    Differences from the reference: thresholds/min_len are parameters
+    instead of hard-coded path strings, missing sweep directories are
+    skipped with a warning instead of crashing the export, and the output
+    dir is explicit.  Returns ``(transc_path, preds_path)``.
+    """
+    known = set(store.meeting_ids)
+    if meeting_id not in known:
+        raise ValueError(
+            f"unknown meeting {meeting_id!r} (transcript store has "
+            f"{sorted(known)})"
+        )
+    os.makedirs(out_dir, exist_ok=True)
+    transc_path = os.path.join(out_dir, f"{meeting_id}_transc.csv")
+    laugh_df = store.laugh_only_df
+    transc = (
+        laugh_df[laugh_df["meeting_id"] == meeting_id]
+        if not laugh_df.empty
+        else laugh_df
+    )
+    transc.to_csv(transc_path, index=False)
+
+    frames: List[pd.DataFrame] = []
+    for thr in thresholds:
+        tg_dir = os.path.join(
+            preds_dir, meeting_id, f"t_{thr}", f"l_{min_len}"
+        )
+        if not os.path.isdir(tg_dir):
+            print(f"WARNING: no prediction dir {tg_dir}; skipping", flush=True)
+            continue
+        frames.append(textgrid_to_df(tg_dir, store))
+    preds = (
+        pd.concat(frames, ignore_index=True)
+        if frames
+        else pd.DataFrame(columns=PRED_COLS)
+    )
+    preds_path = os.path.join(out_dir, f"{meeting_id}_preds.csv")
+    preds.to_csv(preds_path, index=False)
+    return transc_path, preds_path
+
+
+def stats_for_different_min_lengths(
+    preds_dir: str,
+    store: TranscriptStore,
+    min_lengths: Optional[List[float]] = None,
+    cfg: AnalysisConfig = ANALYSIS,
+    out_path: Optional[str] = None,
+    verbose: bool = False,
+) -> pd.DataFrame:
+    """Sensitivity of the corpus sweep stats to the laugh-VALIDITY
+    ``min_length`` (the transcript-side rule that routes short laughs into
+    the invalid index — indices.invalid_mask), not the prediction-side
+    ``min_len`` smoothing parameter.
+
+    Working redesign of reference analyse.py:431-479, which is broken two
+    ways: the index-recreation lines are commented out ("NEED TO CHANGED THE
+    FOLLOWING TWO LINES", :447-449) so mutating the global MIN_LENGTH never
+    reaches preprocess, and create_evaluation_df reads the cached eval_df,
+    so every iteration returns identical numbers.  Here each ``min_length``
+    rebuilds the interval indices via :func:`indices.build_indices` with a
+    replaced config and re-evaluates the predictions with caching OFF.
+
+    Default grid: 0.1..1.0 s in 0.1 steps (the reference's 5.2..8.0 s range
+    is far outside any plausible validity rule — its own default is 0.2 s —
+    and looks like leftover experiment state).
+
+    Output columns: the calc_sum_stats sweep (threshold, min_len, precision,
+    recall, f1) plus ``min_length`` and the per-grid-point corpus totals the
+    reference printed to stdout (:460-475): ``laugh_tot_len``,
+    ``laugh_events``, ``invalid_tot_len``, ``invalid_events``.
+    """
+    if min_lengths is None:
+        min_lengths = [round(0.1 * k, 1) for k in range(1, 11)]
+    import dataclasses as _dc
+
+    frames: List[pd.DataFrame] = []
+    for ml in min_lengths:
+        cfg_ml = _dc.replace(cfg, min_length=float(ml))
+        idx = indices_lib.build_indices(store, cfg=cfg_ml)
+        eval_df = create_evaluation_df(
+            preds_dir, store, idx, out_path=None, use_cache=False, verbose=verbose
+        )
+        stats = calc_sum_stats(eval_df)
+        stats["min_length"] = float(ml)
+        stats["laugh_tot_len"] = sum(idx.laugh.tot_len.values())
+        stats["laugh_events"] = int(sum(idx.laugh.tot_events.values()))
+        stats["invalid_tot_len"] = sum(idx.invalid.tot_len.values())
+        stats["invalid_events"] = int(sum(idx.invalid.tot_events.values()))
+        frames.append(stats)
+        if verbose:
+            print(
+                f"min_length={ml}: laugh={stats['laugh_tot_len'].iloc[0]:.2f}s/"
+                f"{stats['laugh_events'].iloc[0]} events, invalid="
+                f"{stats['invalid_tot_len'].iloc[0]:.2f}s/"
+                f"{stats['invalid_events'].iloc[0]} events",
+                flush=True,
+            )
+    result = pd.concat(frames, ignore_index=True)
+    if out_path:
+        result.to_csv(out_path, index=False)
+    return result
+
+
 def analyse(
     preds_dir: str,
     transcript_dir: Optional[str] = None,

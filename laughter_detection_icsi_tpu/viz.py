@@ -164,6 +164,130 @@ def plot_fp_confusion(
     return fig
 
 
+def _per_meeting_at_threshold(
+    eval_df_csv: str, threshold: float, min_len: Optional[float]
+) -> pd.DataFrame:
+    """Per-meeting eval rows at one threshold (and optionally one min_len),
+    with the same 6-decimal float normalization as the other filters.
+    Raises when the filter empties — a blank histogram saved as a PNG would
+    report success for an out-of-grid threshold."""
+    df = pd.read_csv(eval_df_csv)
+    df = df[df["threshold"].round(6) == round(threshold, 6)]
+    if min_len is not None:
+        df = _match_min_len(df, min_len)
+    if df.empty:
+        raise ValueError(
+            f"no evaluation rows at threshold={threshold} "
+            f"min_len={min_len} in {eval_df_csv}"
+        )
+    return df
+
+
+def plot_aggregated_laughter_length_dist(
+    eval_df_csv: str,
+    threshold: float,
+    out_path: Optional[str] = None,
+    min_len: Optional[float] = None,
+):
+    """Histograms of per-meeting aggregated laughter time, predicted vs
+    transcribed, at one threshold — three stacked panels zooming from the
+    full range down to the short tail (reference analyse.py:303-357).
+
+    Reads the per-meeting eval_df CSV the evaluator writes.  Differences
+    from the reference: meeting counts come from the data instead of the
+    hard-coded 75/56-min constants, and the deprecated sns.distplot is
+    replaced with plain matplotlib histograms.
+    """
+    df = _per_meeting_at_threshold(eval_df_csv, threshold, min_len)
+    cols = ["tot_pred_time", "tot_transc_laugh_time"]
+    # Same zoom levels as the reference: coarse, medium, fine.
+    panels = [(1000, 50), (500, 10), (60, 1)]
+    fig, axs = plt.subplots(3, 1, figsize=(6, 8))
+    for ax, (xmax, step) in zip(axs, panels):
+        for col in cols:
+            ax.hist(
+                df[col], bins=np.arange(0, xmax + step, step),
+                alpha=0.5, label=col,
+            )
+        ax.set_xlim(0, xmax)
+        ax.grid(alpha=0.3)
+    axs[-1].set_xlabel("Aggregated length [s]")
+    axs[0].legend(fontsize=8)
+    fig.supylabel("meetings")
+    pred_median = float(df[cols[0]].median())
+    transc_median = float(df[cols[1]].median())
+    n_pred = int((df["tot_pred_time"] > 0).sum())
+    fig.suptitle(
+        f"Aggregated laughter per meeting (threshold {threshold})\n"
+        f"median pred {pred_median:.2f}s / transc {transc_median:.2f}s; "
+        f"{n_pred}/{len(df)} meetings with predictions",
+        fontsize=10,
+    )
+    fig.tight_layout()
+    if out_path:
+        fig.savefig(out_path, dpi=120)
+        plt.close(fig)
+    return fig
+
+
+def plot_agg_pred_time_ratio_dist(
+    eval_df_csv: str,
+    threshold: float,
+    out_path: Optional[str] = None,
+    min_len: Optional[float] = None,
+):
+    """Distribution over meetings of predicted/transcribed laughter-time
+    ratio (percent) at one threshold, with median/mean markers and the
+    corpus-weighted precision/recall printed on the figure
+    (reference analyse.py:359-411).
+
+    Differences from the reference: meetings with zero transcribed laughter
+    are dropped from the ratio (the reference divides by zero into inf bins),
+    and the figure annotation computes weighted precision/recall directly
+    from the filtered rows — the reference's annotation code indexes
+    calc_sum_stats' output with a stale multi-index layout and crashes
+    (analyse.py:391-396 against the flat frame built at :280-290).
+    """
+    df = _per_meeting_at_threshold(eval_df_csv, threshold, min_len)
+    with_gt = df[df["tot_transc_laugh_time"] > 0]
+    if with_gt.empty:
+        raise ValueError(
+            f"no meetings with transcribed laughter at threshold={threshold} "
+            f"in {eval_df_csv}"
+        )
+    ratio = with_gt["tot_pred_time"] / with_gt["tot_transc_laugh_time"] * 100.0
+    fig, ax = plt.subplots(figsize=(8, 6))
+    ax.hist(ratio, bins=30, alpha=0.7)
+    ax.set_xlabel("pred_time / transc_time [%]")
+    ax.set_ylabel("meetings")
+    ax.grid(axis="y", alpha=0.3)
+    ymax = ax.get_ylim()[1]
+    ax.vlines(float(ratio.median()), 0, ymax, colors="r",
+              linestyles="dashed", label=f"median {ratio.median():.1f}%")
+    ax.vlines(float(ratio.mean()), 0, ymax, colors="b",
+              linestyles="dashed", label=f"mean {ratio.mean():.1f}%")
+    ax.legend()
+    # Corpus-weighted stats over the filtered rows (sum times, then divide —
+    # same rule as eval.analyse.calc_sum_stats).
+    tot_pred = float(df["tot_pred_time"].sum())
+    tot_corr = float(df["corr_pred_time"].sum())
+    tot_transc = float(df["tot_transc_laugh_time"].sum())
+    prec = 1.0 if tot_pred == 0 else tot_corr / tot_pred
+    recall = float("nan") if tot_transc == 0 else tot_corr / tot_transc
+    ax.set_title(
+        f"Predicted vs transcribed laughter time (threshold {threshold})\n"
+        f"weighted precision {prec:.3f}, recall {recall:.3f}; "
+        f"{int((df['tot_pred_time'] > 0).sum())}/{len(df)} meetings "
+        f"with predictions",
+        fontsize=10,
+    )
+    fig.tight_layout()
+    if out_path:
+        fig.savefig(out_path, dpi=120)
+        plt.close(fig)
+    return fig
+
+
 def plot_experiment_comparison(
     sum_stats_csvs: Dict[str, str],
     out_path: Optional[str] = None,

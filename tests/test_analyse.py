@@ -476,3 +476,121 @@ def test_index_cache_evicts_superseded_entries(synthetic_corpus, tmp_path):
     ind.load(store2)
     after = [k for k in ind._INDEX_CACHE if k not in before]
     assert len(after) == 1 and after != mine
+
+
+# --------------------------------------------------------------------------- #
+# Auxiliary analysis surface (reference analyse.py:420-506)
+# --------------------------------------------------------------------------- #
+
+
+def test_laugh_df_to_csv(store, tmp_path):
+    """Breath-laugh subset export (reference analyse.py:420-428).  The
+    synthetic corpus carries exactly one breath-laugh (Btr001 me001
+    [20,21])."""
+    out = tmp_path / "breath_laugh.csv"
+    n = an.laugh_df_to_csv(store.laugh_only_df, str(out))
+    assert n == 1
+    df = pd.read_csv(out)
+    assert len(df) == 1
+    assert df.iloc[0]["meeting_id"] == "Btr001"
+    assert df.iloc[0]["laugh_type"] == "breath-laugh"
+    assert df.iloc[0]["start"] == pytest.approx(20.0)
+    # other laugh types select their own subsets
+    out2 = tmp_path / "plain.csv"
+    n2 = an.laugh_df_to_csv(store.laugh_only_df, str(out2), laugh_type="laugh")
+    assert n2 == len(store.laugh_only_df) - 1
+    with pytest.raises(ValueError, match="laugh_type"):
+        an.laugh_df_to_csv(pd.DataFrame({"x": [1]}), str(out))
+
+
+def test_create_csvs_for_meeting(preds_dir, store, tmp_path):
+    """Per-meeting transc/preds CSV export (reference analyse.py:481-506);
+    missing threshold dirs are skipped with a warning instead of crashing
+    (the reference hard-codes four t_ dirs and dies on the first absent
+    one)."""
+    transc_path, preds_path = an.create_csvs_for_meeting(
+        "Bmr021", str(preds_dir), store, out_dir=str(tmp_path),
+        thresholds=(0.2, 0.5), min_len=0.2,  # t_0.2 absent -> warn+skip
+    )
+    transc = pd.read_csv(transc_path)
+    assert len(transc) == 2  # [10,13] and [50,50.5]
+    assert set(transc["meeting_id"]) == {"Bmr021"}
+    preds = pd.read_csv(preds_path)
+    assert len(preds) == 4  # chan0 x2 + chan1 x2 at t_0.5
+    assert set(preds["threshold"]) == {0.5}
+    with pytest.raises(ValueError, match="unknown meeting"):
+        an.create_csvs_for_meeting("Zzz999", str(preds_dir), store)
+
+
+def test_stats_for_different_min_lengths(preds_dir, store, tmp_path):
+    """WORKING min-length sensitivity sweep: indices are genuinely rebuilt
+    per grid point (the reference's version is broken — its index
+    recreation is commented out and it reads a cached eval_df, so every
+    iteration repeats the same numbers; reference analyse.py:431-479).
+
+    Hand-computed on the synthetic corpus at t_0.5 preds:
+      ml=0.05: the 0.1 s Btr001 laugh becomes VALID -> laugh total 7.1 s
+      ml=0.2 (default): 7.0 s (fixture baseline)
+      ml=0.6: Bmr021 [50,50.5] moves to invalid -> 6.5 s; the [50,50.5]
+        prediction is stripped by the invalid index, so corr=3.0,
+        pred=4.5 -> precision 2/3, recall 3.0/6.5
+    """
+    out = tmp_path / "ml_sweep.csv"
+    res = an.stats_for_different_min_lengths(
+        str(preds_dir), store, min_lengths=[0.05, 0.2, 0.6],
+        out_path=str(out),
+    )
+    assert out.is_file()
+    assert list(res["min_length"]) == [0.05, 0.2, 0.6]
+    by_ml = res.set_index("min_length")
+    assert by_ml.loc[0.05, "laugh_tot_len"] == pytest.approx(7.1)
+    assert by_ml.loc[0.2, "laugh_tot_len"] == pytest.approx(7.0)
+    assert by_ml.loc[0.6, "laugh_tot_len"] == pytest.approx(6.5)
+    # valid + invalid mass is conserved across the grid (laughs only move
+    # between the two indices; the typed-invalid segments never move)
+    total = res["laugh_tot_len"] + res["invalid_tot_len"]
+    assert total.nunique() == 1
+    # events conserved too
+    ev = res["laugh_events"] + res["invalid_events"]
+    assert ev.nunique() == 1
+    # stats recomputed against the rebuilt indices, not cached
+    assert by_ml.loc[0.2, "precision"] == pytest.approx(0.7)
+    assert by_ml.loc[0.2, "recall"] == pytest.approx(0.5)
+    assert by_ml.loc[0.6, "precision"] == pytest.approx(2.0 / 3.0)
+    assert by_ml.loc[0.6, "recall"] == pytest.approx(3.0 / 6.5)
+    assert by_ml.loc[0.05, "recall"] == pytest.approx(3.5 / 7.1)
+
+
+def test_analyse_cli_aux_exports(preds_dir, synthetic_corpus, tmp_path, capsys):
+    """CLI wiring for the three aux exports (cli/analyse.py)."""
+    from cli import analyse as analyse_cli
+
+    tdir = str(synthetic_corpus.transcript_dir)
+    # breath-laugh export (no preds_dir needed)
+    bl = tmp_path / "bl.csv"
+    rc = analyse_cli.main(
+        ["--breath_laugh_csv", str(bl), "--transcript_dir", tdir]
+    )
+    assert rc == 0 and bl.is_file()
+    assert len(pd.read_csv(bl)) == 1
+    # per-meeting CSVs
+    rc = analyse_cli.main(
+        ["--meeting_csvs", "Bmr021", str(preds_dir), "--transcript_dir", tdir,
+         "--out_dir", str(tmp_path)]
+    )
+    assert rc == 0
+    assert (tmp_path / "Bmr021_transc.csv").is_file()
+    assert (tmp_path / "Bmr021_preds.csv").is_file()
+    # min-length sweep
+    rc = analyse_cli.main(
+        ["--min_length_sweep", "0.2,0.6", str(preds_dir),
+         "--transcript_dir", tdir]
+    )
+    assert rc == 0
+    out = preds_dir.parent / (
+        preds_dir.name + "_sum_stats_for_different_min_lengths.csv"
+    )
+    assert out.is_file()
+    swept = pd.read_csv(out)
+    assert sorted(swept["min_length"].unique()) == [0.2, 0.6]
+    capsys.readouterr()

@@ -56,17 +56,22 @@ def eval_df_csv(tmp_path):
     p = tmp_path / "eval_df.csv"
     pd.DataFrame(
         {
-            "meeting": ["Bmr021", "Bmr021"],
-            "threshold": [0.2, 0.5],
-            "min_len": [0.2, 0.2],
+            "meeting": ["Bmr021", "Bmr021", "Btr001", "Btr001"],
+            "threshold": [0.2, 0.5, 0.2, 0.5],
+            "min_len": [0.2, 0.2, 0.2, 0.2],
             # Real eval_df rows (EVAL_COLS) carry per-meeting precision and
             # recall too — which is exactly why 'pr' needs the per-type-FP
             # fingerprint to reject them.
-            "precision": [0.4, 0.6],
-            "recall": [0.8, 0.5],
-            "tot_fp_speech_time": [3.0, 1.5],
-            "tot_fp_noise_time": [0.5, 0.2],
-            "tot_fp_silence_time": [8.0, 4.0],
+            "precision": [0.4, 0.6, 0.5, 1.0],
+            "recall": [0.8, 0.5, 0.4, 0.2],
+            "corr_pred_time": [8.0, 5.0, 2.0, 1.0],
+            "tot_pred_time": [20.0, 8.3, 4.0, 1.0],
+            # Btr001 at t=0.5 has no transcribed laughter: ratiodist must
+            # drop it from the ratio instead of dividing by zero.
+            "tot_transc_laugh_time": [10.0, 10.0, 5.0, 0.0],
+            "tot_fp_speech_time": [3.0, 1.5, 1.0, 0.0],
+            "tot_fp_noise_time": [0.5, 0.2, 0.0, 0.0],
+            "tot_fp_silence_time": [8.0, 1.6, 1.0, 0.0],
         }
     ).to_csv(p, index=False)
     return str(p)
@@ -82,6 +87,57 @@ def test_plots_render(metrics_csv, sum_stats_csv, eval_df_csv, tmp_path):
         out = tmp_path / f"{fn.__name__}.png"
         fn(*args, out_path=str(out))
         assert out.stat().st_size > 10_000
+
+
+def test_aux_dist_plots_render(eval_df_csv, tmp_path):
+    """Aggregated-length and pred/transc-ratio distributions (reference
+    analyse.py:303-411) render headless; out-of-grid thresholds and
+    all-zero-transcription filters fail loudly instead of saving a blank
+    figure."""
+    out1 = tmp_path / "lengthdist.png"
+    viz.plot_aggregated_laughter_length_dist(eval_df_csv, 0.5, out_path=str(out1))
+    assert out1.stat().st_size > 10_000
+    out2 = tmp_path / "ratiodist.png"
+    viz.plot_agg_pred_time_ratio_dist(eval_df_csv, 0.5, out_path=str(out2))
+    assert out2.stat().st_size > 10_000
+    with pytest.raises(ValueError, match="threshold=0.9"):
+        viz.plot_aggregated_laughter_length_dist(
+            eval_df_csv, 0.9, out_path=str(tmp_path / "x.png")
+        )
+    with pytest.raises(ValueError, match="threshold=0.9"):
+        viz.plot_agg_pred_time_ratio_dist(
+            eval_df_csv, 0.9, out_path=str(tmp_path / "x.png")
+        )
+    # a threshold slice where NO meeting has transcribed laughter
+    p = tmp_path / "no_gt.csv"
+    df = pd.read_csv(eval_df_csv)
+    df["tot_transc_laugh_time"] = 0.0
+    df.to_csv(p, index=False)
+    with pytest.raises(ValueError, match="transcribed laughter"):
+        viz.plot_agg_pred_time_ratio_dist(str(p), 0.5, out_path=str(tmp_path / "y.png"))
+
+
+def test_visualise_cli_dist_modes(eval_df_csv, sum_stats_csv, tmp_path):
+    """CLI wiring for lengthdist/ratiodist: --threshold is required there
+    and rejected elsewhere; sum_stats input is rejected by the column
+    fingerprint (it has no per-meeting time columns)."""
+    from cli.visualise import main
+
+    out = tmp_path / "ld.png"
+    assert main(["lengthdist", eval_df_csv, "--out", str(out),
+                 "--threshold", "0.5"]) == 0
+    assert out.exists()
+    out2 = tmp_path / "rd.png"
+    assert main(["ratiodist", eval_df_csv, "--out", str(out2),
+                 "--threshold", "0.2", "--min_len", "0.2"]) == 0
+    assert out2.exists()
+    with pytest.raises(SystemExit, match="--threshold"):
+        main(["lengthdist", eval_df_csv, "--out", str(out)])
+    with pytest.raises(SystemExit, match="--threshold"):
+        main(["pr", sum_stats_csv, "--out", str(out), "--threshold", "0.5"])
+    with pytest.raises(SystemExit, match="tot_pred_time"):
+        main(["ratiodist", sum_stats_csv, "--out", str(out),
+              "--threshold", "0.5"])
 
 
 def test_visualise_cli(metrics_csv, tmp_path):
