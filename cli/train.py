@@ -64,6 +64,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "--device_cache_budget_gb")
     p.add_argument("--device_cache_budget_gb", type=float, default=4.0,
                    help="max HBM the 'auto' device cache may claim")
+    p.add_argument("--steps_per_dispatch", type=int, default=1,
+                   help="fuse K consecutive device-resident train steps "
+                        "into one dispatch (lax.scan over a [K, B] index "
+                        "matrix) — amortizes per-dispatch link latency; "
+                        "needs --device_cache and grad_accum 1; same "
+                        "semantics as K=1 (numerics equivalent up to float "
+                        "reassociation)")
     p.add_argument("--val_batches_per_log", type=int, default=10)
     p.add_argument("--seed", type=int, default=0)
     from laughter_detection_icsi_tpu.parallel import distributed
@@ -309,7 +316,14 @@ def main(argv: Optional[List[str]] = None) -> int:
         # stop at the SAME step boundary on preemption
         write_artifacts=not multi_process or jax.process_index() == 0,
         sync_preempt=sync_preempt,
+        steps_per_dispatch=args.steps_per_dispatch,
     )
+    if args.steps_per_dispatch > 1 and not use_cache:
+        print(
+            "note: --steps_per_dispatch fuses device-resident batches only; "
+            "this run streams from host (--device_cache off), so steps "
+            "dispatch one at a time"
+        )
     params, state, opt_state = loop.resume_if_possible(params, state, opt_state)
     if multi_process:
         # Processes whose local disk has no checkpoint (only the

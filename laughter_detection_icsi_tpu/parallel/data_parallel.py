@@ -64,9 +64,14 @@ class DataParallelTrainer:
 
         # ONE step-body definition shared with the single-device trainer
         # (train.loop.build_step_fns) so the two can never drift.
-        _, train_step, train_step_resident, eval_step, eval_step_resident = (
-            build_step_fns(self.model, self.optimizer, constrain)
-        )
+        (
+            _,
+            train_step,
+            train_step_resident,
+            train_k_steps_resident,
+            eval_step,
+            eval_step_resident,
+        ) = build_step_fns(self.model, self.optimizer, constrain)
         self._train_step = jax.jit(
             train_step,
             in_shardings=(repl, repl, repl, dp, dp, repl),
@@ -75,6 +80,19 @@ class DataParallelTrainer:
         self._train_step_resident = jax.jit(
             train_step_resident,
             in_shardings=(repl, repl, repl, dp, dp, dp, repl, repl),
+            out_shardings=(repl, repl, repl, repl),
+        )
+        # [K, B] index matrix: B (dim 1) sharded over 'data' so each scan
+        # step sees the same dp-sharded idx vector as the per-step path;
+        # each step's gather output is pinned batch-sharded by `constrain`,
+        # so the scanned body is the plain data-parallel step.
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        idx_k = NamedSharding(self.mesh, PartitionSpec(None, mesh_lib.DATA_AXIS))
+        self._idx_k = idx_k
+        self._train_k_steps_resident = jax.jit(
+            train_k_steps_resident,
+            in_shardings=(repl, repl, repl, dp, dp, idx_k, repl, repl),
             out_shardings=(repl, repl, repl, repl),
         )
         self._eval_step = jax.jit(
@@ -182,6 +200,39 @@ class DataParallelTrainer:
             sharded_idx,
             key,
             np.int32(step),
+        )
+
+    def train_k_steps_resident(
+        self, params, state, opt_state, resident, idx_mat, key, step0
+    ):
+        """K fused data-parallel steps in ONE dispatch (same contract as
+        train.Trainer.train_k_steps_resident: [K, B] index matrix in,
+        metrics stacked [K] out).  Every process passes the same GLOBAL
+        index matrix (TrainLoop's epoch order is a pure function of the
+        seed, so they agree); columns land on the owning process's shards
+        via make_array_from_callback — no cross-host index movement."""
+        import numpy as np
+
+        idx_mat = np.asarray(idx_mat, dtype=np.int32)
+        if idx_mat.ndim != 2:
+            raise ValueError(f"idx_mat must be [K, B]; got {idx_mat.shape}")
+        n = self.mesh.devices.size
+        if idx_mat.shape[1] % n:
+            raise ValueError(
+                f"batch dim {idx_mat.shape[1]} not divisible by mesh size {n}"
+            )
+        sharded_idx = jax.make_array_from_callback(
+            idx_mat.shape, self._idx_k, lambda i: idx_mat[i]
+        )
+        return self._train_k_steps_resident(
+            params,
+            state,
+            opt_state,
+            resident.feats,
+            resident.labels,
+            sharded_idx,
+            key,
+            np.int32(step0),
         )
 
     def eval_batch(self, params, state, batch):

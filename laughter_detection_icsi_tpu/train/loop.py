@@ -115,13 +115,28 @@ def build_step_fns(model: Model, optimizer: Adam, constrain_batch=None):
     crosses shards over ICI and must land batch-sharded); identity when
     None.  Callers jit the returned fns with their own sharding annotations.
 
-    Returns (loss_fn, train_step, train_step_resident, eval_step,
-    eval_step_resident):
+    Returns (loss_fn, train_step, train_step_resident,
+    train_k_steps_resident, eval_step, eval_step_resident):
 
     - train_step_resident: fused step for device-resident datasets — HBM
       batch gather + per-step rng derivation + train step in ONE dispatch
       (only the [B] index vector and the step scalar cross the link;
       link/dispatch latency is the loop bound once features are resident).
+    - train_k_steps_resident: K optimizer steps in ONE dispatch — a
+      ``lax.scan`` of train_step_resident over a [K, B] index matrix, so a
+      tunneled/high-latency link pays its per-dispatch floor once per K
+      steps instead of once per step.  Per-step metrics come back stacked
+      [K].  Semantics are identical to K sequential train_step_resident
+      calls (same ops, same order, same fold_in(key, step0+k) dropout
+      keys); numerics are equivalent up to float reassociation — XLA
+      compiles the scanned body separately and may pick different conv
+      lowerings (measured: per-step loss matches to ~1e-7 relative, but
+      Adam's early steps are sign-like, lr*g/(|g|+eps), so near-zero
+      gradient elements amplify that noise into ~lr-sized param
+      differences; matmul-only models reproduce bit-exactly).  Tradeoff:
+      scanning the conv fwd+bwd body compiles markedly slower than the
+      single step (the known conv-in-scan cliff — see the fused_conv probe
+      lore); the compile is per (K, B) shape and amortizes across the run.
     - eval_step_resident: fused HBM gather + eval, the validation twin —
       online eval during --device_cache training never streams feature
       batches from host.
@@ -146,6 +161,24 @@ def build_step_fns(model: Model, optimizer: Adam, constrain_batch=None):
         rng = jax.random.fold_in(key, step)
         return train_step(params, state, opt_state, x, y, rng)
 
+    def train_k_steps_resident(
+        params, state, opt_state, data, labels, idx_mat, key, step0
+    ):
+        ks = jnp.arange(idx_mat.shape[0], dtype=jnp.int32)
+
+        def body(carry, xs):
+            p, s, o = carry
+            idx, k = xs
+            p, s, o, metrics = train_step_resident(
+                p, s, o, data, labels, idx, key, step0 + k
+            )
+            return (p, s, o), metrics
+
+        (params, state, opt_state), metrics = jax.lax.scan(
+            body, (params, state, opt_state), (idx_mat, ks)
+        )
+        return params, state, opt_state, metrics
+
     def eval_step(params, state, x, y):
         probs, _ = model.apply(params, state, x, train=False)
         metrics = batch_metrics(probs, y)
@@ -156,7 +189,14 @@ def build_step_fns(model: Model, optimizer: Adam, constrain_batch=None):
         x, y = cb(data[idx].astype(jnp.float32)[:, None, :, :], labels[idx])
         return eval_step(params, state, x, y)
 
-    return loss_fn, train_step, train_step_resident, eval_step, eval_step_resident
+    return (
+        loss_fn,
+        train_step,
+        train_step_resident,
+        train_k_steps_resident,
+        eval_step,
+        eval_step_resident,
+    )
 
 
 @dataclasses.dataclass
@@ -192,11 +232,13 @@ class Trainer:
             loss_fn,
             train_step,
             train_step_resident,
+            train_k_steps_resident,
             eval_step,
             eval_step_resident,
         ) = build_step_fns(model, optimizer)
         train_step = jax.jit(train_step)
         train_step_resident = jax.jit(train_step_resident)
+        train_k_steps_resident = jax.jit(train_k_steps_resident)
         eval_step = jax.jit(eval_step)
         eval_step_resident = jax.jit(eval_step_resident)
 
@@ -221,6 +263,7 @@ class Trainer:
         self._eval_step_resident = eval_step_resident
         self._train_step = train_step
         self._train_step_resident = train_step_resident
+        self._train_k_steps_resident = train_k_steps_resident
         self._grad_step = grad_step
         self._apply_grads = apply_grads
         self._eval_step = eval_step
@@ -311,6 +354,33 @@ class Trainer:
         rng = jax.random.fold_in(key, step)
         return self.train_batch(
             params, state, opt_state, {"inputs": x, "is_laugh": y}, rng
+        )
+
+    def train_k_steps_resident(
+        self, params, state, opt_state, resident, idx_mat, key, step0
+    ):
+        """K fused optimizer steps from a device-resident dataset in ONE
+        dispatch (scan over the [K, B] index matrix).  Returns
+        (params, state, opt_state, metrics) with each metric stacked [K]
+        in step order.  Requires grad_accum == 1: accumulation groups are
+        host-driven state the scanned body cannot thread."""
+        if self.grad_accum != 1:
+            raise ValueError(
+                "train_k_steps_resident requires grad_accum == 1 "
+                f"(got {self.grad_accum})"
+            )
+        idx_mat = np.asarray(idx_mat, dtype=np.int32)
+        if idx_mat.ndim != 2:
+            raise ValueError(f"idx_mat must be [K, B]; got {idx_mat.shape}")
+        return self._train_k_steps_resident(
+            params,
+            state,
+            opt_state,
+            resident.feats,
+            resident.labels,
+            idx_mat,
+            key,
+            np.int32(step0),
         )
 
     def eval_batch(self, params, state, batch):
@@ -428,6 +498,18 @@ class TrainLoop:
     #: Single-host (sync_preempt None) is unaffected: the local flag is
     #: checked every step for free.
     preempt_vote_every: int = 10
+    #: fuse up to K consecutive device-resident steps into ONE dispatch
+    #: (Trainer.train_k_steps_resident): a tunneled/high-latency link pays
+    #: its per-dispatch floor once per K steps instead of once per step.
+    #: Groups are aligned to log points and (multi-host) preemption-vote
+    #: boundaries, so logging/checkpoint/vote semantics are unchanged; the
+    #: training semantics are identical to K=1 (same ops, same order, same
+    #: per-step dropout keys — numerics equivalent up to float
+    #: reassociation; see build_step_fns).  Cost: preemption latency grows
+    #: to K steps,
+    #: and the scanned step compiles slower (once per (K, B) shape).
+    #: Requires grad_accum == 1; streamed (non-resident) batches ignore it.
+    steps_per_dispatch: int = 1
 
     global_step: int = 0
     epoch: int = 0
@@ -538,6 +620,22 @@ class TrainLoop:
             epoch_step=self.epoch_step - step_offset,
         )
 
+    def _dispatch_group_limit(self) -> int:
+        """Largest fused-dispatch group that starts at the CURRENT
+        global_step without skipping a log point or (multi-host) a
+        preemption-vote boundary — both fire on ``global_step % cadence ==
+        0`` after the increment, so a group of exactly the remaining
+        distance ends on the boundary."""
+        k = self.steps_per_dispatch
+        if k <= 1:
+            return 1
+        if self.log_frequency:
+            k = min(k, self.log_frequency - (self.global_step % self.log_frequency))
+        if self.sync_preempt is not None:
+            v = max(1, self.preempt_vote_every)
+            k = min(k, v - (self.global_step % v))
+        return max(k, 1)
+
     def run_epoch(
         self,
         params,
@@ -590,8 +688,33 @@ class TrainLoop:
         # re-counts) the rolled-back micro-batches.
         loss_at_boundary: Optional[jnp.ndarray] = None
         nb_at_boundary = 0
+        if self.steps_per_dispatch > 1:
+            # Loud rejection over silent K=1 fallback: a user who set the
+            # knob must not believe they amortized dispatch when they
+            # didn't.
+            if getattr(self.trainer, "grad_accum", 1) != 1:
+                raise ValueError(
+                    "steps_per_dispatch > 1 requires grad_accum == 1 "
+                    "(accumulation groups are host-driven state the "
+                    "scanned K-step body cannot thread)"
+                )
+            if not hasattr(self.trainer, "train_k_steps_resident"):
+                raise ValueError(
+                    f"trainer {type(self.trainer).__name__} has no "
+                    "train_k_steps_resident; steps_per_dispatch > 1 needs it"
+                )
         t0 = time.perf_counter()
-        for batch in train_batches:
+        it = iter(train_batches)
+        _NO_PENDING = object()  # None is a real (placeholder) batch value
+        pending_next = _NO_PENDING
+        while True:
+            if pending_next is not _NO_PENDING:
+                batch, pending_next = pending_next, _NO_PENDING
+            else:
+                try:
+                    batch = next(it)
+                except StopIteration:
+                    break
             if skip > 0:
                 # `batch` may be a real (discarded) batch or a None
                 # placeholder from a skip-aware source
@@ -604,13 +727,58 @@ class TrainLoop:
                     "source's skip_assembly disagrees with the loop's "
                     "resume position"
                 )
+            group_n = 1
             if isinstance(batch, dict) and batch.get("resident") is not None:
-                # Fused resident step: rng derives on device from
-                # (epoch key, global_step) — no per-step split dispatch.
-                params, state, opt_state, metrics = self.trainer.train_batch_resident(
-                    params, state, opt_state,
-                    batch["resident"], batch["idx"], rng, self.global_step,
-                )
+                # Gather up to limit consecutive SAME-resident, same-size
+                # batches into one fused K-step dispatch.  The limit aligns
+                # group ends to log points and (multi-host) vote
+                # boundaries, so a log/checkpoint/vote never falls strictly
+                # inside a group and the per-step semantics below hold
+                # unchanged.
+                group = [batch]
+                limit = self._dispatch_group_limit()
+                while len(group) < limit:
+                    try:
+                        nxt = next(it)
+                    except StopIteration:
+                        break
+                    if (
+                        isinstance(nxt, dict)
+                        and nxt.get("resident") is batch["resident"]
+                        and len(nxt["idx"]) == len(batch["idx"])
+                    ):
+                        group.append(nxt)
+                    else:
+                        pending_next = nxt  # epoch-tail partial batch etc.
+                        break
+                if len(group) > 1:
+                    idx_mat = np.stack(
+                        [np.asarray(g["idx"], np.int32) for g in group]
+                    )
+                    params, state, opt_state, k_metrics = (
+                        self.trainer.train_k_steps_resident(
+                            params, state, opt_state,
+                            batch["resident"], idx_mat, rng, self.global_step,
+                        )
+                    )
+                    group_n = len(group)
+                    # Stacked [K] per-step metrics: the epoch mean needs the
+                    # SUM of the group's losses; log points (at group end by
+                    # alignment) report the last step's metrics, exactly as
+                    # the per-step path would have.
+                    loss_inc = k_metrics["loss"].sum()
+                    metrics = {k: v[-1] for k, v in k_metrics.items()}
+                else:
+                    # Fused resident step: rng derives on device from
+                    # (epoch key, global_step) — no per-step split dispatch.
+                    params, state, opt_state, metrics = (
+                        self.trainer.train_batch_resident(
+                            params, state, opt_state,
+                            batch["resident"], batch["idx"], rng,
+                            self.global_step,
+                        )
+                    )
+                    loss_inc = metrics["loss"]
             else:
                 # Same derivation as the fused resident step, so streamed
                 # and resident epochs see IDENTICAL per-step dropout keys
@@ -619,12 +787,11 @@ class TrainLoop:
                 params, state, opt_state, metrics = self.trainer.train_batch(
                     params, state, opt_state, batch, step_rng
                 )
-            loss_sum = (
-                metrics["loss"] if loss_sum is None else loss_sum + metrics["loss"]
-            )
-            num_batches += 1
-            self.global_step += 1
-            self.epoch_step += 1
+                loss_inc = metrics["loss"]
+            loss_sum = loss_inc if loss_sum is None else loss_sum + loss_inc
+            num_batches += group_n
+            self.global_step += group_n
+            self.epoch_step += group_n
             if self.trainer.pending_micro_steps == 0:
                 # The PUBLIC boundary interface (both trainers implement
                 # it), not a private attribute probe — a trainer with real

@@ -400,3 +400,51 @@ def test_dp_eval_accepts_resident_batches(tmp_path, rng):
     )
     for k in streamed:
         assert streamed[k] == pytest.approx(fused[k], abs=1e-6), k
+
+
+def test_dp_k_step_resident_matches_per_step(tiny_model, rng):
+    """The data-parallel K-step scan (idx [K, B] sharded over B, gathers
+    pinned batch-sharded) must train identically to K sequential DP
+    resident steps."""
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    mesh = make_mesh(8)
+    n, t, f = 64, 12, 8
+    y = (rng.uniform(size=n) > 0.5).astype(np.float32)
+    x = rng.standard_normal((n, t, f)).astype(np.float32) * 0.1
+    x[y > 0.5, :, :3] += 2.0
+
+    class _Res:
+        pass
+
+    res = _Res()
+    res.feats = jax.device_put(x, NamedSharding(mesh, PartitionSpec("data")))
+    res.labels = jax.device_put(y, NamedSharding(mesh, PartitionSpec("data")))
+
+    idx_mat = np.stack(
+        [np.arange(k * 16, (k + 1) * 16) for k in range(4)]
+    ).astype(np.int32)
+    key = jax.random.PRNGKey(11)
+    dp = DataParallelTrainer(model=tiny_model, mesh=mesh)
+    params, state, opt_state = dp.init(jax.random.PRNGKey(0))
+
+    p_seq, s_seq, o_seq = params, state, opt_state
+    seq_losses = []
+    for k in range(4):
+        p_seq, s_seq, o_seq, m = dp.train_batch_resident(
+            p_seq, s_seq, o_seq, res, idx_mat[k], key, 50 + k
+        )
+        seq_losses.append(float(m["loss"]))
+    p_k, _s_k, _o_k, mk = dp.train_k_steps_resident(
+        params, state, opt_state, res, idx_mat, key, 50
+    )
+    np.testing.assert_allclose(
+        np.asarray(mk["loss"]), np.asarray(seq_losses), rtol=1e-6
+    )
+    for a, b in zip(jax.tree_util.tree_leaves(p_k), jax.tree_util.tree_leaves(p_seq)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7)
+    with pytest.raises(ValueError, match="not divisible"):
+        dp.train_k_steps_resident(
+            params, state, opt_state, res,
+            np.zeros((2, 9), np.int32), key, 0,
+        )
