@@ -28,7 +28,15 @@ sick tunnel yields a diagnostic record instead of an empty round artifact.
 Exit code 3 == no measurement (diagnostic record emitted).
 
 Optional modes (informational; the driver runs the default):
-  python bench.py --train   — jitted train-step throughput (samples/sec/chip)
+  python bench.py --train      — jitted train-step throughput (samples/s/chip)
+  python bench.py --train-loop — REAL resident TrainLoop epoch throughput at
+                                 several --steps_per_dispatch K (the K-step
+                                 scan amortizes the per-dispatch link floor)
+                                 + a streamed-loop row
+  python bench.py --sharded    — multi-channel ShardedPipeline aggregate
+                                 x-realtime (the Slurm-fan-out replacement)
+Every mode emits through the same guard/history machinery, so their rows
+land in bench_runs.jsonl alongside the round record.
 """
 
 import argparse
@@ -77,17 +85,24 @@ def _set_phase(name: str) -> None:
     )
 
 
-def _emit_final(record: dict = None) -> None:
+def _emit_final(record: dict = None) -> dict:
     """Print the round's ONE JSON line, exactly once, on any exit path.
 
     Thread-safe and idempotent: called from atexit, from signal handlers,
     from the budget guard thread, and from the normal end of main() — the
     first caller wins.  With no measurement stored, emits a diagnostic
     record (value null + error naming the phase that was interrupted) so
-    the driver artifact always parses."""
+    the driver artifact always parses.
+
+    Returns the record that WAS (or already had been) emitted — exit codes
+    must key on this return, not on a pre-call peek at _STATE['record']:
+    the main thread can store the real measurement between the peek and
+    the emission, and an rc=3 paired with a non-null value would make the
+    driver discard a valid reading (the documented contract is exit 3 ==
+    value null)."""
     with _EMIT_LOCK:
         if _STATE["emitted"]:
-            return
+            return _STATE.get("emitted_record")
         _STATE["emitted"] = True
         rec = record if record is not None else _STATE["record"]
         if rec is None:
@@ -102,9 +117,10 @@ def _emit_final(record: dict = None) -> None:
                     f"(budget {_BUDGET_S:.0f}s)"
                 ),
             }
+        _STATE["emitted_record"] = rec
         print(json.dumps(rec), flush=True)
         if os.environ.get("BENCH_HISTORY", "on") == "off":
-            return
+            return rec
         try:
             # Every reading (including diagnostics) also lands in the
             # repo-local history file, so bench numbers are committed
@@ -128,6 +144,7 @@ def _emit_final(record: dict = None) -> None:
                 f.write(json.dumps(entry) + "\n")
         except Exception:
             pass
+        return rec
 
 
 def _budget_guard() -> None:
@@ -146,9 +163,8 @@ def _budget_guard() -> None:
                 file=sys.stderr,
                 flush=True,
             )
-            had_measurement = _STATE["record"] is not None
-            _emit_final()
-            os._exit(0 if had_measurement else 3)
+            rec = _emit_final()
+            os._exit(0 if rec and rec.get("value") is not None else 3)
         if _elapsed() - last_beat >= 15.0:
             last_beat = _elapsed()
             print(
@@ -167,9 +183,8 @@ def _on_signal(signum, frame) -> None:
         file=sys.stderr,
         flush=True,
     )
-    had_measurement = _STATE["record"] is not None
-    _emit_final()
-    os._exit(0 if had_measurement else 3)
+    rec = _emit_final()
+    os._exit(0 if rec and rec.get("value") is not None else 3)
 
 
 def _arm_guard() -> None:
@@ -250,9 +265,27 @@ def _wait_for_healthy_d2h(max_wait_s: float = None) -> bool:
         # transfers/executions, which would make a sick link probe healthy.
         x = probe(jnp.full(256, float(attempt)))
         x.block_until_ready()
-        t0 = time.perf_counter()
-        np.asarray(x)
-        if time.perf_counter() - t0 < 5.0:
+        # Per-attempt watchdog: a degraded transfer blocks INSIDE
+        # np.asarray for ~190 s — exactly the condition being probed — and
+        # an unbounded wait let one attempt eat the whole budget (observed
+        # 2026-08-20 17:31Z: a diagnostic record whose entire 240 s went to
+        # phase d2h_probe).  Run the readback in a daemon thread and join
+        # with a cap; a timed-out thread is abandoned (it unblocks whenever
+        # the tunnel does) and the probe reports unhealthy immediately,
+        # leaving the budget to the tunnel-independent device metrics.
+        result = {}
+
+        def _readback(arr=x, out=result):
+            t0 = time.perf_counter()
+            np.asarray(arr)
+            out["dt"] = time.perf_counter() - t0
+
+        cap = max(6.0, min(20.0, (deadline - time.monotonic()) / 3.0,
+                           _remaining() / 3.0))
+        th = threading.Thread(target=_readback, daemon=True)
+        th.start()
+        th.join(cap)
+        if result.get("dt") is not None and result["dt"] < 5.0:
             return True
         if time.monotonic() > deadline:
             return False
@@ -272,6 +305,8 @@ def bench_train() -> None:
     from laughter_detection_icsi_tpu.config import MODEL_MAP
     from laughter_detection_icsi_tpu.train.loop import Trainer
 
+    # metric/unit are set in __main__ BEFORE imports; repeated here only
+    # for direct callers (tests import and call bench_train()).
     _STATE["metric"] = "train_step_throughput"
     _STATE["unit"] = "samples_per_sec_per_chip"
 
@@ -322,6 +357,274 @@ def bench_train() -> None:
         "platform": jax.devices()[0].platform,
     }
     _emit_final()
+
+
+def bench_train_loop() -> None:
+    """The REAL resident training loop, measured end to end: TrainLoop's
+    epoch driver over a device-resident dataset, at several
+    steps_per_dispatch values (K=1 is the round-3 status quo whose
+    committed step throughput was 1.0M samples/s while the LOOP ran ~7.6k
+    on the tunnel — the per-step dispatch floor).  One epoch per K, timed
+    as wall-clock including all host-side loop work; a streamed-loop row
+    (host batches uploaded per step) when the budget allows.
+
+    Record: value = best resident loop samples/s across K; per-K fields
+    loop_k<K>_samples_per_s; streamed_samples_per_s."""
+    import tempfile
+
+    import jax
+    import jax.numpy as jnp
+
+    from laughter_detection_icsi_tpu import models
+    from laughter_detection_icsi_tpu.config import MODEL_MAP
+    from laughter_detection_icsi_tpu.train.loop import Trainer, TrainLoop
+    from laughter_detection_icsi_tpu.utils.compile_cache import (
+        enable_compilation_cache,
+    )
+
+    _STATE["metric"] = "train_loop_throughput"
+    _STATE["unit"] = "samples_per_sec_per_chip"
+    if os.environ.get("JAX_PLATFORMS", "").strip().lower() != "cpu":
+        enable_compilation_cache()
+
+    preset = MODEL_MAP["resnet_base"]
+    model = models.build(
+        preset.model,
+        dropout_rate=0.5,
+        linear_layer_size=preset.linear_layer_size,
+        filter_sizes=preset.filter_sizes,
+    )
+    trainer = Trainer(model)
+    _wait_for_backend()
+    _set_phase("backend_init")
+    _apply_platform_env()
+    disarm = _backend_watchdog()
+    platform = jax.devices()[0].platform
+    disarm()
+    on_accel = platform not in ("cpu",)
+    params, state, opt_state = trainer.init(jax.random.PRNGKey(0))
+
+    batch = 1024 if on_accel else 32
+    n_rows = 8192 if on_accel else 128
+    steps_target = 128 if on_accel else 8
+    # K grid override (comma list): the scanned conv body compiles MUCH
+    # slower than the per-step graph (the conv-in-scan cliff — minutes on
+    # the 1-core CPU host), so self-tests pin a cheap grid.
+    ks_env = os.environ.get("BENCH_TRAIN_LOOP_KS")
+    if ks_env:
+        ks = tuple(int(s) for s in ks_env.split(","))
+    else:
+        ks = (1, 8, 64) if on_accel else (1, 4)
+
+    # Synthetic resident split generated ON DEVICE — no upload at all, so
+    # the loop measurement isolates dispatch/loop cost from data staging.
+    class _Res:
+        pass
+
+    res = _Res()
+    kf, kl = jax.random.split(jax.random.PRNGKey(23))
+    res.feats = jax.jit(
+        lambda k: jax.random.normal(k, (n_rows, 100, 44), jnp.float32) * 0.1
+    )(kf)
+    res.labels = jax.jit(
+        lambda k: jax.random.bernoulli(k, 0.5, (n_rows,)).astype(jnp.float32)
+    )(kl)
+    jax.block_until_ready((res.feats, res.labels))
+
+    idx_rng = np.random.default_rng(7)
+
+    def make_batches(steps):
+        # Fresh random indices per batch from a STATEFUL generator: every
+        # epoch (warmup and timed alike) dispatches distinct content — the
+        # tunnel dedups identical executions (same rule as the inference
+        # bench).
+        return [
+            {
+                "resident": res,
+                "idx": idx_rng.integers(0, n_rows, batch).astype(np.int32),
+            }
+            for _ in range(steps)
+        ]
+
+    out = {
+        "metric": "train_loop_throughput",
+        "value": None,
+        "unit": "samples_per_sec_per_chip",
+        "vs_baseline": None,
+        "platform": platform,
+        "batch_size": batch,
+    }
+    tmpdir = tempfile.mkdtemp(prefix="bench_train_loop_")
+    for k in ks:
+        if _remaining() < 30.0:
+            out[f"loop_k{k}_skipped"] = f"only {_remaining():.0f}s left"
+            continue
+        _set_phase(f"train_loop_k{k}")
+        loop = TrainLoop(
+            trainer=trainer,
+            checkpoint_dir=tmpdir,
+            log_frequency=0,
+            steps_per_dispatch=k,
+        )
+        # Warmup epoch of exactly K steps: compiles the (K, B) scan off
+        # the clock (the conv-in-scan compile cost is real — document it,
+        # don't bill it to the loop).
+        t0 = time.perf_counter()
+        params, state, opt_state, _ = loop.run_epoch(
+            params, state, opt_state, make_batches(k),
+            rng=jax.random.PRNGKey(100 + k), verbose=False,
+        )
+        out[f"loop_k{k}_compile_s"] = round(time.perf_counter() - t0, 1)
+        if _remaining() < 20.0:
+            out[f"loop_k{k}_skipped"] = "compile ate the window"
+            continue
+        steps = max(k, (steps_target // k) * k)
+        t0 = time.perf_counter()
+        params, state, opt_state, _ = loop.run_epoch(
+            params, state, opt_state, make_batches(steps),
+            rng=jax.random.PRNGKey(200 + k), verbose=False,
+        )
+        dt = time.perf_counter() - t0
+        rate = steps * batch / dt
+        out[f"loop_k{k}_samples_per_s"] = round(rate, 1)
+        out["value"] = max(out["value"] or 0.0, round(rate, 1))
+        _STATE["record"] = dict(out)
+
+    # Streamed twin (host batches uploaded per step): the round-3 README
+    # lore number, now measured by the same artifact.
+    if _remaining() > 30.0:
+        _set_phase("train_loop_streamed")
+        host_rng = np.random.default_rng(11)
+        n_stream = 8 if on_accel else 4
+        host_batches = [
+            {
+                "inputs": host_rng.standard_normal((batch, 100, 44)).astype(
+                    np.float32
+                ),
+                "is_laugh": host_rng.integers(0, 2, batch).astype(np.float32),
+            }
+            for _ in range(n_stream)
+        ]
+        loop = TrainLoop(trainer=trainer, checkpoint_dir=tmpdir, log_frequency=0)
+        params, state, opt_state, _ = loop.run_epoch(
+            params, state, opt_state, host_batches[:1],
+            rng=jax.random.PRNGKey(300), verbose=False,
+        )  # warm
+        t0 = time.perf_counter()
+        params, state, opt_state, _ = loop.run_epoch(
+            params, state, opt_state, host_batches,
+            rng=jax.random.PRNGKey(301), verbose=False,
+        )
+        dt = time.perf_counter() - t0
+        out["streamed_samples_per_s"] = round(n_stream * batch / dt, 1)
+        _STATE["record"] = dict(out)
+    _set_phase("done")
+    _emit_final(out)
+
+
+def bench_sharded() -> None:
+    """Multi-channel sharded inference (parallel.ShardedPipeline): C
+    synthetic channels through ONE batched windows-mode graph on this
+    host's mesh — the Slurm-fan-out replacement
+    (reference cluster_scripts/gen_eval_exp.py:91-114 runs one process per
+    channel).  Reported as AGGREGATE x realtime (sum of channel audio
+    seconds / wall second); per-channel = aggregate / C."""
+    import jax
+
+    from laughter_detection_icsi_tpu import models
+    from laughter_detection_icsi_tpu.config import MODEL_MAP
+    from laughter_detection_icsi_tpu.inference import InferenceSettings
+    from laughter_detection_icsi_tpu.parallel import ShardedPipeline
+    from laughter_detection_icsi_tpu.parallel import mesh as mesh_lib
+    from laughter_detection_icsi_tpu.utils.compile_cache import (
+        enable_compilation_cache,
+    )
+
+    _STATE["metric"] = "sharded_inference_throughput"
+    _STATE["unit"] = "x_realtime_aggregate_per_chip"
+    if os.environ.get("JAX_PLATFORMS", "").strip().lower() != "cpu":
+        enable_compilation_cache()
+
+    preset = MODEL_MAP["resnet_base"]
+    model = models.build(
+        preset.model,
+        dropout_rate=0.0,
+        linear_layer_size=preset.linear_layer_size,
+        filter_sizes=preset.filter_sizes,
+    )
+    _wait_for_backend()
+    _set_phase("backend_init")
+    _apply_platform_env()
+    disarm = _backend_watchdog()
+    platform = jax.devices()[0].platform
+    disarm()
+    on_accel = platform not in ("cpu",)
+    params, state = model.init(jax.random.PRNGKey(0))
+
+    n_channels = 8 if on_accel else 2
+    channel_seconds = 300 if on_accel else 8
+    settings = InferenceSettings(
+        chunk=6144 if on_accel else 512,
+        bucket_frames=6144 if on_accel else 1024,
+        precision="bfloat16" if on_accel else "float32",
+    )
+    mesh = mesh_lib.make_mesh()  # all local devices (1 on the tunnel)
+    pipe = ShardedPipeline(
+        model, params, state, mesh=mesh, settings=settings
+    )
+
+    def channel_waves(base_seed):
+        # Distinct content per channel AND per pass (tunnel dedup rule).
+        return [
+            speech_like_pcm(channel_seconds, seed=base_seed + i)
+            for i in range(n_channels)
+        ]
+
+    _set_phase("d2h_probe")
+    healthy = _wait_for_healthy_d2h() if on_accel else True
+    _set_phase("warmup")
+    pipe.probs_for_waveforms(channel_waves(40))
+
+    _set_phase("measure")
+    min_iters = 2 if healthy else 1
+    max_iters = 6 if healthy else 1
+    budget_s = max(10.0, min(120.0, _remaining() - 30.0))
+    dt = float("inf")
+    since_improve = 0
+    t_budget0 = time.perf_counter()
+    for i in range(max_iters):
+        waves = channel_waves(50 + 10 * i)  # off the clock
+        t0 = time.perf_counter()
+        probs = pipe.probs_for_waveforms(waves)
+        d = time.perf_counter() - t0
+        since_improve = 0 if d < dt * 0.98 else since_improve + 1
+        dt = min(dt, d)
+        if i + 1 >= min_iters and (
+            since_improve >= 2 or time.perf_counter() - t_budget0 > budget_s
+        ):
+            break
+    assert len(probs) == n_channels
+    assert probs[0].shape[0] == channel_seconds * 100
+
+    aggregate_x = n_channels * channel_seconds / dt
+    out = {
+        "metric": "sharded_inference_throughput",
+        "value": round(aggregate_x, 2),
+        "unit": "x_realtime_aggregate_per_chip",
+        "vs_baseline": round(aggregate_x / 500.0, 4),
+        "platform": platform,
+        "n_channels": n_channels,
+        "channel_audio_s": channel_seconds,
+        "per_channel_x_realtime": round(aggregate_x / n_channels, 2),
+        "mesh_devices": int(mesh.devices.size),
+    }
+    if not on_accel:
+        out["cpu_fallback"] = True
+    if not healthy:
+        out["link_degraded"] = True
+    _set_phase("done")
+    _STATE["record"] = dict(out)
+    _emit_final(out)
 
 
 def _apply_platform_env() -> None:
@@ -444,45 +747,64 @@ def _device_metrics(pipe, audio_seconds: int) -> dict:
     from laughter_detection_icsi_tpu.inference import host_pad_waveform
 
     out = {}
-    wave = speech_like_pcm(audio_seconds, seed=97)
-    padded, t = host_pad_waveform(wave, pipe.feat_cfg)
+    # DISTINCT waveform contents per pass (one warmup + two timed), all of
+    # the same length: the tunnel dedups identical-content uploads AND
+    # executions, so re-timing one device-resident wave can report the
+    # tunnel's execution cache rather than the hardware (the same rule the
+    # e2e loop and tools/fused_conv_probe.py apply; previously only the
+    # e2e number varied content and these device metrics re-ran one set).
+    seeds = (97, 98, 99)
+    padded_sets, t = [], 0
+    for sd in seeds:
+        padded, t = host_pad_waveform(
+            speech_like_pcm(audio_seconds, seed=sd), pipe.feat_cfg
+        )
+        padded_sets.append(padded)
     bucket = pipe.settings.bucket_frames
 
     # The pipeline's OWN bucket plan (shared with probs_for_waveform), so
     # the decomposition can never desynchronize from the measured path.
-    bufs, valids = [], []
-    for buf, valid, _keep in pipe.bucket_buffers(padded, t):
-        bufs.append(buf)
-        valids.append(valid)
-
+    dev_sets, dvalid_sets = [], []
     t0 = time.perf_counter()
-    devs = [jax.device_put(b) for b in bufs]
-    jax.block_until_ready(devs)
-    out["upload_s"] = round(time.perf_counter() - t0, 4)
+    for padded in padded_sets:
+        bufs, valids = [], []
+        for buf, valid, _keep in pipe.bucket_buffers(padded, t):
+            bufs.append(buf)
+            valids.append(valid)
+        devs = [jax.device_put(b) for b in bufs]
+        jax.block_until_ready(devs)
+        dev_sets.append(devs)
+        dvalid_sets.append([jnp.asarray(v, jnp.int32) for v in valids])
+    # upload_s reports ONE set (the e2e-comparable cost), not the 3x the
+    # dedup-defeating pass structure needs.
+    out["upload_s"] = round((time.perf_counter() - t0) / len(seeds), 4)
 
     featurize, chunk_probs, _ = pipe._graphs(True)
     chunk = pipe.settings.chunk
     n_chunks = -(-bucket // chunk)
     starts = [jnp.asarray(i * chunk, jnp.int32) for i in range(n_chunks)]
-    dvalids = [jnp.asarray(v, jnp.int32) for v in valids]
 
-    def windows_device_pass():
+    def windows_device_pass(set_i: int):
         outs = []
-        for dev, dv in zip(devs, dvalids):
+        for dev, dv in zip(dev_sets[set_i], dvalid_sets[set_i]):
             feats = featurize(dev, dv)
             outs.extend(chunk_probs(feats, s) for s in starts)
         return jnp.concatenate(outs)
 
-    windows_device_pass().block_until_ready()  # compile/warm off the clock
+    windows_device_pass(0).block_until_ready()  # compile/warm off the clock
     dt = float("inf")
-    for _ in range(2):
+    for i in (1, 2):  # fresh content per timed pass
         if _remaining() < 20.0:
             break
         t0 = time.perf_counter()
-        windows_device_pass().block_until_ready()
+        windows_device_pass(i).block_until_ready()
         dt = min(dt, time.perf_counter() - t0)
     if np.isfinite(dt):
         out["device_x_realtime"] = round(audio_seconds / dt, 2)
+    else:
+        # Mark the omission loudly (same policy as decompose_skipped): an
+        # absent field with no marker reads as a parsing/driver bug.
+        out["device_x_realtime_skipped"] = f"only {_remaining():.0f}s left"
 
     # fused_conv: featurize + dilated conv stack in ONE jit over the track.
     # _fc_graph is keyed only on (total_frames, dtype) — it reads
@@ -491,21 +813,27 @@ def _device_metrics(pipe, audio_seconds: int) -> dict:
     if _remaining() > 40.0:
         total = max(bucket, -(-t // bucket) * bucket)
         graph, fc_wave_len = pipe._fc_graph(total, True)
-        fbuf = np.zeros(fc_wave_len, dtype=np.int16)
-        fbuf[: len(padded)] = padded
-        fdev = jax.device_put(fbuf)
-        jax.block_until_ready(fdev)
+        fdevs = []
+        for padded in padded_sets:
+            fbuf = np.zeros(fc_wave_len, dtype=np.int16)
+            fbuf[: len(padded)] = padded
+            fdevs.append(jax.device_put(fbuf))
+        jax.block_until_ready(fdevs)
         tt = jnp.asarray(t, jnp.int32)
-        graph(fdev, tt).block_until_ready()  # compile off the clock
+        graph(fdevs[0], tt).block_until_ready()  # compile off the clock
         dt = float("inf")
-        for _ in range(2):
+        for i in (1, 2):  # fresh content per timed pass
             if _remaining() < 15.0:
                 break
             t0 = time.perf_counter()
-            graph(fdev, tt).block_until_ready()
+            graph(fdevs[i], tt).block_until_ready()
             dt = min(dt, time.perf_counter() - t0)
         if np.isfinite(dt):
             out["fused_conv_device_x_realtime"] = round(audio_seconds / dt, 2)
+        else:
+            out["fused_conv_skipped"] = f"only {_remaining():.0f}s left"
+    else:
+        out["fused_conv_skipped"] = f"only {_remaining():.0f}s left"
     return out
 
 
@@ -635,6 +963,40 @@ if __name__ == "__main__":
         action="store_true",
         help="measure train-step throughput instead of inference RTF",
     )
+    ap.add_argument(
+        "--train-loop",
+        action="store_true",
+        help="measure the REAL resident training loop (TrainLoop epoch "
+        "driver) at several --steps_per_dispatch K values",
+    )
+    ap.add_argument(
+        "--sharded",
+        action="store_true",
+        help="measure multi-channel sharded inference (parallel."
+        "ShardedPipeline): C synthetic channels in one batched graph",
+    )
     args = ap.parse_args()
+    if sum((args.train, args.train_loop, args.sharded)) > 1:
+        ap.error("--train / --train-loop / --sharded are mutually exclusive")
+    # Label the record BEFORE any heavy import: a budget expiry or SIGTERM
+    # during jax/model import must emit a diagnostic under the requested
+    # mode's metric, not mislabel the history entry as an e2e-inference
+    # run (observed risk: bench_train set these only after its imports).
+    if args.train:
+        _STATE["metric"] = "train_step_throughput"
+        _STATE["unit"] = "samples_per_sec_per_chip"
+    elif args.train_loop:
+        _STATE["metric"] = "train_loop_throughput"
+        _STATE["unit"] = "samples_per_sec_per_chip"
+    elif args.sharded:
+        _STATE["metric"] = "sharded_inference_throughput"
+        _STATE["unit"] = "x_realtime_aggregate_per_chip"
     _arm_guard()
-    bench_train() if args.train else main()
+    if args.train:
+        bench_train()
+    elif args.train_loop:
+        bench_train_loop()
+    elif args.sharded:
+        bench_sharded()
+    else:
+        main()

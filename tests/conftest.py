@@ -79,10 +79,28 @@ _SMOKE_NODE_IDS = {
     "tests/test_cli_entry.py::test_sweep_and_compute_features_reject_empty_selection",
     # bench emission guarantee
     "tests/test_bench.py::test_emit_final_diagnostic_when_no_record",
+    # parallel/: channel-sharded inference over the 8-device mesh matches
+    # the single-device pipeline (a broken sharding path must not sail
+    # through the pre-commit gate)
+    "tests/test_sharded_inference.py::test_sharded_matches_single",
 }
 
 
 def pytest_collection_modifyitems(config, items):
+    matched = set()
     for item in items:
         if item.nodeid in _SMOKE_NODE_IDS:
             item.add_marker(pytest.mark.smoke)
+            matched.add(item.nodeid)
+    # A renamed test or changed parametrization silently DROPPED its
+    # subsystem from the smoke gate (exact-string matching has no other
+    # failure signal).  Only enforced on full collections: -k/-m/path
+    # selections legitimately collect a subset.
+    if config.args in ([], ["tests"], ["tests/"]) and not (
+        config.getoption("-k") or config.getoption("-m")
+    ):
+        missing = _SMOKE_NODE_IDS - matched
+        assert not missing, (
+            f"smoke node IDs not collected (renamed test or changed "
+            f"parametrization?): {sorted(missing)}"
+        )
