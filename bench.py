@@ -332,19 +332,35 @@ def bench_train() -> None:
     x = jnp.asarray(rng.standard_normal((batch, 100, 44)), jnp.float32)[:, None]
     y = jnp.asarray(rng.integers(0, 2, batch), jnp.float32)
     key = jax.random.PRNGKey(1)
-    keys = [jax.random.fold_in(key, i) for i in range(iters)]  # off the clock
+    keys = [jax.random.fold_in(key, i) for i in range(4 * iters)]  # off clock
 
     _set_phase("warmup")
     p, s, o, m = trainer._train_step(params, state, opt_state, x, y, key)
-    jax.block_until_ready(m["loss"])  # compile off the clock
-    _set_phase("measure")
-    t0 = time.perf_counter()
-    for i in range(iters):
-        p, s, o, m = trainer._train_step(p, s, o, x, y, keys[i])
-    jax.block_until_ready(m["loss"])
-    dt = time.perf_counter() - t0
+    float(np.asarray(m["loss"]))  # compile + REAL completion off the clock
 
-    samples_per_s = batch * iters / dt
+    # Slope (marginal-cost) timing with a VALUE-readback barrier: on the
+    # tunneled backend block_until_ready acks at DISPATCH (measured
+    # 2026-08-20: 64 chained steps "done" in 65 ms, real execution 8.5 s),
+    # so the old loop-and-block timing reported the RPC enqueue rate — the
+    # committed 1.0M samples/s reading was that artifact.  t(n) at two n
+    # with a final loss readback; the slope cancels dispatch+RTT overhead.
+    # Params evolve through the chain, so every execution has distinct
+    # content (transport-level dedup cannot fake it).
+    _set_phase("measure")
+    ki = iter(keys)
+
+    def run(n: int) -> None:
+        nonlocal p, s, o
+        for _ in range(n):
+            p, s, o, mm = trainer._train_step(p, s, o, x, y, next(ki))
+        float(np.asarray(mm["loss"]))
+
+    from laughter_detection_icsi_tpu.utils.timing import slope_time
+
+    n_lo, n_hi = (2, iters) if on_accel else (1, iters)
+    per_step_s, overhead_s = slope_time(run, n_lo=n_lo, n_hi=n_hi)
+
+    samples_per_s = batch / per_step_s
     _set_phase("done")
     # Store BEFORE emitting: a signal/budget expiry racing the final print
     # must report the completed measurement (exit 0), not 'no measurement'.
@@ -353,6 +369,10 @@ def bench_train() -> None:
         "value": round(samples_per_s, 1),
         "unit": "samples_per_sec_per_chip",
         "vs_baseline": None,
+        "per_step_ms": round(per_step_s * 1e3, 3),
+        # Constant per-measurement cost the slope cancelled (dispatch/RTT/
+        # readback) — the number the OLD methodology was dominated by.
+        "link_overhead_s": round(max(overhead_s, 0.0), 4),
         # See the inference record: mark what actually ran.
         "platform": jax.devices()[0].platform,
     }
@@ -362,11 +382,13 @@ def bench_train() -> None:
 def bench_train_loop() -> None:
     """The REAL resident training loop, measured end to end: TrainLoop's
     epoch driver over a device-resident dataset, at several
-    steps_per_dispatch values (K=1 is the round-3 status quo whose
-    committed step throughput was 1.0M samples/s while the LOOP ran ~7.6k
-    on the tunnel — the per-step dispatch floor).  One epoch per K, timed
-    as wall-clock including all host-side loop work; a streamed-loop row
-    (host batches uploaded per step) when the budget allows.
+    steps_per_dispatch values.  Timing here is honest by construction:
+    run_epoch keeps losses on device and forces ONE value readback at
+    epoch end, so the wall-clock covers real execution (unlike the retired
+    block_until_ready step timings — the old 1.0M samples/s "step" reading
+    was the RPC enqueue rate; the honest slope-measured step is ~7.7k
+    samples/s at B=1024, HBM-bandwidth-bound).  One epoch per K; a
+    streamed-loop row (host batches uploaded per step) when budget allows.
 
     Record: value = best resident loop samples/s across K; per-K fields
     loop_k<K>_samples_per_s; streamed_samples_per_s."""
@@ -622,9 +644,103 @@ def bench_sharded() -> None:
         out["cpu_fallback"] = True
     if not healthy:
         out["link_degraded"] = True
-    _set_phase("done")
+    # The e2e aggregate above is transfer-bound through a tunneled chip
+    # (C x channel_seconds of PCM crosses the link every pass); store it,
+    # then add a tunnel-independent device-side aggregate when budget
+    # remains — same slope + value-readback methodology as
+    # _device_metrics (see utils/timing.py for why block_until_ready
+    # cannot time this).
     _STATE["record"] = dict(out)
+    if _remaining() > 90.0:
+        _set_phase("device_decompose")
+        try:
+            out.update(
+                _sharded_device_metrics(pipe, n_channels, channel_seconds)
+            )
+        except Exception as e:  # pragma: no cover - defensive
+            out["device_decompose_error"] = f"{type(e).__name__}: {e}"
+        _STATE["record"] = dict(out)
+    else:
+        out["device_decompose_skipped"] = f"only {_remaining():.0f}s left"
+    _set_phase("done")
     _emit_final(out)
+
+
+def _sharded_device_metrics(pipe, n_channels: int, channel_seconds: int) -> dict:
+    """Device-side aggregate x-realtime of the batched multi-channel
+    windows graph, with every bucket batch pre-uploaded AND pre-sharded so
+    the link is off the clock.  Runs the same featurize/chunk_probs graphs
+    as ShardedPipeline._bucket_probs_batch (raw unpacked path).  Slope over
+    (1, 3) passes of distinct content; one checksum readback per timed run
+    is the execution barrier."""
+    import jax.numpy as jnp
+
+    from laughter_detection_icsi_tpu import host_prep
+    from laughter_detection_icsi_tpu.inference import host_pad_waveform
+    from laughter_detection_icsi_tpu.utils.timing import hard_block
+
+    c_pad = -(-n_channels // pipe.n_shards) * pipe.n_shards
+    c_local = c_pad // pipe.n_shards
+    featurize, chunk_probs, wave_len, chunk = pipe._graphs(True, c_local)
+    bucket = pipe.settings.bucket_frames
+    window = pipe.settings.window
+    shift = host_prep.snip_cfg(pipe.feat_cfg).frame_shift_samples
+
+    # 5 distinct content sets: warmup + n_lo=1 + n_hi=3.
+    sets = []
+    t = 0
+    for set_i in range(5):
+        padded_list, ts = [], []
+        for ch in range(n_channels):
+            padded, t = host_pad_waveform(
+                speech_like_pcm(channel_seconds, seed=900 + set_i * 16 + ch),
+                pipe.feat_cfg,
+            )
+            padded_list.append(padded)
+            ts.append(t)
+        t_max = max(ts)
+        buckets = []
+        for k in range(-(-t_max // bucket)):
+            lo = k * bucket * shift
+            batch = np.zeros((c_pad, wave_len), dtype=np.int16)
+            valid = np.zeros(c_pad, dtype=np.int32)
+            for r in range(n_channels):
+                src = padded_list[r][lo : lo + wave_len]
+                batch[r, : len(src)] = src
+                valid[r] = int(np.clip(ts[r] - k * bucket, 0, bucket + window - 1))
+            buckets.append(pipe._shard({"w": batch, "v": valid}, pipe.mesh))
+        sets.append(buckets)
+    hard_block(sets)  # uploads complete, off the clock
+
+    n_chunks = -(-bucket // chunk)
+    starts = [jnp.asarray(i * chunk, jnp.int32) for i in range(n_chunks)]
+
+    def device_pass(set_i: int):
+        outs = []
+        for sh in sets[set_i]:
+            feats = featurize(sh["w"], sh["v"])
+            outs.extend(chunk_probs(feats, s) for s in starts)
+        return outs
+
+    hard_block(device_pass(0))  # compile/warm off the clock
+    out = {}
+    if _remaining() > 30.0:
+        t0 = time.perf_counter()
+        hard_block(device_pass(1))
+        t_lo = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        hard_block([device_pass(2), device_pass(3), device_pass(4)])
+        t_hi = time.perf_counter() - t0
+        dt = (t_hi - t_lo) / 2.0
+        if dt > 0:
+            out["sharded_device_x_realtime"] = round(
+                n_channels * channel_seconds / dt, 2
+            )
+        else:
+            out["sharded_device_skipped"] = f"nonpositive slope {dt:.4f}"
+    else:
+        out["sharded_device_skipped"] = f"only {_remaining():.0f}s left"
+    return out
 
 
 def _apply_platform_env() -> None:
@@ -738,22 +854,24 @@ def _device_metrics(pipe, audio_seconds: int) -> dict:
                                      device-resident input (tunnel excluded)
       fused_conv_device_x_realtime — the whole-track fused_conv graph ditto
 
-    Device-resident timing makes device-side regressions visible even when
-    the tunnel's minute-to-minute transfer rate swamps the e2e number
-    (BENCH_r01 vs README history: 748x..1430x on identical code)."""
+    Methodology (utils/timing.py): slope timing with VALUE-readback
+    barriers.  block_until_ready acks at DISPATCH on the tunneled backend
+    (measured 2026-08-20: an 8.5 s K=64 train scan "completed" in 1.5 ms),
+    so the old time-one-pass-and-block numbers here reported RPC enqueue
+    rates, not hardware — the committed 1650x/9098x device readings carry
+    that suspicion.  Now: t(n passes + checksum readback) at n_lo/n_hi
+    over DISTINCT content per pass (the tunnel also dedups identical
+    executions); the slope is the honest per-pass device cost with
+    dispatch+RTT cancelled."""
     import jax
     import jax.numpy as jnp
 
     from laughter_detection_icsi_tpu.inference import host_pad_waveform
+    from laughter_detection_icsi_tpu.utils.timing import hard_block
 
     out = {}
-    # DISTINCT waveform contents per pass (one warmup + two timed), all of
-    # the same length: the tunnel dedups identical-content uploads AND
-    # executions, so re-timing one device-resident wave can report the
-    # tunnel's execution cache rather than the hardware (the same rule the
-    # e2e loop and tools/fused_conv_probe.py apply; previously only the
-    # e2e number varied content and these device metrics re-ran one set).
-    seeds = (97, 98, 99)
+    # 5 distinct same-length contents: warmup + n_lo=1 + n_hi=3 passes.
+    seeds = (97, 98, 99, 100, 101)
     padded_sets, t = [], 0
     for sd in seeds:
         padded, t = host_pad_waveform(
@@ -764,20 +882,33 @@ def _device_metrics(pipe, audio_seconds: int) -> dict:
 
     # The pipeline's OWN bucket plan (shared with probs_for_waveform), so
     # the decomposition can never desynchronize from the measured path.
+    # Upload timed by slope too: device_put+block_until_ready can ack
+    # before bytes land, so time k sets ending in a checksum readback (the
+    # checksum reads every uploaded byte on device) at k=1 and k=4.
     dev_sets, dvalid_sets = [], []
-    t0 = time.perf_counter()
+    plans = []
     for padded in padded_sets:
         bufs, valids = [], []
         for buf, valid, _keep in pipe.bucket_buffers(padded, t):
             bufs.append(buf)
             valids.append(valid)
+        plans.append((bufs, valids))
+
+    def upload_set(i):
+        bufs, valids = plans[i]
         devs = [jax.device_put(b) for b in bufs]
-        jax.block_until_ready(devs)
         dev_sets.append(devs)
         dvalid_sets.append([jnp.asarray(v, jnp.int32) for v in valids])
-    # upload_s reports ONE set (the e2e-comparable cost), not the 3x the
-    # dedup-defeating pass structure needs.
-    out["upload_s"] = round((time.perf_counter() - t0) / len(seeds), 4)
+        return devs
+
+    t0 = time.perf_counter()
+    hard_block(upload_set(0))
+    t_one = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    hard_block([upload_set(i) for i in (1, 2, 3, 4)])
+    t_four = time.perf_counter() - t0
+    # Slope over (1, 4) sets cancels the checksum dispatch/RTT constant.
+    out["upload_s"] = round(max((t_four - t_one) / 3.0, 0.0), 4)
 
     featurize, chunk_probs, _ = pipe._graphs(True)
     chunk = pipe.settings.chunk
@@ -791,16 +922,23 @@ def _device_metrics(pipe, audio_seconds: int) -> dict:
             outs.extend(chunk_probs(feats, s) for s in starts)
         return jnp.concatenate(outs)
 
-    windows_device_pass(0).block_until_ready()  # compile/warm off the clock
-    dt = float("inf")
-    for i in (1, 2):  # fresh content per timed pass
-        if _remaining() < 20.0:
-            break
+    hard_block(windows_device_pass(0))  # compile/warm off the clock
+    if _remaining() > 20.0:
         t0 = time.perf_counter()
-        windows_device_pass(i).block_until_ready()
-        dt = min(dt, time.perf_counter() - t0)
-    if np.isfinite(dt):
-        out["device_x_realtime"] = round(audio_seconds / dt, 2)
+        hard_block(windows_device_pass(1))
+        t_lo = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        # One barrier over ALL three outputs: each pass is independent, so
+        # the checksum's data dependency (not execution-order luck) is what
+        # guarantees all three really finished.
+        hard_block([windows_device_pass(i) for i in (2, 3, 4)])
+        t_hi = time.perf_counter() - t0
+        dt = (t_hi - t_lo) / 2.0
+        if dt > 0:
+            out["device_x_realtime"] = round(audio_seconds / dt, 2)
+            out["device_pass_overhead_s"] = round(max(t_lo - dt, 0.0), 4)
+        else:
+            out["device_x_realtime_skipped"] = f"nonpositive slope {dt:.4f}"
     else:
         # Mark the omission loudly (same policy as decompose_skipped): an
         # absent field with no marker reads as a parsing/driver bug.
@@ -818,18 +956,22 @@ def _device_metrics(pipe, audio_seconds: int) -> dict:
             fbuf = np.zeros(fc_wave_len, dtype=np.int16)
             fbuf[: len(padded)] = padded
             fdevs.append(jax.device_put(fbuf))
-        jax.block_until_ready(fdevs)
         tt = jnp.asarray(t, jnp.int32)
-        graph(fdevs[0], tt).block_until_ready()  # compile off the clock
-        dt = float("inf")
-        for i in (1, 2):  # fresh content per timed pass
-            if _remaining() < 15.0:
-                break
+        hard_block(graph(fdevs[0], tt))  # compile/warm + uploads, off clock
+        if _remaining() > 15.0:
             t0 = time.perf_counter()
-            graph(fdevs[i], tt).block_until_ready()
-            dt = min(dt, time.perf_counter() - t0)
-        if np.isfinite(dt):
-            out["fused_conv_device_x_realtime"] = round(audio_seconds / dt, 2)
+            hard_block(graph(fdevs[1], tt))
+            t_lo = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            hard_block([graph(fdevs[i], tt) for i in (2, 3, 4)])
+            t_hi = time.perf_counter() - t0
+            dt = (t_hi - t_lo) / 2.0
+            if dt > 0:
+                out["fused_conv_device_x_realtime"] = round(
+                    audio_seconds / dt, 2
+                )
+            else:
+                out["fused_conv_skipped"] = f"nonpositive slope {dt:.4f}"
         else:
             out["fused_conv_skipped"] = f"only {_remaining():.0f}s left"
     else:

@@ -139,14 +139,20 @@ def main() -> None:
     flops = (compiled.cost_analysis() or {}).get("flops")
 
     # Compile off the clock (off=0 — never reused in a timed call).
+    # Timed sections end in a VALUE readback, never block_until_ready:
+    # the tunnel acks bur before execution when the dispatch queue is deep
+    # (measured 2026-08-20: 64 queued train steps "bur-completed" in 65 ms
+    # vs 8.5 s real; at queue depth 1 bur happens to block, but a barrier
+    # that lies under load is not a barrier).  Outputs here are scalars,
+    # so the readback adds only the RTT, which the slope cancels anyway.
     zero = jnp.float32(0)
-    single(feats0, zero).block_until_ready()
+    float(np.asarray(single(feats0, zero)[0]))
     if not on_accel:
         # XLA:CPU compiles conv nets inside loops pathologically slowly
         # (~60x; .claude/skills/verify) and there is no dispatch latency
         # to amortize away — single-dispatch IS the CPU ground truth.
         t0 = time.perf_counter()
-        single(feats0, jnp.float32(1)).block_until_ready()
+        float(np.asarray(single(feats0, jnp.float32(1))[0]))
         t_single = time.perf_counter() - t0
         audio_s = T / 100.0
         print(
@@ -156,19 +162,21 @@ def main() -> None:
             "methodology targets the tunneled TPU)"
         )
         return
-    run_small(feats0, zero).block_until_ready()
-    run_big(feats0, zero).block_until_ready()
+    float(np.asarray(run_small(feats0, zero)))
+    float(np.asarray(run_big(feats0, zero)))
 
-    def best_of(fn, k=3, start=1.0):
+    def best_of(fn, k=3, start=1.0, scalar_index=None):
         best = float("inf")
         for j in range(k):
             o = jnp.float32(start + j)  # fresh content every timed call
             t0 = time.perf_counter()
-            fn(feats0, o).block_until_ready()
+            r = fn(feats0, o)
+            # honest barrier: read the VALUE (see the compile note above)
+            float(np.asarray(r if scalar_index is None else r[scalar_index]))
             best = min(best, time.perf_counter() - t0)
         return best
 
-    t_single = best_of(single)
+    t_single = best_of(single, scalar_index=0)
     t_small = best_of(run_small, start=10.0)
     t_big = best_of(run_big, start=20.0)
     slope = (t_big - t_small) / (n_big - n_small)

@@ -55,16 +55,42 @@ def main() -> None:
     y = jnp.asarray((rng.uniform(size=B) > 0.5), dtype=jnp.float32)
     key = jax.random.PRNGKey(1)
 
+    from laughter_detection_icsi_tpu.utils.timing import slope_time
+
     def timeit(step, *state_args):
-        out = step(*state_args, x_dev, y, key)
-        jax.block_until_ready(out)
-        best = float("inf")
-        for _ in range(args.iters):
-            t0 = time.perf_counter()
-            out = step(*state_args, x_dev, y, key)
-            jax.block_until_ready(out)
-            best = min(best, time.perf_counter() - t0)
-        return best
+        """Honest per-step seconds via slope timing (utils/timing.py).
+
+        The original version here timed repeats of IDENTICAL content and
+        ended at block_until_ready — which the tunneled backend acks at
+        DISPATCH (measured 2026-08-20: real 132 ms steps "completed" in
+        ~1 ms).  Its conclusions were the RPC enqueue rate, not hardware.
+        Now: params/opt_state chain through n steps (distinct content per
+        execution, transport dedup can't fake it), keys vary, and each
+        timed run ends in a loss VALUE readback; the (n_hi - n_lo) slope
+        cancels dispatch + round-trip overhead."""
+        chain = {"s": state_args}
+        tick = {"i": 0}
+
+        def run(n: int) -> None:
+            p, s, o = chain["s"]
+            for _ in range(n):
+                tick["i"] += 1
+                p, s, o, loss = step(
+                    p, s, o, x_dev, y, jax.random.fold_in(key, tick["i"])
+                )
+            chain["s"] = (p, s, o)
+            float(np.asarray(loss))
+
+        # Compile + real completion off the clock, TWICE: the first chained
+        # call can change carried dtypes (f32 state -> bf16 state in the
+        # mixed-precision step) and the second signature must also be
+        # compiled before the timed runs.
+        run(1)
+        run(1)
+        per_step, _overhead = slope_time(
+            run, n_lo=1, n_hi=max(4, args.iters // 4)
+        )
+        return per_step
 
     # --- 1. production f32 step ------------------------------------------
     x_dev = x
