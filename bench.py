@@ -317,7 +317,12 @@ def bench_train() -> None:
         linear_layer_size=preset.linear_layer_size,
         filter_sizes=preset.filter_sizes,
     )
-    trainer = Trainer(model)
+    # Measurement twin of cli/train.py --precision (f32 is the reference-
+    # parity default; bfloat16 is the HBM-bound step's 1.63x lever).
+    precision = os.environ.get("BENCH_TRAIN_PRECISION", "float32")
+    trainer = Trainer(
+        model, compute_dtype=None if precision == "float32" else precision
+    )
     _wait_for_backend()
     _set_phase("backend_init")
     _apply_platform_env()
@@ -370,6 +375,7 @@ def bench_train() -> None:
         "unit": "samples_per_sec_per_chip",
         "vs_baseline": None,
         "per_step_ms": round(per_step_s * 1e3, 3),
+        "precision": precision,
         # Constant per-measurement cost the slope cancelled (dispatch/RTT/
         # readback) — the number the OLD methodology was dominated by.
         "link_overhead_s": round(max(overhead_s, 0.0), 4),
@@ -416,7 +422,10 @@ def bench_train_loop() -> None:
         linear_layer_size=preset.linear_layer_size,
         filter_sizes=preset.filter_sizes,
     )
-    trainer = Trainer(model)
+    precision = os.environ.get("BENCH_TRAIN_PRECISION", "float32")
+    trainer = Trainer(
+        model, compute_dtype=None if precision == "float32" else precision
+    )
     _wait_for_backend()
     _set_phase("backend_init")
     _apply_platform_env()
@@ -475,6 +484,7 @@ def bench_train_loop() -> None:
         "vs_baseline": None,
         "platform": platform,
         "batch_size": batch,
+        "precision": precision,
     }
     tmpdir = tempfile.mkdtemp(prefix="bench_train_loop_")
     for k in ks:

@@ -55,6 +55,14 @@ def build_parser() -> argparse.ArgumentParser:
                    help="ship feature batches to the device as bfloat16 "
                         "(half the host->device bytes; inputs are "
                         "bf16-rounded, params/grads stay float32)")
+    p.add_argument("--precision", type=str, default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="training COMPUTE precision: bfloat16 runs the "
+                        "fwd/bwd in bf16 with float32 master params/Adam "
+                        "state (measured 1.63x step speedup on TPU — the "
+                        "f32 step is HBM-bound; tools/precision_probe.py "
+                        "2026-08-20). float32 matches the reference "
+                        "(train.py:261-297) bit-for-bit semantics")
     p.add_argument("--device_cache", type=str, default="auto",
                    choices=["auto", "on", "off"],
                    help="keep the whole split's features resident in device "
@@ -246,7 +254,10 @@ def main(argv: Optional[List[str]] = None) -> int:
             print(f"note: batch_size rounded up to {batch_size} for {n_dev} devices")
         if grad_accum != 1:
             raise SystemExit("--gradient_accumulation_steps requires single-device mode")
-        trainer = DataParallelTrainer(model=model, mesh=mesh, optimizer=Adam())
+        trainer = DataParallelTrainer(
+            model=model, mesh=mesh, optimizer=Adam(),
+            compute_dtype=None if args.precision == "float32" else args.precision,
+        )
         print(f"data-parallel over {n_dev} devices")
         if multi_process:
             # Each process assembles/feeds only ITS OWN rows of every
@@ -269,8 +280,11 @@ def main(argv: Optional[List[str]] = None) -> int:
                 "--device_cache for the bandwidth win)"
             )
     else:
-        trainer = Trainer(model=model, optimizer=Adam(), grad_accum=grad_accum,
-                          transfer_dtype=args.transfer_dtype)
+        trainer = Trainer(
+            model=model, optimizer=Adam(), grad_accum=grad_accum,
+            transfer_dtype=args.transfer_dtype,
+            compute_dtype=None if args.precision == "float32" else args.precision,
+        )
 
     if use_cache:
         if args.data_parallel:

@@ -41,6 +41,11 @@ class DataParallelTrainer:
     model: Model
     mesh: Mesh
     optimizer: Adam = dataclasses.field(default_factory=Adam)
+    # 'bfloat16' = bf16 fwd/bwd compute with f32 masters, identical recipe
+    # to train.Trainer(compute_dtype=...) — ONE definition in
+    # build_step_fns, so single-device and data-parallel mixed precision
+    # cannot drift.  Grad psums/BN-stat collectives ride the f32 side.
+    compute_dtype: Any = None
 
     def __post_init__(self):
         repl = mesh_lib.replicated(self.mesh)
@@ -71,7 +76,10 @@ class DataParallelTrainer:
             train_k_steps_resident,
             eval_step,
             eval_step_resident,
-        ) = build_step_fns(self.model, self.optimizer, constrain)
+        ) = build_step_fns(
+            self.model, self.optimizer, constrain,
+            compute_dtype=self.compute_dtype,
+        )
         self._train_step = jax.jit(
             train_step,
             in_shardings=(repl, repl, repl, dp, dp, repl),

@@ -102,7 +102,9 @@ def batch_metrics(probs: jnp.ndarray, targets: jnp.ndarray) -> Dict[str, jnp.nda
 # --------------------------------------------------------------------------- #
 
 
-def build_step_fns(model: Model, optimizer: Adam, constrain_batch=None):
+def build_step_fns(
+    model: Model, optimizer: Adam, constrain_batch=None, compute_dtype=None
+):
     """Un-jitted train/eval step bodies shared by the single-device
     ``Trainer`` and ``parallel.data_parallel.DataParallelTrainer`` — ONE
     definition of the loss/grad/optimizer-update recipe, the metric set, and
@@ -140,11 +142,58 @@ def build_step_fns(model: Model, optimizer: Adam, constrain_batch=None):
     - eval_step_resident: fused HBM gather + eval, the validation twin —
       online eval during --device_cache training never streams feature
       batches from host.
+
+    ``compute_dtype='bfloat16'`` opts the forward/backward COMPUTE into
+    bf16 (the standard TPU mixed-precision recipe): params/state/input are
+    cast to bf16 at the model boundary, probabilities and the returned BN
+    state are upcast back, and the loss, gradients (autodiff transposes
+    the casts, so grads of the f32 masters come back f32), Adam moments
+    and parameter masters all stay float32.  The reference trains fp32
+    only (reference train.py:261-297); this mode exists because the f32
+    step is HBM-bandwidth-bound on TPU — 86 GB of mostly-activation
+    traffic per B=1024 step by XLA's cost model — and halving activation
+    bytes is worth a measured 1.63x step speedup (tools/precision_probe.py,
+    2026-08-20: 131 ms -> 80 ms at B=1024).  Numerics: one bf16 rounding
+    of activations per layer; loss/metrics/optimizer trajectories stay
+    f32-accumulated (see tests/test_mixed_precision.py for the pinned
+    f32-vs-bf16 agreement bounds).
     """
     cb = constrain_batch or (lambda x, y: (x, y))
+    if compute_dtype not in (None, "float32", "bfloat16"):
+        # Eager rejection, same contract as Trainer.transfer_dtype: a typo
+        # ('bf16', 'half') must not silently train in f32.
+        raise ValueError(
+            f"unknown compute_dtype {compute_dtype!r}; "
+            "use 'bfloat16' or 'float32'/None"
+        )
+    bf16 = compute_dtype == "bfloat16"
+
+    def _cast_floats(tree, dtype):
+        return jax.tree_util.tree_map(
+            lambda v: v.astype(dtype)
+            if hasattr(v, "dtype") and jnp.issubdtype(v.dtype, jnp.floating)
+            else v,
+            tree,
+        )
+
+    def apply_model(params, state, x, train, rng=None):
+        """model.apply behind the precision boundary: f32 in, f32 out,
+        bf16 (when opted in) strictly inside."""
+        if not bf16:
+            return model.apply(params, state, x, train=train, rng=rng)
+        probs, new_state = model.apply(
+            _cast_floats(params, jnp.bfloat16),
+            _cast_floats(state, jnp.bfloat16),
+            x.astype(jnp.bfloat16),
+            train=train,
+            rng=rng,
+        )
+        # BN running stats return to the f32 masters: accumulating them in
+        # bf16 across an epoch would round away small momentum updates.
+        return probs.astype(jnp.float32), _cast_floats(new_state, jnp.float32)
 
     def loss_fn(params, state, x, y, rng):
-        probs, new_state = model.apply(params, state, x, train=True, rng=rng)
+        probs, new_state = apply_model(params, state, x, train=True, rng=rng)
         return bce_loss(probs, y), (probs, new_state)
 
     def train_step(params, state, opt_state, x, y, rng):
@@ -180,7 +229,7 @@ def build_step_fns(model: Model, optimizer: Adam, constrain_batch=None):
         return params, state, opt_state, metrics
 
     def eval_step(params, state, x, y):
-        probs, _ = model.apply(params, state, x, train=False)
+        probs, _ = apply_model(params, state, x, train=False)
         metrics = batch_metrics(probs, y)
         metrics["loss"] = bce_loss(probs, y)
         return metrics
@@ -217,6 +266,10 @@ class Trainer:
     # params/grads/optimizer stay float32.  Opt-in: host->device bandwidth
     # is only a bottleneck on tunneled dev chips, not PCIe-attached hosts.
     transfer_dtype: Optional[str] = None
+    # 'bfloat16' runs the fwd/bwd COMPUTE in bf16 with f32 masters (see
+    # build_step_fns) — measured 1.63x step speedup on the HBM-bound TPU
+    # step.  Orthogonal to transfer_dtype (wire bytes vs compute bytes).
+    compute_dtype: Optional[str] = None
 
     def __post_init__(self):
         if self.transfer_dtype not in (None, "float32", "bfloat16"):
@@ -235,7 +288,7 @@ class Trainer:
             train_k_steps_resident,
             eval_step,
             eval_step_resident,
-        ) = build_step_fns(model, optimizer)
+        ) = build_step_fns(model, optimizer, compute_dtype=self.compute_dtype)
         train_step = jax.jit(train_step)
         train_step_resident = jax.jit(train_step_resident)
         train_k_steps_resident = jax.jit(train_k_steps_resident)

@@ -132,6 +132,35 @@ def test_train_cli_interrupted_resume_equals_continuous(tmp_path):
         np.testing.assert_array_equal(a[k], b[k], err_msg=k)
 
 
+def test_train_cli_precision_bfloat16(tmp_path):
+    """--precision bfloat16 (the TPU mixed-precision mode, PARITY.md #24)
+    through the full CLI: one epoch trains, and the checkpoint's params
+    are still float32 masters."""
+    root = _mini_train_root(tmp_path)
+    ckpt = tmp_path / "ck_bf16"
+    res = subprocess.run(
+        [
+            sys.executable, str(REPO / "train.py"),
+            "--config", "resnet_base",
+            "--checkpoint_dir", str(ckpt),
+            "--data_root", str(root),
+            "--num_epochs", "1",
+            "--batch_size", "8",
+            "--precision", "bfloat16",
+        ],
+        cwd=REPO, env=_cpu_env(), capture_output=True, text=True, timeout=560,
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    ck = np.load(ckpt / "last.ckpt.npz", allow_pickle=True)
+    float_params = [
+        k for k in ck.files
+        if k.startswith("params/") and np.issubdtype(ck[k].dtype, np.floating)
+    ]
+    assert float_params, list(ck.files)[:8]
+    for k in float_params:
+        assert ck[k].dtype == np.float32, (k, ck[k].dtype)
+
+
 def test_create_data_df_and_compute_features_cli(synthetic_corpus, tmp_path):
     """Fresh-process drives of the data-prep entry points (reference
     create_data_df.py / compute_features.py): sample tables for all three

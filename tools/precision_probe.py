@@ -79,7 +79,9 @@ def main() -> None:
                     p, s, o, x_dev, y, jax.random.fold_in(key, tick["i"])
                 )
             chain["s"] = (p, s, o)
-            float(np.asarray(loss))
+            # f32 production step returns a metrics dict; the bf16
+            # experiment returns the bare loss scalar.
+            float(np.asarray(loss["loss"] if isinstance(loss, dict) else loss))
 
         # Compile + real completion off the clock, TWICE: the first chained
         # call can change carried dtypes (f32 state -> bf16 state in the
