@@ -260,30 +260,28 @@ class ShardedPipeline:
             # twice).
             chunk_probs = self._jitted[cp_key]
         elif use_shared:
-            # Flatten each device's local channels into ONE window batch:
-            # windows never straddle channels, so window w of local channel
-            # c is just flat start c*T + w into the time-flattened arrays.
-            # (vmap over channels instead compiles the NHCW convs badly —
-            # the mapped axis can't merge into the conv batch.)
+            # Per-channel gathers + ONE flattened conv batch: windows never
+            # straddle channels, so channel c's windows occupy flat rows
+            # c*chunk .. (c+1)*chunk-1 of the batch.  The gathers iterate
+            # channels over STATIC slices of the stacked tracks — gathering
+            # from a time-flattened [C*T, ...] track instead collapses TPU
+            # gather throughput 13.6x (72 -> 5 GB/s measured on v5e; that
+            # formulation made the batched graph 3x slower per audio-second
+            # than the single-channel pipeline), and vmap over channels
+            # both hits the same gather cliff and compiles the NHCW convs
+            # badly (the mapped axis can't merge into the conv batch).
             def chunk_local(ft, start: jnp.ndarray) -> jnp.ndarray:
-                arrays = [a.reshape(-1, *a.shape[2:]) for a in ft]
-                c_loc, t_len = ft[0].shape[0], ft[0].shape[1]
-                starts = (
-                    jnp.arange(c_loc)[:, None] * t_len
-                    + start
-                    + jnp.arange(chunk)[None, :]
-                ).reshape(-1)
+                c_loc = ft[0].shape[0]
                 if track2_ok:
-                    feats_f, t1_f, t2_f = arrays
-                    probs = shared_stem.chunk_probs_from_track2(
-                        params, state, t1_f, t2_f, feats_f, starts,
-                        c_loc * chunk, window,
+                    feats_c, t1_c, t2_c = ft
+                    probs = shared_stem.chunk_probs_multichannel_from_track2(
+                        params, state, t1_c, t2_c, feats_c, start,
+                        chunk, window,
                     )
                 else:
-                    feats_f, t1_f = arrays
-                    probs = shared_stem.chunk_probs_from_track(
-                        params, state, t1_f, feats_f, starts,
-                        c_loc * chunk, window,
+                    feats_c, t1_c = ft
+                    probs = shared_stem.chunk_probs_multichannel_from_track(
+                        params, state, t1_c, feats_c, start, chunk, window,
                     )
                 return probs.reshape(c_loc, chunk).astype(jnp.float32)
 
