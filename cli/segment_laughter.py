@@ -59,8 +59,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--mode", type=str, default="windows",
                    choices=["windows", "fused_conv"],
                    help="'windows' = reference-exact per-window conv; "
-                        "'fused_conv' = ~2.5x faster whole-track dilated conv "
-                        "(not bit-parity; models/fully_conv.py)")
+                        "'fused_conv' = whole-track dilated conv, 8.2x "
+                        "faster device-side (14,611x vs 1,781x realtime, "
+                        "bench_runs.jsonl 2026-08-20; e2e both are "
+                        "link-bound and comparable). Accuracy cost at the "
+                        "decision level: max F1 delta 0.004, 99.1% "
+                        "instance agreement, matched boundaries shift "
+                        "<80 ms (tools/fused_conv_eval_probe.py, "
+                        "PARITY.md #25)")
     p.add_argument("--transfer_codec", type=str, default="raw",
                    choices=["raw", "auto", "packed"],
                    help="host->device PCM transfer: 'packed'/'auto' = "

@@ -53,34 +53,41 @@ INPUT_POOL = 6
 
 def time_op(fn, make_input, iters: int, warmup: int = 3) -> float:
     """Median ms/iter with a rotating pool of distinct inputs
-    (content-dedup guard); inputs derived on device.  Synchronous:
-    includes per-dispatch latency (~26 ms on the tunnel) — read the
-    MARGINAL slope across sizes for compute cost."""
+    (content-dedup guard); inputs derived on device.  Synchronous (one
+    value-readback barrier per iteration): includes per-dispatch +
+    readback latency — read the MARGINAL slope across sizes for compute
+    cost.  Barriers are utils/timing.hard_block, never
+    block_until_ready: the tunnel acks bur before execution under a deep
+    queue (utils/timing.py has the measured evidence)."""
+    from laughter_detection_icsi_tpu.utils.timing import hard_block
+
     xs = [make_input(i) for i in range(min(INPUT_POOL, iters + warmup))]
-    for x in xs:
-        jax.block_until_ready(x)
-    outs = []
+    hard_block(xs)
     for i in range(warmup):
-        outs.append(fn(*xs[i % len(xs)]))
-    jax.block_until_ready(outs[-1])
+        hard_block(fn(*xs[i % len(xs)]))
     times = []
     for i in range(warmup, warmup + iters):
         t0 = time.perf_counter()
-        jax.block_until_ready(fn(*xs[i % len(xs)]))
+        hard_block(fn(*xs[i % len(xs)]))
         times.append((time.perf_counter() - t0) * 1e3)
     return float(np.median(times))
 
 
 def time_op_pipelined(fn, make_input, iters: int, warmup: int = 3) -> float:
-    """ms/iter with all dispatches in flight (block only at the end) —
-    the steady-state device-side number; per-dispatch latency overlaps."""
+    """ms/iter with all dispatches in flight (ONE value-readback barrier
+    over every output at the end) — the steady-state device-side number;
+    per-dispatch latency overlaps.  The barrier's checksum data-depends on
+    all outputs, so it cannot return before they all really executed (the
+    old enqueue-then-block_until_ready version measured the RPC enqueue
+    rate under exactly this deep-queue pattern)."""
+    from laughter_detection_icsi_tpu.utils.timing import hard_block
+
     xs = [make_input(i) for i in range(min(INPUT_POOL, iters + warmup))]
-    for x in xs:
-        jax.block_until_ready(x)
-    jax.block_until_ready([fn(*xs[i % len(xs)]) for i in range(warmup)])
+    hard_block(xs)
+    hard_block([fn(*xs[i % len(xs)]) for i in range(warmup)])
     t0 = time.perf_counter()
     outs = [fn(*xs[i % len(xs)]) for i in range(warmup, warmup + iters)]
-    jax.block_until_ready(outs)
+    hard_block(outs)
     return (time.perf_counter() - t0) * 1e3 / iters
 
 
