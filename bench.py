@@ -750,6 +750,48 @@ def _sharded_device_metrics(pipe, n_channels: int, channel_seconds: int) -> dict
             out["sharded_device_skipped"] = f"nonpositive slope {dt:.4f}"
     else:
         out["sharded_device_skipped"] = f"only {_remaining():.0f}s left"
+
+    # fused_conv leg: ONE batched whole-track dilated graph over all C
+    # channels — the fastest multi-channel formulation (no window
+    # gathers at all).  Same 5-distinct-set slope.
+    if _remaining() > 60.0:
+        _set_phase("device_decompose_fused")
+        t_frames = channel_seconds * 100
+        total = max(bucket, -(-t_frames // bucket) * bucket)
+        graph, fc_wave_len = pipe._fc_graph(total, True)
+        fsets = []
+        for set_i in range(5):
+            batch = np.zeros((c_pad, fc_wave_len), dtype=np.int16)
+            for r in range(n_channels):
+                w = speech_like_pcm(
+                    channel_seconds, seed=970 + set_i * 16 + r
+                )
+                batch[r, : len(w)] = w
+            valid = np.zeros(c_pad, dtype=np.int32)
+            valid[:n_channels] = t_frames
+            fsets.append(pipe._shard({"w": batch, "v": valid}, pipe.mesh))
+        hard_block(fsets)
+        hard_block(graph(fsets[0]["w"], fsets[0]["v"]))  # compile off clock
+        if _remaining() > 25.0:
+            t0 = time.perf_counter()
+            hard_block(graph(fsets[1]["w"], fsets[1]["v"]))
+            t_lo = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            hard_block(
+                [graph(fsets[i]["w"], fsets[i]["v"]) for i in (2, 3, 4)]
+            )
+            t_hi = time.perf_counter() - t0
+            dt = (t_hi - t_lo) / 2.0
+            if dt > 0:
+                out["sharded_fused_device_x_realtime"] = round(
+                    n_channels * channel_seconds / dt, 2
+                )
+            else:
+                out["sharded_fused_skipped"] = f"nonpositive slope {dt:.4f}"
+        else:
+            out["sharded_fused_skipped"] = f"only {_remaining():.0f}s left"
+    else:
+        out["sharded_fused_skipped"] = f"only {_remaining():.0f}s left"
     return out
 
 

@@ -40,6 +40,9 @@ def test_demo_runs_end_to_end(tmp_path):
 
 
 def test_streaming_demo_runs_and_matches_offline():
-    r = _run(["examples/streaming_demo.py"], timeout=600)
+    # 900 s: the demo needs ~530 s of pure compute on the 1-core host
+    # (measured 2026-08-20), so a 600 s cap flakes whenever ambient load
+    # stretches it — exactly what a full-suite run does.
+    r = _run(["examples/streaming_demo.py"], timeout=900)
     assert r.returncode == 0, r.stderr[-3000:]
     assert "bit-identical to the offline pipeline" in r.stdout

@@ -205,3 +205,68 @@ def test_track2_rejects_unsupported_windows(rng):
                 params, state, track1, track2, feats,
                 jnp.asarray(0), 4, window=bad,
             )
+
+
+@pytest.mark.parametrize("name,kw", CASES)
+def test_multichannel_matches_per_channel(rng, name, kw):
+    """chunk_probs_multichannel_from_track == per-channel single-track
+    calls, channel-major order — the contract the sharded batched graph
+    relies on (the per-channel gather formulation exists because TPU
+    gathers collapse 13.6x on channel-flattened operands)."""
+    model, params, state = _model_with_stats(name, kw, rng)
+    C, T, chunk = 3, 260, 8
+    feats = jnp.asarray(rng.standard_normal((C, T, 44)), jnp.float32)
+    tracks = jnp.stack(
+        [shared_stem.stem_track(params, state, feats[c]) for c in range(C)]
+    )
+    for start in (0, 5, T - 100 - chunk):
+        got = shared_stem.chunk_probs_multichannel_from_track(
+            params, state, tracks, feats, jnp.asarray(start), chunk
+        )
+        want = jnp.concatenate(
+            [
+                shared_stem.chunk_probs_from_track(
+                    params, state, tracks[c], feats[c], jnp.asarray(start), chunk
+                )
+                for c in range(C)
+            ]
+        )
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=1e-6, atol=1e-6
+        )
+
+
+def test_multichannel_track2_matches_per_channel(rng):
+    model, params, state = _model_with_stats(*CASES[0], rng)
+    C, T, chunk = 2, 260, 8
+    feats = jnp.asarray(rng.standard_normal((C, T, 44)), jnp.float32)
+    t1 = jnp.stack(
+        [shared_stem.stem_track(params, state, feats[c]) for c in range(C)]
+    )
+    t2 = jnp.stack(
+        [shared_stem.stem_track2(params, state, t1[c]) for c in range(C)]
+    )
+    got = shared_stem.chunk_probs_multichannel_from_track2(
+        params, state, t1, t2, feats, jnp.asarray(3), chunk
+    )
+    want = jnp.concatenate(
+        [
+            shared_stem.chunk_probs_from_track2(
+                params, state, t1[c], t2[c], feats[c], jnp.asarray(3), chunk
+            )
+            for c in range(C)
+        ]
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=1e-6, atol=1e-6
+    )
+
+
+def test_multichannel_track2_rejects_unsupported_window():
+    import jax.numpy as jnp2
+
+    with pytest.raises(ValueError, match="supports_track2"):
+        shared_stem.chunk_probs_multichannel_from_track2(
+            {}, {}, jnp2.zeros((1, 50, 8, 44)), jnp2.zeros((1, 25, 8, 22)),
+            jnp2.zeros((1, 50, 44)), jnp2.asarray(0), 4, window=13
+        )
