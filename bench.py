@@ -753,8 +753,15 @@ def _sharded_device_metrics(pipe, n_channels: int, channel_seconds: int) -> dict
 
     # fused_conv leg: ONE batched whole-track dilated graph over all C
     # channels — the fastest multi-channel formulation (no window
-    # gathers at all).  Same 5-distinct-set slope.
-    if _remaining() > 60.0:
+    # gathers at all).  Same 5-distinct-set slope.  Accelerators only:
+    # XLA:CPU compiles the whole-track dilated graph pathologically
+    # slowly (~6 min observed in the CPU self-test for zero signal —
+    # the CPU path exists to validate plumbing, not to measure).
+    import jax as _jax
+
+    if _jax.devices()[0].platform in ("cpu",):
+        out["sharded_fused_skipped"] = "cpu self-test"
+    elif _remaining() > 60.0:
         _set_phase("device_decompose_fused")
         t_frames = channel_seconds * 100
         total = max(bucket, -(-t_frames // bucket) * bucket)

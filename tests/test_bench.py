@@ -225,3 +225,63 @@ def test_emit_final_appends_history(tmp_path, monkeypatch, capsys):
     capsys.readouterr()
     assert len(hist.read_text().splitlines()) == 1
     _reset_state()
+
+
+def test_cpu_train_loop_mode_emits_record():
+    """bench.py --train-loop on forced CPU: the real TrainLoop epoch
+    throughput record (the VERDICT-1 artifact path), cheap K grid."""
+    env = dict(
+        os.environ,
+        JAX_PLATFORMS="cpu",
+        BENCH_TOTAL_BUDGET_S="400",
+        BENCH_HISTORY="off",
+        BENCH_TRAIN_LOOP_KS="1",
+    )
+    r = sp.run(
+        [sys.executable, "bench.py", "--train-loop"],
+        cwd="/root/repo", env=env, capture_output=True, timeout=500,
+    )
+    assert r.returncode == 0, r.stderr.decode()[-2000:]
+    rec = _last_json_line(r.stdout)
+    assert rec["metric"] == "train_loop_throughput"
+    assert rec["platform"] == "cpu"
+    assert rec["precision"] == "float32"
+    # Either the K=1 loop measured, or its skip is marked loudly.
+    assert ("loop_k1_samples_per_s" in rec) or ("loop_k1_skipped" in rec), rec
+    if "loop_k1_samples_per_s" in rec:
+        assert rec["value"] and rec["value"] > 0
+
+
+def test_cpu_sharded_mode_emits_record():
+    """bench.py --sharded on forced CPU: multi-channel aggregate record
+    (the VERDICT-2 artifact path) with the device decomposition marked
+    either way."""
+    env = dict(
+        os.environ,
+        JAX_PLATFORMS="cpu",
+        BENCH_TOTAL_BUDGET_S="400",
+        BENCH_HISTORY="off",
+    )
+    r = sp.run(
+        [sys.executable, "bench.py", "--sharded"],
+        cwd="/root/repo", env=env, capture_output=True, timeout=500,
+    )
+    assert r.returncode == 0, r.stderr.decode()[-2000:]
+    rec = _last_json_line(r.stdout)
+    assert rec["metric"] == "sharded_inference_throughput"
+    assert rec["platform"] == "cpu"
+    assert rec["value"] > 0
+    assert rec["n_channels"] >= 2
+    assert ("sharded_device_x_realtime" in rec) or any(
+        k.startswith("sharded_device") or k.startswith("device_decompose")
+        for k in rec
+    ), rec
+
+
+def test_mutually_exclusive_mode_flags_rejected():
+    r = sp.run(
+        [sys.executable, "bench.py", "--train", "--sharded"],
+        cwd="/root/repo", capture_output=True, timeout=60,
+    )
+    assert r.returncode == 2
+    assert b"mutually exclusive" in r.stderr
