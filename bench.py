@@ -261,28 +261,28 @@ def _wait_for_healthy_d2h(max_wait_s: float = None) -> bool:
     deadline = time.monotonic() + max_wait_s
     attempt = 0
     while True:
-        # Distinct contents per attempt: the tunnel dedups identical
-        # transfers/executions, which would make a sick link probe healthy.
-        x = probe(jnp.full(256, float(attempt)))
-        x.block_until_ready()
-        # Per-attempt watchdog: a degraded transfer blocks INSIDE
-        # np.asarray for ~190 s — exactly the condition being probed — and
-        # an unbounded wait let one attempt eat the whole budget (observed
-        # 2026-08-20 17:31Z: a diagnostic record whose entire 240 s went to
-        # phase d2h_probe).  Run the readback in a daemon thread and join
-        # with a cap; a timed-out thread is abandoned (it unblocks whenever
-        # the tunnel does) and the probe reports unhealthy immediately,
-        # leaving the budget to the tunnel-independent device metrics.
+        # Per-attempt watchdog around the WHOLE attempt — upload, dispatch,
+        # block_until_ready AND the value readback: on a sick link every
+        # one of those can block for the ~190 s degraded-transfer time
+        # (observed 2026-08-21: an attempt stalled inside
+        # block_until_ready, before the old readback-only watchdog even
+        # armed, and a 300 s budget died in phase d2h_probe).  The attempt
+        # runs in a daemon thread joined with a cap; a timed-out thread is
+        # abandoned (it unblocks whenever the tunnel does) and the probe
+        # reports unhealthy immediately, leaving the budget to the
+        # tunnel-independent device metrics.  Distinct content per attempt
+        # (the tunnel dedups identical transfers/executions, which would
+        # make a sick link probe healthy).
         result = {}
 
-        def _readback(arr=x, out=result):
+        def _attempt(a=attempt, out=result):
             t0 = time.perf_counter()
-            np.asarray(arr)
+            np.asarray(probe(jnp.full(256, float(a))))
             out["dt"] = time.perf_counter() - t0
 
         cap = max(6.0, min(20.0, (deadline - time.monotonic()) / 3.0,
                            _remaining() / 3.0))
-        th = threading.Thread(target=_readback, daemon=True)
+        th = threading.Thread(target=_attempt, daemon=True)
         th.start()
         th.join(cap)
         if result.get("dt") is not None and result["dt"] < 5.0:
@@ -364,6 +364,24 @@ def bench_train() -> None:
 
     n_lo, n_hi = (2, iters) if on_accel else (1, iters)
     per_step_s, overhead_s = slope_time(run, n_lo=n_lo, n_hi=n_hi)
+    if per_step_s <= 0:
+        # A tunnel stall on the n_lo readback but not the n_hi one inverts
+        # the slope; emitting a negative samples/s as a valid rc-0 record
+        # would poison bench_runs.jsonl.  Same guard as every other slope
+        # consumer here.
+        _set_phase("done")
+        _emit_final(
+            {
+                "metric": "train_step_throughput",
+                "value": None,
+                "unit": "samples_per_sec_per_chip",
+                "vs_baseline": None,
+                "precision": precision,
+                "error": f"nonpositive slope {per_step_s:.4f}s/step "
+                "(readback stall during the short run?)",
+            }
+        )
+        sys.exit(3)
 
     samples_per_s = batch / per_step_s
     _set_phase("done")
@@ -528,29 +546,48 @@ def bench_train_loop() -> None:
         _set_phase("train_loop_streamed")
         host_rng = np.random.default_rng(11)
         n_stream = 8 if on_accel else 4
-        host_batches = [
-            {
-                "inputs": host_rng.standard_normal((batch, 100, 44)).astype(
-                    np.float32
-                ),
-                "is_laugh": host_rng.integers(0, 2, batch).astype(np.float32),
-            }
-            for _ in range(n_stream)
-        ]
+
+        def stream_batches(n):
+            # FRESH content per batch, including vs the warmup epoch: the
+            # tunnel dedups identical transfers, and upload is precisely
+            # the cost the streamed twin measures (same rule as
+            # make_batches above).
+            return [
+                {
+                    "inputs": host_rng.standard_normal(
+                        (batch, 100, 44)
+                    ).astype(np.float32),
+                    "is_laugh": host_rng.integers(0, 2, batch).astype(
+                        np.float32
+                    ),
+                }
+                for _ in range(n)
+            ]
+
         loop = TrainLoop(trainer=trainer, checkpoint_dir=tmpdir, log_frequency=0)
         params, state, opt_state, _ = loop.run_epoch(
-            params, state, opt_state, host_batches[:1],
+            params, state, opt_state, stream_batches(1),
             rng=jax.random.PRNGKey(300), verbose=False,
         )  # warm
+        timed_batches = stream_batches(n_stream)  # generation off the clock
         t0 = time.perf_counter()
         params, state, opt_state, _ = loop.run_epoch(
-            params, state, opt_state, host_batches,
+            params, state, opt_state, timed_batches,
             rng=jax.random.PRNGKey(301), verbose=False,
         )
         dt = time.perf_counter() - t0
         out["streamed_samples_per_s"] = round(n_stream * batch / dt, 1)
         _STATE["record"] = dict(out)
     _set_phase("done")
+    if out["value"] is None:
+        # Every K leg AND the streamed leg skipped inside the budget (slow
+        # backend init / compile ate the window without the guard thread
+        # firing): this is a diagnostic, not a measurement — exit 3 per
+        # the documented contract (exit 3 == value null), or a driver
+        # keying on rc=0 records a null reading as a successful round.
+        out["error"] = "all loop legs skipped within the budget"
+        _emit_final(out)
+        sys.exit(3)
     _emit_final(out)
 
 
@@ -679,47 +716,41 @@ def bench_sharded() -> None:
 def _sharded_device_metrics(pipe, n_channels: int, channel_seconds: int) -> dict:
     """Device-side aggregate x-realtime of the batched multi-channel
     windows graph, with every bucket batch pre-uploaded AND pre-sharded so
-    the link is off the clock.  Runs the same featurize/chunk_probs graphs
-    as ShardedPipeline._bucket_probs_batch (raw unpacked path).  Slope over
-    (1, 3) passes of distinct content; one checksum readback per timed run
-    is the execution barrier."""
+    the link is off the clock.  Bucket batches come from the pipeline's
+    OWN plan (ShardedPipeline.bucket_batches, the generator
+    _probs_padded_device itself iterates) so the decomposition can never
+    desynchronize from the measured path.  Slope over (1, 3) passes of
+    distinct content; one checksum readback per timed run is the
+    execution barrier."""
     import jax.numpy as jnp
 
-    from laughter_detection_icsi_tpu import host_prep
     from laughter_detection_icsi_tpu.inference import host_pad_waveform
     from laughter_detection_icsi_tpu.utils.timing import hard_block
 
     c_pad = -(-n_channels // pipe.n_shards) * pipe.n_shards
     c_local = c_pad // pipe.n_shards
-    featurize, chunk_probs, wave_len, chunk = pipe._graphs(True, c_local)
+    featurize, chunk_probs, _wave_len, chunk = pipe._graphs(True, c_local)
     bucket = pipe.settings.bucket_frames
-    window = pipe.settings.window
-    shift = host_prep.snip_cfg(pipe.feat_cfg).frame_shift_samples
 
     # 5 distinct content sets: warmup + n_lo=1 + n_hi=3.
     sets = []
-    t = 0
     for set_i in range(5):
         padded_list, ts = [], []
         for ch in range(n_channels):
-            padded, t = host_pad_waveform(
+            padded, t_ch = host_pad_waveform(
                 speech_like_pcm(channel_seconds, seed=900 + set_i * 16 + ch),
                 pipe.feat_cfg,
             )
             padded_list.append(padded)
-            ts.append(t)
-        t_max = max(ts)
-        buckets = []
-        for k in range(-(-t_max // bucket)):
-            lo = k * bucket * shift
-            batch = np.zeros((c_pad, wave_len), dtype=np.int16)
-            valid = np.zeros(c_pad, dtype=np.int32)
-            for r in range(n_channels):
-                src = padded_list[r][lo : lo + wave_len]
-                batch[r, : len(src)] = src
-                valid[r] = int(np.clip(ts[r] - k * bucket, 0, bucket + window - 1))
-            buckets.append(pipe._shard({"w": batch, "v": valid}, pipe.mesh))
-        sets.append(buckets)
+            ts.append(t_ch)
+        sets.append(
+            [
+                pipe._shard({"w": batch, "v": valid}, pipe.mesh)
+                for batch, valid, _k in pipe.bucket_batches(
+                    padded_list, ts, int16_in=True
+                )
+            ]
+        )
     hard_block(sets)  # uploads complete, off the clock
 
     n_chunks = -(-bucket // chunk)
@@ -735,13 +766,7 @@ def _sharded_device_metrics(pipe, n_channels: int, channel_seconds: int) -> dict
     hard_block(device_pass(0))  # compile/warm off the clock
     out = {}
     if _remaining() > 30.0:
-        t0 = time.perf_counter()
-        hard_block(device_pass(1))
-        t_lo = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        hard_block([device_pass(2), device_pass(3), device_pass(4)])
-        t_hi = time.perf_counter() - t0
-        dt = (t_hi - t_lo) / 2.0
+        dt, _ = _slope_sets(device_pass)
         if dt > 0:
             out["sharded_device_x_realtime"] = round(
                 n_channels * channel_seconds / dt, 2
@@ -780,15 +805,7 @@ def _sharded_device_metrics(pipe, n_channels: int, channel_seconds: int) -> dict
         hard_block(fsets)
         hard_block(graph(fsets[0]["w"], fsets[0]["v"]))  # compile off clock
         if _remaining() > 25.0:
-            t0 = time.perf_counter()
-            hard_block(graph(fsets[1]["w"], fsets[1]["v"]))
-            t_lo = time.perf_counter() - t0
-            t0 = time.perf_counter()
-            hard_block(
-                [graph(fsets[i]["w"], fsets[i]["v"]) for i in (2, 3, 4)]
-            )
-            t_hi = time.perf_counter() - t0
-            dt = (t_hi - t_lo) / 2.0
+            dt, _ = _slope_sets(lambda i: graph(fsets[i]["w"], fsets[i]["v"]))
             if dt > 0:
                 out["sharded_fused_device_x_realtime"] = round(
                     n_channels * channel_seconds / dt, 2
@@ -904,6 +921,27 @@ def _backend_watchdog(timeout_s: float = None):
     return done.set
 
 
+def _slope_sets(make_pass, first_set: int = 1, n_lo: int = 1, n_hi: int = 3):
+    """Slope-time ``make_pass(set_index)`` over DISTINCT pre-staged content
+    sets — the one shape every device decomposition here needs
+    (utils/timing.slope_time underneath): run(n) executes n passes on
+    fresh set indices and ends in ONE value-readback barrier whose
+    checksum data-depends on all their outputs, so neither transport
+    dedup nor a lying block_until_ready can fake it.  Returns
+    (per_pass_s, overhead_s); callers keep their own nonpositive-slope
+    guards."""
+    from laughter_detection_icsi_tpu.utils.timing import hard_block, slope_time
+
+    counter = {"i": first_set}
+
+    def run(n):
+        i0 = counter["i"]
+        counter["i"] += n
+        hard_block([make_pass(i0 + j) for j in range(n)])
+
+    return slope_time(run, n_lo=n_lo, n_hi=n_hi)
+
+
 def _device_metrics(pipe, audio_seconds: int) -> dict:
     """Decompose the e2e number: upload cost vs device-side compute.
 
@@ -960,14 +998,9 @@ def _device_metrics(pipe, audio_seconds: int) -> dict:
         dvalid_sets.append([jnp.asarray(v, jnp.int32) for v in valids])
         return devs
 
-    t0 = time.perf_counter()
-    hard_block(upload_set(0))
-    t_one = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    hard_block([upload_set(i) for i in (1, 2, 3, 4)])
-    t_four = time.perf_counter() - t0
     # Slope over (1, 4) sets cancels the checksum dispatch/RTT constant.
-    out["upload_s"] = round(max((t_four - t_one) / 3.0, 0.0), 4)
+    per_upload, _ = _slope_sets(upload_set, first_set=0, n_lo=1, n_hi=4)
+    out["upload_s"] = round(max(per_upload, 0.0), 4)
 
     featurize, chunk_probs, _ = pipe._graphs(True)
     chunk = pipe.settings.chunk
@@ -983,19 +1016,10 @@ def _device_metrics(pipe, audio_seconds: int) -> dict:
 
     hard_block(windows_device_pass(0))  # compile/warm off the clock
     if _remaining() > 20.0:
-        t0 = time.perf_counter()
-        hard_block(windows_device_pass(1))
-        t_lo = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        # One barrier over ALL three outputs: each pass is independent, so
-        # the checksum's data dependency (not execution-order luck) is what
-        # guarantees all three really finished.
-        hard_block([windows_device_pass(i) for i in (2, 3, 4)])
-        t_hi = time.perf_counter() - t0
-        dt = (t_hi - t_lo) / 2.0
+        dt, over = _slope_sets(windows_device_pass)
         if dt > 0:
             out["device_x_realtime"] = round(audio_seconds / dt, 2)
-            out["device_pass_overhead_s"] = round(max(t_lo - dt, 0.0), 4)
+            out["device_pass_overhead_s"] = round(max(over, 0.0), 4)
         else:
             out["device_x_realtime_skipped"] = f"nonpositive slope {dt:.4f}"
     else:
@@ -1015,16 +1039,15 @@ def _device_metrics(pipe, audio_seconds: int) -> dict:
             fbuf = np.zeros(fc_wave_len, dtype=np.int16)
             fbuf[: len(padded)] = padded
             fdevs.append(jax.device_put(fbuf))
+        # Force ALL uploads off the clock (warming via fdevs[0] alone
+        # would leave sets 1-4 possibly still in flight when timing
+        # starts, contaminating the link-independent metric with
+        # transfer time on a slow tunnel).
+        hard_block(fdevs)
         tt = jnp.asarray(t, jnp.int32)
-        hard_block(graph(fdevs[0], tt))  # compile/warm + uploads, off clock
+        hard_block(graph(fdevs[0], tt))  # compile/warm off the clock
         if _remaining() > 15.0:
-            t0 = time.perf_counter()
-            hard_block(graph(fdevs[1], tt))
-            t_lo = time.perf_counter() - t0
-            t0 = time.perf_counter()
-            hard_block([graph(fdevs[i], tt) for i in (2, 3, 4)])
-            t_hi = time.perf_counter() - t0
-            dt = (t_hi - t_lo) / 2.0
+            dt, _ = _slope_sets(lambda i: graph(fdevs[i], tt))
             if dt > 0:
                 out["fused_conv_device_x_realtime"] = round(
                     audio_seconds / dt, 2
@@ -1086,6 +1109,13 @@ def main() -> None:
     # before/after are not directly comparable.)
     _set_phase("d2h_probe")
     healthy = _wait_for_healthy_d2h() if on_accel else True
+    if not healthy:
+        # One-fifth the bytes on a degraded link: a sick window may still
+        # move ~2 MB inside the budget, and a 120 s reading flagged
+        # link_degraded (plus the device decomposition on one-fifth the
+        # staging) beats a pure diagnostic record — observed 2026-08-21:
+        # with 600 s audio the warmup alone ate a 300 s budget.
+        audio_seconds = min(audio_seconds, 120)
     # Distinct waveform CONTENTS per run (different seeds, same generator and
     # length): the tunnel dedups repeated identical uploads/executions, so
     # re-timing one wave can report the cache, not the hardware.  Waves are

@@ -92,18 +92,31 @@ def batch_norm(
                 f"batch_norm(train=True) needs more than 1 value per "
                 f"channel, got {n} (size-1 tail batch? use drop_remainder)"
             )
-        mean = jnp.mean(x, axis=axes)
-        var = jnp.mean((x - mean.reshape(shape)) ** 2, axis=axes)
-        unbiased = var * (n / (n - 1))
+        # Batch statistics in float32 regardless of the activation dtype
+        # (a no-op for f32 inputs, so torch bit-parity is untouched): under
+        # mixed-precision training (build_step_fns compute_dtype) x is
+        # bf16, and both a bf16 reduction over the batch AND a bf16
+        # running-stat accumulation lose the small momentum updates —
+        # new = 0.9*old + 0.1*batch rounds to `old` whenever the change is
+        # below old/256, silently freezing the stats on the bf16 grid.
+        # Stats reduce in f32 here, the running update stays f32 (state is
+        # f32 masters), and only the NORMALIZATION runs in x.dtype so the
+        # bf16 activation chain is preserved.
+        xf = x.astype(jnp.float32)
+        mean32 = jnp.mean(xf, axis=axes)
+        var32 = jnp.mean((xf - mean32.reshape(shape)) ** 2, axis=axes)
+        unbiased32 = var32 * (n / (n - 1))
         new_state = {
             # jnp.asarray as in the eval branch: a host-numpy running stat
             # would otherwise update under numpy promotion rules.
             "running_mean": (1 - BN_MOMENTUM) * jnp.asarray(state["running_mean"])
-            + BN_MOMENTUM * mean,
+            + BN_MOMENTUM * mean32,
             "running_var": (1 - BN_MOMENTUM) * jnp.asarray(state["running_var"])
-            + BN_MOMENTUM * unbiased,
+            + BN_MOMENTUM * unbiased32,
             "num_batches_tracked": state["num_batches_tracked"] + 1,
         }
+        mean = mean32.astype(x.dtype)
+        var = var32.astype(x.dtype)
     else:
         # jnp.asarray: host-resident (numpy) trees must not run `var + eps`
         # under NUMPY promotion rules — ml_dtypes bf16 + python float

@@ -568,12 +568,34 @@ class ShardedPipeline:
             # laughter past the end of the audio.
             return graph(sharded["w"], sharded["v"])[:c, :t_max]
         c_local = c_pad // self.n_shards
+        bucket = self.settings.bucket_frames
+
+        pieces = []
+        for batch, valid, k in self.bucket_batches(padded_list, ts, int16_in):
+            probs = self._bucket_probs_batch(batch, valid, c_local)
+            pieces.append(probs[:, : min(bucket, t_max - k * bucket)])
+        return jnp.concatenate(pieces, axis=1)[:c]  # [C, t_max] on device
+
+    def bucket_batches(self, padded_list, ts, int16_in: bool = False):
+        """Yield this pipeline's windows-mode bucket plan: one
+        ``(batch [rows, wave_len], valid [rows], bucket_index)`` per
+        bucket, exactly as :meth:`_probs_padded_device` feeds
+        ``_bucket_probs_batch``.  The ONE definition of the per-bucket
+        slice/valid math — bench decompositions iterate this instead of
+        copying it, so a change to the bucket geometry can never leave a
+        measurement running a different graph shape than production
+        (same contract as inference.LaughterPipeline.bucket_buffers)."""
+        dtype = np.int16 if int16_in else np.float32
+        ts = list(ts)
+        t_max = max(ts)
+        c = len(ts)
+        c_pad = -(-c // self.n_shards) * self.n_shards
+        row_lo, row_hi = self._rows_slice(c_pad)
+        c_local = c_pad // self.n_shards
         wave_len = self._graphs(int16_in, c_local)[2]
         bucket = self.settings.bucket_frames
         window = self.settings.window
         shift = host_prep.snip_cfg(self.feat_cfg).frame_shift_samples
-
-        pieces = []
         for k in range(-(-t_max // bucket)):
             lo = k * bucket * shift
             batch = np.zeros((row_hi - row_lo, wave_len), dtype=dtype)
@@ -586,9 +608,7 @@ class ShardedPipeline:
                 valid[r - row_lo] = int(
                     np.clip(ts[r] - k * bucket, 0, bucket + window - 1)
                 )
-            probs = self._bucket_probs_batch(batch, valid, c_local)
-            pieces.append(probs[:, : min(bucket, t_max - k * bucket)])
-        return jnp.concatenate(pieces, axis=1)[:c]  # [C, t_max] on device
+            yield batch, valid, k
 
     def _bucket_probs_batch(
         self, batch: np.ndarray, valid: np.ndarray, c_local: int

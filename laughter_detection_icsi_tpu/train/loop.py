@@ -178,18 +178,29 @@ def build_step_fns(
 
     def apply_model(params, state, x, train, rng=None):
         """model.apply behind the precision boundary: f32 in, f32 out,
-        bf16 (when opted in) strictly inside."""
+        bf16 (when opted in) strictly inside.
+
+        In TRAIN mode the BN state is passed through in f32, NOT cast:
+        batch_norm reduces batch stats in f32 and accumulates the running
+        stats against the f32 masters (models/layers.py), while the
+        normalization itself runs in the activation dtype — casting the
+        state here would quantize `new = 0.9*old + 0.1*batch` onto the
+        bf16 grid, silently freezing any update smaller than ~old/256.
+        In EVAL mode there is no accumulation, so the state casts to bf16
+        to keep the whole chain half-width (same recipe as the inference
+        pipeline's precision='bfloat16')."""
         if not bf16:
             return model.apply(params, state, x, train=train, rng=rng)
         probs, new_state = model.apply(
             _cast_floats(params, jnp.bfloat16),
-            _cast_floats(state, jnp.bfloat16),
+            state if train else _cast_floats(state, jnp.bfloat16),
             x.astype(jnp.bfloat16),
             train=train,
             rng=rng,
         )
-        # BN running stats return to the f32 masters: accumulating them in
-        # bf16 across an epoch would round away small momentum updates.
+        # Train-mode new_state is already f32 (stat updates run f32 in
+        # batch_norm); the cast is a no-op there and restores f32 leaves
+        # for the (discarded) eval-mode state.
         return probs.astype(jnp.float32), _cast_floats(new_state, jnp.float32)
 
     def loss_fn(params, state, x, y, rng):

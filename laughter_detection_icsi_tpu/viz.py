@@ -170,11 +170,23 @@ def _per_meeting_at_threshold(
     """Per-meeting eval rows at one threshold (and optionally one min_len),
     with the same 6-decimal float normalization as the other filters.
     Raises when the filter empties — a blank histogram saved as a PNG would
-    report success for an out-of-grid threshold."""
+    report success for an out-of-grid threshold — and when ``min_len`` is
+    None while the CSV carries SEVERAL min_len settings: pooling them
+    would put every meeting in the histogram once per grid value and mix
+    distinct smoothing parametrizations (the failure plot_fp_confusion's
+    docstring documents; these per-meeting plots had it until round 4)."""
     df = pd.read_csv(eval_df_csv)
     df = df[df["threshold"].round(6) == round(threshold, 6)]
     if min_len is not None:
         df = _match_min_len(df, min_len)
+    elif "min_len" in df.columns:
+        lens = sorted(df["min_len"].round(6).unique())
+        if len(lens) > 1:
+            raise ValueError(
+                f"eval_df has {len(lens)} min_len settings {lens}; pass "
+                "min_len= (CLI: --min_len) to pick one — pooling would "
+                "count every meeting once per setting"
+            )
     if df.empty:
         raise ValueError(
             f"no evaluation rows at threshold={threshold} "

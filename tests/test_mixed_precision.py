@@ -159,3 +159,78 @@ def test_data_parallel_bf16_matches_single_device(tiny_model):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b_), rtol=5e-2, atol=5e-3
         )
+
+
+def test_bn_running_stats_accumulate_in_f32_under_bf16():
+    """The recipe's sharpest failure mode (review finding, round 4): BN's
+    running-stat update `new = 0.9*old + 0.1*batch` quantized to the bf16
+    grid STALLS once the remaining distance to the batch stat drops below
+    ~old/25 (the 0.1-scaled increment falls under bf16 resolution), a ~4%
+    permanent error.  batch_norm must reduce batch stats and accumulate
+    running stats in f32 even for bf16 activations: then the stats
+    converge all the way to the (bf16-quantized) batch statistics — the
+    convergence this test pins.  (Input quantization itself — bf16 cannot
+    represent a 0.1% activation offset — is inherent to the mode and NOT
+    what this guards.)"""
+    import jax.numpy as jnp
+
+    from laughter_detection_icsi_tpu.models import layers as L
+
+    # bf16 affine params, as build_step_fns' apply_model provides them in
+    # the mixed-precision path (f32 params here would promote y to f32).
+    params = {
+        "weight": jnp.ones(4, jnp.bfloat16),
+        "bias": jnp.zeros(4, jnp.bfloat16),
+    }
+    state = {
+        "running_mean": jnp.ones(4, jnp.float32),
+        "running_var": jnp.ones(4, jnp.float32),
+        "num_batches_tracked": jnp.zeros((), jnp.int32),
+    }
+
+    rng = np.random.default_rng(0)
+    # Batch mean ~0.9: far from the running stat at first (so bf16-grid
+    # accumulation WOULD start moving), then the gap shrinks through the
+    # ~4% stall zone where only f32 accumulation keeps converging.
+    x = jnp.asarray(
+        (0.9 + rng.standard_normal((64, 4)) * 1e-3).astype(np.float32)
+    ).astype(jnp.bfloat16)
+    target = np.asarray(jnp.mean(x.astype(jnp.float32), axis=0))
+
+    for _ in range(150):
+        y, state = L.batch_norm(x, params, state, train=True)
+        assert y.dtype == jnp.bfloat16  # normalization stays half-width
+
+    rm = np.asarray(state["running_mean"])
+    assert state["running_mean"].dtype == jnp.float32
+    # f32 accumulation converges to the batch stat; the old bf16-grid
+    # accumulation stalled ~0.03-0.04 short of it.
+    np.testing.assert_allclose(rm, target, atol=2e-3)
+
+
+def test_bf16_trainer_bn_stats_track_f32(tiny_model):
+    """End to end through the Trainer: after a few bf16 steps the MLP's BN
+    running stats track the f32 run closely (they froze before the f32
+    batch-stat fix when updates fell below the bf16 grid)."""
+    rng = np.random.default_rng(7)
+    batches = [_batch(rng, b=32) for _ in range(6)]
+    key = jax.random.PRNGKey(9)
+    stats = {}
+    for cd in (None, "bfloat16"):
+        tr = Trainer(tiny_model, compute_dtype=cd)
+        params, state, opt = tr.init(jax.random.PRNGKey(0))
+        for b in batches:
+            params, state, opt, _ = tr.train_batch(params, state, opt, b, key)
+        stats[cd] = state
+    for a, b_ in zip(
+        jax.tree_util.tree_leaves(stats[None]),
+        jax.tree_util.tree_leaves(stats["bfloat16"]),
+    ):
+        if jnp.issubdtype(a.dtype, jnp.floating):
+            # Tolerance covers the INHERENT bf16 input/activation
+            # quantization (~0.4% per value, amplified through variance);
+            # the old bf16-grid state accumulation left stats frozen near
+            # their init — orders of magnitude outside these bounds.
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b_), rtol=6e-2, atol=6e-3
+            )

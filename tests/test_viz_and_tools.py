@@ -108,6 +108,29 @@ def test_aux_dist_plots_render(eval_df_csv, tmp_path):
         viz.plot_agg_pred_time_ratio_dist(
             eval_df_csv, 0.9, out_path=str(tmp_path / "x.png")
         )
+
+
+def test_aux_dist_plots_refuse_pooled_min_lens(eval_df_csv, tmp_path):
+    """A multi-min_len eval_df with no min_len filter must raise, not pool:
+    pooling counts every meeting once per grid value and mixes smoothing
+    parametrizations (review finding, round 4).  Passing min_len= selects
+    one setting and renders."""
+    import pandas as pd
+
+    df = pd.read_csv(eval_df_csv)
+    df2 = df.copy()
+    df2["min_len"] = 0.4
+    multi = tmp_path / "multi.csv"
+    pd.concat([df, df2]).to_csv(multi, index=False)
+    for fn in (
+        viz.plot_aggregated_laughter_length_dist,
+        viz.plot_agg_pred_time_ratio_dist,
+    ):
+        with pytest.raises(ValueError, match="min_len settings"):
+            fn(str(multi), 0.5, out_path=str(tmp_path / "y.png"))
+        out = tmp_path / f"{fn.__name__}_picked.png"
+        fn(str(multi), 0.5, out_path=str(out), min_len=0.4)
+        assert out.stat().st_size > 10_000
     # a threshold slice where NO meeting has transcribed laughter
     p = tmp_path / "no_gt.csv"
     df = pd.read_csv(eval_df_csv)
