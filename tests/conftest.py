@@ -83,6 +83,10 @@ _SMOKE_NODE_IDS = {
     # the single-device pipeline (a broken sharding path must not sail
     # through the pre-commit gate)
     "tests/test_sharded_inference.py::test_sharded_matches_single",
+    # utils/timing: the honest execution barrier every bench/probe
+    # measurement routes through (a broken checksum would silently turn
+    # all device numbers back into dispatch-rate readings)
+    "tests/test_timing.py::test_hard_block_reads_real_values",
 }
 
 
