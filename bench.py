@@ -20,7 +20,7 @@ plus decomposed fields when the budget allows (all in the SAME object):
 
 Budget contract (why round 2's record was lost, BENCH_r02.json rc=124):
 the whole process — backend probe, d2h probe, warmup, measurement — shares
-ONE wall-clock budget, default 240 s, env-overridable via
+ONE wall-clock budget, default 420 s, env-overridable via
 BENCH_TOTAL_BUDGET_S.  A guard THREAD (not a signal handler: the main
 thread can block indefinitely inside a tunnel RPC where Python signal
 handlers never run) prints the final JSON and exits at the deadline, so a
@@ -51,7 +51,14 @@ import time
 import numpy as np
 
 _T0 = time.monotonic()
-_BUDGET_S = float(os.environ.get("BENCH_TOTAL_BUDGET_S", "240"))
+# Default raised 240 -> 420 (r05): a degraded tunnel window can block a
+# single warmup upload/readback for 150+ s (observed 2026-08-21: warmup
+# alone ate a full 240 s budget and the round artifact was a diagnostic).
+# A longer budget is safe under the guard contract — partial records are
+# stored progressively and the guard/SIGTERM paths emit whatever is stored,
+# so an outer driver timeout shorter than the budget still yields the best
+# record so far, while a healthy run finishes and exits long before either.
+_BUDGET_S = float(os.environ.get("BENCH_TOTAL_BUDGET_S", "420"))
 
 # Reentrant: a SIGTERM can land while the main thread is INSIDE
 # _emit_final (holding the lock during the final print / history append);
@@ -649,29 +656,25 @@ def bench_sharded() -> None:
             for i in range(n_channels)
         ]
 
+    # Same phase order as main() (the r04 lesson): short-capped probe, one
+    # e2e pass for the provisional value, the tunnel-independent device
+    # decomposition NEXT, best-of-N e2e refinement last.
     _set_phase("d2h_probe")
-    healthy = _wait_for_healthy_d2h() if on_accel else True
+    healthy = (
+        _wait_for_healthy_d2h(
+            max_wait_s=max(0.0, min(45.0, _remaining() - 150.0))
+        )
+        if on_accel
+        else True
+    )
     _set_phase("warmup")
     pipe.probs_for_waveforms(channel_waves(40))
 
     _set_phase("measure")
-    min_iters = 2 if healthy else 1
-    max_iters = 6 if healthy else 1
-    budget_s = max(10.0, min(120.0, _remaining() - 30.0))
-    dt = float("inf")
-    since_improve = 0
-    t_budget0 = time.perf_counter()
-    for i in range(max_iters):
-        waves = channel_waves(50 + 10 * i)  # off the clock
-        t0 = time.perf_counter()
-        probs = pipe.probs_for_waveforms(waves)
-        d = time.perf_counter() - t0
-        since_improve = 0 if d < dt * 0.98 else since_improve + 1
-        dt = min(dt, d)
-        if i + 1 >= min_iters and (
-            since_improve >= 2 or time.perf_counter() - t_budget0 > budget_s
-        ):
-            break
+    waves = channel_waves(50)  # off the clock
+    t0 = time.perf_counter()
+    probs = pipe.probs_for_waveforms(waves)
+    dt = time.perf_counter() - t0
     assert len(probs) == n_channels
     assert probs[0].shape[0] == channel_seconds * 100
 
@@ -698,7 +701,7 @@ def bench_sharded() -> None:
     # _device_metrics (see utils/timing.py for why block_until_ready
     # cannot time this).
     _STATE["record"] = dict(out)
-    if _remaining() > 90.0:
+    if _remaining() > 60.0:
         _set_phase("device_decompose")
         try:
             out.update(
@@ -709,6 +712,33 @@ def bench_sharded() -> None:
         _STATE["record"] = dict(out)
     else:
         out["device_decompose_skipped"] = f"only {_remaining():.0f}s left"
+    if _remaining() > 20.0:
+        _set_phase("measure_refine")
+        min_iters = 1 if healthy else 0
+        max_iters = 5 if healthy else 1
+        budget_s = max(5.0, _remaining() - 15.0)
+        since_improve = 0
+        t_budget0 = time.perf_counter()
+        for i in range(max_iters):
+            if time.perf_counter() - t_budget0 > budget_s:
+                break
+            waves = channel_waves(60 + 10 * i)  # off the clock
+            t0 = time.perf_counter()
+            probs = pipe.probs_for_waveforms(waves)
+            d = time.perf_counter() - t0
+            assert len(probs) == n_channels
+            since_improve = 0 if d < dt * 0.98 else since_improve + 1
+            if d < dt:
+                dt = d
+                aggregate_x = n_channels * channel_seconds / dt
+                out["value"] = round(aggregate_x, 2)
+                out["vs_baseline"] = round(aggregate_x / 500.0, 4)
+                out["per_channel_x_realtime"] = round(
+                    aggregate_x / n_channels, 2
+                )
+                _STATE["record"] = dict(out)
+            if i + 1 >= min_iters and since_improve >= 2:
+                break
     _set_phase("done")
     _emit_final(out)
 
@@ -998,6 +1028,16 @@ def _device_metrics(pipe, audio_seconds: int) -> dict:
         dvalid_sets.append([jnp.asarray(v, jnp.int32) for v in valids])
         return devs
 
+    # Warm the timing checksum for BOTH slope leaf structures (a 1-set and
+    # a 4-set hard_block) off the clock: the first hard_block on a new
+    # structure traces/compiles its reduction, and billing that to the
+    # n_lo run biases the upload slope low (ADVICE r04).  Zero-content
+    # buffers of the plan's shapes — distinct from every timed upload, so
+    # transport dedup cannot make a timed set ride this warmup.
+    warm = [jax.device_put(np.zeros_like(b)) for b in plans[0][0]]
+    hard_block([warm])
+    hard_block([warm, warm, warm, warm])
+
     # Slope over (1, 4) sets cancels the checksum dispatch/RTT constant.
     per_upload, _ = _slope_sets(upload_set, first_set=0, n_lo=1, n_hi=4)
     out["upload_s"] = round(max(per_upload, 0.0), 4)
@@ -1107,8 +1147,23 @@ def main() -> None:
     # and are scaled on device).  ICSI-like synthetic meeting audio — see
     # speech_like_pcm.  (Rounds 1a-1c used full-scale white noise; numbers
     # before/after are not directly comparable.)
+    #
+    # Phase order (the r04 lesson, BENCH_r04.json): the probe's ONLY job is
+    # to pick the measurement size and set the link_degraded flag, so its
+    # wait is capped HARD; the tunnel-independent device decomposition runs
+    # right after the first e2e pass — BEFORE any best-of-N e2e refinement —
+    # so a sick link can never again spend the whole budget on the
+    # link-bound metric and skip the stable one (r04 shipped 700x with the
+    # decomposition skipped in the same round those metrics hit
+    # 1,781x/14,611x).
     _set_phase("d2h_probe")
-    healthy = _wait_for_healthy_d2h() if on_accel else True
+    healthy = (
+        _wait_for_healthy_d2h(
+            max_wait_s=max(0.0, min(45.0, _remaining() - 150.0))
+        )
+        if on_accel
+        else True
+    )
     if not healthy:
         # One-fifth the bytes on a degraded link: a sick window may still
         # move ~2 MB inside the budget, and a 120 s reading flagged
@@ -1121,35 +1176,18 @@ def main() -> None:
     # re-timing one wave can report the cache, not the hardware.  Waves are
     # generated off the clock (before each timed run starts).
     _set_phase("warmup")
+    t_warm = time.perf_counter()
     pipe.probs_for_waveform(speech_like_pcm(audio_seconds, seed=23))  # warmup
+    warmup_s = time.perf_counter() - t_warm
 
-    # Best-of-N, adaptive N: the tunneled link's transfer rate fluctuates by
-    # >10x minute to minute; the fastest run reflects the hardware, the mean
-    # reflects the tunnel's mood.  A fixed N=3 can land entirely inside one
-    # slow window (observed: 748x vs 1274x minutes apart on identical code),
-    # so keep measuring — up to max_iters or the time budget — until the
-    # best time has gone two consecutive runs without improving.  The loop
-    # budget is whatever the shared budget has left, minus a reserve for
-    # the decomposed metrics and emission.
+    # ONE timed e2e pass establishes the provisional round value cheaply;
+    # best-of-N refinement happens LAST, with whatever budget the
+    # decomposition leaves.
     _set_phase("measure")
-    min_iters = 3 if healthy else 1
-    max_iters = 10 if healthy else 1
-    budget_s = max(10.0, min(150.0, _remaining() - 60.0))
-    dt = float("inf")
-    since_improve = 0
-    t_budget0 = time.perf_counter()
-    for i in range(max_iters):
-        wave = speech_like_pcm(audio_seconds, seed=24 + i)  # off the clock
-        t0 = time.perf_counter()
-        probs = pipe.probs_for_waveform(wave)
-        d = time.perf_counter() - t0
-        since_improve = 0 if d < dt * 0.98 else since_improve + 1
-        dt = min(dt, d)
-        done_enough = i + 1 >= min_iters
-        if done_enough and (
-            since_improve >= 2 or time.perf_counter() - t_budget0 > budget_s
-        ):
-            break
+    wave = speech_like_pcm(audio_seconds, seed=24)  # off the clock
+    t0 = time.perf_counter()
+    probs = pipe.probs_for_waveform(wave)
+    dt = time.perf_counter() - t0
     assert probs.shape[0] == audio_seconds * 100
 
     x_realtime = audio_seconds / dt
@@ -1163,6 +1201,9 @@ def main() -> None:
         # no platform marker would read as a catastrophic framework
         # regression rather than a fallback run.
         "platform": platform,
+        # Observability for the warmup-cost chase (VERDICT r04 #1): how much
+        # of the budget the first (compile + stage) pass ate.
+        "warmup_s": round(warmup_s, 1),
     }
     if not on_accel:
         out["cpu_fallback"] = True
@@ -1175,14 +1216,47 @@ def main() -> None:
     # decomposition below can never cost us the measurement.
     _STATE["record"] = dict(out)
 
-    if _remaining() > 45.0:
+    if _remaining() > 40.0:
         _set_phase("decompose")
         try:
             out.update(_device_metrics(pipe, audio_seconds))
         except Exception as e:  # pragma: no cover - defensive
             out["decompose_error"] = f"{type(e).__name__}: {e}"
+        _STATE["record"] = dict(out)
     else:
         out["decompose_skipped"] = f"only {_remaining():.0f}s left"
+
+    # Best-of-N e2e refinement, LAST: the tunneled link's transfer rate
+    # fluctuates by >10x minute to minute; the fastest run reflects the
+    # hardware, the mean reflects the tunnel's mood.  Keep measuring — up
+    # to max_iters or the leftover budget — until the best time has gone
+    # two consecutive runs without improving.  Every improvement is stored
+    # immediately, so a pass that blocks on a sick link costs nothing but
+    # its own slot (the guard emits the stored record).
+    if _remaining() > 20.0:
+        _set_phase("measure_refine")
+        min_iters = 2 if healthy else 1
+        max_iters = 9 if healthy else 2
+        budget_s = max(5.0, _remaining() - 15.0)
+        since_improve = 0
+        t_budget0 = time.perf_counter()
+        for i in range(max_iters):
+            if time.perf_counter() - t_budget0 > budget_s:
+                break
+            wave = speech_like_pcm(audio_seconds, seed=25 + i)  # off clock
+            t0 = time.perf_counter()
+            probs = pipe.probs_for_waveform(wave)
+            d = time.perf_counter() - t0
+            assert probs.shape[0] == audio_seconds * 100
+            since_improve = 0 if d < dt * 0.98 else since_improve + 1
+            if d < dt:
+                dt = d
+                x_realtime = audio_seconds / dt
+                out["value"] = round(x_realtime, 2)
+                out["vs_baseline"] = round(x_realtime / 500.0, 4)
+                _STATE["record"] = dict(out)
+            if i + 1 >= min_iters and since_improve >= 2:
+                break
     _set_phase("done")
     _emit_final(out)
 

@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import dataclasses
 import time
+import warnings
 from typing import Any, Callable, Dict, Iterable, List, Optional, Tuple
 
 import jax
@@ -771,6 +772,7 @@ class TrainLoop:
         it = iter(train_batches)
         _NO_PENDING = object()  # None is a real (placeholder) batch value
         pending_next = _NO_PENDING
+        max_group_n = 1  # largest fused dispatch actually formed this epoch
         while True:
             if pending_next is not _NO_PENDING:
                 batch, pending_next = pending_next, _NO_PENDING
@@ -853,6 +855,7 @@ class TrainLoop:
                 )
                 loss_inc = metrics["loss"]
             loss_sum = loss_inc if loss_sum is None else loss_sum + loss_inc
+            max_group_n = max(max_group_n, group_n)
             num_batches += group_n
             self.global_step += group_n
             self.epoch_step += group_n
@@ -1020,6 +1023,30 @@ class TrainLoop:
                         "checkpoint saved",
                         flush=True,
                     )
+        if (
+            self.steps_per_dispatch > 1
+            and num_batches > 1
+            and max_group_n == 1
+            and not getattr(self, "_warned_degenerate_groups", False)
+        ):
+            # The grouping key is resident-object IDENTITY (`nxt["resident"]
+            # is batch["resident"]`): a source that yields equal-but-distinct
+            # resident wrappers per batch — or streamed host batches — never
+            # forms a group, silently degrading K>1 to per-step dispatch.
+            # Same policy as the loud grad_accum rejection above: a user who
+            # set the knob must not believe they amortized dispatch when
+            # they didn't.  Once per TrainLoop (every epoch would spam).
+            self._warned_degenerate_groups = True
+            warnings.warn(
+                f"steps_per_dispatch={self.steps_per_dispatch} but no fused "
+                "dispatch group formed this epoch: grouping requires "
+                "consecutive batches that share ONE resident object "
+                "(ResidentLadDataset reuses it; a source yielding a fresh "
+                "equal-valued wrapper per batch, or streamed host batches, "
+                "degrades to per-step dispatch)",
+                RuntimeWarning,
+                stacklevel=2,
+            )
         if verbose:
             dt = time.perf_counter() - t0
             print(

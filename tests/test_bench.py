@@ -236,6 +236,9 @@ def test_cpu_train_loop_mode_emits_record():
         BENCH_TOTAL_BUDGET_S="400",
         BENCH_HISTORY="off",
         BENCH_TRAIN_LOOP_KS="1",
+        # Pin explicitly: an inherited BENCH_TRAIN_PRECISION=bfloat16 in the
+        # outer environment would fail the precision assert spuriously.
+        BENCH_TRAIN_PRECISION="float32",
     )
     r = sp.run(
         [sys.executable, "bench.py", "--train-loop"],

@@ -60,6 +60,8 @@ def make_track(rng, seconds: float, sr: int = 16000):
 
 def _train_model(rng, feat_cfg, filter_sizes, linear_layer_size, steps, batch):
     """Tiny ResNetBigger trained on 1 s fbank windows of the two classes."""
+    if steps < 1:
+        raise ValueError(f"train_steps must be >= 1, got {steps}")
     import jax
     import jax.numpy as jnp
 

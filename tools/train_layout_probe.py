@@ -1,0 +1,288 @@
+"""Train-step HBM-traffic experiment: layout x activation-dtype grid.
+
+The f32 train step at B=1024 is HBM-bandwidth-bound (~131 ms, 86 GB of
+mostly-activation traffic per XLA's cost model — README perf notes,
+tools/precision_probe.py).  The model runs NCHW/OIHW throughout for torch
+state_dict parity (models/layers.py:37-43); XLA:TPU pads tiled buffers on
+the two minor dims, and for stage-1 activations [B, 64, 100, 44] the NCHW
+minor dims (100, 44) pad 44->128 on the lane axis — a ~2.9x physical
+inflation IF XLA keeps the logical layout.  This probe measures whether an
+internal NHWC layout (transpose at the step boundary, torch layout
+preserved in the checkpoint/pytree) actually buys wall-clock, across the
+activation-dtype sweep:
+
+  nchw_f32  — the production parity step (baseline)
+  nhwc_f32  — NHWC activations, f32
+  nchw_bf16 — the shipped --precision bfloat16 recipe
+  nhwc_bf16 — both levers
+
+Each variant is a FULL train step (BCE loss, value_and_grad, global-norm
+clip semantics via the shared Adam, BN running-stat updates) so the
+comparison reflects the real hot loop, not a forward-only toy.  Timing is
+the honest slope methodology (utils/timing.py — block_until_ready lies on
+the tunneled backend); each variant also reports XLA cost-model
+bytes-accessed for traffic attribution.
+
+The NHWC apply below intentionally re-derives ResNetBigger from the
+SURVEY.md §2.4 contract against the SAME torch-layout pytrees (weights
+transposed OIHW->HWIO inside the step, flatten permuted back to torch
+.view order) — numerical equivalence to the production apply is asserted
+at probe start.
+
+Usage:  python tools/train_layout_probe.py [--batch 1024] [--iters 12]
+One JSON line per variant; run on the real chip for the recorded numbers.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
+
+from laughter_detection_icsi_tpu.utils.platform_env import apply_platform_env
+
+apply_platform_env()
+
+
+def _nhwc_apply(params, state, x_nchw, train, rng, dropout_rate=0.5):
+    """ResNetBigger forward in NHWC internal layout against torch-layout
+    pytrees.  Mirrors models/zoo.py apply_fn (SURVEY.md §2.4 contract);
+    equivalence is asserted in main() before any timing."""
+    import jax
+    import jax.numpy as jnp
+
+    from laughter_detection_icsi_tpu.models import layers as L
+
+    def conv(x, p, stride, padding):
+        w = p["weight"].transpose(2, 3, 1, 0)  # OIHW -> HWIO
+        out = jax.lax.conv_general_dilated(
+            x,
+            w.astype(x.dtype),
+            window_strides=(stride, stride),
+            padding=[(padding, padding), (padding, padding)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        if "bias" in p:
+            out = out + p["bias"].astype(x.dtype)
+        return out
+
+    def bn(x, p, s, train):
+        # Channel-last batch_norm with the production train-mode numerics
+        # (f32 stats under bf16 activations, unbiased running update).
+        if train:
+            xf = x.astype(jnp.float32)
+            n = x.size // x.shape[-1]
+            mean32 = jnp.mean(xf, axis=(0, 1, 2))
+            var32 = jnp.mean((xf - mean32) ** 2, axis=(0, 1, 2))
+            unbiased = var32 * (n / (n - 1))
+            new_s = {
+                "running_mean": 0.9 * jnp.asarray(s["running_mean"]) + 0.1 * mean32,
+                "running_var": 0.9 * jnp.asarray(s["running_var"]) + 0.1 * unbiased,
+                "num_batches_tracked": s["num_batches_tracked"] + 1,
+            }
+            mean, var = mean32.astype(x.dtype), var32.astype(x.dtype)
+        else:
+            mean = jnp.asarray(s["running_mean"]).astype(x.dtype)
+            var = jnp.asarray(s["running_var"]).astype(x.dtype)
+            new_s = s
+        inv = jax.lax.rsqrt(var + L.BN_EPS)
+        y = (x - mean) * (p["weight"].astype(x.dtype) * inv) + p["bias"].astype(x.dtype)
+        return y, new_s
+
+    def block(x, p, s, stride, train):
+        ns = {}
+        out = conv(x, p["conv1"], stride, 1)
+        out, ns["bn1"] = bn(out, p["bn1"], s["bn1"], train)
+        out = jax.nn.relu(out)
+        out = conv(out, p["conv2"], 1, 1)
+        out, ns["bn2"] = bn(out, p["bn2"], s["bn2"], train)
+        if "shortcut" in p:
+            sc = conv(x, p["shortcut"]["0"], stride, 0)
+            sc, sc_s = bn(sc, p["shortcut"]["1"], s["shortcut"]["1"], train)
+            ns["shortcut"] = {"1": sc_s}
+        else:
+            sc = x
+        return jax.nn.relu(out + sc), ns
+
+    new_state = {}
+    x = x_nchw.transpose(0, 2, 3, 1)  # NCHW boundary -> NHWC internal
+    out = conv(x, params["conv1"], 1, 1)
+    out, new_state["bn1"] = bn(out, params["bn1"], state["bn1"], train)
+    out = jax.nn.relu(out)
+    strides = [1, 2, 2, 2]
+    for i in range(4):
+        key = f"block{i + 1}"
+        p, s = params[key], state[key]
+        ns = {}
+        out, ns["0"] = block(out, p["0"], s["0"], strides[i], train)
+        out, ns["1"] = block(out, p["1"], s["1"], 1, train)
+        new_state[key] = ns
+    # torch AvgPool2d(4) in NHWC
+    b, h, w, c = out.shape
+    oh, ow = h // 4, w // 4
+    out = out[:, : oh * 4, : ow * 4, :].reshape(b, oh, 4, ow, 4, c)
+    out = jnp.mean(out, axis=(2, 4))
+    # flatten in torch .view order (C-major): permute back before reshape
+    out = out.transpose(0, 3, 1, 2).reshape(b, -1)
+    out, new_state["bn2"] = bn(out[:, None, None, :], params["bn2"],
+                               state["bn2"], train)
+    out = out[:, 0, 0, :]
+    r1 = r2 = None
+    if rng is not None:
+        r1, r2 = jax.random.split(rng)
+    from laughter_detection_icsi_tpu.models.layers import dropout, linear
+
+    out = dropout(out, dropout_rate, r1, train)
+    out = linear(out, {k: v.astype(out.dtype) for k, v in params["linear1"].items()})
+    out, new_state["bn3"] = bn(out[:, None, None, :], params["bn3"],
+                               state["bn3"], train)
+    out = out[:, 0, 0, :]
+    out = dropout(out, dropout_rate, r2, train)
+    out = jax.nn.relu(out)
+    out = linear(out, {k: v.astype(out.dtype) for k, v in params["linear2"].items()})
+    probs = jax.nn.sigmoid(out)[:, 0]
+    return probs, new_state
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--batch", type=int, default=1024)
+    ap.add_argument("--iters", type=int, default=12)
+    ap.add_argument(
+        "--variants",
+        nargs="+",
+        default=["nchw_f32", "nhwc_f32", "nchw_bf16", "nhwc_bf16"],
+    )
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from laughter_detection_icsi_tpu import models
+    from laughter_detection_icsi_tpu.config import MODEL_MAP
+    from laughter_detection_icsi_tpu.train.loop import (
+        Trainer,
+        bce_loss,
+        build_step_fns,
+    )
+    from laughter_detection_icsi_tpu.train.optim import Adam
+    from laughter_detection_icsi_tpu.utils.timing import hard_block, slope_time
+
+    preset = MODEL_MAP["resnet_base"]
+    model = models.build(
+        preset.model,
+        dropout_rate=0.5,
+        linear_layer_size=preset.linear_layer_size,
+        filter_sizes=preset.filter_sizes,
+    )
+    platform = jax.devices()[0].platform
+    trainer = Trainer(model)
+    params, state, opt_state = trainer.init(jax.random.PRNGKey(0))
+
+    # --- correctness gate: NHWC apply == production apply (f32, fwd) ---
+    rng = np.random.default_rng(5)
+    x_small = jnp.asarray(rng.standard_normal((8, 1, 100, 44)), jnp.float32)
+    p_ref, _ = model.apply(params, state, x_small, train=False)
+    p_nhwc, _ = _nhwc_apply(params, state, x_small, False, None)
+    np.testing.assert_allclose(
+        np.asarray(p_ref), np.asarray(p_nhwc), rtol=2e-5, atol=2e-6
+    )
+    print(
+        json.dumps({"check": "nhwc_forward_parity", "ok": True,
+                    "max_abs_diff": float(np.abs(np.asarray(p_ref) - np.asarray(p_nhwc)).max())}),
+        flush=True,
+    )
+
+    optimizer = Adam()
+
+    def make_step(layout: str, dtype: str):
+        bf16 = dtype == "bf16"
+        if layout == "nchw":
+            fns = build_step_fns(
+                model, optimizer, compute_dtype="bfloat16" if bf16 else None
+            )
+            return jax.jit(fns[1])
+
+        def cast(tree, d):
+            return jax.tree_util.tree_map(
+                lambda v: v.astype(d)
+                if hasattr(v, "dtype") and jnp.issubdtype(v.dtype, jnp.floating)
+                else v,
+                tree,
+            )
+
+        def loss_fn(p, s, x, y, r):
+            if bf16:
+                probs, ns = _nhwc_apply(
+                    cast(p, jnp.bfloat16), s, x.astype(jnp.bfloat16), True, r
+                )
+                probs = probs.astype(jnp.float32)
+                ns = cast(ns, jnp.float32)
+            else:
+                probs, ns = _nhwc_apply(p, s, x, True, r)
+            return bce_loss(probs, y), (probs, ns)
+
+        def step(p, s, o, x, y, r):
+            (loss, (probs, ns)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(p, s, x, y, r)
+            np_, no_ = optimizer.update(grads, o, p)
+            return np_, ns, no_, {"loss": loss}
+
+        return jax.jit(step)
+
+    batch = args.batch
+    x = jnp.asarray(rng.standard_normal((batch, 1, 100, 44)), jnp.float32)
+    y = jnp.asarray(rng.integers(0, 2, batch), jnp.float32)
+
+    for variant in args.variants:
+        layout, dtype = variant.split("_")
+        step = make_step(layout, dtype)
+        key = jax.random.PRNGKey(1)
+        rec = {"variant": variant, "batch": batch, "platform": platform}
+        try:
+            lowered = step.lower(params, state, opt_state, x, y, key)
+            compiled = lowered.compile()
+            ca = compiled.cost_analysis()
+            ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+            if ca:
+                rec["cost_bytes_gb"] = round(
+                    float(ca.get("bytes accessed", 0.0)) / 1e9, 2
+                )
+                rec["cost_flops_g"] = round(float(ca.get("flops", 0.0)) / 1e9, 1)
+        except Exception as e:  # cost model optional
+            rec["cost_error"] = f"{type(e).__name__}: {e}"
+
+        p, s, o = params, state, opt_state
+        t0 = time.perf_counter()
+        p, s, o, m = step(p, s, o, x, y, key)
+        hard_block(m["loss"])
+        rec["compile_plus_first_s"] = round(time.perf_counter() - t0, 1)
+
+        keys = [jax.random.fold_in(key, i) for i in range(4 * args.iters + 8)]
+        ki = iter(keys)
+
+        def run(n):
+            nonlocal p, s, o
+            mm = None
+            for _ in range(n):
+                p, s, o, mm = step(p, s, o, x, y, next(ki))
+            hard_block(mm["loss"])
+
+        n_lo, n_hi = (2, args.iters) if platform != "cpu" else (1, 3)
+        per_step, overhead = slope_time(run, n_lo=n_lo, n_hi=n_hi)
+        rec["per_step_ms"] = round(per_step * 1e3, 2)
+        rec["samples_per_s"] = round(batch / per_step, 1) if per_step > 0 else None
+        rec["link_overhead_s"] = round(max(overhead, 0.0), 3)
+        print(json.dumps(rec), flush=True)
+
+
+if __name__ == "__main__":
+    main()
