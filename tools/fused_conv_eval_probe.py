@@ -58,8 +58,20 @@ def make_track(rng, seconds: float, sr: int = 16000):
     return wave, truth
 
 
-def _train_model(rng, feat_cfg, filter_sizes, linear_layer_size, steps, batch):
-    """Tiny ResNetBigger trained on 1 s fbank windows of the two classes."""
+def _train_model(
+    rng,
+    feat_cfg,
+    filter_sizes,
+    linear_layer_size,
+    steps,
+    batch,
+    compute_dtype=None,
+):
+    """Tiny ResNetBigger trained on 1 s fbank windows of the two classes.
+    ``compute_dtype`` threads to Trainer (None = f32 parity mode,
+    'bfloat16' = the --precision bfloat16 recipe) so the precision eval
+    probe (tools/precision_eval_probe.py) can train twins through the
+    identical batch/key schedule."""
     if steps < 1:
         raise ValueError(f"train_steps must be >= 1, got {steps}")
     import jax
@@ -75,7 +87,7 @@ def _train_model(rng, feat_cfg, filter_sizes, linear_layer_size, steps, batch):
         linear_layer_size=linear_layer_size,
         filter_sizes=filter_sizes,
     )
-    trainer = Trainer(model)
+    trainer = Trainer(model, compute_dtype=compute_dtype)
     params, state, opt = trainer.init(jax.random.PRNGKey(0))
 
     sr = 16000
