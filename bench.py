@@ -300,6 +300,21 @@ def _wait_for_healthy_d2h(max_wait_s: float = None) -> bool:
         time.sleep(min(30.0, max(1.0, deadline - time.monotonic())))
 
 
+# Measured torch-reference train-step throughput on THIS host, keyed by
+# batch size (tools/torch_train_baseline.py, 2026-08-21: 1-core CPU,
+# torch 2.13.0+cpu, reference train.py:261-297 semantics + reference init;
+# full protocol + caveats in BASELINE.md "Measured reference baselines").
+# The reference trained on a GPU this environment lacks, so torch-CPU here
+# is the only hardware both stacks can run on — vs_baseline on train rows
+# therefore reads "ours vs the reference stack on this host".
+_TORCH_TRAIN_SAMPLES_PER_S = {32: 11.3, 1024: 6.0}
+
+
+def _train_vs_baseline(samples_per_s: float, batch: int):
+    ref = _TORCH_TRAIN_SAMPLES_PER_S.get(batch)
+    return round(samples_per_s / ref, 1) if ref else None
+
+
 def bench_train() -> None:
     """Jitted train-step throughput on the flagship model (resnet_base
     ResNetBigger, BCE+Adam, dropout 0.5 — the reference train.py hot loop).
@@ -398,7 +413,10 @@ def bench_train() -> None:
         "metric": "train_step_throughput",
         "value": round(samples_per_s, 1),
         "unit": "samples_per_sec_per_chip",
-        "vs_baseline": None,
+        # vs the measured torch reference at the same batch size on this
+        # host (see _TORCH_TRAIN_SAMPLES_PER_S / BASELINE.md).
+        "vs_baseline": _train_vs_baseline(samples_per_s, batch),
+        "baseline_ref": "torch_cpu_this_host_same_batch",
         "per_step_ms": round(per_step_s * 1e3, 3),
         "precision": precision,
         # Constant per-measurement cost the slope cancelled (dispatch/RTT/
@@ -506,7 +524,8 @@ def bench_train_loop() -> None:
         "metric": "train_loop_throughput",
         "value": None,
         "unit": "samples_per_sec_per_chip",
-        "vs_baseline": None,
+        "vs_baseline": None,  # set with `value` below (torch-CPU anchor)
+        "baseline_ref": "torch_cpu_this_host_same_batch",
         "platform": platform,
         "batch_size": batch,
         "precision": precision,
@@ -545,6 +564,7 @@ def bench_train_loop() -> None:
         rate = steps * batch / dt
         out[f"loop_k{k}_samples_per_s"] = round(rate, 1)
         out["value"] = max(out["value"] or 0.0, round(rate, 1))
+        out["vs_baseline"] = _train_vs_baseline(out["value"], batch)
         _STATE["record"] = dict(out)
 
     # Streamed twin (host batches uploaded per step): the round-3 README

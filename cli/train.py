@@ -61,8 +61,15 @@ def build_parser() -> argparse.ArgumentParser:
                         "fwd/bwd in bf16 with float32 master params/Adam "
                         "state (measured 1.63x step speedup on TPU — the "
                         "f32 step is HBM-bound; tools/precision_probe.py "
-                        "2026-08-20). float32 matches the reference "
-                        "(train.py:261-297) bit-for-bit semantics")
+                        "2026-08-20).  Measured accuracy cost (tools/"
+                        "precision_eval_probe.py 2026-08-21, twin models "
+                        "through identical batches): 99.1%% instance "
+                        "agreement with the f32-trained twin, max F1 delta "
+                        "0.046 over thresholds 0.2-0.8 — LESS deviation "
+                        "than f32 re-trained on another seed (0.052 / "
+                        "97.1%%; PARITY.md #24). float32 "
+                        "matches the reference (train.py:261-297) "
+                        "bit-for-bit semantics")
     p.add_argument("--device_cache", type=str, default="auto",
                    choices=["auto", "on", "off"],
                    help="keep the whole split's features resident in device "

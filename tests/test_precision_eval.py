@@ -9,10 +9,16 @@ both evaluated through the same f32 windows pipeline; this pins its
 behavior at CI scale.
 
 Full-scale measured record (2026-08-21, 4 tracks x 120 s, twins trained
-40 steps to loss f32 0.0960 / bf16 0.0961, thresholds 0.2-0.8): max F1
-delta 0.0031, event agreement 98.8%, mean matched-boundary shift <= 20 ms.
-The CI-scale bounds below are looser (weaker training, less audio) but
-fail loudly if bf16 training drifts from f32 at the decision level."""
+40 steps to loss f32 0.1339 / bf16 0.1402, thresholds 0.2-0.8): max F1
+delta 0.0457 — with the bf16 twin BETTER at 3 of 4 thresholds (trajectory
+divergence, not systematic degradation) — event agreement 99.1% (440/444
+events matched), mean matched-boundary shift <= 59 ms.  Anchor run
+(run_probe(twin_b_dtype=None, twin_b_seed=7), same protocol): f32-vs-f32
+twins differing only in data seed measure max F1 delta 0.0521 / 97.1%
+agreement — bf16 training deviates from f32 by LESS than natural
+seed-to-seed training variance.  The CI-scale bounds below are looser
+(weaker training, less audio) but fail loudly if bf16 training drifts
+from f32 at the decision level."""
 
 import numpy as np
 

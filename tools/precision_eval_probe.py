@@ -60,17 +60,27 @@ def run_probe(
     linear_layer_size=24,
     bucket_frames: int = 1024,
     chunk: int = 512,
+    twin_b_dtype: str = "bfloat16",
+    twin_b_seed: int = None,
 ) -> dict:
+    """Default: f32 twin vs bf16 twin on the SAME data/seed.  Setting
+    ``twin_b_dtype=None, twin_b_seed=<other>`` instead measures the natural
+    f32 seed-to-seed variance — the anchor that says whether the bf16
+    deltas exceed ordinary training stochasticity.  (Output keys keep the
+    f32/bf16 names either way; callers label the anchor run.)"""
     from laughter_detection_icsi_tpu import inference
     from laughter_detection_icsi_tpu.data import audio
 
     # Twins: a FRESH identically-seeded generator per twin makes the batch
     # schedule identical call for call; Trainer.init is keyed on the same
-    # PRNGKey inside _train_model, so the twins share init exactly.
+    # PRNGKey inside _train_model, so same-seed twins share init exactly.
     trained = {}
-    for label, dtype in (("f32", None), ("bf16", "bfloat16")):
+    for label, dtype, sd in (
+        ("f32", None, seed),
+        ("bf16", twin_b_dtype, seed if twin_b_seed is None else twin_b_seed),
+    ):
         model, params, state, loss = _train_model(
-            np.random.default_rng(seed),
+            np.random.default_rng(sd),
             _feat_cfg(),
             filter_sizes,
             linear_layer_size,

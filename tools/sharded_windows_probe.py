@@ -237,6 +237,62 @@ def main() -> None:
             {**extra, "note": "sum of stage slopes"},
         )
 
+        # EXPERIMENT: per-channel tail compute WITHOUT the concat — each
+        # channel's gathered inputs feed its own conv batch inside one jit
+        # (exactly the single-channel formulation, looped), only the tiny
+        # [chunk] prob vectors concatenate.  Tests whether the production
+        # concat-to-one-big-batch formulation's +~29%/window cost is the
+        # materialized gather concat (this variant should match the
+        # single-channel per-window rate if so).
+        from jax.sharding import PartitionSpec as P
+
+        from laughter_detection_icsi_tpu.models import shared_stem
+        from laughter_detection_icsi_tpu.parallel import mesh as mesh_lib2
+
+        if not shared_stem.supports_track2(100):
+            continue
+
+        def chunk_local_loop(ft, start):
+            feats_c, t1_c, t2_c = ft
+            w0 = shared_stem._window_starts(start, chunk)
+            outs = []
+            for c in range(feats_c.shape[0]):
+                g = shared_stem._gather_track2_inputs(
+                    t1_c[c], t2_c[c], feats_c[c], w0, 100
+                )
+                outs.append(
+                    shared_stem._probs_from_track2_inputs(params, state, g)
+                )
+            return jnp.stack(outs).astype(jnp.float32)
+
+        chunk_probs_loop = jax.jit(
+            jax.shard_map(
+                chunk_local_loop,
+                mesh=mesh,
+                in_specs=(P(mesh_lib2.DATA_AXIS), P()),
+                out_specs=P(mesh_lib2.DATA_AXIS),
+                check_vma=False,
+            )
+        )
+        # Warm on set 0 (the timed sets 1.. must never have run through
+        # this program before — the tunnel dedups identical executions).
+        sh_feat_out[0] = featurize(sets[0]["w"], sets[0]["v"])
+        hard_block([chunk_probs_loop(sh_feat_out[0], s) for s in starts])
+
+        def sh_chunks_loop_pass(si):
+            return [chunk_probs_loop(sh_feat_out[si], s) for s in starts]
+
+        per_l, over_l = slope_sets(sh_chunks_loop_pass)
+        report("sharded_chunks_loop", per_l, over_l, extra)
+        # Correctness: the loop formulation must agree with the production
+        # concat formulation (channel-major order) to fp tolerance.
+        got = np.asarray(chunk_probs_loop(sh_feat_out[1], starts[0]))
+        want = np.asarray(chunk_probs(sh_feat_out[1], starts[0])).reshape(
+            got.shape
+        )
+        err = float(np.abs(got - want).max())
+        emit({"metric": "loop_vs_concat_max_abs_diff", "value": err, **extra})
+
 
 if __name__ == "__main__":
     main()

@@ -29,6 +29,32 @@ transposed OIHW->HWIO inside the step, flatten permuted back to torch
 .view order) — numerical equivalence to the production apply is asserted
 at probe start.
 
+MEASURED RECORD (TPU v5e, 2026-08-21, B=1024, slope over 2..12 steps,
+forward parity max|diff| 3.0e-6):
+
+  variant    cost-model bytes  per-step   samples/s   eff. bandwidth
+  nchw_f32   86.21 GB          123.2 ms     8,309     700 GB/s (~85% of
+  nhwc_f32   86.21 GB          130.0 ms     7,876      v5e's ~819 GB/s)
+  nchw_bf16  49.03 GB           80.4 ms    12,734     610 GB/s
+  nhwc_bf16  49.04 GB           79.7 ms    12,857     616 GB/s
+
+Conclusions (closes VERDICT r04 #3 as DOCUMENTED-IRREDUCIBLE):
+  1. Internal layout is a non-lever: XLA:TPU performs its own layout
+     assignment, so the logical NCHW/NHWC choice changes neither the cost
+     model's bytes (identical to 4 digits) nor wall-clock beyond noise
+     (NHWC f32 is 5% SLOWER; NHWC bf16 +1%).  The torch-layout pytrees
+     can stay — there is no perf tax to remove.
+  2. The f32 step already runs at ~85% of HBM peak for its 86 GB of
+     logical traffic: even a perfect schedule caps the f32 gain at
+     ~1.18x.  The ~5x traffic amplification (84 MB moved per 17.6 KB
+     sample) is intrinsic to the reference architecture under torch
+     parity — stage-1 keeps 64-channel maps at full 100x44 resolution,
+     and fwd+bwd+BN-stats must touch those activations repeatedly; XLA
+     already fuses the elementwise chains (BN-normalize/ReLU/residual).
+  3. Halving activation bytes is the only real lever, and it is shipped:
+     --precision bfloat16 (49 GB, 1.55x measured this probe; decision-
+     level accuracy pinned by tests/test_precision_eval.py).
+
 Usage:  python tools/train_layout_probe.py [--batch 1024] [--iters 12]
 One JSON line per variant; run on the real chip for the recorded numbers.
 """
