@@ -411,20 +411,38 @@ def chunk_probs_multichannel_from_track(
     """Windows ``start .. start+chunk-1`` of EVERY channel in one call.
 
     tracks: [C, T, C1, F] stacked per-channel ``stem_track`` outputs;
-    feats: [C, T, F].  Gathers run per channel over static channel slices
-    (each a small-operand fast-path gather — see _gather_track_inputs for
-    the measured 13.6x cliff the flattened alternative hits), then ONE
-    conv batch of C*chunk windows runs the band stems and tail.  Returns
-    [C * chunk] probs, channel-major (channel c's windows at
-    c*chunk .. (c+1)*chunk-1) — the same order the retired
-    flatten-the-track formulation produced."""
+    feats: [C, T, F].  Each channel runs the FULL single-channel
+    formulation — its own static-slice gather feeding its own conv batch
+    of ``chunk`` windows — and only the tiny [chunk] prob vectors
+    concatenate.  Returns [C * chunk] probs, channel-major (channel c's
+    windows at c*chunk .. (c+1)*chunk-1).
+
+    Two retired formulations, both measured slower (the gathers must be
+    per channel either way — a channel-flattened track collapses TPU
+    gather throughput 13.6x, see _gather_track_inputs):
+      * concat the per-channel gathers into ONE C*chunk conv batch
+        (r04 production): +28-31% per window vs the single-channel path,
+        invariant to dispatch count — the concat materializes the full
+        gathered window batch that the single-channel path streams
+        straight from gather into the convs.  Per-channel conv batches
+        restore the single-channel per-window rate exactly (0.2346 vs
+        0.2339 s per 49k-window pass; tools/sharded_windows_probe.py,
+        v5e 2026-08-21) and flip the batched-vs-sequential comparison:
+        batched featurize is 1.7x faster than sequential, so the batched
+        graph went from 19% slower to ~13% faster per audio-second.
+      * vmap over channels: hits the same gather cliff and compiles the
+        mapped convs badly (the mapped axis can't merge into the conv
+        batch)."""
     w0 = _window_starts(start, chunk)
-    gs = [
-        _gather_track_inputs(tracks[c], feats[c], w0, window)
+    outs = [
+        _probs_from_track_inputs(
+            params,
+            state,
+            _gather_track_inputs(tracks[c], feats[c], w0, window),
+        )
         for c in range(tracks.shape[0])
     ]
-    gathered = tuple(jnp.concatenate(parts, axis=0) for parts in zip(*gs))
-    return _probs_from_track_inputs(params, state, gathered)
+    return jnp.concatenate(outs)
 
 
 def supports_track2(window: int) -> bool:
@@ -513,17 +531,23 @@ def chunk_probs_multichannel_from_track2(
     window: int = 100,
 ) -> jnp.ndarray:
     """Stage-2-shared twin of :func:`chunk_probs_multichannel_from_track`:
-    per-channel small-operand gathers from [C, T, ...] stacked tracks, one
-    C*chunk conv batch.  Returns [C * chunk] channel-major probs."""
+    each channel runs the full single-channel formulation (own gather, own
+    ``chunk``-window conv batch — see the track twin's docstring for the
+    measured case against the retired concat-into-one-batch formulation);
+    only the [chunk] prob vectors concatenate.  Returns [C * chunk]
+    channel-major probs."""
     if not supports_track2(window):
         raise ValueError(
             f"chunk_probs_multichannel_from_track2 requires "
             f"supports_track2(window); got window={window}"
         )
     w0 = _window_starts(start, chunk)
-    gs = [
-        _gather_track2_inputs(tracks1[c], tracks2[c], feats[c], w0, window)
+    outs = [
+        _probs_from_track2_inputs(
+            params,
+            state,
+            _gather_track2_inputs(tracks1[c], tracks2[c], feats[c], w0, window),
+        )
         for c in range(tracks1.shape[0])
     ]
-    gathered = tuple(jnp.concatenate(parts, axis=0) for parts in zip(*gs))
-    return _probs_from_track2_inputs(params, state, gathered)
+    return jnp.concatenate(outs)

@@ -47,6 +47,14 @@ from laughter_detection_icsi_tpu.parallel import mesh as mesh_lib
 
 PyTree = Any
 
+# Activation-memory guard for the multichannel windows graphs: total
+# windows per chunk dispatch (c_local per-channel conv batches of `chunk`
+# windows each — the per-channel loop formulation, see _graphs).  8 x 6144
+# = 49,152 windows measured comfortably on a 16 GB v5e
+# (tools/sharded_windows_probe.py 2026-08-21); beyond the cap the
+# per-channel chunk shrinks like the pre-r05 divide-by-c_local did.
+_MAX_WINDOWS_PER_DISPATCH = 49152
+
 
 @dataclasses.dataclass
 class ShardedPipeline:
@@ -186,11 +194,16 @@ class ShardedPipeline:
         channels stream through fixed-size buckets with a window-1 halo,
         exactly like inference.LaughterPipeline).
 
-        ``c_local`` is the channel count per device: the classifier vmaps
-        over local channels, so the per-channel chunk shrinks to keep the
-        per-device window count (= MXU batch = activation footprint) at the
-        tuned ``settings.chunk`` regardless of how many channels share a
-        chip."""
+        ``c_local`` is the channel count per device.  Since r05 the
+        shared-stem classifier runs each local channel as its OWN
+        ``chunk``-window conv batch inside one dispatch (the per-channel
+        loop formulation, models/shared_stem.py multichannel docstring —
+        measured to restore the single-channel per-window rate exactly,
+        where the old concat-into-one-C*chunk-batch formulation paid
+        +28-31%/window).  The per-channel chunk therefore stays at the
+        tuned ``settings.chunk`` and only shrinks when the dispatch's
+        TOTAL window count would exceed _MAX_WINDOWS_PER_DISPATCH (the
+        activation-memory guard the old divide-by-c_local provided)."""
         key = ("win", int16_in, c_local)
         if key in self._jitted:
             return self._jitted[key]
@@ -199,7 +212,13 @@ class ShardedPipeline:
         window = self.settings.window
         from laughter_detection_icsi_tpu.inference import bucket_wave_len
 
-        chunk = max(1, self.settings.chunk // max(1, c_local))
+        chunk = max(
+            1,
+            min(
+                self.settings.chunk,
+                _MAX_WINDOWS_PER_DISPATCH // max(1, c_local),
+            ),
+        )
         ext = bucket + window - 1
         wave_len = bucket_wave_len(self.settings, self.feat_cfg)
         n_chunks = -(-bucket // chunk)
@@ -260,16 +279,17 @@ class ShardedPipeline:
             # twice).
             chunk_probs = self._jitted[cp_key]
         elif use_shared:
-            # Per-channel gathers + ONE flattened conv batch: windows never
-            # straddle channels, so channel c's windows occupy flat rows
-            # c*chunk .. (c+1)*chunk-1 of the batch.  The gathers iterate
-            # channels over STATIC slices of the stacked tracks — gathering
-            # from a time-flattened [C*T, ...] track instead collapses TPU
-            # gather throughput 13.6x (72 -> 5 GB/s measured on v5e; that
-            # formulation made the batched graph 3x slower per audio-second
-            # than the single-channel pipeline), and vmap over channels
-            # both hits the same gather cliff and compiles the NHCW convs
-            # badly (the mapped axis can't merge into the conv batch).
+            # Per-channel loop formulation (r05): each local channel runs
+            # its own static-slice gather into its own `chunk`-window conv
+            # batch; channel c's windows land at flat rows
+            # c*chunk .. (c+1)*chunk-1 of the output.  Retired
+            # alternatives, both measured slower (see the multichannel
+            # docstrings in models/shared_stem.py): time-flattened-track
+            # gathers collapse TPU gather throughput 13.6x; the r04
+            # concat-into-one-C*chunk-conv-batch paid +28-31%/window (the
+            # concat materializes what the single-channel path streams
+            # gather->conv); vmap over channels hits the gather cliff AND
+            # compiles the mapped convs badly.
             def chunk_local(ft, start: jnp.ndarray) -> jnp.ndarray:
                 c_loc = ft[0].shape[0]
                 if track2_ok:

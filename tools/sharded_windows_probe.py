@@ -252,6 +252,11 @@ def main() -> None:
         if not shared_stem.supports_track2(100):
             continue
 
+        # The pipeline casts params/state to the compute dtype at
+        # construction (precision='bfloat16'); the loop variant must run
+        # against the SAME cast trees the production chunk graph uses.
+        pp, ps = pipe.params, pipe.state
+
         def chunk_local_loop(ft, start):
             feats_c, t1_c, t2_c = ft
             w0 = shared_stem._window_starts(start, chunk)
@@ -261,7 +266,7 @@ def main() -> None:
                     t1_c[c], t2_c[c], feats_c[c], w0, 100
                 )
                 outs.append(
-                    shared_stem._probs_from_track2_inputs(params, state, g)
+                    shared_stem._probs_from_track2_inputs(pp, ps, g)
                 )
             return jnp.stack(outs).astype(jnp.float32)
 
