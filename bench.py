@@ -256,13 +256,11 @@ def _wait_for_healthy_d2h(max_wait_s: float = None) -> bool:
     import jax.numpy as jnp
 
     if max_wait_s is None:
-        # Leave ~100 s for warmup + measurement + the decomposition.
-        # Waiting longer for link recovery is a bad trade: the decomposed
-        # device-side metrics are the tunnel-independent signal, so on a
-        # degraded-link day attempting them beats hoping the e2e transfer
-        # window recovers (observed 2026-08-20: a 190 s recovery wait left
-        # only 15 s and the decomposition was skipped).
-        max_wait_s = max(0.0, min(300.0, _remaining() - 100.0))
+        # Callers in this file pass explicit caps (the probe's only job
+        # since r05 is to size the measurement and set link_degraded —
+        # waiting for recovery starved the decomposition in r04); this
+        # default only guards direct/test callers.
+        max_wait_s = max(0.0, min(45.0, _remaining() - 150.0))
 
     probe = jax.jit(lambda v: v + 1)
     deadline = time.monotonic() + max_wait_s

@@ -203,7 +203,11 @@ class ShardedPipeline:
         +28-31%/window).  The per-channel chunk therefore stays at the
         tuned ``settings.chunk`` and only shrinks when the dispatch's
         TOTAL window count would exceed _MAX_WINDOWS_PER_DISPATCH (the
-        activation-memory guard the old divide-by-c_local provided)."""
+        activation-memory guard the old divide-by-c_local provided).
+        The non-shared-stem path (vmapped full-window classifier) keeps
+        the divide: its per-window live footprint is the full window plus
+        stage-1 activations, ~8x the shared-stem band/half-res footprint
+        the cap was measured at."""
         key = ("win", int16_in, c_local)
         if key in self._jitted:
             return self._jitted[key]
@@ -212,13 +216,26 @@ class ShardedPipeline:
         window = self.settings.window
         from laughter_detection_icsi_tpu.inference import bucket_wave_len
 
-        chunk = max(
-            1,
-            min(
-                self.settings.chunk,
-                _MAX_WINDOWS_PER_DISPATCH // max(1, c_local),
-            ),
-        )
+        use_shared = self._use_shared_stem()
+        if use_shared:
+            # Per-channel loop formulation: per-window tensors materialize
+            # at band/half resolution, so the _MAX_WINDOWS_PER_DISPATCH
+            # cap (measured at that footprint) is the right guard.
+            chunk = max(
+                1,
+                min(
+                    self.settings.chunk,
+                    _MAX_WINDOWS_PER_DISPATCH // max(1, c_local),
+                ),
+            )
+        else:
+            # Non-shared path vmaps the FULL-window classifier over local
+            # channels: all c_local channels' [chunk, window, F] window
+            # batches and stage-1 conv activations are live at once, ~8x
+            # the shared-stem footprint per window — keep the original
+            # divide so the per-device window count stays at the tuned
+            # settings.chunk.
+            chunk = max(1, self.settings.chunk // max(1, c_local))
         ext = bucket + window - 1
         wave_len = bucket_wave_len(self.settings, self.feat_cfg)
         n_chunks = -(-bucket // chunk)
@@ -235,7 +252,6 @@ class ShardedPipeline:
             if self._use_pallas()
             else lambda w: fbank_ops.fbank(w, cfg)
         )
-        use_shared = self._use_shared_stem()
         if use_shared:
             from laughter_detection_icsi_tpu.models import shared_stem
 

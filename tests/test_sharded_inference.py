@@ -379,3 +379,33 @@ def test_local_channels_enforces_ownership(small_model, settings):
     # An owned row missing from the addressable shards is a hard error.
     with pytest.raises(RuntimeError, match="owned by this process"):
         sharded.local_channels(fake_probs([0, 2]), 4)
+
+
+def test_sharded_matches_single_without_shared_stem(small_model, rng):
+    """The non-shared-stem sharded path (vmapped full-window classifier)
+    must also match the single-channel pipeline.  This is the path whose
+    per-channel chunk keeps the divide-by-c_local sizing (its live
+    footprint is full windows + stage-1 activations, unlike the shared
+    path's band/half-res tensors — _graphs docstring), so pin both its
+    numerics and that the chunk shrink still covers every window."""
+    model, params, state = small_model
+    settings_off = inference.InferenceSettings(
+        chunk=128, bucket_frames=256, shared_stem=False
+    )
+    single = inference.LaughterPipeline(
+        model, params, state, settings=settings_off
+    )
+    sharded = ShardedPipeline(
+        model=model, params=params, state=state, mesh=make_mesh(8),
+        settings=settings_off,
+    )
+    waves = [
+        (rng.standard_normal(16000 * 2) * 0.1).astype(np.float32),
+        (rng.standard_normal(16000 + 640) * 0.1).astype(np.float32),
+    ]
+    got = sharded.probs_for_waveforms(waves)
+    assert len(got) == 2
+    for w, g in zip(waves, got):
+        want = single.probs_for_waveform(w)
+        assert g.shape == want.shape
+        np.testing.assert_allclose(g, want, rtol=1e-4, atol=1e-5)
