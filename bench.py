@@ -50,6 +50,18 @@ import time
 
 import numpy as np
 
+# Root the persistent compile cache INSIDE the repo worktree unless the
+# user already chose one.  Measured 2026-08-21: the bench's first jit costs
+# ~64 s cold vs ~18 s warm, and the home-dir default (~/.cache) is wiped
+# with the container between rounds while the worktree persists — so the
+# round artifact always paid the ~46 s cold compile.  `.cache/` is
+# gitignored; entries stay host/platform-fingerprinted (compile_cache.py),
+# so a stale or foreign-host cache is never offered to this backend.
+os.environ.setdefault(
+    "LAD_JAX_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".cache", "jax_cache"),
+)
+
 _T0 = time.monotonic()
 # Default raised 240 -> 420 (r05): a degraded tunnel window can block a
 # single warmup upload/readback for 150+ s (observed 2026-08-21: warmup
