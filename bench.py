@@ -733,12 +733,22 @@ def bench_sharded() -> None:
     _STATE["record"] = dict(out)
     if _remaining() > 60.0:
         _set_phase("device_decompose")
+        # Provisional marker FIRST: if the budget guard (or SIGTERM) fires
+        # mid-decomposition, the emitted record still says loudly that the
+        # decomposition was attempted and cut short, instead of silently
+        # lacking the device fields (observed: a loaded 1-core host pushed
+        # warmup+measure past the budget and the guard emitted an unmarked
+        # record).
+        out["device_decompose_skipped"] = "budget expired mid-decompose"
+        _STATE["record"] = dict(out)
         try:
             out.update(
                 _sharded_device_metrics(pipe, n_channels, channel_seconds)
             )
+            out.pop("device_decompose_skipped", None)
         except Exception as e:  # pragma: no cover - defensive
             out["device_decompose_error"] = f"{type(e).__name__}: {e}"
+            out.pop("device_decompose_skipped", None)
         _STATE["record"] = dict(out)
     else:
         out["device_decompose_skipped"] = f"only {_remaining():.0f}s left"
@@ -1248,10 +1258,17 @@ def main() -> None:
 
     if _remaining() > 40.0:
         _set_phase("decompose")
+        # Provisional marker FIRST (same policy as the sharded path): a
+        # guard/SIGTERM emission mid-decompose must still carry a loud
+        # decompose_* field rather than silently lacking the device metrics.
+        out["decompose_skipped"] = "budget expired mid-decompose"
+        _STATE["record"] = dict(out)
         try:
             out.update(_device_metrics(pipe, audio_seconds))
+            out.pop("decompose_skipped", None)
         except Exception as e:  # pragma: no cover - defensive
             out["decompose_error"] = f"{type(e).__name__}: {e}"
+            out.pop("decompose_skipped", None)
         _STATE["record"] = dict(out)
     else:
         out["decompose_skipped"] = f"only {_remaining():.0f}s left"

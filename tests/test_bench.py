@@ -281,6 +281,28 @@ def test_cpu_sharded_mode_emits_record():
     ), rec
 
 
+def test_bench_import_defaults_cache_dir_to_repo_local():
+    """Importing bench roots the persistent compile cache inside the repo
+    worktree (which survives between rounds) unless the user already chose
+    a dir — the home-dir default is wiped with the container, so the
+    round's bench always paid the ~46 s cold compile (r05)."""
+    code = "import bench, os; print(os.environ['LAD_JAX_CACHE_DIR'])"
+    env = {k: v for k, v in os.environ.items() if k != "LAD_JAX_CACHE_DIR"}
+    r = sp.run(
+        [sys.executable, "-c", code],
+        cwd="/root/repo", env=env, capture_output=True, timeout=60,
+    )
+    assert r.returncode == 0, r.stderr.decode()[-500:]
+    assert r.stdout.decode().strip() == "/root/repo/.cache/jax_cache"
+    # An explicit user choice is never overridden.
+    env["LAD_JAX_CACHE_DIR"] = "/tmp/elsewhere"
+    r = sp.run(
+        [sys.executable, "-c", code],
+        cwd="/root/repo", env=env, capture_output=True, timeout=60,
+    )
+    assert r.stdout.decode().strip() == "/tmp/elsewhere"
+
+
 def test_mutually_exclusive_mode_flags_rejected():
     r = sp.run(
         [sys.executable, "bench.py", "--train", "--sharded"],
