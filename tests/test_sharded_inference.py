@@ -156,9 +156,11 @@ def test_sharded_pallas_fbank_matches_xla(small_model, rng, mode):
 
 
 def test_sharded_many_channels_per_device(small_model, rng):
-    # 4 channels on a 2-device mesh -> 2 channels/device: the per-channel
-    # chunk halves so the per-device window batch stays at settings.chunk
-    # (the fix for the multi-channel-per-chip OOM), and results still match
+    # 4 channels on a 2-device mesh -> 2 channels/device: each local
+    # channel runs its own settings.chunk conv batch inside one dispatch
+    # (r05 per-channel loop formulation; the pre-r05 divide-by-c_local
+    # sizing survives only on the non-shared path and as the
+    # _MAX_WINDOWS_PER_DISPATCH overflow guard), and results still match
     # the single-channel pipeline exactly.
     model, params, state = small_model
     settings = inference.InferenceSettings(chunk=128, bucket_frames=256)
@@ -169,6 +171,35 @@ def test_sharded_many_channels_per_device(small_model, rng):
     )
     waves = [
         (rng.standard_normal(16000 + 1000 * i) * 0.1).astype(np.float32)
+        for i in range(4)
+    ]
+    got = sharded.probs_for_waveforms(waves)
+    for w, g in zip(waves, got):
+        want = single.probs_for_waveform(w)
+        assert g.shape == want.shape
+        np.testing.assert_allclose(g, want, rtol=1e-4, atol=1e-5)
+
+
+def test_sharded_windows_cap_shrinks_chunk(small_model, rng, monkeypatch):
+    """When c_local channels at the tuned settings.chunk would exceed the
+    _MAX_WINDOWS_PER_DISPATCH activation guard, the per-channel chunk
+    shrinks (the r05 shared-stem path's only shrink trigger) and the
+    results still match the single-channel pipeline exactly."""
+    from laughter_detection_icsi_tpu.parallel import sharded_inference as si
+
+    # 4 channels / 2 devices -> c_local=2; cap 64 forces chunk
+    # min(128, 64 // 2) = 32, i.e. 8 chunk dispatches per 256-frame bucket.
+    monkeypatch.setattr(si, "_MAX_WINDOWS_PER_DISPATCH", 64)
+    model, params, state = small_model
+    settings = inference.InferenceSettings(chunk=128, bucket_frames=256)
+    single = inference.LaughterPipeline(model, params, state, settings=settings)
+    sharded = ShardedPipeline(
+        model=model, params=params, state=state, mesh=make_mesh(2),
+        settings=settings,
+    )
+    assert sharded._use_shared_stem(), "cap branch requires the shared path"
+    waves = [
+        (rng.standard_normal(16000 + 777 * i) * 0.1).astype(np.float32)
         for i in range(4)
     ]
     got = sharded.probs_for_waveforms(waves)
