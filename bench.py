@@ -546,6 +546,11 @@ def bench_train_loop() -> None:
             out[f"loop_k{k}_skipped"] = f"only {_remaining():.0f}s left"
             continue
         _set_phase(f"train_loop_k{k}")
+        # Provisional marker (same policy as the decompose blocks): a
+        # budget-guard emission mid-compile or mid-epoch must still say
+        # loudly that this K leg was cut short.
+        out[f"loop_k{k}_skipped"] = "budget expired mid-leg"
+        _STATE["record"] = dict(out)
         loop = TrainLoop(
             trainer=trainer,
             checkpoint_dir=tmpdir,
@@ -572,6 +577,7 @@ def bench_train_loop() -> None:
         )
         dt = time.perf_counter() - t0
         rate = steps * batch / dt
+        out.pop(f"loop_k{k}_skipped", None)
         out[f"loop_k{k}_samples_per_s"] = round(rate, 1)
         out["value"] = max(out["value"] or 0.0, round(rate, 1))
         out["vs_baseline"] = _train_vs_baseline(out["value"], batch)
@@ -581,6 +587,8 @@ def bench_train_loop() -> None:
     # lore number, now measured by the same artifact.
     if _remaining() > 30.0:
         _set_phase("train_loop_streamed")
+        out["streamed_skipped"] = "budget expired mid-leg"
+        _STATE["record"] = dict(out)
         host_rng = np.random.default_rng(11)
         n_stream = 8 if on_accel else 4
 
@@ -613,6 +621,7 @@ def bench_train_loop() -> None:
             rng=jax.random.PRNGKey(301), verbose=False,
         )
         dt = time.perf_counter() - t0
+        out.pop("streamed_skipped", None)
         out["streamed_samples_per_s"] = round(n_stream * batch / dt, 1)
         _STATE["record"] = dict(out)
     _set_phase("done")
