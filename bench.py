@@ -706,6 +706,16 @@ def bench_sharded() -> None:
         if on_accel
         else True
     )
+    if not healthy and on_accel:
+        # Same 1/5 scaling as main(): a degraded window may still move the
+        # smaller set inside the budget.  Full-size channels (8 x 300 s =
+        # 76.8 MB of PCM per pass, plus the decompose's device sets) stall
+        # every phase on a sick link — observed 2026-08-21 evening: three
+        # consecutive runs lost the decomposition to upload time, each
+        # reporting 'budget expired mid-decompose'.  channel_waves closes
+        # over this local, so warmup/measure/decompose/refinement and the
+        # channel_audio_s record field all follow.
+        channel_seconds //= 5
     _set_phase("warmup")
     pipe.probs_for_waveforms(channel_waves(40))
 
@@ -811,25 +821,46 @@ def _sharded_device_metrics(pipe, n_channels: int, channel_seconds: int) -> dict
     featurize, chunk_probs, _wave_len, chunk = pipe._graphs(True, c_local)
     bucket = pipe.settings.bucket_frames
 
-    # 5 distinct content sets: warmup + n_lo=1 + n_hi=3.
-    sets = []
-    for set_i in range(5):
+    out = {}
+
+    def build_set(set_i: int, sec: int):
         padded_list, ts = [], []
         for ch in range(n_channels):
             padded, t_ch = host_pad_waveform(
-                speech_like_pcm(channel_seconds, seed=900 + set_i * 16 + ch),
+                speech_like_pcm(sec, seed=900 + set_i * 16 + ch),
                 pipe.feat_cfg,
             )
             padded_list.append(padded)
             ts.append(t_ch)
-        sets.append(
-            [
-                pipe._shard({"w": batch, "v": valid}, pipe.mesh)
-                for batch, valid, _k in pipe.bucket_batches(
-                    padded_list, ts, int16_in=True
-                )
-            ]
-        )
+        return [
+            pipe._shard({"w": batch, "v": valid}, pipe.mesh)
+            for batch, valid, _k in pipe.bucket_batches(
+                padded_list, ts, int16_in=True
+            )
+        ]
+
+    # 5 distinct content sets: warmup + n_lo=1 + n_hi=3.  The full-size
+    # sets are 5 x C x channel_seconds of PCM (384 MB at 8 x 300 s) —
+    # more than every timed e2e pass combined — and on a slow tunnel
+    # window their upload starved the decomposition three runs in a row
+    # (2026-08-21 evening, each ending 'budget expired mid-decompose').
+    # So: time the FIRST set's upload; if four more at that rate don't
+    # fit in the remaining budget (less a reserve for the slope runs and
+    # the fused leg), shrink the decompose channels to 60 s.  60 s keeps
+    # the metric comparable: one 6144-frame bucket at 6000 valid frames
+    # has the same 97.66% occupancy as 300 s across five buckets, and
+    # the per-audio-second normalization divides the size back out.
+    dec_seconds = int(channel_seconds)
+    t0 = time.perf_counter()
+    first = build_set(0, dec_seconds)
+    hard_block([first])
+    t_set = time.perf_counter() - t0
+    if 4 * t_set > max(0.0, _remaining() - 90.0) and dec_seconds > 60:
+        dec_seconds = 60
+        out["decompose_channel_audio_s"] = dec_seconds
+        first = build_set(0, dec_seconds)
+        hard_block([first])
+    sets = [first] + [build_set(i, dec_seconds) for i in range(1, 5)]
     hard_block(sets)  # uploads complete, off the clock
 
     n_chunks = -(-bucket // chunk)
@@ -843,12 +874,11 @@ def _sharded_device_metrics(pipe, n_channels: int, channel_seconds: int) -> dict
         return outs
 
     hard_block(device_pass(0))  # compile/warm off the clock
-    out = {}
     if _remaining() > 30.0:
         dt, _ = _slope_sets(device_pass)
         if dt > 0:
             out["sharded_device_x_realtime"] = round(
-                n_channels * channel_seconds / dt, 2
+                n_channels * dec_seconds / dt, 2
             )
         else:
             out["sharded_device_skipped"] = f"nonpositive slope {dt:.4f}"
@@ -867,7 +897,7 @@ def _sharded_device_metrics(pipe, n_channels: int, channel_seconds: int) -> dict
         out["sharded_fused_skipped"] = "cpu self-test"
     elif _remaining() > 60.0:
         _set_phase("device_decompose_fused")
-        t_frames = channel_seconds * 100
+        t_frames = dec_seconds * 100
         total = max(bucket, -(-t_frames // bucket) * bucket)
         graph, fc_wave_len = pipe._fc_graph(total, True)
         fsets = []
@@ -875,7 +905,7 @@ def _sharded_device_metrics(pipe, n_channels: int, channel_seconds: int) -> dict
             batch = np.zeros((c_pad, fc_wave_len), dtype=np.int16)
             for r in range(n_channels):
                 w = speech_like_pcm(
-                    channel_seconds, seed=970 + set_i * 16 + r
+                    dec_seconds, seed=970 + set_i * 16 + r
                 )
                 batch[r, : len(w)] = w
             valid = np.zeros(c_pad, dtype=np.int32)
@@ -887,7 +917,7 @@ def _sharded_device_metrics(pipe, n_channels: int, channel_seconds: int) -> dict
             dt, _ = _slope_sets(lambda i: graph(fsets[i]["w"], fsets[i]["v"]))
             if dt > 0:
                 out["sharded_fused_device_x_realtime"] = round(
-                    n_channels * channel_seconds / dt, 2
+                    n_channels * dec_seconds / dt, 2
                 )
             else:
                 out["sharded_fused_skipped"] = f"nonpositive slope {dt:.4f}"
