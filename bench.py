@@ -810,7 +810,15 @@ def _sharded_device_metrics(pipe, n_channels: int, channel_seconds: int) -> dict
     _probs_padded_device itself iterates) so the decomposition can never
     desynchronize from the measured path.  Slope over (1, 3) passes of
     distinct content; one checksum readback per timed run is the
-    execution barrier."""
+    execution barrier.
+
+    The fused_conv leg runs FIRST: its sets are raw PCM tracks (~half the
+    bytes of the bucketized window sets), so it is the cheaper metric to
+    land — the same sick-link lesson the e2e bench learned in r05 phase
+    reordering.  Observed 2026-08-21 22:5x: the windows-leg uploads ate
+    the budget and the fused leg died with 'only 27s left' despite being
+    the cheaper of the two."""
+    import jax as _jax
     import jax.numpy as jnp
 
     from laughter_detection_icsi_tpu.inference import host_pad_waveform
@@ -818,10 +826,90 @@ def _sharded_device_metrics(pipe, n_channels: int, channel_seconds: int) -> dict
 
     c_pad = -(-n_channels // pipe.n_shards) * pipe.n_shards
     c_local = c_pad // pipe.n_shards
-    featurize, chunk_probs, _wave_len, chunk = pipe._graphs(True, c_local)
     bucket = pipe.settings.bucket_frames
 
     out = {}
+
+    # ---- fused_conv leg (FIRST): ONE batched whole-track dilated graph
+    # over all C channels — the fastest multi-channel formulation (no
+    # window gathers at all).  Same 5-distinct-set slope.  Accelerators
+    # only: XLA:CPU compiles the whole-track dilated graph pathologically
+    # slowly (~6 min observed in the CPU self-test for zero signal — the
+    # CPU path exists to validate plumbing, not to measure).
+    def _fc_dims(sec: int):
+        t_frames = sec * 100
+        total = max(bucket, -(-t_frames // bucket) * bucket)
+        graph, wave_len = pipe._fc_graph(total, True)  # lazy jit
+        return graph, wave_len, t_frames
+
+    def _build_fset(set_i: int, sec: int, wave_len: int, t_frames: int):
+        batch = np.zeros((c_pad, wave_len), dtype=np.int16)
+        for r in range(n_channels):
+            w = speech_like_pcm(sec, seed=970 + set_i * 16 + r)
+            batch[r, : len(w)] = w
+        valid = np.zeros(c_pad, dtype=np.int32)
+        valid[:n_channels] = t_frames
+        return pipe._shard({"w": batch, "v": valid}, pipe.mesh)
+
+    if _jax.devices()[0].platform in ("cpu",):
+        out["sharded_fused_skipped"] = "cpu self-test"
+    elif _remaining() > 60.0:
+        _set_phase("device_decompose_fused")
+        fc_seconds = int(channel_seconds)
+        graph, fc_wave_len, t_frames = _fc_dims(fc_seconds)
+        t0 = time.perf_counter()
+        first_f = _build_fset(0, fc_seconds, fc_wave_len, t_frames)
+        hard_block([first_f])
+        t_fset = time.perf_counter() - t0
+        # The fused metric is NOT audio-length-invariant: a fixed
+        # ~170-190 ms/pass cost dominates short tracks (measured
+        # 2026-08-21 23:20: shrinking to 60 s collapsed the reading
+        # 14,000x -> 2,530x while the per-pass time stayed ~190 ms), so
+        # a tight budget shrinks the NUMBER of distinct sets (5 -> 3,
+        # indexed modulo so every within-run slope pass still sees
+        # distinct content — the tunnel-dedup discipline is per batch)
+        # instead of the audio seconds.  Reserve ~140 s for the windows
+        # leg below, which has its own shrink.
+        n_fsets = 5
+        if 4 * t_fset > max(0.0, _remaining() - 140.0):
+            n_fsets = 3
+            out["fused_decompose_sets"] = n_fsets
+        if (n_fsets - 1) * t_fset <= max(0.0, _remaining() - 120.0):
+            fsets = [first_f] + [
+                _build_fset(i, fc_seconds, fc_wave_len, t_frames)
+                for i in range(1, n_fsets)
+            ]
+            hard_block(fsets)
+            hard_block(graph(fsets[0]["w"], fsets[0]["v"]))  # compile off clock
+            if _remaining() > 25.0:
+                dt, _ = _slope_sets(
+                    lambda i: graph(
+                        fsets[i % n_fsets]["w"], fsets[i % n_fsets]["v"]
+                    )
+                )
+                if dt > 0:
+                    out["sharded_fused_device_x_realtime"] = round(
+                        n_channels * fc_seconds / dt, 2
+                    )
+                else:
+                    out["sharded_fused_skipped"] = (
+                        f"nonpositive slope {dt:.4f}"
+                    )
+            else:
+                out["sharded_fused_skipped"] = f"only {_remaining():.0f}s left"
+            del fsets
+        else:
+            out["sharded_fused_skipped"] = (
+                f"upload too slow for {n_fsets} full-length sets "
+                f"({t_fset:.1f}s/set)"
+            )
+        del first_f  # free HBM before the window sets upload
+    else:
+        out["sharded_fused_skipped"] = f"only {_remaining():.0f}s left"
+
+    # ---- windows leg: the batched bucketized graph the e2e measure runs.
+    _set_phase("device_decompose")
+    featurize, chunk_probs, _wave_len, chunk = pipe._graphs(True, c_local)
 
     def build_set(set_i: int, sec: int):
         padded_list, ts = [], []
@@ -845,8 +933,9 @@ def _sharded_device_metrics(pipe, n_channels: int, channel_seconds: int) -> dict
     # window their upload starved the decomposition three runs in a row
     # (2026-08-21 evening, each ending 'budget expired mid-decompose').
     # So: time the FIRST set's upload; if four more at that rate don't
-    # fit in the remaining budget (less a reserve for the slope runs and
-    # the fused leg), shrink the decompose channels to 60 s.  60 s keeps
+    # fit in the remaining budget (less a reserve for the slope runs —
+    # the fused leg already ran above), shrink the decompose channels to
+    # 60 s.  60 s keeps
     # the metric comparable: one 6144-frame bucket at 6000 valid frames
     # has the same 97.66% occupancy as 300 s across five buckets, and
     # the per-audio-second normalization divides the size back out.
@@ -855,7 +944,7 @@ def _sharded_device_metrics(pipe, n_channels: int, channel_seconds: int) -> dict
     first = build_set(0, dec_seconds)
     hard_block([first])
     t_set = time.perf_counter() - t0
-    if 4 * t_set > max(0.0, _remaining() - 90.0) and dec_seconds > 60:
+    if 4 * t_set > max(0.0, _remaining() - 40.0) and dec_seconds > 60:
         dec_seconds = 60
         out["decompose_channel_audio_s"] = dec_seconds
         first = build_set(0, dec_seconds)
@@ -884,47 +973,6 @@ def _sharded_device_metrics(pipe, n_channels: int, channel_seconds: int) -> dict
             out["sharded_device_skipped"] = f"nonpositive slope {dt:.4f}"
     else:
         out["sharded_device_skipped"] = f"only {_remaining():.0f}s left"
-
-    # fused_conv leg: ONE batched whole-track dilated graph over all C
-    # channels — the fastest multi-channel formulation (no window
-    # gathers at all).  Same 5-distinct-set slope.  Accelerators only:
-    # XLA:CPU compiles the whole-track dilated graph pathologically
-    # slowly (~6 min observed in the CPU self-test for zero signal —
-    # the CPU path exists to validate plumbing, not to measure).
-    import jax as _jax
-
-    if _jax.devices()[0].platform in ("cpu",):
-        out["sharded_fused_skipped"] = "cpu self-test"
-    elif _remaining() > 60.0:
-        _set_phase("device_decompose_fused")
-        t_frames = dec_seconds * 100
-        total = max(bucket, -(-t_frames // bucket) * bucket)
-        graph, fc_wave_len = pipe._fc_graph(total, True)
-        fsets = []
-        for set_i in range(5):
-            batch = np.zeros((c_pad, fc_wave_len), dtype=np.int16)
-            for r in range(n_channels):
-                w = speech_like_pcm(
-                    dec_seconds, seed=970 + set_i * 16 + r
-                )
-                batch[r, : len(w)] = w
-            valid = np.zeros(c_pad, dtype=np.int32)
-            valid[:n_channels] = t_frames
-            fsets.append(pipe._shard({"w": batch, "v": valid}, pipe.mesh))
-        hard_block(fsets)
-        hard_block(graph(fsets[0]["w"], fsets[0]["v"]))  # compile off clock
-        if _remaining() > 25.0:
-            dt, _ = _slope_sets(lambda i: graph(fsets[i]["w"], fsets[i]["v"]))
-            if dt > 0:
-                out["sharded_fused_device_x_realtime"] = round(
-                    n_channels * dec_seconds / dt, 2
-                )
-            else:
-                out["sharded_fused_skipped"] = f"nonpositive slope {dt:.4f}"
-        else:
-            out["sharded_fused_skipped"] = f"only {_remaining():.0f}s left"
-    else:
-        out["sharded_fused_skipped"] = f"only {_remaining():.0f}s left"
     return out
 
 
